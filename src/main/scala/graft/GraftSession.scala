@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession factory for the Verify/Bench mains and tests.
+  *
+  * Configuration is the 100-TB design scaled to local mode:
+  *   - AQE on (runtime partition coalescing, skew-join splitting) —
+  *     on a real cluster this is what turns the static shuffle.partitions
+  *     into a per-stage decision;
+  *   - shuffle partitions sized to cores, not the 200 default;
+  *   - UTC session timezone for DuckDB-oracle parity;
+  *   - legacy nanosAsLong so the TIMESTAMP(NANOS) events table is
+  *     readable (normalized back to µs by QueryDef.events).
+  */
+object GraftSession {
+  def cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+    .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def build(appName: String): SparkSession = {
+    val n = cpus
+    val spark = SparkSession.builder()
+      .master(s"local[$n]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", n.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates every implemented operator's query (and, where
+  * SQL-expressible, its DuckDB oracle) from the per-domain modules under
+  * graft.queries.
+  */
 object SparkEntry {
+
+  /** All query modules, each contributing name → QueryDef. */
+  private def modules: Seq[Map[String, QueryDef]] = Seq(
+    Relational.defs
+  )
+
+  private lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    all("q01_pricing_summary").build(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (name, d) => name -> d.build }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    all.collect { case (name, QueryDef(_, Some(sql), _)) =>
+      name -> sql.linesIterator.map(_.trim).filter(_.nonEmpty).mkString(" ")
+    }
+
+  /** Subset of queries used by Bench as the headline perf set. */
+  def headlines: Seq[String] =
+    all.collect { case (name, d) if d.headline => name }.toSeq.sorted
 }

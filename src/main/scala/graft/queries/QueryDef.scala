@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One driver-verifiable query: a Spark build function over a testdata
+  * scale-factor directory plus (when SQL-expressible) an equivalent ANSI
+  * SQL string the driver runs in DuckDB on the same parquet tables.
+  *
+  * Oracle discipline (hash-match safety):
+  *   - every aggregate over doubles is cast per-row to a fixed-scale
+  *     DECIMAL before summing, and the final sum cast to an explicit
+  *     DECIMAL type on BOTH sides — exact arithmetic, no float
+  *     accumulation-order nondeterminism;
+  *   - every output column is aliased identically on both sides;
+  *   - every query ends with a deterministic ORDER BY on both sides.
+  */
+final case class QueryDef(
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+object QueryDef {
+  /** Load one testdata table. Column pruning + predicate pushdown reach the
+    * parquet scan automatically because the plan stays declarative. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Load the events table with `ts` normalized to a microsecond
+    * TimestampType. The parquet file stores TIMESTAMP(NANOS), which Spark 4
+    * only reads with spark.sql.legacy.parquet.nanosAsLong=true (set in
+    * Verify/Bench sessions) — in that mode ts arrives as Long nanoseconds.
+    * Integer `DIV` (not `/`): epoch-ns ≈ 1.7e18 exceeds the 2^53 exact
+    * range of a double, so float division would corrupt low-order digits. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
+  }
+}
