@@ -7,18 +7,30 @@ package graft
   * lets Catalyst prune away unused projections (a windowed column feeding
   * nothing would simply not be computed), noop materializes every output
   * row of the optimized plan — the honest cost of the query.
+  *
+  * Failure discipline: a failed query is NEVER folded into the total (a
+  * -1 sentinel would make the bench report a better number than a passing
+  * run). Failures are listed in "failed" and the process exits nonzero.
+  * The JSON line is also written to $SPARK_GRAFT_OUT (or
+  * /root/repo/bench_out.json) so the driver can parse it even if a
+  * launcher prefixes stdout.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
 
-    def run(name: String): Double = {
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      val t0 = System.nanoTime()
-      try df.write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+    def run(name: String): Either[String, Double] = {
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          Left(e.getClass.getSimpleName)
+      }
     }
 
     val names = SparkEntry.headlines
@@ -26,10 +38,19 @@ object Bench {
     // cache, parquet footer cache), then the measured pass
     names.foreach(run)
     val results = names.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val ok = results.collect { case (n, Right(s)) => n -> s }
+    val failed = results.collect { case (n, Left(_)) => n }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "/root/repo/bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -7,10 +7,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SQL string the driver runs in DuckDB on the same parquet tables.
   *
   * Oracle discipline (hash-match safety):
-  *   - every aggregate over doubles is cast per-row to a fixed-scale
-  *     DECIMAL before summing, and the final sum cast to an explicit
-  *     DECIMAL type on BOTH sides — exact arithmetic, no float
-  *     accumulation-order nondeterminism;
+  *   - every output column is BIGINT or STRING — no DECIMAL or TIMESTAMP
+  *     ever crosses the output boundary (the driver's hasher canonicalizes
+  *     decimal/timestamp representations differently across engines even
+  *     when values are equal; integers and strings are representation-
+  *     stable);
+  *   - aggregates over doubles are cast per-row to a fixed-scale DECIMAL,
+  *     summed exactly, then emitted as BIGINT minor units (×10^scale) on
+  *     BOTH sides; timestamps are emitted as epoch microseconds;
   *   - every output column is aliased identically on both sides;
   *   - every query ends with a deterministic ORDER BY on both sides.
   */

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational operator coverage over the driver testdata (TPC-H-ish).
@@ -12,17 +12,33 @@ import org.apache.spark.sql.functions._
   * engine exposes (hash/broadcast join, partial+final hash agg, window,
   * sort/limit/top-k, semi/anti join, set ops, rollup, distinct).
   *
-  * Scale notes (100 TB design): every query below is a straight
-  * scan→(broadcast|shuffle)→agg pipeline with no driver-side loops;
-  * small dimensions (region/nation/customer/part at TPC-H proportions)
-  * are broadcast explicitly; everything else relies on AQE for skew and
-  * partition coalescing.
+  * Output discipline (hash-match safety, round-2): every output column is
+  * BIGINT or STRING. Money/quantity aggregates are computed exactly —
+  * per-row cast to a fixed-scale DECIMAL, decimal SUM — and emitted as
+  * BIGINT minor units (×10^scale). Timestamps are emitted as epoch
+  * microseconds. The same conversions appear verbatim in the DuckDB
+  * oracle so both engines produce bit-identical integers.
+  *
+  * Scale notes (100 TB design): every query is a straight
+  * scan→(broadcast|shuffle)→agg pipeline with no driver-side loops. Only
+  * genuinely bounded dimensions (region: 5 rows, nation: 25 rows — fixed,
+  * SF-independent) carry explicit broadcast hints; fact-proportional
+  * tables (customer, orders, supplier, part all grow with SF) use plain
+  * joins and let AQE choose broadcast when the runtime build side is
+  * actually small. A hard-coded broadcast on a growing table is correct
+  * at sf0.01 and an executor OOM at 100×.
   */
 object Relational {
   import QueryDef.table
 
-  private def dec(c: org.apache.spark.sql.Column, p: Int, s: Int) =
-    c.cast(s"decimal($p,$s)")
+  /** Per-row exact decimal view of a double column (matches DuckDB's
+    * CAST(x AS DECIMAL(18,s)) bit-for-bit). */
+  private def dec(c: Column, s: Int): Column = c.cast(s"decimal(18,$s)")
+
+  /** Exact decimal SUM emitted as BIGINT minor units (×10^s). */
+  private def sumMinor(c: Column, s: Int): Column =
+    (sum(dec(c, s)).cast(s"decimal(38,$s)") * lit(math.pow(10, s).toLong))
+      .cast("bigint")
 
   val defs: Map[String, QueryDef] = Map(
     // ---------------------------------------------------------------- q01
@@ -34,21 +50,21 @@ object Relational {
         li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            dec(sum(dec(col("l_quantity"), 18, 2)), 38, 2).as("sum_qty"),
-            dec(sum(dec(col("l_extendedprice"), 18, 2)), 38, 2).as("sum_base_price"),
-            dec(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 18, 6)), 38, 6)
+            sumMinor(col("l_quantity"), 2).as("sum_qty"),
+            sumMinor(col("l_extendedprice"), 2).as("sum_base_price"),
+            sumMinor(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
               .as("sum_disc_price"),
-            dec(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 18, 6)), 38, 6)
+            sumMinor(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6)
               .as("sum_charge"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       },
       oracle = Some("""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_charge,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -57,10 +73,10 @@ object Relational {
       headline = true),
 
     // ---------------------------------------------------------------- q03
-    // TPC-H Q3: broadcast(customer-filter) ⋈ orders ⋈ lineitem, top-k.
-    // Top-k by a DECIMAL sum ⇒ deterministic even under ties (orderkey
-    // tiebreak). At cluster scale: customer(BUILDING) is ~1/5 of customer
-    // — still broadcastable at TPC-H proportions (customer ≪ lineitem).
+    // TPC-H Q3: top-k over a 3-way join. Only the BUILDING-filtered
+    // customer slice is broadcast (selective filter on a dimension);
+    // lineitem⋈orders shuffles on orderkey — at 100 TB orders is
+    // fact-proportional and must never be a broadcast build side.
     "q03_shipping_priority" -> QueryDef(
       build = (spark, dir) => {
         val cust = table(spark, dir, "customer")
@@ -69,18 +85,23 @@ object Relational {
           .filter(col("o_orderdate") < lit("1998-06-30").cast("timestamp"))
         val li = table(spark, dir, "lineitem")
           .filter(col("l_shipdate") > lit("1998-06-30").cast("timestamp"))
-        li.join(broadcast(ord.join(broadcast(cust),
-            ord("o_custkey") === cust("c_custkey"))),
+        li.join(ord.join(broadcast(cust),
+            ord("o_custkey") === cust("c_custkey")),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-          .agg(dec(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 18, 6)), 38, 6)
+          .agg(sumMinor(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
             .as("revenue"))
+          .select(col("l_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+            col("o_orderpriority"), col("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
           .limit(10)
       },
       oracle = Some("""
-        SELECT l_orderkey, o_orderdate, o_orderpriority,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+        SELECT l_orderkey,
+               epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+               o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING'
           AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -92,8 +113,10 @@ object Relational {
       headline = true),
 
     // ---------------------------------------------------------------- q05
-    // 5-way join through the star schema; all dims broadcast, lineitem is
-    // the only shuffled side (and only for the final group-by).
+    // 5-way join through the star schema. region (5 rows) and nation
+    // (25 rows) are the only SF-independent dims — they broadcast.
+    // lineitem⋈orders⋈customer⋈supplier shuffle on their keys; AQE
+    // promotes any side to broadcast at runtime if it measures small.
     "q05_revenue_by_nation" -> QueryDef(
       build = (spark, dir) => {
         val region = table(spark, dir, "region")
@@ -102,20 +125,20 @@ object Relational {
         val ord = table(spark, dir, "orders")
         val li = table(spark, dir, "lineitem")
         val supp = table(spark, dir, "supplier")
-        li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg(dec(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 18, 6)), 38, 6)
+          .agg(sumMinor(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
             .as("revenue"))
           .orderBy(col("r_name"), col("n_name"))
       },
       oracle = Some("""
         SELECT r_name, n_name,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue
         FROM lineitem, orders, customer, supplier, nation, region
         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -134,11 +157,11 @@ object Relational {
             col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
             col("l_discount").between(0.05, 0.07) &&
             col("l_quantity") < 10)
-          .agg(dec(sum(dec(col("l_extendedprice") * col("l_discount"), 18, 6)), 38, 6)
+          .agg(sumMinor(col("l_extendedprice") * col("l_discount"), 6)
             .as("revenue"))
       },
       oracle = Some("""
-        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -158,16 +181,17 @@ object Relational {
           .orderBy(col("o_orderdate"), col("o_orderkey"))
         ord.select(
             col("o_custkey"), col("o_orderkey"),
-            row_number().over(w).as("rn"),
-            dec(sum(dec(col("o_totalprice"), 18, 2))
-              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 38, 2)
+            row_number().over(w).cast("bigint").as("rn"),
+            (sum(dec(col("o_totalprice"), 2))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("decimal(38,2)") * lit(100L)).cast("bigint")
               .as("running_total"))
           .orderBy(col("o_custkey"), col("rn"))
       },
       oracle = Some("""
         SELECT o_custkey, o_orderkey,
-               ROW_NUMBER() OVER w AS rn,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS running_total
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w * 100 AS BIGINT) AS running_total
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -176,21 +200,22 @@ object Relational {
 
     // ---------------------------------------------------------------- q08
     // Top-k: local top-k per partition then merge at the driver via
-    // TakeOrderedAndProject — no global sort at scale.
+    // TakeOrderedAndProject — no global sort at scale. customer grows
+    // with SF → no broadcast hint; AQE decides at runtime.
     "q08_top_customers" -> QueryDef(
       build = (spark, dir) => {
         val cust = table(spark, dir, "customer")
         val ord = table(spark, dir, "orders")
-        ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        ord.join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_custkey"), col("c_name"))
-          .agg(dec(sum(dec(col("o_totalprice"), 18, 2)), 38, 2).as("total_spend"),
+          .agg(sumMinor(col("o_totalprice"), 2).as("total_spend"),
             count(lit(1)).as("n_orders"))
           .orderBy(col("total_spend").desc, col("c_custkey"))
           .limit(20)
       },
       oracle = Some("""
         SELECT c_custkey, c_name,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_spend,
                COUNT(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_custkey, c_name
@@ -198,7 +223,7 @@ object Relational {
         LIMIT 20""")),
 
     // ---------------------------------------------------------------- q09
-    // Left-semi + left-anti joins (EXISTS / NOT EXISTS) — broadcast both.
+    // Left-semi + left-anti joins (EXISTS / NOT EXISTS).
     "q09_semi_anti" -> QueryDef(
       build = (spark, dir) => {
         val cust = table(spark, dir, "customer")
@@ -247,7 +272,7 @@ object Relational {
         val ord = table(spark, dir, "orders")
         ord.rollup(col("o_orderstatus"), col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
-            dec(sum(dec(col("o_totalprice"), 18, 2)), 38, 2).as("total"))
+            sumMinor(col("o_totalprice"), 2).as("total"))
           .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
             coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
             col("n"), col("total"))
@@ -257,7 +282,7 @@ object Relational {
         SELECT COALESCE(o_orderstatus, '(all)') AS status,
                COALESCE(o_orderpriority, '(all)') AS priority,
                COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY status, priority""")),
@@ -283,19 +308,21 @@ object Relational {
     // ---------------------------------------------------------------- q13
     // Tumbling-window aggregation over the events stream table (batch
     // form; the streaming form with watermarks lives in graft.streaming).
-    // events.ts is ns in parquet → truncate to µs on both sides.
+    // events.ts is ns in parquet → µs on both sides; hour emitted as
+    // epoch micros so the output is pure BIGINT.
     "q13_events_hourly" -> QueryDef(
       build = (spark, dir) => {
         val ev = QueryDef.events(spark, dir)
-        ev.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        ev.groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+            col("event_type"))
           .agg(count(lit(1)).as("n"),
-            dec(sum(dec(col("value"), 18, 6)), 38, 6).as("total_value"))
-          .orderBy("hour", "event_type")
+            sumMinor(col("value"), 6).as("total_value"))
+          .orderBy("hour_us", "event_type")
       },
       oracle = Some("""
-        SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour, event_type,
+        SELECT epoch_us(CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)) AS hour_us, event_type,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS total_value
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2"""),
@@ -334,21 +361,22 @@ object Relational {
         FROM marked GROUP BY user_id ORDER BY user_id""")),
 
     // ---------------------------------------------------------------- q15
-    // Fact ⋈ broadcast dim with grouped revenue by part brand.
+    // Fact ⋈ dim grouped revenue by part brand. part grows with SF →
+    // no explicit broadcast; AQE promotes it when actually small.
     "q15_brand_revenue" -> QueryDef(
       build = (spark, dir) => {
         val part = table(spark, dir, "part")
         val li = table(spark, dir, "lineitem")
-        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        li.join(part, col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"))
           .agg(count(lit(1)).as("n"),
-            dec(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 18, 6)), 38, 6)
+            sumMinor(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
               .as("revenue"))
           .orderBy("p_brand")
       },
       oracle = Some("""
         SELECT p_brand, COUNT(*) AS n,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
         ORDER BY p_brand""")),
@@ -358,15 +386,15 @@ object Relational {
     "q16_orders_by_year" -> QueryDef(
       build = (spark, dir) => {
         val ord = table(spark, dir, "orders")
-        ord.groupBy(year(col("o_orderdate")).as("yr"))
+        ord.groupBy(year(col("o_orderdate")).cast("bigint").as("yr"))
           .agg(count(lit(1)).as("n_orders"),
-            dec(sum(dec(col("o_totalprice"), 18, 2)), 38, 2).as("total"))
+            sumMinor(col("o_totalprice"), 2).as("total"))
           .orderBy("yr")
       },
       oracle = Some("""
-        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total
         FROM orders
         GROUP BY 1
         ORDER BY 1"""))
