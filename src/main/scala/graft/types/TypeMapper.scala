@@ -14,12 +14,14 @@ trait TypeMapper {
   protected def scalar(name: String, mods: Seq[Long]): (SpScalar, Seq[Issue])
 
   def toSpanner(t: SrcType): (SpType, Seq[Issue]) = {
+    val (s, issues) = scalar(t.name, t.mods)
     if (t.arrayBounds > 1)
-      (SpType(StringMax), Seq(Issue.MultiDimensionalArray))
-    else {
-      val (s, issues) = scalar(t.name, t.mods)
+      // Collapse to STRING(MAX) but keep the scalar mapping's issues —
+      // e.g. a 2-D serial column still reports Serial (reference appends
+      // MultiDimensionalArray to the scalar issues, toddl.go:67-70).
+      (SpType(StringMax), issues :+ Issue.MultiDimensionalArray)
+    else
       (SpType(s, isArray = t.arrayBounds == 1), issues)
-    }
   }
 }
 
@@ -97,8 +99,11 @@ object DynamoTypeMapper extends TypeMapper {
     }
 
   override def toSpanner(t: SrcType): (SpType, Seq[Issue]) = t.name match {
-    // Dynamo sets arrive as set types, not via arrayBounds
-    case "StringSet" => (SpType(StringMax, isArray = true), Nil)
+    // Dynamo sets arrive as set types, not via arrayBounds. A set whose
+    // Numbers don't all fit NUMERIC(38,9) is classified NumberStringSet
+    // by inference and lands as ARRAY<STRING> (dynamodb/toddl.go:84-85).
+    case "StringSet" | "NumberStringSet" =>
+      (SpType(StringMax, isArray = true), Nil)
     case "NumberSet" => (SpType(Numeric, isArray = true), Nil)
     case "BinarySet" => (SpType(BytesMax, isArray = true), Nil)
     case _           => super.toSpanner(t)
