@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All query modules, each contributing name → QueryDef. */
   private def modules: Seq[Map[String, QueryDef]] = Seq(
-    Relational.defs
+    Relational.defs,
+    Documents.defs
   )
 
   private lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data text pipeline over the `documents` table: exact
+  * dedup, token statistics, quality scoring, content fingerprinting,
+  * language histograms.
+  *
+  * These extend the reference's surface (harbourbridge has no text
+  * analytics; SURVEY.md §2.7) with the operators a 100 TB pre-training
+  * corpus pipeline needs. Every query is a declarative scan→agg pipeline:
+  * dedup is hash-groupBy (map-side combine keeps shuffle volume at
+  * |unique| not |rows|), fingerprinting is a deterministic per-row
+  * expression, nothing collects to the driver.
+  *
+  * Determinism/oracle notes: tokenization is `\s+` split with empty
+  * tokens dropped — identical in Spark and DuckDB; md5 hex is identical;
+  * ratios are integer permille (x*1000 div y), never floats.
+  */
+object Documents {
+  import QueryDef.table
+
+  /** Whitespace tokens, empties dropped (parity: DuckDB
+    * list_filter(string_split_regex(text,'\s+'), t -> t <> '')). */
+  private val toks = "filter(split(text, '\\\\s+'), t -> t != '')"
+  private val stopArr = "array('the','a','of','to','and')"
+  /** Bag-of-words content fingerprint: md5 over the sorted distinct token
+    * set — catches reordered/duplicated-content documents that raw-text
+    * hashing misses. Pure per-row expression → embarrassingly parallel. */
+  private val fingerprint =
+    s"md5(concat_ws(' ', array_sort(array_distinct($toks))))"
+
+  val defs: Map[String, QueryDef] = Map(
+    // ---------------------------------------------------------------- d01
+    // Exact dedup: hash-groupBy on content, first-winner (min doc_id).
+    // At 100 TB: group by the 128-bit digest, never the text itself —
+    // shuffle rows are (16B key, 8B id), not documents.
+    "d01_exact_dedup" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        docs.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_copies"))
+          .orderBy("h")
+      },
+      oracle = Some("""
+        SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY h"""),
+      headline = true),
+
+    // ---------------------------------------------------------------- d02
+    // Token statistics per language: docs, tokens, chars, stopword counts.
+    "d02_token_stats" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        docs.select(col("lang"),
+            expr(s"size($toks)").cast("bigint").as("n_tokens"),
+            length(col("text")).cast("bigint").as("n_chars"),
+            expr(s"size(filter($toks, t -> array_contains($stopArr, t)))")
+              .cast("bigint").as("n_stop"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("total_tokens"),
+            sum("n_chars").as("total_chars"),
+            sum("n_stop").as("total_stop"),
+            max("n_tokens").as("max_tokens"),
+            min("n_tokens").as("min_tokens"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT lang,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                      t -> list_contains(['the','a','of','to','and'], t))) AS BIGINT) AS n_stop
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+               SUM(n_chars) AS total_chars, SUM(n_stop) AS total_stop,
+               MAX(n_tokens) AS max_tokens, MIN(n_tokens) AS min_tokens
+        FROM t GROUP BY lang ORDER BY lang""")),
+
+    // ---------------------------------------------------------------- d03
+    // Quality scoring: integer-permille stopword/punctuation ratios →
+    // quality buckets, counted per (lang, bucket). Ratios stay in exact
+    // integer arithmetic (x*1000 DIV y) so both engines agree bit-for-bit.
+    "d03_quality_score" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        docs.select(col("lang"),
+            expr(s"size($toks)").cast("bigint").as("n_tokens"),
+            expr(s"size(filter($toks, t -> array_contains($stopArr, t)))")
+              .cast("bigint").as("n_stop"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[.,;:!?]", "")))
+              .cast("bigint").as("n_punct"))
+          .withColumn("stop_permille",
+            when(col("n_tokens") > 0,
+              expr("n_stop * 1000 div n_tokens")).otherwise(lit(0L)))
+          .withColumn("quality",
+            when(col("n_tokens") >= 40 &&
+                 col("stop_permille").between(20, 400), "good")
+              .when(col("n_tokens") >= 15, "fair")
+              .otherwise("poor"))
+          .groupBy("lang", "quality")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("total_tokens"),
+            sum("n_punct").as("total_punct"))
+          .orderBy("lang", "quality")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT lang,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                      t -> list_contains(['the','a','of','to','and'], t))) AS BIGINT) AS n_stop,
+                 CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+          FROM documents),
+        s AS (
+          SELECT lang, n_tokens, n_punct,
+                 CASE WHEN n_tokens > 0 THEN n_stop * 1000 // n_tokens ELSE 0 END AS stop_permille
+          FROM t),
+        b AS (
+          SELECT lang, n_tokens, n_punct,
+                 CASE WHEN n_tokens >= 40 AND stop_permille BETWEEN 20 AND 400 THEN 'good'
+                      WHEN n_tokens >= 15 THEN 'fair'
+                      ELSE 'poor' END AS quality
+          FROM s)
+        SELECT lang, quality, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+               SUM(n_punct) AS total_punct
+        FROM b GROUP BY lang, quality ORDER BY lang, quality""")),
+
+    // ---------------------------------------------------------------- d04
+    // Content-fingerprint dedup: md5 over the sorted distinct token set
+    // groups documents whose content is a reorder/repeat of the same
+    // vocabulary — the cheap first pass before MinHash near-dedup.
+    "d04_fingerprint_dups" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        docs.groupBy(expr(fingerprint).as("fp"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") > 1)
+          .orderBy("fp")
+      },
+      oracle = Some("""
+        SELECT md5(array_to_string(list_sort(list_distinct(
+                 list_filter(string_split_regex(text, '\s+'), t -> t <> ''))), ' ')) AS fp,
+               MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+        FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""")),
+
+    // ---------------------------------------------------------------- d05
+    // Language × source histogram (the corpus-composition report).
+    "d05_lang_source_hist" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        docs.groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy("lang", "source")
+      },
+      oracle = Some("""
+        SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+  )
+}
