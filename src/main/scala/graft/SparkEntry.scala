@@ -14,7 +14,8 @@ object SparkEntry {
   /** All query modules, each contributing name → QueryDef. */
   private def modules: Seq[Map[String, QueryDef]] = Seq(
     Relational.defs,
-    Documents.defs
+    Documents.defs,
+    Similarity.defs
   )
 
   private lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection and similarity search — the scale-critical
+  * LLM-pipeline operators (none exist in the reference; SURVEY.md §2.7).
+  *
+  * Shuffle-bounded designs (the 100 TB contract):
+  *   - MinHash-LSH (m01): per-doc signatures are per-row expressions;
+  *     candidate generation joins on (band, band-hash) — only documents
+  *     sharing a band bucket ever meet. No all-pairs product anywhere.
+  *   - Inverted-index Jaccard (m02): pairs meet through a shared shingle
+  *     (explode + self-join on the shingle), so complexity is bounded by
+  *     shingle-bucket sizes, not n².
+  *   - KNN (e01): the probe set is a bounded constant — explicitly
+  *     broadcast; the corpus side streams. One pass, one shuffle for the
+  *     per-probe top-k.
+  *   - Centroids (e02): posexplode + groupBy(label, dim) with map-side
+  *     combine — the IVF build step at scale.
+  *
+  * Determinism: all similarity math is exact-integer. Embeddings are
+  * quantized floor(x·2^20) (power-of-two scaling is exact in double, so
+  * both engines floor the same value); jaccard is integer permille;
+  * MinHash uses md5 hex, identical across engines.
+  */
+object Similarity {
+  import QueryDef.table
+
+  /** Tokens → distinct word 3-gram shingles (docs under 3 tokens fall
+    * back to their distinct token set). */
+  private val tk = "filter(split(text, '\\\\s+'), t -> t != '')"
+  private val shingles =
+    s"""CASE WHEN size($tk) >= 3
+          THEN array_distinct(transform(sequence(1, size($tk) - 2),
+               i -> concat_ws(' ', slice($tk, i, 3))))
+          ELSE array_distinct($tk) END"""
+
+  /** k-th MinHash of the shingle set: lexicographic min of seeded md5. */
+  private def mh(k: Int) =
+    s"array_min(transform(sh, s -> md5(concat('$k:', s))))"
+
+  /** Quantized embedding: floor(x·2^20) per element, exact in double. */
+  private val quant =
+    "transform(embedding, x -> cast(floor(cast(x as double) * 1048576D) as bigint))"
+  /** Exact integer dot product of two quantized vectors. */
+  private def qdot(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+  /** Shared shingle-set frame: doc_id, sh. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").select(col("doc_id"), expr(shingles).as("sh"))
+
+  val defs: Map[String, QueryDef] = Map(
+    // ---------------------------------------------------------------- m01
+    // MinHash-LSH near-dedup: 6 MinHashes → 3 bands of 2 → candidates
+    // share a band bucket → verify true Jaccard ≥ 500 permille.
+    "m01_minhash_lsh_neardup" -> QueryDef(
+      build = (spark, dir) => {
+        val sig = shingled(spark, dir)
+          .withColumn("mh", expr(s"array(${(0 until 6).map(mh).mkString(",")})"))
+          .withColumn("bands", expr(
+            "array(md5(concat(mh[0], mh[1])), md5(concat(mh[2], mh[3])), md5(concat(mh[4], mh[5])))"))
+          .select(col("doc_id"), col("sh"), posexplode(col("bands")).as(Seq("bi", "bh")))
+        val a = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+          col("bi"), col("bh"))
+        val b = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+          col("bi").as("bi2"), col("bh").as("bh2"))
+        a.join(b, col("bi") === col("bi2") && col("bh") === col("bh2") &&
+            col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("size(array_intersect(sh_a, sh_b))").cast("bigint").as("common"),
+            expr("size(sh_a)").cast("bigint").as("na"),
+            expr("size(sh_b)").cast("bigint").as("nb"))
+          .distinct()
+          .select(col("doc_a"), col("doc_b"),
+            expr("common * 1000 div (na + nb - common)").as("jaccard_permille"))
+          .filter(col("jaccard_permille") >= 500)
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some("""
+        WITH tkn AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+          FROM documents),
+        shn AS (
+          SELECT doc_id, CASE WHEN len(tk) >= 3
+            THEN list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' ')))
+            ELSE list_distinct(tk) END AS sh
+          FROM tkn),
+        mhs AS (
+          SELECT doc_id, sh,
+            [list_min(list_transform(sh, s -> md5(k || ':' || s))) for k in [0,1,2,3,4,5]] AS mh
+          FROM shn),
+        bands AS (
+          SELECT doc_id, sh,
+            unnest([md5(mh[1]||mh[2]), md5(mh[3]||mh[4]), md5(mh[5]||mh[6])]) AS bh,
+            unnest([0,1,2]) AS bi
+          FROM mhs),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.sh, b.sh)) AS common,
+                 len(a.sh) AS na, len(b.sh) AS nb
+          FROM bands a JOIN bands b
+            ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(common * 1000 // (na + nb - common) AS BIGINT) AS jaccard_permille
+        FROM cand
+        WHERE common * 1000 // (na + nb - common) >= 500
+        ORDER BY doc_a, doc_b"""),
+      headline = true),
+
+    // ---------------------------------------------------------------- m02
+    // Ground-truth n-gram Jaccard pairs via inverted index: documents
+    // meet only through a shared shingle (no all-pairs). The LSH recall
+    // spec (SimilaritySpec) checks m01 against this.
+    "m02_ngram_jaccard_pairs" -> QueryDef(
+      build = (spark, dir) => {
+        val sh = shingled(spark, dir)
+        val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        val pairs = ex.as("x").join(ex.as("y"),
+            col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("common"))
+        pairs
+          .join(sh.select(col("doc_id").as("doc_a"), expr("size(sh)").cast("bigint").as("na")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), expr("size(sh)").cast("bigint").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            expr("common * 1000 div (na + nb - common)").as("jaccard_permille"))
+          .filter(col("jaccard_permille") >= 500)
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some("""
+        WITH tkn AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+          FROM documents),
+        shn AS (
+          SELECT doc_id, CASE WHEN len(tk) >= 3
+            THEN list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' ')))
+            ELSE list_distinct(tk) END AS sh
+          FROM tkn),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shn),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               CAST(common * 1000 // (len(x.sh) + len(y.sh) - common) AS BIGINT) AS jaccard_permille
+        FROM pairs JOIN shn x ON x.doc_id = doc_a JOIN shn y ON y.doc_id = doc_b
+        WHERE common * 1000 // (len(x.sh) + len(y.sh) - common) >= 500
+        ORDER BY doc_a, doc_b""")),
+
+    // ---------------------------------------------------------------- e01
+    // Brute-force KNN by exact quantized dot product: bounded probe set
+    // (8 vectors) broadcast against the streaming corpus; per-probe
+    // top-10 via window rank over exact integers.
+    "e01_knn_dot" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = table(spark, dir, "embeddings")
+          .select(col("vec_id"), expr(quant).as("qv"))
+        val probes = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("qv").as("pq"))
+        val dots = emb.join(broadcast(probes), col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("cand_id"),
+            expr(qdot("pq", "qv")).as("dot"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("dot").desc, col("cand_id"))
+        dots.withColumn("rnk", row_number().over(w).cast("bigint"))
+          .filter(col("rnk") <= 10)
+          .orderBy("query_id", "rnk")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
+          FROM embeddings),
+        probes AS (SELECT vec_id AS query_id, qv AS pq FROM q WHERE vec_id < 8),
+        dots AS (
+          SELECT query_id, c.vec_id AS cand_id,
+                 CAST(list_sum([pq[i] * c.qv[i] for i in range(1, len(pq)+1)]) AS BIGINT) AS dot
+          FROM probes p JOIN q c ON p.query_id <> c.vec_id)
+        SELECT query_id, cand_id, dot,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS rnk
+        FROM dots QUALIFY rnk <= 10 ORDER BY query_id, rnk"""),
+      headline = true),
+
+    // ---------------------------------------------------------------- e03
+    // LSH-bucketed ANN (the 100 TB path; see operators.AnnLsh). Not
+    // SQL-expressible in the oracle (seeded Gaussian hyperplanes) →
+    // rows-only driver check; SimilaritySpec asserts recall against the
+    // e01 brute-force baseline.
+    "e03_ann_lsh" -> QueryDef(
+      build = (spark, dir) =>
+        graft.operators.AnnLsh.knn(spark, dir, col("vec_id") < 8),
+      oracle = None),
+
+    // ---------------------------------------------------------------- e02
+    // Per-label centroid accumulation (the IVF build step): exact integer
+    // sums per (label, dimension); a downstream consumer divides s/n.
+    "e02_label_centroids" -> QueryDef(
+      build = (spark, dir) => {
+        val emb = table(spark, dir, "embeddings")
+          .select(col("label").cast("bigint").as("label"), expr(quant).as("qv"))
+        emb.select(col("label"), posexplode(col("qv")).as(Seq("pos", "q")))
+          .groupBy(col("label"), (col("pos") + 1).cast("bigint").as("dim"))
+          .agg(sum("q").as("s"), count(lit(1)).as("n"))
+          .orderBy("label", "dim")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT CAST(label AS BIGINT) AS label,
+                 [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
+          FROM embeddings)
+        SELECT label, CAST(i AS BIGINT) AS dim, SUM(qv[i]) AS s, COUNT(*) AS n
+        FROM q, range(1, 65) r(i)
+        GROUP BY label, i ORDER BY label, dim"""))
+  )
+}

@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.operators.AnnLsh
+
+/** Recall/containment contracts between the approximate (LSH) operators
+  * and their exact baselines — the checks the DuckDB oracle can't do. */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.build("graft-test")
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash-lsh near-dup pairs ⊆ ground-truth jaccard pairs, recall ≥ 0.6") {
+    val lsh = Similarity.defs("m01_minhash_lsh_neardup").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Similarity.defs("m02_ngram_jaccard_pairs").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test data should contain near-dup pairs")
+    assert(lsh.subsetOf(truth),
+      s"LSH-verified pairs must be true pairs; extras: ${lsh -- truth}")
+    val recall = lsh.size.toDouble / truth.size
+    assert(recall >= 0.6, s"LSH recall $recall (${lsh.size}/${truth.size})")
+  }
+
+  test("LSH ANN top-10 recall ≥ 0.5 vs brute force") {
+    val ann = AnnLsh.knn(spark, dir, col("vec_id") < 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = Similarity.defs("e01_knn_dot").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.size === 80, "8 probes × top-10")
+    val recall = (ann intersect bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"ANN recall $recall (|ann|=${ann.size})")
+  }
+
+  test("ANN scores agree with brute force on shared pairs") {
+    val ann = AnnLsh.knn(spark, dir, col("vec_id") < 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val bf = Similarity.defs("e01_knn_dot").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val shared = ann.keySet intersect bf.keySet
+    assert(shared.nonEmpty)
+    shared.foreach { k => assert(ann(k) === bf(k), s"dot mismatch at $k") }
+  }
+}
