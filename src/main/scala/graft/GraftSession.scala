@@ -26,6 +26,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Permissive (null-on-error) cast semantics: the cast library
+      // (graft.cast) converts untrusted source-dump strings and routes
+      // failures to the bad-row quarantine; integer-overflow wrap is
+      // prevented by explicit range gates in Casts.int64.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
       .config("spark.ui.enabled", "false")
