@@ -15,7 +15,8 @@ object SparkEntry {
   private def modules: Seq[Map[String, QueryDef]] = Seq(
     Relational.defs,
     Documents.defs,
-    Similarity.defs
+    Similarity.defs,
+    PgDumpQueries.defs
   )
 
   private lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

@@ -134,7 +134,9 @@ object PgCasts {
 
   private def typedEmpty(sp: SpType): Column = {
     import org.apache.spark.sql.types.ArrayType
-    lit(scala.Array.empty[String]).cast(ArrayType(sp.sparkType))
+    // `sp` may arrive as the full array type (isArray=true) or as the
+    // element type; either way the empty literal is ARRAY<element>.
+    lit(scala.Array.empty[String]).cast(ArrayType(SpType(sp.scalar).sparkType))
   }
 }
 

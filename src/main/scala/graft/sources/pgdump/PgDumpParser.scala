@@ -1,0 +1,421 @@
+package graft.sources.pgdump
+
+import graft.schema._
+import graft.types.SrcType
+import scala.collection.mutable
+
+/** Driver-side pg_dump schema pass (reference: postgres/pgdump.go:50-120,
+  * 267-315,600-649). Streams the dump once, interprets schema statements,
+  * and records the LINE RANGES of COPY data blocks — the data itself is
+  * never materialized here. The data pass (PgDumpReader) then reads those
+  * ranges distributed via spark.read.text. This mirrors the reference's
+  * two-pass design with the expensive pass parallelized:
+  * schema statements are a few KB; COPY payloads are the 100 GB part.
+  *
+  * The reference leans on pg_query_go (a full PostgreSQL grammar); this
+  * interprets the regular, machine-generated subset pg_dump emits:
+  * CREATE TABLE, ALTER TABLE ADD CONSTRAINT (PK/FK/UNIQUE/CHECK),
+  * CREATE [UNIQUE] INDEX, SET timezone, COPY ... FROM stdin, INSERT.
+  */
+object PgDumpParser {
+
+  /** One COPY payload: table + column list + [startLine, endLine) of the
+    * data rows within the dump file (0-based, exclusive end). */
+  final case class CopyBlock(table: String, cols: Seq[String],
+      startLine: Long, endLine: Long)
+
+  final case class DumpSchema(
+      tables: Map[String, SourceTable],
+      tableOrder: Seq[String],
+      copyBlocks: Seq[CopyBlock],
+      insertRows: Map[String, (Seq[String], Seq[Seq[String]])], // cols, rows (null = SQL NULL)
+      timezone: Option[String],
+      statementStats: Map[String, Long],
+      unparseable: Seq[String])
+
+  // ------------------------------------------------------------ scanning
+
+  /** Statement boundary scanner: splits on top-level `;` (single-quote
+    * aware, `''` escape) and treats COPY ... FROM stdin payloads as
+    * opaque line ranges terminated by `\.` (pgdump.go:88-152). */
+  def parse(lines: Iterator[String]): DumpSchema = {
+    val tables = mutable.LinkedHashMap.empty[String, SourceTable]
+    val copies = mutable.ArrayBuffer.empty[CopyBlock]
+    val inserts = mutable.LinkedHashMap.empty[String, (Seq[String], mutable.ArrayBuffer[Seq[String]])]
+    val stats = mutable.LinkedHashMap.empty[String, Long].withDefaultValue(0L)
+    val bad = mutable.ArrayBuffer.empty[String]
+    var timezone: Option[String] = None
+
+    val sb = new StringBuilder
+    var inQuote = false
+    var lineNo = -1L
+    var copyOf: Option[(String, Seq[String])] = None
+    var copyStart = 0L
+
+    def endStatement(): Unit = {
+      val stmt = sb.toString.trim
+      sb.clear()
+      if (stmt.isEmpty) return
+      interpret(stmt, tables, inserts, stats, bad) match {
+        case Some(tz) => timezone = Some(tz)
+        case None     =>
+      }
+    }
+
+    val it = lines
+    while (it.hasNext) {
+      lineNo += 1
+      val line = it.next()
+      copyOf match {
+        case Some((tbl, cols)) =>
+          if (line == "\\.") {
+            if (tables.contains(tbl)) {
+              copies += CopyBlock(tbl, cols, copyStart, lineNo)
+              stats("copy") += 1
+            }
+            copyOf = None
+          }
+        case None =>
+          val stripped = line.trim
+          if (stripped.startsWith("--") && sb.isEmpty) {
+            // comment line between statements
+          } else {
+            // char scan for statement end, honoring single quotes
+            var i = 0
+            while (i < line.length) {
+              val c = line.charAt(i)
+              if (c == '\'') inQuote = !inQuote
+              sb.append(c)
+              if (c == ';' && !inQuote) {
+                val stmt = sb.toString.trim
+                CopyHeader.unapply(stmt) match {
+                  case Some((tbl, cols)) =>
+                    sb.clear()
+                    if (!tables.contains(tbl)) {
+                      bad += s"COPY for unknown table $tbl"
+                      stats("skipped") += 1
+                    }
+                    // consume the payload either way: data lines must
+                    // never leak into the statement stream
+                    copyOf = Some((tbl, cols))
+                    copyStart = lineNo + 1
+                    i = line.length // payload starts on the next line
+                  case None => endStatement()
+                }
+              }
+              i += 1
+            }
+            if (sb.nonEmpty) sb.append('\n')
+          }
+      }
+    }
+    endStatement()
+
+    DumpSchema(
+      tables = tables.toMap,
+      tableOrder = tables.keys.toSeq,
+      copyBlocks = copies.toSeq,
+      insertRows = inserts.map { case (t, (c, r)) => t -> (c, r.toSeq) }.toMap,
+      timezone = timezone,
+      statementStats = stats.toMap,
+      unparseable = bad.toSeq)
+  }
+
+  private object CopyHeader {
+    private val re =
+      """(?is)^COPY\s+([^(]+?)\s*\(([^)]*)\)\s+FROM\s+stdin\s*;$""".r
+    def unapply(stmt: String): Option[(String, Seq[String])] = stmt match {
+      case re(tbl, cols) =>
+        Some((unqualify(tbl), cols.split(",").map(unquoteId).toSeq))
+      case _ => None
+    }
+  }
+
+  // -------------------------------------------------------- interpreting
+
+  /** Returns Some(timezone) for SET timezone, None otherwise. */
+  private def interpret(stmt: String,
+      tables: mutable.LinkedHashMap[String, SourceTable],
+      inserts: mutable.LinkedHashMap[String, (Seq[String], mutable.ArrayBuffer[Seq[String]])],
+      stats: mutable.Map[String, Long],
+      bad: mutable.ArrayBuffer[String]): Option[String] = {
+    val upper = stmt.toUpperCase
+    if (upper.startsWith("SET")) {
+      stats("set") += 1
+      val tz = """(?is)^SET\s+time\s*zone\s*(?:=|TO)?\s*'([^']*)'\s*;?$""".r
+      stmt match { case tz(z) => return Some(z); case _ => }
+      val tz2 = """(?is)^SET\s+timezone\s*(?:=|TO)?\s*'([^']*)'\s*;?$""".r
+      stmt match { case tz2(z) => return Some(z); case _ => }
+      None
+    } else if (upper.startsWith("CREATE TABLE")) {
+      stats("createTable") += 1
+      parseCreateTable(stmt) match {
+        case Some(t) => tables(t.name) = t
+        case None    => bad += stmt.linesIterator.next()
+      }
+      None
+    } else if (upper.startsWith("ALTER TABLE")) {
+      stats("alterTable") += 1
+      applyAlter(stmt, tables, bad)
+      None
+    } else if (upper.startsWith("CREATE INDEX") || upper.startsWith("CREATE UNIQUE INDEX")) {
+      stats("createIndex") += 1
+      applyCreateIndex(stmt, tables, bad)
+      None
+    } else if (upper.startsWith("INSERT")) {
+      stats("insert") += 1
+      parseInsert(stmt) match {
+        case Some((tbl, cols, rows)) =>
+          val slot = inserts.getOrElseUpdate(tbl, (cols, mutable.ArrayBuffer.empty))
+          if (slot._1 == cols) slot._2 ++= rows
+          else bad += s"INSERT column mismatch for $tbl"
+        case None => bad += stmt.take(60)
+      }
+      None
+    } else {
+      stats("skipped") += 1
+      None
+    }
+  }
+
+  // ------------------------------------------------------- CREATE TABLE
+
+  private[pgdump] def parseCreateTable(stmt: String): Option[SourceTable] = {
+    val re = """(?is)^CREATE\s+TABLE\s+([^(]+?)\s*\((.*)\)\s*;?$""".r
+    stmt match {
+      case re(rawName, body) =>
+        val name = unqualify(rawName)
+        val cols = mutable.ArrayBuffer.empty[SrcColumn]
+        var pks = Seq.empty[SrcKey]
+        splitTopLevel(body).map(_.trim).filter(_.nonEmpty).foreach { item =>
+          val up = item.toUpperCase
+          if (up.startsWith("PRIMARY KEY")) {
+            pks = keyList(item)
+          } else if (up.startsWith("CONSTRAINT") || up.startsWith("UNIQUE(") ||
+                     up.startsWith("UNIQUE (") || up.startsWith("CHECK") ||
+                     up.startsWith("FOREIGN KEY")) {
+            // table-level constraints other than PK: recorded as ignored
+          } else {
+            parseColumnDef(item).foreach(cols += _)
+          }
+        }
+        if (cols.isEmpty) None
+        else Some(SourceTable(name, cols.map(_.name).toSeq,
+          cols.map(c => c.name -> c).toMap, primaryKeys = pks))
+      case _ => None
+    }
+  }
+
+  /** One column definition: name, (possibly multi-word) type, modifiers,
+    * array bounds, NOT NULL / PRIMARY KEY / UNIQUE / DEFAULT flags. */
+  private[pgdump] def parseColumnDef(item: String): Option[SrcColumn] = {
+    val (name, rest0) = takeIdentifier(item.trim)
+    if (name.isEmpty) return None
+    var rest = rest0.trim
+    val up = rest.toUpperCase
+
+    // Multi-word types first (longest match), then single-word.
+    val multi = Seq("TIMESTAMP WITH TIME ZONE", "TIMESTAMP WITHOUT TIME ZONE",
+      "DOUBLE PRECISION", "CHARACTER VARYING")
+    val tyWords = multi.find(up.startsWith) match {
+      case Some(m) => m.toLowerCase
+      case None    => rest.takeWhile(c => !" (\t[".contains(c))
+    }
+    rest = rest.drop(tyWords.length).trim
+
+    var mods = Seq.empty[Long]
+    if (rest.startsWith("(")) {
+      val inner = rest.substring(1, rest.indexOf(')'))
+      mods = inner.split(",").map(_.trim.toLong).toSeq
+      rest = rest.drop(rest.indexOf(')') + 1).trim
+    }
+    var arrayBounds = 0
+    while (rest.startsWith("[]")) { arrayBounds += 1; rest = rest.drop(2).trim }
+
+    val restUp = rest.toUpperCase
+    val tpe = normalizeType(tyWords)
+    Some(SrcColumn(
+      name = name,
+      tpe = SrcType(tpe, mods, arrayBounds),
+      notNull = restUp.contains("NOT NULL") || restUp.contains("PRIMARY KEY"),
+      unique = restUp.contains("UNIQUE") || restUp.contains("PRIMARY KEY"),
+      ignored = Ignored(default = restUp.contains("DEFAULT"))))
+  }
+
+  /** pg_dump spells some types several ways; normalize to the names the
+    * TypeMapper tables use (postgres/toddl.go:107-163 accepts both). */
+  private def normalizeType(t: String): String = t.toLowerCase match {
+    case "character varying" => "varchar"
+    case "timestamp with time zone" => "timestamptz"
+    case "timestamp without time zone" => "timestamp"
+    case "double precision" => "float8"
+    case "int" => "integer"
+    case other => other
+  }
+
+  // -------------------------------------------------------------- ALTER
+
+  private def applyAlter(stmt: String,
+      tables: mutable.LinkedHashMap[String, SourceTable],
+      bad: mutable.ArrayBuffer[String]): Unit = {
+    val pk = """(?is)ALTER\s+TABLE\s+(?:ONLY\s+)?(.+?)\s+ADD\s+CONSTRAINT\s+(\S+)\s+PRIMARY\s+KEY\s*\(([^)]*)\)\s*;?""".r
+    val fk = """(?is)ALTER\s+TABLE\s+(?:ONLY\s+)?(.+?)\s+ADD\s+CONSTRAINT\s+(\S+)\s+FOREIGN\s+KEY\s*\(([^)]*)\)\s+REFERENCES\s+([^(]+?)\s*\(([^)]*)\)[^;]*;?""".r
+    val uq = """(?is)ALTER\s+TABLE\s+(?:ONLY\s+)?(.+?)\s+ADD\s+CONSTRAINT\s+(\S+)\s+UNIQUE\s*\(([^)]*)\)\s*;?""".r
+    stmt match {
+      case pk(tbl, _, cols) =>
+        update(tables, unqualify(tbl), bad) { t =>
+          val keys = cols.split(",").map(c => SrcKey(unquoteId(c))).toSeq
+          // PK columns become NOT NULL (pgdump.go:600-649)
+          val defs = t.colDefs.map { case (n, d) =>
+            if (keys.exists(_.column == n)) n -> d.copy(notNull = true) else n -> d
+          }
+          t.copy(primaryKeys = keys, colDefs = defs)
+        }
+      case fk(tbl, cname, cols, refTbl, refCols) =>
+        update(tables, unqualify(tbl), bad) { t =>
+          t.copy(foreignKeys = t.foreignKeys :+ SrcForeignKey(
+            unquoteId(cname),
+            cols.split(",").map(unquoteId).toSeq,
+            unqualify(refTbl),
+            refCols.split(",").map(unquoteId).toSeq))
+        }
+      case uq(tbl, cname, cols) =>
+        update(tables, unqualify(tbl), bad) { t =>
+          t.copy(indexes = t.indexes :+ SrcIndex(unquoteId(cname), unique = true,
+            cols.split(",").map(c => SrcKey(unquoteId(c))).toSeq))
+        }
+      case _ => bad += stmt.linesIterator.next()
+    }
+  }
+
+  private def applyCreateIndex(stmt: String,
+      tables: mutable.LinkedHashMap[String, SourceTable],
+      bad: mutable.ArrayBuffer[String]): Unit = {
+    val re = """(?is)CREATE\s+(UNIQUE\s+)?INDEX\s+(\S+)\s+ON\s+([^(]+?)\s*(?:USING\s+\S+\s*)?\(([^)]*)\)\s*;?""".r
+    stmt match {
+      case re(uniq, name, tbl, cols) =>
+        update(tables, unqualify(tbl), bad) { t =>
+          val keys = cols.split(",").map { c =>
+            val parts = c.trim.split("\\s+")
+            SrcKey(unquoteId(parts(0)), desc = parts.exists(_.equalsIgnoreCase("DESC")))
+          }.toSeq
+          t.copy(indexes = t.indexes :+ SrcIndex(unquoteId(name), uniq != null, keys))
+        }
+      case _ => bad += stmt.linesIterator.next()
+    }
+  }
+
+  private def update(tables: mutable.LinkedHashMap[String, SourceTable],
+      name: String, bad: mutable.ArrayBuffer[String])
+      (f: SourceTable => SourceTable): Unit =
+    tables.get(name) match {
+      case Some(t) => tables(name) = f(t)
+      case None    => bad += s"ALTER/INDEX for unknown table $name"
+    }
+
+  // ------------------------------------------------------------- INSERT
+
+  /** INSERT INTO t (cols) VALUES (...),(...); values are unquoted
+    * SQL literals; NULL → null (pgdump.go:334-371,702-725). */
+  private[pgdump] def parseInsert(stmt: String)
+      : Option[(String, Seq[String], Seq[Seq[String]])] = {
+    val re = """(?is)^INSERT\s+INTO\s+([^(]+?)\s*\(([^)]*)\)\s+VALUES\s*(.*);?$""".r
+    stmt match {
+      case re(tbl, cols, valuesPart) =>
+        val colNames = cols.split(",").map(unquoteId).toSeq
+        val rows = splitTuples(valuesPart.trim.stripSuffix(";")).map { tup =>
+          splitTopLevel(tup).map(_.trim).map(parseSqlLiteral)
+        }
+        Some((unqualify(tbl), colNames, rows))
+      case _ => None
+    }
+  }
+
+  /** Split `(a,b),(c,d)` into tuple bodies, respecting quotes/parens. */
+  private def splitTuples(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inQ = false; var start = -1
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' ) inQ = !inQ
+      else if (!inQ && c == '(') { depth += 1; if (depth == 1) start = i + 1 }
+      else if (!inQ && c == ')') { depth -= 1; if (depth == 0) out += s.substring(start, i) }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** SQL literal → string value ('' unescape) or null for NULL. */
+  private def parseSqlLiteral(v: String): String = {
+    val t = v.trim
+    if (t.equalsIgnoreCase("NULL")) null
+    else if (t.startsWith("'") && t.endsWith("'"))
+      t.substring(1, t.length - 1).replace("''", "'")
+    else t
+  }
+
+  // -------------------------------------------------------------- utils
+
+  /** Split on top-level commas (paren depth + quote aware). */
+  private[pgdump] def splitTopLevel(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inQ = false; var inDq = false
+    s.foreach {
+      case '\'' if !inDq => inQ = !inQ; cur.append('\'')
+      case '"' if !inQ   => inDq = !inDq; cur.append('"')
+      case '(' if !inQ && !inDq => depth += 1; cur.append('(')
+      case ')' if !inQ && !inDq => depth -= 1; cur.append(')')
+      case ',' if depth == 0 && !inQ && !inDq => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+
+  /** `public."order log"` → `order log`; `public.t` → `t`. */
+  private[pgdump] def unqualify(raw: String): String = {
+    val t = raw.trim
+    val parts = splitQualified(t)
+    unquoteId(parts.last)
+  }
+
+  private def splitQualified(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inDq = false
+    s.foreach {
+      case '"' => inDq = !inDq; cur.append('"')
+      case '.' if !inDq => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    out += cur.toString
+    out.toSeq
+  }
+
+  private[pgdump] def unquoteId(raw: String): String = {
+    val t = raw.trim
+    if (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2)
+      t.substring(1, t.length - 1).replace("\"\"", "\"")
+    else t
+  }
+
+  /** Leading identifier (possibly double-quoted) + the rest. */
+  private def takeIdentifier(s: String): (String, String) = {
+    if (s.startsWith("\"")) {
+      val end = s.indexOf('"', 1)
+      if (end < 0) ("", s)
+      else (s.substring(1, end), s.substring(end + 1))
+    } else {
+      val end = s.indexWhere(c => c == ' ' || c == '\t')
+      if (end < 0) (s, "") else (s.substring(0, end), s.substring(end))
+    }
+  }
+
+  /** ALTER PRIMARY KEY (...) inside CREATE TABLE body. */
+  private def keyList(item: String): Seq[SrcKey] = {
+    val inner = item.substring(item.indexOf('(') + 1, item.lastIndexOf(')'))
+    inner.split(",").map(c => SrcKey(unquoteId(c))).toSeq
+  }
+}

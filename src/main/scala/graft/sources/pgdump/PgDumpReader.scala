@@ -1,0 +1,161 @@
+package graft.sources.pgdump
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.cast.PgCasts
+import graft.functions.ReverseBits
+import graft.schema._
+import graft.types.{PostgresTypeMapper, SpScalar}
+import PgDumpParser.{CopyBlock, DumpSchema}
+
+/** The pg_dump migration pipeline, Spark-shaped (reference lifecycle
+  * §3.1 of SURVEY.md):
+  *
+  *   schema pass   driver streams the dump once (few KB of DDL + line
+  *                 ranges of COPY payloads) → ConversionPlan
+  *   data pass     spark.read.text + zipWithIndex → filter each table's
+  *                 COPY line ranges → split/unescape/cast as column
+  *                 expressions → typed DataFrame (+ synthetic PK)
+  *   sink          parquet per table (stand-in for the Spanner writer),
+  *                 bad rows split to a quarantine frame, schema files
+  *
+  * The data pass is fully distributed — at a 100 GB dump the text scan,
+  * field split, unescape, and casts all run as one codegen stage per
+  * table with no shuffle at all (narrow scan→project→write). The driver
+  * never holds row data (INSERT statements excepted: pg_dump only emits
+  * them with --inserts, and they're bounded by statement size).
+  */
+object PgDumpReader {
+
+  final case class Migration(
+      plan: SchemaConverter.ConversionPlan,
+      dump: DumpSchema,
+      /** spanner table → (good rows, quarantined raw rows) */
+      tables: Map[String, (DataFrame, DataFrame)])
+
+  /** Driver-side schema pass. */
+  def schemaPass(path: String): (DumpSchema, SchemaConverter.ConversionPlan) = {
+    val src = scala.io.Source.fromFile(path)
+    val dump = try PgDumpParser.parse(src.getLines()) finally src.close()
+    val plan = SchemaConverter.convert(PostgresTypeMapper, dump.tables,
+      dump.tableOrder, dump.timezone)
+    (dump, plan)
+  }
+
+  /** COPY text-format unescape: \\ first (via a sentinel so \\t stays a
+    * literal backslash + t), then the control escapes
+    * (postgres/pgdump.go:122-152). Pure column expressions → codegen. */
+  private val SENTINEL = "\u0000\u0001\u0000"
+  def unescapeCopy(c: Column): Column = {
+    var x = regexp_replace(c, "\\\\\\\\", SENTINEL)
+    x = regexp_replace(x, "\\\\t", "\t")
+    x = regexp_replace(x, "\\\\n", "\n")
+    x = regexp_replace(x, "\\\\r", "\r")
+    x = regexp_replace(x, "\\\\b", "\b")
+    x = regexp_replace(x, "\\\\f", "\f")
+    x = regexp_replace(x, "\\\\v", "\u000B")
+    regexp_replace(x, SENTINEL, "\\\\")
+  }
+
+  /** The dump as (line, idx) — one distributed text scan, shared by every
+    * table's data read. */
+  def indexedLines(spark: SparkSession, path: String): DataFrame = {
+    val rdd = spark.sparkContext.textFile(path).zipWithIndex()
+      .map { case (l, i) => Row(l, i) }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("line", StringType), StructField("idx", LongType))))
+  }
+
+  /** Raw string-typed frame for one table's COPY blocks: one column per
+    * COPY column, `\N` → NULL, escapes resolved. */
+  def readCopyRaw(lines: DataFrame, blocks: Seq[CopyBlock]): DataFrame = {
+    require(blocks.nonEmpty)
+    val cols = blocks.head.cols
+    val inRange = blocks.map(b => col("idx") >= b.startLine && col("idx") < b.endLine)
+      .reduce(_ || _)
+    val parts = split(col("line"), "\t", -1)
+    lines.filter(inRange)
+      .select(cols.zipWithIndex.map { case (c, i) =>
+        val f = element_at(parts, i + 1)
+        when(f === "\\N", lit(null: String))
+          .otherwise(unescapeCopy(f)).as(c)
+      }: _*)
+  }
+
+  /** Typed frame + quarantine for one source table. The raw frame has
+    * source column names; output has Spanner names and Spanner types.
+    * Quarantine rule = any column where input was present but the cast
+    * produced NULL (reference's per-row conversion error,
+    * postgres/data.go:37-46). */
+  def convertTable(spark: SparkSession, plan: SchemaConverter.ConversionPlan,
+      srcTable: String, raw: DataFrame): (DataFrame, DataFrame) = {
+    val spName = plan.toSpannerTable(srcTable)
+    val sp = plan.spSchema(spName)
+    val src = plan.srcSchema(srcTable)
+    val colMap = plan.toSpannerCols(srcTable)
+    val zone = plan.timezone.getOrElse("UTC")
+
+    val present = raw.columns.toSeq // COPY may cover a subset of columns
+    val casts = present.map { srcCol =>
+      val spCol = colMap(srcCol)
+      val d = sp.colDefs(spCol)
+      val srcTy = src.colDefs(srcCol).tpe.name
+      val in = col(srcCol)
+      val out =
+        if (d.t.isArray) PgCasts.array(d.t, srcTy, in, zone)
+        else PgCasts.scalar(d.t, srcTy, in, zone)
+      (spCol, in, out)
+    }
+    // A row is bad if any present input failed its cast — the dataflow
+    // form of the reference's per-row error return. Good rows project to
+    // typed Spanner columns; bad rows keep their ORIGINAL strings so the
+    // quarantine output is debuggable (K7).
+    val badExpr = casts.map { case (_, in, out) => in.isNotNull && out.isNull }
+      .reduce(_ || _)
+    val flagged = raw.withColumn("__bad", badExpr)
+    val good0 = flagged.filter(!col("__bad"))
+      .select(casts.map { case (spCol, _, out) => out.as(spCol) }: _*)
+    val quarantine = flagged.filter(col("__bad")).drop("__bad")
+
+    val good =
+      if (plan.syntheticPks.contains(spName))
+        ReverseBits.withSynthPk(spark, good0, plan.syntheticPks(spName))
+      else good0
+    (good, quarantine)
+  }
+
+  /** Full pipeline: parse, convert every table (COPY + INSERT data),
+    * return typed frames + quarantines. */
+  def migrate(spark: SparkSession, path: String): Migration = {
+    val (dump, plan) = schemaPass(path)
+    val lines = indexedLines(spark, path).cache()
+    val byTable = dump.copyBlocks.groupBy(_.table)
+
+    val tables = plan.srcSchema.keys.map { srcTable =>
+      val spName = plan.toSpannerTable(srcTable)
+      val copyRaw = byTable.get(srcTable).map(bs => readCopyRaw(lines, bs))
+      val insertRaw = dump.insertRows.get(srcTable).map { case (cols, rows) =>
+        val schema = StructType(cols.map(StructField(_, StringType)))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.map(Row.fromSeq(_))), schema)
+      }
+      val raw = (copyRaw, insertRaw) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b))
+        case (a, b)             => a.orElse(b)
+      }
+      val frames = raw match {
+        case Some(r) => convertTable(spark, plan, srcTable, r)
+        case None => // schema-only table: empty frames
+          val sp = plan.spSchema(spName)
+          val empty = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], sp.structType)
+          (empty, spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            StructType(Seq(StructField("line", StringType)))))
+      }
+      spName -> frames
+    }.toMap
+
+    Migration(plan, dump, tables)
+  }
+}
