@@ -76,8 +76,8 @@ object Documents {
                  CAST(len(list_filter(string_split_regex(text, '\s+'),
                       t -> list_contains(['the','a','of','to','and'], t))) AS BIGINT) AS n_stop
           FROM documents)
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
-               SUM(n_chars) AS total_chars, SUM(n_stop) AS total_stop,
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars, CAST(SUM(n_stop) AS BIGINT) AS total_stop,
                MAX(n_tokens) AS max_tokens, MIN(n_tokens) AS min_tokens
         FROM t GROUP BY lang ORDER BY lang""")),
 
@@ -127,8 +127,8 @@ object Documents {
                       WHEN n_tokens >= 15 THEN 'fair'
                       ELSE 'poor' END AS quality
           FROM s)
-        SELECT lang, quality, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
-               SUM(n_punct) AS total_punct
+        SELECT lang, quality, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_punct) AS BIGINT) AS total_punct
         FROM b GROUP BY lang, quality ORDER BY lang, quality""")),
 
     // ---------------------------------------------------------------- d04
@@ -160,7 +160,7 @@ object Documents {
           .orderBy("lang", "source")
       },
       oracle = Some("""
-        SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang, source ORDER BY lang, source"""))
   )
 }

@@ -57,22 +57,37 @@ object Similarity {
     // share a band bucket → verify true Jaccard ≥ 500 permille.
     "m01_minhash_lsh_neardup" -> QueryDef(
       build = (spark, dir) => {
-        val sig = shingled(spark, dir)
+        // Candidate generation joins (doc_id, band, band-hash) ONLY —
+        // ~50-byte rows, so even a giant exact-duplicate bucket is a
+        // cheap (AQE-splittable) skew, never a shuffle of document
+        // content. Shingle sets are joined back in exactly once per
+        // DISTINCT candidate pair, so the expensive array_intersect
+        // runs once per pair instead of once per (pair × band).
+        // Shingling (tokenize + 3-gram + distinct) is the CPU-dominant
+        // step and the frame is consumed three times (band generation +
+        // both sides of the verify join) — persist it once rather than
+        // recompute; at scale this is the standard signature-table
+        // materialization (MEMORY_AND_DISK spills instead of OOMing).
+        val sh = shingled(spark, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bands = sh
           .withColumn("mh", expr(s"array(${(0 until 6).map(mh).mkString(",")})"))
-          .withColumn("bands", expr(
+          .select(col("doc_id"), posexplode(expr(
             "array(md5(concat(mh[0], mh[1])), md5(concat(mh[2], mh[3])), md5(concat(mh[4], mh[5])))"))
-          .select(col("doc_id"), col("sh"), posexplode(col("bands")).as(Seq("bi", "bh")))
-        val a = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-          col("bi"), col("bh"))
-        val b = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-          col("bi").as("bi2"), col("bh").as("bh2"))
-        a.join(b, col("bi") === col("bi2") && col("bh") === col("bh2") &&
-            col("doc_a") < col("doc_b"))
+            .as(Seq("bi", "bh")))
+        val pairs = bands.select(col("doc_id").as("doc_a"), col("bi"), col("bh"))
+          .join(bands.select(col("doc_id").as("doc_b"), col("bi").as("bi2"), col("bh").as("bh2")),
+            col("bi") === col("bi2") && col("bh") === col("bh2") &&
+              col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+          .distinct()
+        pairs
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
           .select(col("doc_a"), col("doc_b"),
             expr("size(array_intersect(sh_a, sh_b))").cast("bigint").as("common"),
             expr("size(sh_a)").cast("bigint").as("na"),
             expr("size(sh_b)").cast("bigint").as("nb"))
-          .distinct()
           .select(col("doc_a"), col("doc_b"),
             expr("common * 1000 div (na + nb - common)").as("jaccard_permille"))
           .filter(col("jaccard_permille") >= 500)
@@ -210,7 +225,7 @@ object Similarity {
           SELECT CAST(label AS BIGINT) AS label,
                  [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
           FROM embeddings)
-        SELECT label, CAST(i AS BIGINT) AS dim, SUM(qv[i]) AS s, COUNT(*) AS n
+        SELECT label, CAST(i AS BIGINT) AS dim, CAST(SUM(qv[i]) AS BIGINT) AS s, COUNT(*) AS n
         FROM q, range(1, 65) r(i)
         GROUP BY label, i ORDER BY label, dim"""))
   )
