@@ -62,15 +62,21 @@ object DdlRender {
     val names = schema.keys.toSeq.sorted
     var queue = names
     val printed = collection.mutable.Set.empty[String]
+    var stall = 0 // consecutive re-queues with no progress
     while (queue.nonEmpty) {
       val n = queue.head
       queue = queue.tail
       val t = schema(n)
-      if (t.parent.forall(printed.contains)) {
+      if (t.parent.forall(printed.contains) || stall > queue.length) {
+        // stall bound: a parent missing from the schema map (or a parent
+        // cycle) would otherwise re-queue forever; after a full pass with
+        // no progress, emit the stragglers as-is (ast.go's loop is
+        // bounded the same way by construction).
         out += createTable(t, cfg)
         t.indexes.foreach(ix => out += createIndex(ix, n, cfg))
         printed += n
-      } else queue = queue :+ n
+        stall = 0
+      } else { queue = queue :+ n; stall += 1 }
     }
     if (foreignKeys)
       for (n <- names; fk <- schema(n).fks) out += addForeignKey(fk, n, cfg)

@@ -91,9 +91,13 @@ object SchemaConverter {
     val translated = sp0.map { case (n, t) =>
       n -> t.copy(fks = t.fks.map { fk =>
         val refSp = srcToSp.getOrElse(fk.referTable, fk.referTable)
+        // mustExist: an unresolvable refer-column (e.g. case mismatch)
+        // must pass through unchanged for RefResolver's case-insensitive
+        // fallback — without it the lookup would allocate a phantom
+        // column mapping in the registry for the referenced table.
         val refCols = fk.referColumns.map { c =>
-          tables.get(reg.toSourceTable(refSp).getOrElse(refSp))
-            .flatMap(_ => reg.spannerCol(reg.toSourceTable(refSp).get, c).toOption)
+          reg.toSourceTable(refSp)
+            .flatMap(srcT => reg.spannerCol(srcT, c, mustExist = true).toOption)
             .getOrElse(c)
         }
         fk.copy(referTable = refSp, referColumns = refCols)

@@ -89,12 +89,14 @@ object PgDumpParser {
               if (c == ';' && !inQuote) {
                 val stmt = sb.toString.trim
                 CopyHeader.unapply(stmt) match {
-                  case Some((tbl, cols)) =>
+                  case Some((tbl, colsOpt)) =>
                     sb.clear()
                     if (!tables.contains(tbl)) {
                       bad += s"COPY for unknown table $tbl"
                       stats("skipped") += 1
                     }
+                    val cols = colsOpt.getOrElse(
+                      tables.get(tbl).map(_.colNames).getOrElse(Seq.empty))
                     // consume the payload either way: data lines must
                     // never leak into the statement stream
                     copyOf = Some((tbl, cols))
@@ -122,11 +124,16 @@ object PgDumpParser {
   }
 
   private object CopyHeader {
+    // Column list optional: a legal column-less `COPY t FROM stdin;`
+    // defaults to the table's schema column order; either way the header
+    // must be recognized so the payload never leaks into the statement
+    // scanner as garbage statements.
     private val re =
-      """(?is)^COPY\s+([^(]+?)\s*\(([^)]*)\)\s+FROM\s+stdin\s*;$""".r
-    def unapply(stmt: String): Option[(String, Seq[String])] = stmt match {
+      """(?is)^COPY\s+(.+?)\s*(?:\(([^)]*)\))?\s+FROM\s+stdin\s*;$""".r
+    def unapply(stmt: String): Option[(String, Option[Seq[String]])] = stmt match {
       case re(tbl, cols) =>
-        Some((unqualify(tbl), cols.split(",").map(unquoteId).toSeq))
+        Some((unqualify(tbl),
+          Option(cols).map(_.split(",").map(unquoteId).toSeq)))
       case _ => None
     }
   }

@@ -68,7 +68,11 @@ object PgDumpReader {
   }
 
   /** Raw string-typed frame for one table's COPY blocks: one column per
-    * COPY column, `\N` → NULL, escapes resolved. */
+    * COPY column, `\N` → NULL, escapes resolved. Lines whose field count
+    * doesn't match the column list are marked `__ragged` — the reference
+    * rejects wrong-field-count rows as bad rows (postgres/pgdump.go:146),
+    * and without the gate a truncated line would silently become a good
+    * row padded with NULLs (element_at out-of-range → null). */
   def readCopyRaw(lines: DataFrame, blocks: Seq[CopyBlock]): DataFrame = {
     require(blocks.nonEmpty)
     val cols = blocks.head.cols
@@ -80,7 +84,7 @@ object PgDumpReader {
         val f = element_at(parts, i + 1)
         when(f === "\\N", lit(null: String))
           .otherwise(unescapeCopy(f)).as(c)
-      }: _*)
+      } :+ (size(parts) =!= cols.length).as("__ragged"): _*)
   }
 
   /** Typed frame + quarantine for one source table. The raw frame has
@@ -96,7 +100,7 @@ object PgDumpReader {
     val colMap = plan.toSpannerCols(srcTable)
     val zone = plan.timezone.getOrElse("UTC")
 
-    val present = raw.columns.toSeq // COPY may cover a subset of columns
+    val present = raw.columns.toSeq.filterNot(_ == "__ragged") // COPY may cover a subset of columns
     val casts = present.map { srcCol =>
       val spCol = colMap(srcCol)
       val d = sp.colDefs(spCol)
@@ -111,12 +115,14 @@ object PgDumpReader {
     // form of the reference's per-row error return. Good rows project to
     // typed Spanner columns; bad rows keep their ORIGINAL strings so the
     // quarantine output is debuggable (K7).
-    val badExpr = casts.map { case (_, in, out) => in.isNotNull && out.isNull }
+    val castBad = casts.map { case (_, in, out) => in.isNotNull && out.isNull }
       .reduce(_ || _)
+    val badExpr =
+      if (raw.columns.contains("__ragged")) col("__ragged") || castBad else castBad
     val flagged = raw.withColumn("__bad", badExpr)
     val good0 = flagged.filter(!col("__bad"))
       .select(casts.map { case (spCol, _, out) => out.as(spCol) }: _*)
-    val quarantine = flagged.filter(col("__bad")).drop("__bad")
+    val quarantine = flagged.filter(col("__bad")).drop("__bad", "__ragged")
 
     val good =
       if (plan.syntheticPks.contains(spName))
@@ -141,7 +147,8 @@ object PgDumpReader {
           spark.sparkContext.parallelize(rows.map(Row.fromSeq(_))), schema)
       }
       val raw = (copyRaw, insertRaw) match {
-        case (Some(a), Some(b)) => Some(a.unionByName(b))
+        case (Some(a), Some(b)) =>
+          Some(a.unionByName(b.withColumn("__ragged", lit(false))))
         case (a, b)             => a.orElse(b)
       }
       val frames = raw match {

@@ -115,6 +115,51 @@ class PgDumpSpec extends AnyFunSuite {
     assert(bad.collect().map(_.getString(0)).toSet === Set("notanumber", "3"))
   }
 
+  test("quarantine: ragged COPY lines (wrong field count) are bad rows") {
+    val dumpText =
+      """CREATE TABLE t (a bigint, b text, c bigint);
+        |COPY t (a, b, c) FROM stdin;
+        |1	x	10
+        |2	truncated
+        |3	y	30	extrafield
+        |\.
+        |""".stripMargin
+    val p = java.nio.file.Files.createTempFile("graft", ".pgdump")
+    java.nio.file.Files.writeString(p, dumpText)
+    val m = PgDumpReader.migrate(spark, p.toString)
+    val (good, bad) = m.tables("t")
+    // short and long lines quarantined, never NULL-padded into good rows
+    assert(good.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(bad.collect().map(_.getString(0)).toSet === Set("2", "3"))
+  }
+
+  test("column-less COPY defaults to schema column order") {
+    val dumpText =
+      """CREATE TABLE t (a bigint, b text);
+        |COPY t FROM stdin;
+        |1	one
+        |2	two
+        |\.
+        |""".stripMargin
+    val p = java.nio.file.Files.createTempFile("graft", ".pgdump")
+    java.nio.file.Files.writeString(p, dumpText)
+    val m = PgDumpReader.migrate(spark, p.toString)
+    val (good, bad) = m.tables("t")
+    assert(bad.count() === 0)
+    assert(good.orderBy("a").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "one"), (2L, "two")))
+    // payload consumed: no garbage statements recorded
+    assert(m.dump.unparseable.isEmpty)
+  }
+
+  test("DDL render: missing interleave parent terminates (stall bound)") {
+    val orphan = plan.spSchema("unkeyed").copy(name = "orphan",
+      parent = Some("no_such_parent"))
+    val ddl = DdlRender.schemaDdl(plan.spSchema + ("orphan" -> orphan),
+      DdlRender.Config())
+    assert(ddl.exists(_.contains("CREATE TABLE orphan")))
+  }
+
   test("DDL render: interleave-safe order, indexes, FK alters") {
     val ddl = DdlRender.schemaDdl(plan.spSchema, DdlRender.Config())
     val joined = ddl.mkString(";\n")
