@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.defs,
     Documents.defs,
     Similarity.defs,
-    PgDumpQueries.defs
+    PgDumpQueries.defs,
+    MySqlDumpQueries.defs
   )
 
   private lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

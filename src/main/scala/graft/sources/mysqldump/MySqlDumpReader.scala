@@ -1,0 +1,215 @@
+package graft.sources.mysqldump
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.cast.MySqlCasts
+import graft.functions.ReverseBits
+import graft.schema._
+import graft.types.MySqlTypeMapper
+
+/** The mysqldump migration pipeline, Spark-shaped (reference lifecycle:
+  * mysql/mysqldump.go:57-125 + data.go):
+  *
+  *   schema pass   driver streams the dump once (DDL is a few KB; INSERT
+  *                 payloads are skipped statement-wise) → ConversionPlan
+  *   data pass     spark.read.textFile → filter this table's extended-
+  *                 INSERT lines → per-partition tuple split (quote-aware,
+  *                 the reference's per-`(...)`-tuple recovery as a flatMap,
+  *                 mysqldump.go:575-625) → cast columns → typed DataFrame
+  *   sink          parquet per table; bad rows quarantined
+  *
+  * mysqldump emits one extended-INSERT statement per line (bounded by
+  * max-allowed-packet ~24 MB, mysqldump.go:84-87), so the line-filtered
+  * text scan distributes the data pass without a statement chunker; the
+  * tuple split is genuine per-partition imperative parsing (the one
+  * mapPartitions-class operator SURVEY §7.3 budgets for this source).
+  */
+object MySqlDumpReader {
+
+  final case class Migration(
+      plan: SchemaConverter.ConversionPlan,
+      dump: MySqlDumpParser.DumpSchema,
+      /** spanner table → (good rows, quarantined raw rows) */
+      tables: Map[String, (DataFrame, DataFrame)])
+
+  /** Driver-side schema pass. */
+  def schemaPass(path: String): (MySqlDumpParser.DumpSchema, SchemaConverter.ConversionPlan) = {
+    val src = scala.io.Source.fromFile(path)
+    val dump = try MySqlDumpParser.parse(src.getLines()) finally src.close()
+    val plan = SchemaConverter.convert(MySqlTypeMapper, dump.tables,
+      dump.tableOrder, dump.timezoneOffset)
+    (dump, plan)
+  }
+
+  // ------------------------------------------------- tuple lexing (exec)
+
+  /** Executor-side INSERT-line lexer: `INSERT INTO t [(cols)] VALUES
+    * (v,..),(v,..);` → raw string tuples. NULL → null; quoted strings
+    * unescape backslash + '' escapes; bare literals pass through. */
+  private[mysqldump] object Tuples {
+
+    def parseLine(line: String): Seq[Seq[String]] = {
+      val vi = valuesIndex(line)
+      if (vi < 0) Nil
+      else splitTuples(line.substring(vi)).map(tup =>
+        MySqlDumpParser.splitTopLevel(tup).map(v => literal(v.trim)))
+    }
+
+    /** Index just past the top-level VALUES keyword. */
+    private def valuesIndex(s: String): Int = {
+      var inQ = false; var inBt = false
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && inQ) i += 1
+        else if (c == '\'' && !inBt) inQ = !inQ
+        else if (c == '`' && !inQ) inBt = !inBt
+        else if (!inQ && !inBt && (c == 'V' || c == 'v') &&
+                 i + 6 <= s.length && s.regionMatches(true, i, "VALUES", 0, 6))
+          return i + 6
+        i += 1
+      }
+      -1
+    }
+
+    /** Split `(a,b),(c,d)` into tuple bodies (backslash-escape aware). */
+    private def splitTuples(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var depth = 0; var inQ = false; var start = -1
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && inQ) i += 1
+        else if (c == '\'') inQ = !inQ
+        else if (!inQ && c == '(') { depth += 1; if (depth == 1) start = i + 1 }
+        else if (!inQ && c == ')') { depth -= 1; if (depth == 0) out += s.substring(start, i) }
+        i += 1
+      }
+      out.result()
+    }
+
+    /** SQL literal → raw string (null for NULL). MySQL string escapes:
+      * \0 \' \" \b \n \r \t \Z \\ plus '' (mysql string literal rules;
+      * the reference gets this from the pingcap lexer). */
+    def literal(v: String): String = {
+      if (v.equalsIgnoreCase("NULL")) null
+      else if (v.startsWith("'") && v.endsWith("'") && v.length >= 2)
+        unescape(v.substring(1, v.length - 1))
+      else if (v.startsWith("_binary")) literal(v.stripPrefix("_binary").trim)
+      else v
+    }
+
+    private def unescape(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '0' => sb.append('\u0000')
+            case 'b' => sb.append('\b')
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case 't' => sb.append('\t')
+            case 'Z' => sb.append('\u001a')
+            case x   => sb.append(x) // \' \" \\ and unknown → literal char
+          }
+          i += 2
+        } else if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+          sb.append('\''); i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+  }
+
+  // ---------------------------------------------------------- data pass
+
+  /** Raw string-typed frame for one table's INSERT tuples, distributed.
+    * Tuples whose arity doesn't match the column list are marked
+    * `__ragged` (→ quarantine). */
+  def readInsertRaw(spark: SparkSession, path: String, srcTable: String,
+      cols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val tbl = srcTable
+    val lines = spark.read.textFile(path)
+    val tuples = lines
+      .filter((l: String) => isInsertFor(l, tbl))
+      .flatMap((l: String) => Tuples.parseLine(l))
+    val n = cols.length
+    tuples.toDF("v")
+      .select(cols.zipWithIndex.map { case (c, i) =>
+        element_at(col("v"), i + 1).as(c)
+      } :+ (size(col("v")) =!= n).as("__ragged"): _*)
+  }
+
+  private[mysqldump] def isInsertFor(line: String, table: String): Boolean = {
+    if (!line.regionMatches(true, 0, "INSERT INTO ", 0, 12)) return false
+    val rest = line.substring(12).dropWhile(_.isWhitespace)
+    val name =
+      if (rest.startsWith("`")) rest.drop(1).takeWhile(_ != '`')
+      else rest.takeWhile(c => !c.isWhitespace && c != '(')
+    MySqlDumpParser.unquoteId(name) == table ||
+      name.endsWith("." + table) // db-qualified bare name
+  }
+
+  /** Typed frame + quarantine for one source table (MySQL casts; `set`
+    * columns → ARRAY<STRING> via comma split, mysql/data.go:228-261). */
+  def convertTable(spark: SparkSession, plan: SchemaConverter.ConversionPlan,
+      srcTable: String, raw: DataFrame): (DataFrame, DataFrame) = {
+    val spName = plan.toSpannerTable(srcTable)
+    val sp = plan.spSchema(spName)
+    val src = plan.srcSchema(srcTable)
+    val colMap = plan.toSpannerCols(srcTable)
+    val offset = plan.timezone.getOrElse("+00:00")
+
+    val present = raw.columns.toSeq.filterNot(_ == "__ragged")
+    val casts = present.map { srcCol =>
+      val spCol = colMap(srcCol)
+      val d = sp.colDefs(spCol)
+      val srcTy = src.colDefs(srcCol).tpe.name
+      val in = col(srcCol)
+      val out =
+        if (d.t.isArray) MySqlCasts.setArray(in)
+        else MySqlCasts.scalar(d.t, srcTy, in, offset)
+      (spCol, in, out)
+    }
+    val castBad = casts.map { case (_, in, out) => in.isNotNull && out.isNull }
+      .reduce(_ || _)
+    val badExpr =
+      if (raw.columns.contains("__ragged")) col("__ragged") || castBad else castBad
+    val flagged = raw.withColumn("__bad", badExpr)
+    val good0 = flagged.filter(!col("__bad"))
+      .select(casts.map { case (spCol, _, out) => out.as(spCol) }: _*)
+    val quarantine = flagged.filter(col("__bad")).drop("__bad", "__ragged")
+
+    val good =
+      if (plan.syntheticPks.contains(spName))
+        ReverseBits.withSynthPk(spark, good0, plan.syntheticPks(spName))
+      else good0
+    (good, quarantine)
+  }
+
+  /** Full pipeline: parse, read + convert every table's INSERT data. */
+  def migrate(spark: SparkSession, path: String): Migration = {
+    val (dump, plan) = schemaPass(path)
+    val tables = plan.srcSchema.keys.map { srcTable =>
+      val spName = plan.toSpannerTable(srcTable)
+      val frames = dump.insertCols.get(srcTable) match {
+        case Some(colsOpt) =>
+          val cols = colsOpt.getOrElse(dump.tables(srcTable).colNames)
+          val raw = readInsertRaw(spark, path, srcTable, cols)
+          convertTable(spark, plan, srcTable, raw)
+        case None => // schema-only table
+          val sp = plan.spSchema(spName)
+          val empty = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], sp.structType)
+          (empty, spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            StructType(Seq(StructField("line", StringType)))))
+      }
+      spName -> frames
+    }.toMap
+    Migration(plan, dump, tables)
+  }
+}
