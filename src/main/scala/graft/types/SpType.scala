@@ -45,6 +45,31 @@ object SpScalar {
   def stringOf(n: Long): SpScalar = SpString(SpLen.Fixed(n))
 }
 
+object SpType {
+  /** Inverse of render, for session-file round-trips: "ARRAY<STRING(42)>"
+    * → SpType(SpString(Fixed(42)), isArray = true). */
+  def parse(s: String): SpType = {
+    val (inner, isArray) =
+      if (s.startsWith("ARRAY<") && s.endsWith(">"))
+        (s.substring(6, s.length - 1), true)
+      else (s, false)
+    val lenRe = """(STRING|BYTES)\((MAX|\d+)\)""".r
+    val scalar = inner match {
+      case "BOOL"      => SpScalar.Bool
+      case "DATE"      => SpScalar.Date
+      case "FLOAT64"   => SpScalar.Float64
+      case "INT64"     => SpScalar.Int64
+      case "TIMESTAMP" => SpScalar.Timestamp
+      case "NUMERIC"   => SpScalar.Numeric
+      case lenRe(kind, len) =>
+        val l = if (len == "MAX") SpLen.Max else SpLen.Fixed(len.toLong)
+        if (kind == "STRING") SpScalar.SpString(l) else SpScalar.SpBytes(l)
+      case other => throw new IllegalArgumentException(s"bad SpType: $other")
+    }
+    SpType(scalar, isArray)
+  }
+}
+
 final case class SpType(scalar: SpScalar, isArray: Boolean = false) {
   def render: String =
     if (isArray) s"ARRAY<${scalar.render}>" else scalar.render
@@ -98,4 +123,13 @@ object Issue {
   case object NumberString extends Issue
   case object NoGoodTypeConflict extends Issue
   case object Empty extends Issue
+
+  val all: Seq[Issue] = Seq(Widened, Serial, TimestampNoZone, Datetime, Time,
+    NoGoodType, MultiDimensionalArray, ForeignKeyIgnored, DefaultValueIgnored,
+    AutoIncrementIgnored, MissingPrimaryKey, NumericThatFits, NumberString,
+    NoGoodTypeConflict, Empty)
+
+  /** Inverse of toString, for session-file round-trips. */
+  def fromName(s: String): Issue = all.find(_.toString == s)
+    .getOrElse(throw new IllegalArgumentException(s"bad Issue: $s"))
 }
