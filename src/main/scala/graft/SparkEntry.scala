@@ -17,7 +17,8 @@ object SparkEntry {
     Documents.defs,
     Similarity.defs,
     PgDumpQueries.defs,
-    MySqlDumpQueries.defs
+    MySqlDumpQueries.defs,
+    TextMedia.defs
   )
 
   private lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

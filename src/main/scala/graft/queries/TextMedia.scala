@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline pack 2: SimHash near-dup, bucketed embedding-cosine
+  * near-dup, language-ID heuristic, BPE-style token counting, and
+  * multimodal byte-level features. All exact-integer/string outputs,
+  * every pipeline shuffle-bounded (candidates meet through buckets,
+  * never an all-pairs product).
+  */
+object TextMedia {
+  import QueryDef.table
+
+  private val toks = "filter(split(text, '\\\\s+'), t -> t != '')"
+
+  // ------------------------------------------------------------ SimHash
+  // 32-bit SimHash from the low bit of each of md5's 32 hex digits:
+  // bit i votes ±1 per distinct token, sign → fingerprint bit. 32 bits
+  // keeps random-pair collisions negligible (expected Hamming 16±2.8, so
+  // P(≤2) ≈ 1e-6); a 16-bit variant produced 36k false candidate pairs
+  // on just 500 docs. Banding: 4 bytes → candidates share a byte; verify
+  // Hamming ≤ 2 via bit_count(xor). Fingerprints are plain BIGINTs, so
+  // the band join shuffles ~16-byte rows (the m01 lesson applied from
+  // the start).
+
+  private val SimHashBits = 32
+
+  private def contribSpark(i: Int) =
+    s"sum(2 * ((instr('0123456789abcdef', substring(h, ${i + 1}, 1)) - 1) % 2) - 1)"
+  private def contribDuck(i: Int) =
+    s"SUM(2 * ((strpos('0123456789abcdef', substring(h, ${i + 1}, 1)) - 1) % 2) - 1)"
+  private def fpExpr(s: Int => String) =
+    (0 until SimHashBits).map(i => s"(CASE WHEN ${s(i)} > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  // ------------------------------------------------------------- defs
+
+  val defs: Map[String, QueryDef] = Map(
+    // ---------------------------------------------------------------- s01
+    "s01_simhash_neardup" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        val sums = docs
+          .select(col("doc_id"),
+            explode(expr(s"array_distinct($toks)")).as("token"))
+          .withColumn("h", md5(col("token")))
+          .groupBy("doc_id")
+          .agg(expr(contribSpark(0)).as("s0"),
+            (1 until SimHashBits).map(i => expr(contribSpark(i)).as(s"s$i")): _*)
+        val fps = sums.select(col("doc_id"),
+          expr(s"cast(${fpExpr(i => s"s$i")} as bigint)").as("fp"))
+        val bands = fps.select(col("doc_id"), col("fp"),
+          posexplode(expr(
+            "array(fp % 256, fp div 256 % 256, fp div 65536 % 256, fp div 16777216 % 256)"))
+            .as(Seq("bi", "bv")))
+        val pairs = bands
+          .select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("bi"), col("bv"))
+          .join(bands.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+            col("bi").as("bi2"), col("bv").as("bv2")),
+            col("bi") === col("bi2") && col("bv") === col("bv2") &&
+              col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "fp_a", "fp_b")
+          .distinct()
+        pairs
+          .select(col("doc_a"), col("doc_b"),
+            expr("cast(bit_count(fp_a ^ fp_b) as bigint)").as("hamming"))
+          .filter(col("hamming") <= 2)
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_distinct(
+            list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS token
+          FROM documents),
+        hs AS (SELECT doc_id, md5(token) AS h FROM tok),
+        sums AS (
+          SELECT doc_id, ${(0 until SimHashBits).map(i => s"${contribDuck(i)} AS s$i").mkString(", ")}
+          FROM hs GROUP BY doc_id),
+        fps AS (
+          SELECT doc_id, CAST(${fpExpr(i => s"s$i")} AS BIGINT) AS fp FROM sums),
+        bands AS (
+          SELECT doc_id, fp,
+            unnest([0,1,2,3]) AS bi,
+            unnest([fp % 256, fp // 256 % 256, fp // 65536 % 256, fp // 16777216 % 256]) AS bv
+          FROM fps),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.fp AS fp_a, b.fp AS fp_b
+          FROM bands a JOIN bands b
+            ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+        FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 2
+        ORDER BY doc_a, doc_b"""),
+      headline = true),
+
+    // ---------------------------------------------------------------- e04
+    // Embedding-cosine near-dup, sign-bucketed: candidates share the
+    // 8-bit sign pattern of their first 8 dims (near-identical vectors
+    // almost always do; a production variant unions several sign bands
+    // for recall). Verify cos ≥ 0.9 in exact integer arithmetic:
+    // dot > 0 ∧ 100·dot² ≥ 81·|a|²·|b|², squared in DECIMAL so nothing
+    // overflows (dot ≤ 64·2^40 < 10^14 → dot² < 10^28).
+    "e04_cosine_neardup" -> QueryDef(
+      build = (spark, dir) => {
+        val quant =
+          "transform(embedding, x -> cast(floor(cast(x as double) * 1048576D) as bigint))"
+        val qdot = "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+        val emb = table(spark, dir, "embeddings")
+          .select(col("vec_id"), expr(quant).as("qv"))
+          .withColumn("norm2", expr(
+            "aggregate(transform(qv, x -> x * x), 0L, (acc, v) -> acc + v)"))
+          .withColumn("bucket", expr(
+            (1 to 8).map(i => s"(case when qv[${i - 1}] >= 0 then ${1 << i} else 0 end)")
+              .mkString(" + ")))
+        val a = emb.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+          col("norm2").as("na"), col("bucket"))
+        val b = emb.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
+          col("norm2").as("nb"), col("bucket").as("bucket2"))
+        a.join(b, col("bucket") === col("bucket2") && col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"), expr(qdot).as("dot"),
+            col("na"), col("nb"))
+          .filter(col("dot") > 0 &&
+            expr("cast(dot as decimal(14,0)) * cast(dot as decimal(14,0)) * 100") >=
+            expr("cast(na as decimal(14,0)) * cast(nb as decimal(14,0)) * 81"))
+          .select(col("vec_a"), col("vec_b"), col("dot"), col("na"), col("nb"))
+          .orderBy("vec_a", "vec_b")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id,
+                 [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
+          FROM embeddings),
+        e AS (
+          SELECT vec_id, qv,
+                 CAST(list_sum([x * x for x in qv]) AS BIGINT) AS norm2,
+                 CAST(list_sum([CASE WHEN qv[i] >= 0 THEN 1 << i ELSE 0 END
+                                for i in range(1, 9)]) AS BIGINT) AS bucket
+          FROM q),
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 CAST(list_sum([a.qv[i] * b.qv[i] for i in range(1, 65)]) AS BIGINT) AS dot,
+                 a.norm2 AS na, b.norm2 AS nb
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, dot, na, nb
+        FROM pairs
+        WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 100 >= CAST(na AS HUGEINT) * nb * 81
+        ORDER BY vec_a, vec_b""")),
+
+    // ---------------------------------------------------------------- d06
+    // Language-ID heuristic: marker-word counts per language + a CJK
+    // character test for zh; argmax with alphabetical tie-break. Output
+    // is the confusion matrix against the labeled lang column.
+    "d06_langid_confusion" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        val lt = "filter(split(lower(text), '\\\\s+'), t -> t != '')"
+        def score(words: String) =
+          s"size(filter($lt, t -> array_contains(array($words), t)))"
+        docs
+          .withColumn("s_de", expr(score("'der','und','die','nicht','ist'")))
+          .withColumn("s_en", expr(score("'the','and','of','to','is'")))
+          .withColumn("s_es", expr(score("'el','los','las','y','es'")))
+          .withColumn("s_fr", expr(score("'le','la','et','les','est'")))
+          .withColumn("s_zh", when(col("text").rlike("[\\u4e00-\\u9fff]"), lit(1000)).otherwise(lit(0)))
+          .withColumn("predicted", expr("""
+            CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                 WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                 WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                 WHEN s_fr >= s_zh THEN 'fr'
+                 ELSE 'zh' END"""))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "predicted")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT lang,
+            list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS lt,
+            regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+          FROM documents),
+        s AS (
+          SELECT lang,
+            len(list_filter(lt, t -> list_contains(['der','und','die','nicht','ist'], t))) AS s_de,
+            len(list_filter(lt, t -> list_contains(['the','and','of','to','is'], t))) AS s_en,
+            len(list_filter(lt, t -> list_contains(['el','los','las','y','es'], t))) AS s_es,
+            len(list_filter(lt, t -> list_contains(['le','la','et','les','est'], t))) AS s_fr,
+            CASE WHEN has_cjk THEN 1000 ELSE 0 END AS s_zh
+          FROM t),
+        p AS (
+          SELECT lang,
+            CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                 WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                 WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                 WHEN s_fr >= s_zh THEN 'fr'
+                 ELSE 'zh' END AS predicted
+          FROM s)
+        SELECT lang, predicted, COUNT(*) AS n_docs
+        FROM p GROUP BY lang, predicted ORDER BY lang, predicted""")),
+
+    // ---------------------------------------------------------------- d07
+    // BPE-style pre-tokenization counting: letter runs | digit runs |
+    // single punctuation, the standard byte-pair pre-split. Far closer
+    // to real tokenizer counts than whitespace splitting.
+    "d07_bpe_token_stats" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]"
+        docs
+          .select(col("lang"),
+            expr(s"cast(size(regexp_extract_all(text, '$pat', 0)) as bigint)")
+              .as("n_bpe"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_bpe").as("total_bpe"),
+            max("n_bpe").as("max_bpe"),
+            min("n_bpe").as("min_bpe"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT lang,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_bpe) AS BIGINT) AS total_bpe,
+               MAX(n_bpe) AS max_bpe, MIN(n_bpe) AS min_bpe
+        FROM t GROUP BY lang ORDER BY lang""")),
+
+    // ---------------------------------------------------------------- b01
+    // Multimodal byte-level features over an opaque binary column (here
+    // derived from text; a real corpus reads parquet binary directly):
+    // size + head bytes. The decode/feature-extract stub pipeline lives
+    // in operators.Multimodal (mapPartitions batch shape, tested in
+    // MultimodalSpec); this entry keeps the byte-plumbing oracle-checked.
+    "b01_media_features" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        docs.select(col("doc_id"),
+            octet_length(col("text")).cast("bigint").as("n_bytes"),
+            lower(hex(substring(col("text"), 1, 4).cast("binary"))).as("head_hex"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               lower(hex(encode(substring(text, 1, 4)))) AS head_hex
+        FROM documents ORDER BY doc_id"""))
+  )
+}

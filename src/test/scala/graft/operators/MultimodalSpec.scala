@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+
+/** Multimodal plumbing tests: binary column in, feature rows out; the
+  * decode stub is deterministic so results are assertable. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.build("graft-test")
+
+  private def media(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+  private lazy val df = {
+    import spark.implicits._
+    Seq(
+      (1L, media("IMG|640|480|abcd")),
+      (2L, media("AUD|1|16000|xyz")),
+      (3L, media("garbage-without-header")),
+      (4L, null.asInstanceOf[Array[Byte]]),
+      (5L, media("VID|1920|1080|")))
+      .toDF("media_id", "media").repartition(4)
+  }
+
+  test("feature extraction: schema, values, corrupt handling") {
+    val feats = Multimodal.extractFeatures(df, "media_id", "media")
+    assert(feats.schema === Multimodal.featureSchema)
+    val byId = feats.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getString(1) === "IMG")
+    assert(byId(1L).getInt(2) === 640 && byId(1L).getInt(3) === 480)
+    assert(byId(1L).getLong(4) === 4)
+    assert(byId(1L).getLong(5) === "abcd".getBytes.map(_ & 0xff).sum)
+    assert(byId(2L).getString(1) === "AUD")
+    // corrupt + null media → decode_ok = false, never an exception
+    assert(!byId(3L).getBoolean(6))
+    assert(!byId(4L).getBoolean(6))
+    assert(byId(5L).getLong(4) === 0)
+    // quarantine split by flag
+    assert(feats.filter(!col("decode_ok")).count() === 2)
+  }
+
+  test("partition preservation: decode runs where the data lives") {
+    val feats = Multimodal.extractFeatures(df, "media_id", "media")
+    assert(feats.rdd.getNumPartitions === df.rdd.getNumPartitions)
+  }
+
+  test("frame sampling: every k-th chunk, empty payload yields no frames") {
+    val frames = Multimodal.frameSample(df, "media_id", "media", every = 2)
+    val byId = frames.collect().groupBy(_.getLong(0))
+    assert(byId(1L).length === 2) // "abcd" → ab, cd
+    assert(byId(1L).map(_.getInt(1)).sorted.toSeq === Seq(0, 1))
+    assert(!byId.contains(5L)) // empty payload
+    assert(!byId.contains(3L)) // corrupt skipped
+  }
+}
