@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming event pipelines — the online counterpart of the
+  * q13/q14 batch queries. The reference is strictly batch (SURVEY §2.7;
+  * its whitepaper lists online migration as aspiration only), so this is
+  * the Spark-native extension of the surface: the same declarative
+  * transforms run incrementally with watermarked state.
+  *
+  * Scale shape: tumbling/session windows keyed by (window, type) /
+  * (user, session) shuffle once per trigger onto state-store partitions;
+  * watermarks bound state size (late events beyond the watermark are
+  * dropped instead of growing state forever) — that bound is what makes
+  * a 100 TB/day stream sustainable.
+  */
+object EventStream {
+
+  /** Streaming q13: hourly tumbling counts + value sums per event type,
+    * tolerating 1 hour of lateness. Output column shapes match the batch
+    * query (epoch-µs BIGINT + minor units) so downstream consumers can't
+    * tell replay from live. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("event_type"), col("n"),
+        (col("sum_value") * 1000000).cast("bigint").as("total_value"))
+
+  /** Streaming q14: per-user session windows with a 30-minute gap —
+    * `session_window` keeps one merging state entry per open session,
+    * closed by the watermark. */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+
+  /** File-source entry: stream the events table as if it were arriving
+    * (one real deployment shape: parquet drops in a landing dir). */
+  def fromParquetDir(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+}
