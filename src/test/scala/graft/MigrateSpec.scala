@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end migration CLI test: both dump dialects through the full
+  * lifecycle, asserting every artifact lands and reads back. */
+class MigrateSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.build("graft-test")
+
+  test("pg_dump end-to-end: parquet + DDL + session + report") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mig-pg").toString
+    val r = Migrate.run(spark, "pgdump",
+      "src/test/resources/fixtures/sample.pgdump", out)
+    assert(r.tables("inventory") === (3L, 0L))
+    assert(r.tables("order_log") === (3L, 0L))
+    assert(r.tables("unkeyed") === (3L, 0L))
+    // parquet reads back with Spanner names/types
+    val inv = spark.read.parquet(s"$out/inventory.parquet")
+    assert(inv.count() === 3)
+    assert(inv.schema("price").dataType.typeName === "decimal(38,9)")
+    // artifacts
+    val dir = new java.io.File(out).list().toSet
+    assert(dir.contains("schema.ddl.txt") && dir.contains("schema.ddl.sql"))
+    assert(dir.contains("session.json") && dir.contains("report.txt"))
+    assert(dir.contains("fk_backfill.sql"))
+    val legal = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/schema.ddl.sql"))
+    // K4 schema files carry the full DDL including FK alters (the no-FK
+    // creation batch is DdlSink.createStatements, tested separately)
+    assert(legal.contains("`order_log`") && legal.contains("FOREIGN KEY"))
+    val fks = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/fk_backfill.sql"))
+    assert(fks.contains("ADD CONSTRAINT `fk_sku` FOREIGN KEY"))
+    assert(r.report.contains("Summary of Conversion"))
+    // session round-trips to the same DDL
+    val back = graft.plan.SessionFile.read(s"$out/session.json")
+    assert(graft.schema.DdlRender.schemaDdl(back.spSchema,
+      graft.schema.DdlRender.Config()).mkString(";") ===
+      graft.schema.DdlRender.schemaDdl(
+        graft.sources.pgdump.PgDumpReader.schemaPass(
+          "src/test/resources/fixtures/sample.pgdump")._2.spSchema,
+        graft.schema.DdlRender.Config()).mkString(";"))
+  }
+
+  test("mysqldump end-to-end") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mig-my").toString
+    val r = Migrate.run(spark, "mysqldump",
+      "src/test/resources/fixtures/sample.mysqldump", out)
+    assert(r.tables("customers") === (2L, 0L))
+    val cust = spark.read.parquet(s"$out/customers.parquet")
+    assert(cust.schema("tags").dataType.typeName === "array")
+    assert(r.report.contains("Table order log (mapped to Spanner table order_log)"))
+  }
+}
