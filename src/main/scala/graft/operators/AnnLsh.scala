@@ -62,17 +62,24 @@ object AnnLsh {
       tables: Int = 10, bits: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // Candidate generation joins (id, table, bucket) ONLY — tiny rows, so
+    // a hot bucket is a cheap AQE-splittable skew; the 64-element vectors
+    // join back exactly once per DISTINCT (probe, candidate) pair and the
+    // exact dot product runs once per pair, not once per shared table.
     val bucketed = withBuckets(emb, tables, bits)
-      .select(col("vec_id"), expr(quant).as("qv"),
-        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-    val probes = bucketed.filter(probePred)
-      .select(col("vec_id").as("query_id"), col("qv").as("pq"),
-        col("tbl").as("ptbl"), col("bucket").as("pbucket"))
-    val cands = probes.join(bucketed,
+      .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val qvs = emb.select(col("vec_id"), expr(quant).as("qv"))
+    val pairs = bucketed.filter(probePred)
+      .select(col("vec_id").as("query_id"), col("tbl").as("ptbl"),
+        col("bucket").as("pbucket"))
+      .join(bucketed,
         col("ptbl") === col("tbl") && col("pbucket") === col("bucket") &&
           col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("cand_id"), col("pq"), col("qv"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
       .distinct()
+    val cands = pairs
+      .join(qvs.select(col("vec_id").as("query_id"), col("qv").as("pq")), "query_id")
+      .join(qvs.select(col("vec_id").as("cand_id"), col("qv")), "cand_id")
       .select(col("query_id"), col("cand_id"), expr(qdot("pq", "qv")).as("dot"))
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("cand_id"))
     cands.withColumn("rnk", row_number().over(w).cast("bigint"))
