@@ -14,7 +14,67 @@ import graft.sources.pgdump.PgDumpReader
 object PgDumpQueries {
   private val fixture = "/root/repo/src/test/resources/fixtures/sample.pgdump"
 
+  /** Generate (once per sf dir) a pg_dump-format file carrying the full
+    * lineitem table as a COPY payload, for the bulk-migration benchmark:
+    * the payload is written distributed and assembled with a streamed
+    * concatenation (never loaded into driver memory). */
+  private def bulkDump(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val sfName = new java.io.File(dir).getName
+    val path = s"/tmp/graft_bulk_$sfName.pgdump"
+    if (new java.io.File(path).exists()) return path
+    val esc = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(regexp_replace(regexp_replace(c,
+        "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n")
+    val lines = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(concat_ws("\t",
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_shipdate").cast("date").cast("string"), col("l_returnflag"),
+        esc(col("l_linestatus"))))
+    val tmp = s"$path.payload"
+    lines.coalesce(1).write.mode("overwrite").text(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.startsWith("part-")).get
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path))
+    try {
+      out.write(
+        """CREATE TABLE lineitem (
+          |    l_orderkey bigint NOT NULL,
+          |    l_linenumber bigint NOT NULL,
+          |    l_quantity numeric,
+          |    l_shipdate date,
+          |    l_returnflag character(1),
+          |    l_linestatus text
+          |);
+          |ALTER TABLE ONLY lineitem
+          |    ADD CONSTRAINT li_pkey PRIMARY KEY (l_orderkey, l_linenumber);
+          |COPY lineitem (l_orderkey, l_linenumber, l_quantity, l_shipdate, l_returnflag, l_linestatus) FROM stdin;
+          |""".stripMargin.getBytes("UTF-8"))
+      java.nio.file.Files.copy(part.toPath, out)
+      out.write("\\.\n".getBytes("UTF-8"))
+    } finally out.close()
+    path
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    // ---------------------------------------------------------------- p03
+    // Bulk throughput: the whole lineitem table round-trips through the
+    // dump pipeline (schema pass → distributed COPY scan → unescape →
+    // casts → count). The oracle pins the migrated row count to the
+    // source table — a dropped/ragged/miscast row would show up as a
+    // count mismatch. Headline: this IS the reference's flagship path
+    // timed at scale (single-threaded in the reference, one codegen
+    // stage per partition here).
+    "p03_pgdump_bulk" -> QueryDef(
+      build = (spark, dir) => {
+        val path = bulkDump(spark, dir)
+        val m = graft.sources.pgdump.PgDumpReader.migrate(spark, path)
+        val (good, _) = m.tables("lineitem")
+        good.agg(count(lit(1)).as("n_rows"))
+      },
+      oracle = Some("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem"),
+      headline = true),
     "p01_pgdump_inventory" -> QueryDef(
       build = (spark, _) => {
         val m = PgDumpReader.migrate(spark, fixture)

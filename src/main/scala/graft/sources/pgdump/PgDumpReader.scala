@@ -55,7 +55,11 @@ object PgDumpReader {
     x = regexp_replace(x, "\\\\b", "\b")
     x = regexp_replace(x, "\\\\f", "\f")
     x = regexp_replace(x, "\\\\v", "\u000B")
-    regexp_replace(x, SENTINEL, "\\\\")
+    val full = regexp_replace(x, SENTINEL, "\\\\")
+    // the 8-regex chain only runs on values that actually contain a
+    // backslash (rare in real dumps); the contains() guard keeps the
+    // hot path to one substring scan per field
+    when(c.contains("\\"), full).otherwise(c)
   }
 
   /** The dump as (line, idx) — one distributed text scan, shared by every
@@ -119,10 +123,15 @@ object PgDumpReader {
       .reduce(_ || _)
     val badExpr =
       if (raw.columns.contains("__ragged")) col("__ragged") || castBad else castBad
-    val flagged = raw.withColumn("__bad", badExpr)
-    val good0 = flagged.filter(!col("__bad"))
-      .select(casts.map { case (spCol, _, out) => out.as(spCol) }: _*)
-    val quarantine = flagged.filter(col("__bad")).drop("__bad", "__ragged")
+    // One projection computes every cast exactly once (plus the original
+    // strings for the quarantine side); the good/bad split then filters
+    // on the precomputed flag instead of re-evaluating the cast chain.
+    val projected = raw.select(
+      casts.map { case (spCol, _, out) => out.as(spCol) } ++
+        Seq(badExpr.as("__bad"),
+          struct(present.map(col): _*).as("__orig")): _*)
+    val good0 = projected.filter(!col("__bad")).drop("__bad", "__orig")
+    val quarantine = projected.filter(col("__bad")).select(col("__orig.*"))
 
     val good =
       if (plan.syntheticPks.contains(spName))
