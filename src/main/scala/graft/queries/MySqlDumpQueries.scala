@@ -12,7 +12,64 @@ import graft.sources.mysqldump.MySqlDumpReader
 object MySqlDumpQueries {
   private val fixture = "/root/repo/src/test/resources/fixtures/sample.mysqldump"
 
+  /** Generate (once per sf dir) a mysqldump-format file carrying the
+    * full lineitem table as extended INSERTs (1000 tuples per
+    * statement/line, mysqldump's shape), written distributed and
+    * stream-concatenated. */
+  private def bulkDump(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val sfName = new java.io.File(dir).getName
+    val path = s"/tmp/graft_bulk_$sfName.mysqldump"
+    if (new java.io.File(path).exists()) return path
+    val tuples = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(concat(lit("("),
+        col("l_orderkey"), lit(","), col("l_linenumber"), lit(","),
+        col("l_quantity"), lit(",'"),
+        col("l_shipdate").cast("date").cast("string"), lit("','"),
+        col("l_returnflag"), lit("')")).as("t"),
+        (col("l_orderkey") % 64).as("g"))
+    import org.apache.spark.sql.expressions.Window
+    val numbered = tuples.withColumn("rn",
+      row_number().over(Window.partitionBy("g").orderBy("t")) - 1)
+    val lines = numbered.groupBy(col("g"), (col("rn") / 1000).cast("int").as("chunk"))
+      .agg(concat_ws(",", collect_list(col("t"))).as("body"))
+      .select(concat(lit("INSERT INTO `lineitem` VALUES "), col("body"), lit(";")))
+    val tmp = s"$path.payload"
+    lines.coalesce(1).write.mode("overwrite").text(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.startsWith("part-")).get
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path))
+    try {
+      out.write(
+        """/*!40103 SET TIME_ZONE='+00:00' */;
+          |CREATE TABLE `lineitem` (
+          |  `l_orderkey` bigint(20) NOT NULL,
+          |  `l_linenumber` bigint(20) NOT NULL,
+          |  `l_quantity` decimal(12,2) DEFAULT NULL,
+          |  `l_shipdate` date DEFAULT NULL,
+          |  `l_returnflag` char(1) DEFAULT NULL,
+          |  PRIMARY KEY (`l_orderkey`,`l_linenumber`)
+          |) ENGINE=InnoDB;
+          |""".stripMargin.getBytes("UTF-8"))
+      java.nio.file.Files.copy(part.toPath, out)
+    } finally out.close()
+    path
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    // ---------------------------------------------------------------- p04
+    // Bulk throughput through the extended-INSERT path: line filter →
+    // per-partition tuple lexer → casts. Count pinned to the source.
+    "p04_mysqldump_bulk" -> QueryDef(
+      build = (spark, dir) => {
+        val path = bulkDump(spark, dir)
+        val m = MySqlDumpReader.migrate(spark, path)
+        val (good, _) = m.tables("lineitem")
+        good.agg(count(lit(1)).as("n_rows"))
+      },
+      oracle = Some("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem"),
+      headline = true),
     "p02_mysqldump_customers" -> QueryDef(
       build = (spark, _) => {
         val m = MySqlDumpReader.migrate(spark, fixture)

@@ -179,10 +179,15 @@ object MySqlDumpReader {
       .reduce(_ || _)
     val badExpr =
       if (raw.columns.contains("__ragged")) col("__ragged") || castBad else castBad
-    val flagged = raw.withColumn("__bad", badExpr)
-    val good0 = flagged.filter(!col("__bad"))
-      .select(casts.map { case (spCol, _, out) => out.as(spCol) }: _*)
-    val quarantine = flagged.filter(col("__bad")).drop("__bad", "__ragged")
+    // single projection: every cast computed exactly once (see the
+    // pgdump reader — re-evaluating the chain in both filter branches
+    // doubled the work and broke whole-stage codegen)
+    val projected = raw.select(
+      casts.map { case (spCol, _, out) => out.as(spCol) } ++
+        Seq(badExpr.as("__bad"),
+          struct(present.map(col): _*).as("__orig")): _*)
+    val good0 = projected.filter(!col("__bad")).drop("__bad", "__orig")
+    val quarantine = projected.filter(col("__bad")).select(col("__orig.*"))
 
     val good =
       if (plan.syntheticPks.contains(spName))
