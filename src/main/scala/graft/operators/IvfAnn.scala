@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the clustering
+  * counterpart of the sign-LSH path (AnnLsh): train k coarse centroids,
+  * assign every vector to its nearest centroid (the inverted lists),
+  * then search only the `nprobe` lists closest to each probe.
+  *
+  * Scale design: the corpus shuffles once on cluster id (the inverted
+  * index build — at 100 TB this is the partitioning you persist);
+  * queries touch nprobe/k of the corpus. Candidate generation joins ids
+  * only; vectors join back once per candidate pair for exact re-ranking
+  * with the same quantized dot product as the e01 brute-force baseline.
+  *
+  * Determinism: centroid init picks the k vectors with the smallest
+  * md5(vec_id) (a seedless, engine-independent shuffle), and Lloyd
+  * iterations are exact averages — same result every run.
+  */
+object IvfAnn {
+
+  private val quant =
+    "transform(embedding, x -> cast(floor(cast(x as double) * 1048576D) as bigint))"
+  private def qdot(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+  /** Squared L2 distance from the embedding column to a centroid literal
+    * (codegen-friendly; no UDF). */
+  private def dist2(centroid: Array[Double]): Column = {
+    val lits = array(centroid.map(lit(_)): _*)
+    aggregate(
+      zip_with(col("embedding").cast("array<double>"), lits,
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** `dists` array column over all centroids. */
+  private def distArray(cents: Seq[Array[Double]]): Column =
+    array(cents.map(dist2): _*)
+
+  /** Cluster ids of the `nprobe` nearest centroids, nearest first
+    * (struct sort on (distance, index) — deterministic ties). */
+  private def nearestClusters(k: Int, nprobe: Int): Column =
+    expr(s"slice(transform(array_sort(transform(sequence(0, ${k - 1}), " +
+      s"i -> struct(element_at(dists, i + 1) as d, i as i))), x -> x.i), 1, $nprobe)")
+
+  /** Deterministic Lloyd training: init = k smallest-md5(vec_id) vectors,
+    * then `iters` exact assign/average rounds (each round: one narrow
+    * assign pass + one (cluster, dim) aggregation; centroids collect to
+    * the driver — k×dim doubles). Empty clusters keep their centroid. */
+  def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 2): Seq[Array[Double]] = {
+    val dim = emb.selectExpr("size(embedding)").head.getInt(0)
+    var cents: Seq[Array[Double]] = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(k)
+      .collect().map(_.getSeq[Double](1).toArray).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = emb
+        .withColumn("dists", distArray(cents))
+        .withColumn("cluster", element_at(nearestClusters(cents.length, 1), 1))
+      val sums = assigned
+        .select(col("cluster"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos").agg(avg("v").as("m"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        byCluster.get(ci) match {
+          case Some(rows) =>
+            val a = new Array[Double](dim)
+            rows.foreach(r => a(r.getInt(1)) = r.getDouble(2))
+            a
+          case None => old // empty cluster
+        }
+      }
+    }
+    cents
+  }
+
+  /** Top-k approximate neighbors for `probes` out of the embeddings
+    * table via nprobe-list IVF search, re-ranked by exact quantized dot. */
+  def knn(spark: SparkSession, dir: String, probePred: Column, topK: Int = 10,
+      k: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = trainCentroids(emb, k, iters)
+    val withD = emb.withColumn("dists", distArray(cents))
+    // inverted lists: every vector in exactly one cluster
+    val corpus = withD
+      .select(col("vec_id"), element_at(nearestClusters(cents.length, 1), 1).as("cluster"))
+    // probes search their nprobe nearest lists
+    val probeClusters = withD.filter(probePred)
+      .select(col("vec_id").as("query_id"),
+        explode(nearestClusters(cents.length, nprobe)).as("cluster"))
+    val pairs = probeClusters.join(corpus,
+        probeClusters("cluster") === corpus("cluster") &&
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+      .distinct()
+    val qvs = emb.select(col("vec_id"), expr(quant).as("qv"))
+    val cands = pairs
+      .join(qvs.select(col("vec_id").as("query_id"), col("qv").as("pq")), "query_id")
+      .join(qvs.select(col("vec_id").as("cand_id"), col("qv")), "cand_id")
+      .select(col("query_id"), col("cand_id"), expr(qdot("pq", "qv")).as("dot"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("cand_id"))
+    cands.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= topK)
+      .orderBy("query_id", "rnk")
+  }
+}

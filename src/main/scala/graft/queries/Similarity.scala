@@ -208,6 +208,15 @@ object Similarity {
         graft.operators.AnnLsh.knn(spark, dir, col("vec_id") < 8),
       oracle = None),
 
+    // ---------------------------------------------------------------- e05
+    // IVF ANN (the clustering scale path; see operators.IvfAnn).
+    // Deterministic but not SQL-expressible (iterative Lloyd training) →
+    // rows-only driver check; IvfAnnSpec asserts recall vs e01.
+    "e05_ann_ivf" -> QueryDef(
+      build = (spark, dir) =>
+        graft.operators.IvfAnn.knn(spark, dir, col("vec_id") < 8),
+      oracle = None),
+
     // ---------------------------------------------------------------- e02
     // Per-label centroid accumulation (the IVF build step): exact integer
     // sums per (label, dimension); a downstream consumer divides s/n.
