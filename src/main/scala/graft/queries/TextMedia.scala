@@ -25,10 +25,17 @@ object TextMedia {
 
   private val SimHashBits = 32
 
+  // Per-token hash word: the first 8 md5 hex digits as a 32-bit integer
+  // (one conversion per token), so each bit contribution is a
+  // shift/mask instead of a substring+scan — ~10× less per-row work
+  // than per-digit string ops, identical bits on both engines.
+  private val hashWordSpark = "cast(conv(substring(h, 1, 8), 16, 10) as bigint)"
+  private val hashWordDuck = "CAST('0x' || substring(h, 1, 8) AS BIGINT)"
+
   private def contribSpark(i: Int) =
-    s"sum(2 * ((instr('0123456789abcdef', substring(h, ${i + 1}, 1)) - 1) % 2) - 1)"
+    s"sum(2 * ((v div ${1L << i}) % 2) - 1)"
   private def contribDuck(i: Int) =
-    s"SUM(2 * ((strpos('0123456789abcdef', substring(h, ${i + 1}, 1)) - 1) % 2) - 1)"
+    s"SUM(2 * ((v // ${1L << i}) % 2) - 1)"
   private def fpExpr(s: Int => String) =
     (0 until SimHashBits).map(i => s"(CASE WHEN ${s(i)} > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
@@ -44,6 +51,7 @@ object TextMedia {
           .select(col("doc_id"),
             explode(expr(s"array_distinct($toks)")).as("token"))
           .withColumn("h", md5(col("token")))
+          .withColumn("v", expr(hashWordSpark))
           .groupBy("doc_id")
           .agg(expr(contribSpark(0)).as("s0"),
             (1 until SimHashBits).map(i => expr(contribSpark(i)).as(s"s$i")): _*)
@@ -72,7 +80,8 @@ object TextMedia {
           SELECT doc_id, unnest(list_distinct(
             list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS token
           FROM documents),
-        hs AS (SELECT doc_id, md5(token) AS h FROM tok),
+        hs AS (SELECT doc_id, $hashWordDuck AS v
+               FROM (SELECT doc_id, md5(token) AS h FROM tok)),
         sums AS (
           SELECT doc_id, ${(0 until SimHashBits).map(i => s"${contribDuck(i)} AS s$i").mkString(", ")}
           FROM hs GROUP BY doc_id),
