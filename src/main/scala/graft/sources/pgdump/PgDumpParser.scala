@@ -28,7 +28,11 @@ object PgDumpParser {
       tables: Map[String, SourceTable],
       tableOrder: Seq[String],
       copyBlocks: Seq[CopyBlock],
-      insertRows: Map[String, (Seq[String], Seq[Seq[String]])], // cols, rows (null = SQL NULL)
+      /** tables with INSERT data → column list when the dump names one.
+        * Row data is NOT held here — the data pass reads INSERT lines
+        * distributed (PgDumpReader.readInsertRaw), so a 100 GB
+        * --inserts dump never accumulates on the driver. */
+      insertCols: Map[String, Option[Seq[String]]],
       timezone: Option[String],
       statementStats: Map[String, Long],
       unparseable: Seq[String])
@@ -41,7 +45,7 @@ object PgDumpParser {
   def parse(lines: Iterator[String]): DumpSchema = {
     val tables = mutable.LinkedHashMap.empty[String, SourceTable]
     val copies = mutable.ArrayBuffer.empty[CopyBlock]
-    val inserts = mutable.LinkedHashMap.empty[String, (Seq[String], mutable.ArrayBuffer[Seq[String]])]
+    val inserts = mutable.LinkedHashMap.empty[String, Option[Seq[String]]]
     val stats = mutable.LinkedHashMap.empty[String, Long].withDefaultValue(0L)
     val bad = mutable.ArrayBuffer.empty[String]
     var timezone: Option[String] = None
@@ -117,7 +121,7 @@ object PgDumpParser {
       tables = tables.toMap,
       tableOrder = tables.keys.toSeq,
       copyBlocks = copies.toSeq,
-      insertRows = inserts.map { case (t, (c, r)) => t -> (c, r.toSeq) }.toMap,
+      insertCols = inserts.toMap,
       timezone = timezone,
       statementStats = stats.toMap,
       unparseable = bad.toSeq)
@@ -143,7 +147,7 @@ object PgDumpParser {
   /** Returns Some(timezone) for SET timezone, None otherwise. */
   private def interpret(stmt: String,
       tables: mutable.LinkedHashMap[String, SourceTable],
-      inserts: mutable.LinkedHashMap[String, (Seq[String], mutable.ArrayBuffer[Seq[String]])],
+      inserts: mutable.LinkedHashMap[String, Option[Seq[String]]],
       stats: mutable.Map[String, Long],
       bad: mutable.ArrayBuffer[String]): Option[String] = {
     val upper = stmt.toUpperCase
@@ -171,11 +175,10 @@ object PgDumpParser {
       None
     } else if (upper.startsWith("INSERT")) {
       stats("insert") += 1
-      parseInsert(stmt) match {
-        case Some((tbl, cols, rows)) =>
-          val slot = inserts.getOrElseUpdate(tbl, (cols, mutable.ArrayBuffer.empty))
-          if (slot._1 == cols) slot._2 ++= rows
-          else bad += s"INSERT column mismatch for $tbl"
+      PgTuples.header(stmt) match {
+        case Some((tbl, colsOpt)) =>
+          if (tables.contains(tbl)) inserts.getOrElseUpdate(tbl, colsOpt)
+          else bad += s"INSERT for unknown table $tbl"
         case None => bad += stmt.take(60)
       }
       None
@@ -322,44 +325,94 @@ object PgDumpParser {
 
   // ------------------------------------------------------------- INSERT
 
-  /** INSERT INTO t (cols) VALUES (...),(...); values are unquoted
-    * SQL literals; NULL → null (pgdump.go:334-371,702-725). */
-  private[pgdump] def parseInsert(stmt: String)
-      : Option[(String, Seq[String], Seq[Seq[String]])] = {
-    val re = """(?is)^INSERT\s+INTO\s+([^(]+?)\s*\(([^)]*)\)\s+VALUES\s*(.*);?$""".r
-    stmt match {
-      case re(tbl, cols, valuesPart) =>
-        val colNames = cols.split(",").map(unquoteId).toSeq
-        val rows = splitTuples(valuesPart.trim.stripSuffix(";")).map { tup =>
-          splitTopLevel(tup).map(_.trim).map(parseSqlLiteral)
-        }
-        Some((unqualify(tbl), colNames, rows))
+  /** Executor-side INSERT lexer (pgdump.go:334-371,702-725). pg_dump
+    * emits one INSERT statement per line, so the data pass filters
+    * INSERT lines distributed and lexes tuples per partition — row data
+    * never accumulates on the driver. String literals follow
+    * standard_conforming_strings: '' is the only quote escape; E'...'
+    * strings additionally unescape backslash sequences. */
+  private[pgdump] object PgTuples {
+    private val headerRe =
+      """(?is)^INSERT\s+INTO\s+(.+?)\s*(?:\(([^)]*)\))?\s+VALUES\s.*$""".r
+
+    /** (unqualified table, column list when present). */
+    def header(stmt: String): Option[(String, Option[Seq[String]])] = stmt match {
+      case headerRe(tbl, cols) =>
+        Some((unqualify(tbl), Option(cols).map(_.split(",").map(unquoteId).toSeq)))
       case _ => None
     }
-  }
 
-  /** Split `(a,b),(c,d)` into tuple bodies, respecting quotes/parens. */
-  private def splitTuples(s: String): Seq[String] = {
-    val out = mutable.ArrayBuffer.empty[String]
-    var depth = 0; var inQ = false; var start = -1
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\'' ) inQ = !inQ
-      else if (!inQ && c == '(') { depth += 1; if (depth == 1) start = i + 1 }
-      else if (!inQ && c == ')') { depth -= 1; if (depth == 0) out += s.substring(start, i) }
-      i += 1
+    /** All raw-string tuples of one INSERT line, when it targets `table`. */
+    def rowsFor(line: String, table: String): Seq[Seq[String]] =
+      header(line) match {
+        case Some((t, _)) if t == table =>
+          val vi = valuesIndex(line)
+          if (vi < 0) Nil
+          else splitTuples(line.substring(vi)).map(tup =>
+            splitTopLevel(tup).map(_.trim).map(literal))
+        case _ => Nil
+      }
+
+    /** Index just past the top-level VALUES keyword ('' quote rules). */
+    private def valuesIndex(s: String): Int = {
+      var inQ = false; var inDq = false
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\'' && !inDq) inQ = !inQ
+        else if (c == '"' && !inQ) inDq = !inDq
+        else if (!inQ && !inDq && (c == 'V' || c == 'v') &&
+                 s.regionMatches(true, i, "VALUES", 0, 6)) return i + 6
+        i += 1
+      }
+      -1
     }
-    out.toSeq
-  }
 
-  /** SQL literal → string value ('' unescape) or null for NULL. */
-  private def parseSqlLiteral(v: String): String = {
-    val t = v.trim
-    if (t.equalsIgnoreCase("NULL")) null
-    else if (t.startsWith("'") && t.endsWith("'"))
-      t.substring(1, t.length - 1).replace("''", "'")
-    else t
+    /** Split `(a,b),(c,d)` into tuple bodies, respecting quotes/parens. */
+    private def splitTuples(s: String): Seq[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var depth = 0; var inQ = false; var start = -1
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\'') inQ = !inQ
+        else if (!inQ && c == '(') { depth += 1; if (depth == 1) start = i + 1 }
+        else if (!inQ && c == ')') { depth -= 1; if (depth == 0) out += s.substring(start, i) }
+        i += 1
+      }
+      out.toSeq
+    }
+
+    /** SQL literal → string value or null for NULL. */
+    def literal(v: String): String = {
+      val t = v.trim
+      if (t.equalsIgnoreCase("NULL")) null
+      else if ((t.startsWith("E'") || t.startsWith("e'")) && t.endsWith("'") && t.length >= 3)
+        unescapeBackslash(t.substring(2, t.length - 1).replace("''", "'"))
+      else if (t.startsWith("'") && t.endsWith("'"))
+        t.substring(1, t.length - 1).replace("''", "'")
+      else t
+    }
+
+    private def unescapeBackslash(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => sb.append('\n')
+            case 't' => sb.append('\t')
+            case 'r' => sb.append('\r')
+            case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case x   => sb.append(x)
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
   }
 
   // -------------------------------------------------------------- utils

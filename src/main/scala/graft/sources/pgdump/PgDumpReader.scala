@@ -91,6 +91,25 @@ object PgDumpReader {
       } :+ (size(parts) =!= cols.length).as("__ragged"): _*)
   }
 
+  /** Raw string-typed frame for one table's INSERT statements,
+    * distributed: filter INSERT lines out of the shared text scan, lex
+    * tuples per partition (PgDumpParser.PgTuples) — the driver never
+    * holds row data even for a 100 GB --inserts dump. Tuples whose
+    * arity doesn't match the column list are marked `__ragged`. */
+  def readInsertRaw(lines: DataFrame, srcTable: String,
+      cols: Seq[String]): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val tbl = srcTable
+    val tuples = lines.select("line").as[String]
+      .filter((l: String) => l.regionMatches(true, 0, "INSERT INTO ", 0, 12))
+      .flatMap((l: String) => PgDumpParser.PgTuples.rowsFor(l, tbl))
+    tuples.toDF("v")
+      .select(cols.zipWithIndex.map { case (c, i) =>
+        element_at(col("v"), i + 1).as(c)
+      } :+ (size(col("v")) =!= cols.length).as("__ragged"): _*)
+  }
+
   /** Typed frame + quarantine for one source table. The raw frame has
     * source column names; output has Spanner names and Spanner types.
     * Quarantine rule = any column where input was present but the cast
@@ -150,14 +169,12 @@ object PgDumpReader {
     val tables = plan.srcSchema.keys.map { srcTable =>
       val spName = plan.toSpannerTable(srcTable)
       val copyRaw = byTable.get(srcTable).map(bs => readCopyRaw(lines, bs))
-      val insertRaw = dump.insertRows.get(srcTable).map { case (cols, rows) =>
-        val schema = StructType(cols.map(StructField(_, StringType)))
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.map(Row.fromSeq(_))), schema)
+      val insertRaw = dump.insertCols.get(srcTable).map { colsOpt =>
+        val cols = colsOpt.getOrElse(dump.tables(srcTable).colNames)
+        readInsertRaw(lines, srcTable, cols)
       }
       val raw = (copyRaw, insertRaw) match {
-        case (Some(a), Some(b)) =>
-          Some(a.unionByName(b.withColumn("__ragged", lit(false))))
+        case (Some(a), Some(b)) => Some(a.unionByName(b))
         case (a, b)             => a.orElse(b)
       }
       val frames = raw match {
