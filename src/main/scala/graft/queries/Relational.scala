@@ -397,6 +397,45 @@ object Relational {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total
         FROM orders
         GROUP BY 1
-        ORDER BY 1"""))
+        ORDER BY 1""")),
+
+    // ---------------------------------------------------------------- q17
+    // As-of join (brief §2.7's named missing operator): each click joins
+    // to the latest prior view by the same user. Composed from existing
+    // ops — a single running last_value(ignore nulls) window over the
+    // event stream — so it's ONE shuffle on user_id, no join at all
+    // (the classic union+window as-of formulation; a sort-merge
+    // inequality join would shuffle twice and skew on hot users).
+    "q17_asof_join" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = QueryDef.events(spark, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("event_type"))
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("last_view_us",
+            last(when(col("event_type") === "view", col("us")), ignoreNulls = true).over(w))
+          .withColumn("last_view_id",
+            last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+            col("last_view_id").as("view_id"),
+            (col("us") - col("last_view_us")).as("gap_us"))
+          .orderBy("click_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+          FROM events),
+        m AS (
+          SELECT event_id, event_type, us,
+            last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS last_view_us,
+            last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS last_view_id
+          FROM ev)
+        SELECT event_id AS click_id, last_view_id AS view_id, us - last_view_us AS gap_us
+        FROM m WHERE event_type = 'click' ORDER BY click_id"""))
   )
 }
