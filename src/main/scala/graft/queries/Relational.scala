@@ -436,6 +436,71 @@ object Relational {
               OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS last_view_id
           FROM ev)
         SELECT event_id AS click_id, last_view_id AS view_id, us - last_view_us AS gap_us
-        FROM m WHERE event_type = 'click' ORDER BY click_id"""))
+        FROM m WHERE event_type = 'click' ORDER BY click_id""")),
+
+    // ---------------------------------------------------------------- q18
+    // Range join (±5 min), bucketed: each error event pairs with click
+    // events of the same user within the band. The scale path explodes
+    // the smaller side into its 3 adjacent time buckets and equi-joins
+    // on (user, bucket) — shuffle volume is O(rows), never the O(n·m)
+    // a naive inequality join risks; the oracle IS the naive range join,
+    // proving the bucketed plan computes the identical relation.
+    "q18_range_join" -> QueryDef(
+      build = (spark, dir) => {
+        val band = 300L * 1000000L // ±5 min in µs
+        val ev = QueryDef.events(spark, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("event_type"))
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"), col("us").as("eus"))
+          .withColumn("bucket", explode(expr(
+            s"array(eus div $band - 1, eus div $band, eus div $band + 1)")))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+            col("us").as("cus"))
+          .withColumn("cbucket", expr(s"cus div $band"))
+        errs.join(clicks,
+            col("user_id") === col("cu") && col("bucket") === col("cbucket") &&
+              abs(col("cus") - col("eus")) <= band)
+          .select(col("err_id"), col("click_id"), (col("cus") - col("eus")).as("delta_us"))
+          .distinct()
+          .orderBy("err_id", "click_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+          FROM events)
+        SELECT e.event_id AS err_id, c.event_id AS click_id,
+               c.us - e.us AS delta_us
+        FROM ev e JOIN ev c
+          ON e.user_id = c.user_id
+         AND e.event_type = 'error' AND c.event_type = 'click'
+         AND abs(c.us - e.us) <= 300 * 1000000
+        ORDER BY err_id, click_id""")),
+
+    // ---------------------------------------------------------------- q19
+    // Count-Min sketch build (4 rows × 64 buckets over user activity):
+    // the distributed-sketch pattern — one groupBy with map-side combine
+    // builds the whole table; md5-derived bucket hashing makes the
+    // counters bit-identical across engines (no approximate divergence).
+    "q19_cms_sketch" -> QueryDef(
+      build = (spark, dir) => {
+        val ev = QueryDef.events(spark, dir).select(col("user_id"))
+        val rows = (0 until 4).map { j =>
+          ev.select(lit(j.toLong).as("row"),
+            expr(s"cast(conv(substring(md5(concat('$j:', cast(user_id as string))), 1, 8), 16, 10) as bigint) % 64")
+              .as("bucket"))
+        }.reduce(_ unionAll _)
+        rows.groupBy("row", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("row", "bucket")
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT j AS row,
+                 CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS bucket
+          FROM events, (SELECT unnest([0,1,2,3]) AS j))
+        SELECT row, bucket, COUNT(*) AS cnt
+        FROM h GROUP BY row, bucket ORDER BY row, bucket"""))
   )
 }
