@@ -38,6 +38,7 @@ object DdlRender {
     val interleave =
       t.parent.map(p => s",\nINTERLEAVE IN PARENT ${cfg.quote(p)}").getOrElse("")
     s"${tableComment}CREATE TABLE ${cfg.quote(t.name)} ($cols\n) PRIMARY KEY ($keys)$interleave"
+      .replaceAll("(?m)[ \t]+$", "") // no trailing spaces on comment-less columns
   }
 
   def createIndex(ix: SrcIndex, table: String, cfg: Config): String = {
