@@ -234,6 +234,53 @@ object TextMedia {
                MAX(n_bpe) AS max_bpe, MIN(n_bpe) AS min_bpe
         FROM t GROUP BY lang ORDER BY lang""")),
 
+    // ---------------------------------------------------------------- d08
+    // Winnowing fingerprints (the rolling-hash scheme of MOSS): hash
+    // every 8-char gram, slide a 4-gram window, keep each window's min —
+    // robust document fingerprints for plagiarism-style overlap
+    // detection. Emitted as a per-doc summary (fingerprint count +
+    // order-independent checksum); the pair-matching application reuses
+    // the id-only bucket-join pattern of m01/s01. One explode + one
+    // window + one aggregate, all partitioned by doc — no shuffle
+    // beyond the doc_id hash partitioning.
+    "d08_winnowing_fingerprints" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = table(spark, dir, "documents")
+        val grams = docs
+          .select(col("doc_id"), col("text"),
+            explode(expr("sequence(1, greatest(length(text) - 7, 1))")).as("i"))
+          .select(col("doc_id"), col("i"),
+            expr("cast(conv(substring(md5(substring(text, i, 8)), 1, 8), 16, 10) as bigint)")
+              .as("h"),
+            (length(col("text")) - 7).as("m"))
+        val w = Window.partitionBy("doc_id").orderBy("i")
+          .rowsBetween(Window.currentRow, 3)
+        grams
+          .withColumn("f", min("h").over(w))
+          .filter(col("i") <= col("m") - 3) // full windows only
+          .select(col("doc_id"), col("f")).distinct()
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fp"),
+            sum(expr("f % 1000003")).cast("bigint").as("fp_checksum"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH grams AS (
+          SELECT doc_id, i,
+                 CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 8)), 1, 8) AS BIGINT) AS h,
+                 length(text) - 7 AS m
+          FROM documents, LATERAL unnest(range(1, CAST(greatest(length(text) - 7, 1) AS BIGINT) + 1)) AS t(i)),
+        wins AS (
+          SELECT doc_id, i, m,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f
+          FROM grams),
+        fps AS (SELECT DISTINCT doc_id, f FROM wins WHERE i <= m - 3)
+        SELECT doc_id, COUNT(*) AS n_fp,
+               CAST(SUM(f % 1000003) AS BIGINT) AS fp_checksum
+        FROM fps GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- b01
     // Multimodal byte-level features over an opaque binary column (here
     // derived from text; a real corpus reads parquet binary directly):
