@@ -501,6 +501,31 @@ object Relational {
                  CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS bucket
           FROM events, (SELECT unnest([0,1,2,3]) AS j))
         SELECT row, bucket, COUNT(*) AS cnt
-        FROM h GROUP BY row, bucket ORDER BY row, bucket"""))
+        FROM h GROUP BY row, bucket ORDER BY row, bucket""")),
+
+    // ---------------------------------------------------------------- q20
+    // CUBE over (returnflag, linestatus): all four grouping combinations
+    // in one pass (completes the rollup/cube/grouping-sets surface; q11
+    // covers ROLLUP). NULL group keys are coalesced to a sentinel so the
+    // subtotal rows hash identically across engines.
+    "q20_cube" -> QueryDef(
+      build = (spark, dir) => {
+        val li = table(spark, dir, "lineitem")
+        li.cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sumMinor(col("l_quantity"), 2).as("sum_qty"))
+          .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+            coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+            col("n"), col("sum_qty"))
+          .orderBy("rf", "ls")
+      },
+      oracle = Some("""
+        SELECT COALESCE(l_returnflag, '(all)') AS rf,
+               COALESCE(l_linestatus, '(all)') AS ls,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY rf, ls"""))
   )
 }
