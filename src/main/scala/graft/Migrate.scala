@@ -12,6 +12,13 @@ import graft.sink.DdlSink
   * Spanner stand-in sink) + quarantine side output → report.
   *
   * Usage: runMain graft.Migrate <pgdump|mysqldump> <dumpFile> <outDir>
+  *        [full|schema-only|data-only]
+  *
+  * Staged runs (reference -schema-only / -data-only flags, main.go:35-63
+  * + cmd.go:57-63): schema-only stops after the plan artifacts;
+  * data-only restores the plan from outDir/session.json — schema edits
+  * applied to the session (PlanEdits) carry into the data pass — and
+  * runs only the data migration.
   *
   * Artifacts written to outDir:
   *   <table>.parquet        migrated rows, Spanner names/types
@@ -27,26 +34,41 @@ object Migrate {
   final case class Result(tables: Map[String, (Long, Long)], report: String)
 
   def run(spark: SparkSession, driver: String, dumpFile: String,
-      outDir: String): Result = {
+      outDir: String, mode: String = "full"): Result = {
+    require(Set("full", "schema-only", "data-only").contains(mode), mode)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val sessionPath = s"$outDir/session.json"
+    // data-only: the session file (possibly edited since the schema run)
+    // is the source of truth for the target schema and name maps.
+    val planOverride =
+      if (mode == "data-only") Some(SessionFile.read(sessionPath)) else None
+
     val (tables, plan, stmtStats) = driver match {
       case "pgdump" =>
-        val m = graft.sources.pgdump.PgDumpReader.migrate(spark, dumpFile)
+        val m = graft.sources.pgdump.PgDumpReader.migrate(spark, dumpFile, planOverride)
         (m.tables, m.plan, m.dump.statementStats)
       case "mysqldump" =>
-        val m = graft.sources.mysqldump.MySqlDumpReader.migrate(spark, dumpFile)
+        val m = graft.sources.mysqldump.MySqlDumpReader.migrate(spark, dumpFile, planOverride)
         (m.tables, m.plan, m.dump.statementStats)
       case other => throw new IllegalArgumentException(s"unknown driver $other")
     }
 
-    // Schema artifacts first (the reference emits them before data so a
-    // failed data pass still leaves usable schema files).
-    DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/schema.ddl.txt", pretty = true)
-    DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/schema.ddl.sql", pretty = false)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/fk_backfill.sql"),
-      DdlSink.fkBackfillStatements(plan.spSchema).mkString("", ";\n", ";\n"))
-    SessionFile.write(plan, s"$outDir/session.json")
+    if (mode != "data-only") {
+      // Schema artifacts first (the reference emits them before data so a
+      // failed data pass still leaves usable schema files).
+      DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/schema.ddl.txt", pretty = true)
+      DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/schema.ddl.sql", pretty = false)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/fk_backfill.sql"),
+        DdlSink.fkBackfillStatements(plan.spSchema).mkString("", ";\n", ";\n"))
+      SessionFile.write(plan, sessionPath)
+    }
+    if (mode == "schema-only") {
+      val report = Report.render(driver, plan, Map.empty, stmtStats)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/report.txt"), report)
+      return Result(Map.empty, report)
+    }
 
     // Data pass: one write job per table (parquet stands in for the
     // Spanner BatchWriter sink; swap sinkDataFrame in for live writes).
@@ -64,8 +86,9 @@ object Migrate {
 
   def main(args: Array[String]): Unit = {
     val Array(driver, dumpFile, outDir) = args.take(3)
+    val mode = args.lift(3).getOrElse("full")
     val spark = GraftSession.build("graft-migrate")
-    val r = run(spark, driver, dumpFile, outDir)
+    val r = run(spark, driver, dumpFile, outDir, mode)
     println(r.report)
     spark.stop()
   }

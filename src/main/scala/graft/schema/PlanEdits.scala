@@ -35,7 +35,8 @@ object PlanEdits {
         indexes = t.indexes.filterNot(_.keys.exists(_.column == col))))
     }
 
-  /** Rename a column everywhere it appears (cols, PK, FK, indexes). */
+  /** Rename a column everywhere it appears (cols, PK, FK, indexes, and
+    * the source→Spanner column map — the data pass resolves through it). */
   def renameColumn(plan: ConversionPlan, spTable: String, col: String,
       to: String): Either[String, ConversionPlan] =
     withTable(plan, spTable) { t =>
@@ -51,6 +52,12 @@ object PlanEdits {
             columns = fk.columns.map(c => if (c == col) to else c))),
           indexes = t.indexes.map(ix => ix.copy(keys = ix.keys.map(rk)))))
       } else Left(s"illegal Spanner identifier: $to")
+    }.map { p =>
+      p.copy(toSpannerCols = p.toSpannerCols.map { case (srcT, m) =>
+        srcT -> (if (p.toSpannerTable.get(srcT).contains(spTable))
+          m.map { case (s, sp) => s -> (if (sp == col) to else sp) }
+        else m)
+      })
     }
 
   /** Change a column's Spanner type (web.go:302-389 typemap/table). */

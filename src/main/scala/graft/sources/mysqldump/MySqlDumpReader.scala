@@ -196,9 +196,12 @@ object MySqlDumpReader {
     (good, quarantine)
   }
 
-  /** Full pipeline: parse, read + convert every table's INSERT data. */
-  def migrate(spark: SparkSession, path: String): Migration = {
-    val (dump, plan) = schemaPass(path)
+  /** Full pipeline: parse, read + convert every table's INSERT data.
+    * `planOverride` (session-file plan) supports -data-only runs. */
+  def migrate(spark: SparkSession, path: String,
+      planOverride: Option[SchemaConverter.ConversionPlan] = None): Migration = {
+    val (dump, freshPlan) = schemaPass(path)
+    val plan = planOverride.getOrElse(freshPlan)
     val tables = plan.srcSchema.keys.map { srcTable =>
       val spName = plan.toSpannerTable(srcTable)
       val frames = dump.insertCols.get(srcTable) match {

@@ -160,9 +160,13 @@ object PgDumpReader {
   }
 
   /** Full pipeline: parse, convert every table (COPY + INSERT data),
-    * return typed frames + quarantines. */
-  def migrate(spark: SparkSession, path: String): Migration = {
-    val (dump, plan) = schemaPass(path)
+    * return typed frames + quarantines. `planOverride` (a session-file
+    * plan, possibly user-edited) replaces the freshly-derived plan for
+    * -data-only staged runs. */
+  def migrate(spark: SparkSession, path: String,
+      planOverride: Option[SchemaConverter.ConversionPlan] = None): Migration = {
+    val (dump, freshPlan) = schemaPass(path)
+    val plan = planOverride.getOrElse(freshPlan)
     val lines = indexedLines(spark, path).cache()
     val byTable = dump.copyBlocks.groupBy(_.table)
 

@@ -42,6 +42,27 @@ class MigrateSpec extends AnyFunSuite {
         graft.schema.DdlRender.Config()).mkString(";"))
   }
 
+  test("staged: schema-only then edited session drives data-only") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mig-staged").toString
+    val fixture = "src/test/resources/fixtures/sample.pgdump"
+    // pass 1: schema only — artifacts, no data
+    val r1 = Migrate.run(spark, "pgdump", fixture, out, mode = "schema-only")
+    assert(r1.tables.isEmpty)
+    assert(new java.io.File(s"$out/session.json").exists())
+    assert(!new java.io.File(s"$out/inventory.parquet").exists())
+    // edit the session between stages: rename a column (T8 workflow)
+    val plan = graft.plan.SessionFile.read(s"$out/session.json")
+    val edited = graft.schema.PlanEdits
+      .renameColumn(plan, "inventory", "qty", "quantity")
+      .getOrElse(fail("edit failed"))
+    graft.plan.SessionFile.write(edited, s"$out/session.json")
+    // pass 2: data only — edited plan drives the conversion
+    val r2 = Migrate.run(spark, "pgdump", fixture, out, mode = "data-only")
+    assert(r2.tables("inventory") === (3L, 0L))
+    val inv = spark.read.parquet(s"$out/inventory.parquet")
+    assert(inv.columns.contains("quantity") && !inv.columns.contains("qty"))
+  }
+
   test("mysqldump end-to-end") {
     val out = java.nio.file.Files.createTempDirectory("graft-mig-my").toString
     val r = Migrate.run(spark, "mysqldump",
