@@ -47,7 +47,7 @@ object MySqlDumpReader {
   /** Executor-side INSERT-line lexer: `INSERT INTO t [(cols)] VALUES
     * (v,..),(v,..);` → raw string tuples. NULL → null; quoted strings
     * unescape backslash + '' escapes; bare literals pass through. */
-  private[mysqldump] object Tuples {
+  object Tuples {
 
     def parseLine(line: String): Seq[Seq[String]] = {
       val vi = valuesIndex(line)
