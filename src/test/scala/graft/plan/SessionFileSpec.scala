@@ -59,6 +59,38 @@ class SessionFileSpec extends AnyFunSuite {
       joined.indexOf("CREATE TABLE order_log"))
   }
 
+  test("interleave chain: singers → albums → songs orders DDL by depth") {
+    import graft.schema.{SpColumn, SpannerTable}
+    import graft.types.{SpScalar, SpType}
+    def t(name: String, pks: Seq[String], fk: Option[(String, Seq[String])]) =
+      SpannerTable(name,
+        colNames = pks,
+        colDefs = pks.map(c => c -> SpColumn(c, SpType(SpScalar.Int64))).toMap,
+        pks = pks.map(SrcKey(_)),
+        fks = fk.toSeq.map { case (ref, cols) =>
+          SrcForeignKey(s"fk_$name", cols, ref, cols) })
+    val schema = Map(
+      "singers" -> t("singers", Seq("singerid"), None),
+      "albums" -> t("albums", Seq("singerid", "albumid"),
+        Some("singers" -> Seq("singerid"))),
+      "songs" -> t("songs", Seq("singerid", "albumid", "trackid"),
+        Some("albums" -> Seq("singerid", "albumid"))))
+    val (out, notes) = graft.schema.Interleave.detect(schema, Map.empty)
+    assert(out("albums").parent === Some("singers"))
+    assert(out("songs").parent === Some("albums"))
+    assert(notes.length === 2)
+    val ddl = graft.schema.DdlRender.schemaDdl(out, graft.schema.DdlRender.Config())
+    val joined = ddl.mkString(";\n")
+    // grandparent before parent before child, despite alphabetical order
+    assert(joined.indexOf("CREATE TABLE singers") <
+      joined.indexOf("CREATE TABLE albums"))
+    assert(joined.indexOf("CREATE TABLE albums") <
+      joined.indexOf("CREATE TABLE songs"))
+    assert(joined.contains("INTERLEAVE IN PARENT albums"))
+    // converted FKs are gone: no ALTERs remain
+    assert(!joined.contains("FOREIGN KEY"))
+  }
+
   test("interleave rejected: name mismatch, synthetic PK, non-prefix") {
     val parent = plan.spSchema("inventory")
     // FK columns don't match child PK prefix by name
