@@ -41,7 +41,9 @@ object SessionFile {
       plan.syntheticPks.get(spName).foreach(t.put("syntheticPk", _))
       sp.parent.foreach(t.put("parent", _))
       val cols = t.putArray("cols")
-      src.colNames.foreach { cn =>
+      // a source column may have no Spanner counterpart (removed via a
+      // PlanEdits edit) — such columns simply don't round-trip
+      src.colNames.filter(colMap.contains).foreach { cn =>
         val c = src.colDefs(cn)
         val spCol = sp.colDefs(colMap(cn))
         val o = cols.addObject()

@@ -61,7 +61,7 @@ object Report {
   /** Data-conversion rating (report.go:340-355). */
   def rateData(rows: Long, badRows: Long): String = {
     def pct = f"${100.0 * (rows - badRows) / rows}%.2f"
-    val s = s" ($pct%% of $rows rows written)"
+    val s = s" ($pct% of $rows rows written)" // s-interp: %% would render doubled
     if (rows == 0) "NONE (no data rows found)"
     else if (badRows == 0) s"EXCELLENT (all $rows rows written)"
     else if (good(rows, badRows)) "GOOD" + s

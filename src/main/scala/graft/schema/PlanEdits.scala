@@ -33,6 +33,15 @@ object PlanEdits {
         colNames = t.colNames.filterNot(_ == col),
         colDefs = t.colDefs - col,
         indexes = t.indexes.filterNot(_.keys.exists(_.column == col))))
+    }.map { p =>
+      // also drop the src→sp mapping — a staged data-only run resolves
+      // columns through it, and a dangling entry made convertTable throw
+      // on sp.colDefs(removedCol)
+      p.copy(toSpannerCols = p.toSpannerCols.map { case (srcT, m) =>
+        srcT -> (if (p.toSpannerTable.get(srcT).contains(spTable))
+          m.filterNot { case (_, sp) => sp == col }
+        else m)
+      })
     }
 
   /** Rename a column everywhere it appears (cols, PK, FK, indexes, and

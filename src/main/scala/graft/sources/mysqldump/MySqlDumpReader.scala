@@ -56,7 +56,10 @@ object MySqlDumpReader {
         MySqlDumpParser.splitTopLevel(tup).map(v => literal(v.trim)))
     }
 
-    /** Index just past the top-level VALUES keyword. */
+    /** Index just past the top-level VALUES keyword. Word boundaries on
+      * both sides guard against identifiers containing "values" in an
+      * unquoted column list (same flaw as the pg lexer's; mysqldump's
+      * backticking usually hides it, hand-written dumps don't). */
     private def valuesIndex(s: String): Int = {
       var inQ = false; var inBt = false
       var i = 0
@@ -66,12 +69,17 @@ object MySqlDumpReader {
         else if (c == '\'' && !inBt) inQ = !inQ
         else if (c == '`' && !inQ) inBt = !inBt
         else if (!inQ && !inBt && (c == 'V' || c == 'v') &&
-                 i + 6 <= s.length && s.regionMatches(true, i, "VALUES", 0, 6))
+                 i + 6 <= s.length && s.regionMatches(true, i, "VALUES", 0, 6) &&
+                 (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+                 (i + 6 >= s.length || !isIdentChar(s.charAt(i + 6))))
           return i + 6
         i += 1
       }
       -1
     }
+
+    private def isIdentChar(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_' || c == '$'
 
     /** Split `(a,b),(c,d)` into tuple bodies (backslash-escape aware). */
     private def splitTuples(s: String): Seq[String] = {
@@ -147,11 +155,18 @@ object MySqlDumpReader {
   private[mysqldump] def isInsertFor(line: String, table: String): Boolean = {
     if (!line.regionMatches(true, 0, "INSERT INTO ", 0, 12)) return false
     val rest = line.substring(12).dropWhile(_.isWhitespace)
-    val name =
-      if (rest.startsWith("`")) rest.drop(1).takeWhile(_ != '`')
-      else rest.takeWhile(c => !c.isWhitespace && c != '(')
-    MySqlDumpParser.unquoteId(name) == table ||
-      name.endsWith("." + table) // db-qualified bare name
+    // take the FULL (possibly `db`.`t` backtick-qualified) identifier —
+    // scanning to the first backtick truncated `db`.`t` to "db" and those
+    // rows were silently dropped; unquoteId strips qualifier + backticks
+    var i = 0; var inBt = false; var end = -1
+    while (i < rest.length && end < 0) {
+      val c = rest.charAt(i)
+      if (c == '`') inBt = !inBt
+      else if (!inBt && (c.isWhitespace || c == '(')) end = i
+      i += 1
+    }
+    val ident = rest.substring(0, if (end < 0) rest.length else end)
+    MySqlDumpParser.unquoteId(ident) == table
   }
 
   /** Typed frame + quarantine for one source table (MySQL casts; `set`
@@ -165,7 +180,11 @@ object MySqlDumpReader {
     val offset = plan.timezone.getOrElse("+00:00")
 
     val present = raw.columns.toSeq.filterNot(_ == "__ragged")
-    val casts = present.map { srcCol =>
+    // skip source columns with no Spanner counterpart (removed via
+    // PlanEdits in a staged run) — see the pgdump reader
+    val mapped = present.filter(c =>
+      colMap.get(c).exists(sp.colDefs.contains))
+    val casts = mapped.map { srcCol =>
       val spCol = colMap(srcCol)
       val d = sp.colDefs(spCol)
       val srcTy = src.colDefs(srcCol).tpe.name

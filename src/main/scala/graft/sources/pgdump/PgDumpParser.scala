@@ -353,7 +353,11 @@ object PgDumpParser {
         case _ => Nil
       }
 
-    /** Index just past the top-level VALUES keyword ('' quote rules). */
+    /** Index just past the top-level VALUES keyword ('' quote rules).
+      * Word boundaries are required on both sides — without them an
+      * unquoted identifier containing "values" (pg_dump doesn't quote
+      * `my_values`) matched mid-word and the statement's tuples were
+      * silently dropped. */
     private def valuesIndex(s: String): Int = {
       var inQ = false; var inDq = false
       var i = 0
@@ -362,11 +366,16 @@ object PgDumpParser {
         if (c == '\'' && !inDq) inQ = !inQ
         else if (c == '"' && !inQ) inDq = !inDq
         else if (!inQ && !inDq && (c == 'V' || c == 'v') &&
-                 s.regionMatches(true, i, "VALUES", 0, 6)) return i + 6
+                 s.regionMatches(true, i, "VALUES", 0, 6) &&
+                 (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+                 (i + 6 >= s.length || !isIdentChar(s.charAt(i + 6)))) return i + 6
         i += 1
       }
       -1
     }
+
+    private def isIdentChar(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_' || c == '$'
 
     /** Split `(a,b),(c,d)` into tuple bodies, respecting quotes/parens. */
     private def splitTuples(s: String): Seq[String] = {

@@ -124,7 +124,12 @@ object PgDumpReader {
     val zone = plan.timezone.getOrElse("UTC")
 
     val present = raw.columns.toSeq.filterNot(_ == "__ragged") // COPY may cover a subset of columns
-    val casts = present.map { srcCol =>
+    // skip source columns with no Spanner counterpart (user removed the
+    // column via PlanEdits in a staged run) — their data is dropped, the
+    // rest of the row still migrates
+    val mapped = present.filter(c =>
+      colMap.get(c).exists(sp.colDefs.contains))
+    val casts = mapped.map { srcCol =>
       val spCol = colMap(srcCol)
       val d = sp.colDefs(spCol)
       val srcTy = src.colDefs(srcCol).tpe.name
@@ -178,7 +183,10 @@ object PgDumpReader {
         readInsertRaw(lines, srcTable, cols)
       }
       val raw = (copyRaw, insertRaw) match {
-        case (Some(a), Some(b)) => Some(a.unionByName(b))
+        // allowMissingColumns: COPY may name a subset of the columns the
+        // INSERTs cover (or vice versa) — absent fields become NULL
+        // instead of failing the whole migration at plan time
+        case (Some(a), Some(b)) => Some(a.unionByName(b, allowMissingColumns = true))
         case (a, b)             => a.orElse(b)
       }
       val frames = raw match {

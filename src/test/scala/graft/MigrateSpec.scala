@@ -63,6 +63,21 @@ class MigrateSpec extends AnyFunSuite {
     assert(inv.columns.contains("quantity") && !inv.columns.contains("qty"))
   }
 
+  test("staged: remove-column edit drives data-only without crashing") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mig-rm").toString
+    val fixture = "src/test/resources/fixtures/sample.pgdump"
+    Migrate.run(spark, "pgdump", fixture, out, mode = "schema-only")
+    val plan = graft.plan.SessionFile.read(s"$out/session.json")
+    val edited = graft.schema.PlanEdits
+      .removeColumn(plan, "inventory", "qty")
+      .getOrElse(fail("edit failed"))
+    graft.plan.SessionFile.write(edited, s"$out/session.json")
+    val r2 = Migrate.run(spark, "pgdump", fixture, out, mode = "data-only")
+    assert(r2.tables("inventory") === (3L, 0L))
+    val inv = spark.read.parquet(s"$out/inventory.parquet")
+    assert(!inv.columns.contains("qty"))
+  }
+
   test("mysqldump end-to-end") {
     val out = java.nio.file.Files.createTempDirectory("graft-mig-my").toString
     val r = Migrate.run(spark, "mysqldump",

@@ -14,6 +14,8 @@ class ReportSpec extends AnyFunSuite {
     assert(Report.rateData(100, 4).startsWith("GOOD"))
     assert(Report.rateData(100, 5).startsWith("OK"))   // 5 == 100/20 boundary
     assert(Report.rateData(100, 32).startsWith("OK"))
+    // %% in an s-interpolated string is NOT an escape — it rendered doubled
+    assert(Report.rateData(100, 5) === "OK (95.00% of 100 rows written)")
     assert(Report.rateData(100, 33).startsWith("POOR"))
     assert(Report.rateSchema(0, 0, missingPKey = false, summary = false)
       .startsWith("NONE"))

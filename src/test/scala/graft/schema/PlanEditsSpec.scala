@@ -19,6 +19,9 @@ class PlanEditsSpec extends AnyFunSuite {
     val inv = p2.spSchema("inventory")
     assert(!inv.colNames.contains("qty"))
     assert(!inv.indexes.exists(_.name == "idx_qty")) // covering index gone
+    // the src→sp map entry must go too — a staged data-only run resolves
+    // through it and a dangling entry crashed convertTable
+    assert(!p2.toSpannerCols("inventory").values.exists(_ == "qty"))
   }
 
   test("rename column: updates cols, keys, indexes; rejects illegal/dup") {

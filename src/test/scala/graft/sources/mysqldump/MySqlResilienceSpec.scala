@@ -41,6 +41,26 @@ class MySqlResilienceSpec extends AnyFunSuite {
     assert(m.dump.statementStats("skippedInDelimiterBlock") >= 1)
   }
 
+  test("db-qualified backticked INSERT targets the right table") {
+    // `db`.`t` used to be truncated to "db" at the first closing backtick
+    // and the rows silently dropped
+    val m = migrate(
+      """CREATE TABLE `t` (`x` bigint(20));
+        |INSERT INTO `db`.`t` VALUES (5),(6);
+        |""".stripMargin)
+    assert(m.tables("t")._1.collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(5L, 6L))
+  }
+
+  test("unquoted identifier containing 'values' doesn't fool the tuple lexer") {
+    val m = migrate(
+      """CREATE TABLE `a` (`id` bigint(20), `my_values` text);
+        |INSERT INTO a (id, my_values) VALUES (1,'x');
+        |""".stripMargin)
+    assert(m.tables("a")._1.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "x")))
+  }
+
   test("INSERT for unknown table recorded; statements inside strings intact") {
     val m = migrate(
       """CREATE TABLE `a` (`x` text);

@@ -70,6 +70,32 @@ class PgDumpResilienceSpec extends AnyFunSuite {
     assert(m.plan.srcSchema.keySet === Set("a"))
   }
 
+  test("identifier containing 'values' in the column list doesn't fool the lexer") {
+    // pg_dump doesn't quote identifiers like my_values — a substring
+    // VALUES match used to land mid-identifier and drop every tuple
+    val m = migrate(
+      """CREATE TABLE a (id bigint, my_values text);
+        |INSERT INTO a (id, my_values) VALUES (1, 'x'), (2, 'y');
+        |""".stripMargin)
+    val rows = m.tables("a")._1.orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("COPY naming a column subset unions with INSERT's full list") {
+    val m = migrate(
+      """CREATE TABLE a (id bigint, note text);
+        |COPY a (id) FROM stdin;
+        |1
+        |\.
+        |INSERT INTO a (id, note) VALUES (2, 'n');
+        |""".stripMargin)
+    val rows = m.tables("a")._1.orderBy("id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("note"))) // COPY row: absent col → NULL
+    assert(rows(1).getString(rows(1).fieldIndex("note")) === "n")
+  }
+
   test("semicolons and quotes inside string literals don't split statements") {
     val m = migrate(
       """CREATE TABLE a (x text);
