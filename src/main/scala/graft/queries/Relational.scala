@@ -462,8 +462,11 @@ object Relational {
         errs.join(clicks,
             col("user_id") === col("cu") && col("bucket") === col("cbucket") &&
               abs(col("cus") - col("eus")) <= band)
+          // no distinct needed: each (error, click) pair matches in exactly
+          // one exploded bucket — the click's single bucket value — so the
+          // equi-join cannot duplicate a pair; a distinct here would be a
+          // whole extra shuffle of the result
           .select(col("err_id"), col("click_id"), (col("cus") - col("eus")).as("delta_us"))
-          .distinct()
           .orderBy("err_id", "click_id")
       },
       oracle = Some("""
@@ -483,15 +486,17 @@ object Relational {
     // the distributed-sketch pattern — one groupBy with map-side combine
     // builds the whole table; md5-derived bucket hashing makes the
     // counters bit-identical across engines (no approximate divergence).
+    // ONE scan of events: explode(sequence(0,3)) emits all four sketch
+    // rows per event in a single pass (the earlier 4-way unionAll read
+    // the table four times — 4× the scan I/O for the same result).
     "q19_cms_sketch" -> QueryDef(
       build = (spark, dir) => {
-        val ev = QueryDef.events(spark, dir).select(col("user_id"))
-        val rows = (0 until 4).map { j =>
-          ev.select(lit(j.toLong).as("row"),
-            expr(s"cast(conv(substring(md5(concat('$j:', cast(user_id as string))), 1, 8), 16, 10) as bigint) % 64")
+        QueryDef.events(spark, dir).select(col("user_id"))
+          .select(explode(expr("sequence(0L, 3L)")).as("row"), col("user_id"))
+          .select(col("row"),
+            expr("cast(conv(substring(md5(concat(cast(row as string), ':', cast(user_id as string))), 1, 8), 16, 10) as bigint) % 64")
               .as("bucket"))
-        }.reduce(_ unionAll _)
-        rows.groupBy("row", "bucket")
+          .groupBy("row", "bucket")
           .agg(count(lit(1)).as("cnt"))
           .orderBy("row", "bucket")
       },

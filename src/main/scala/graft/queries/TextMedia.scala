@@ -103,37 +103,17 @@ object TextMedia {
       headline = true),
 
     // ---------------------------------------------------------------- e04
-    // Embedding-cosine near-dup, sign-bucketed: candidates share the
-    // 8-bit sign pattern of their first 8 dims (near-identical vectors
-    // almost always do; a production variant unions several sign bands
-    // for recall). Verify cos ≥ 0.9 in exact integer arithmetic:
-    // dot > 0 ∧ 100·dot² ≥ 81·|a|²·|b|², squared in DECIMAL so nothing
-    // overflows (dot ≤ 64·2^40 < 10^14 → dot² < 10^28).
+    // Embedding-cosine near-dup — operator in CosineNearDup (sign-bucket
+    // candidates, exact-integer verify). The ORACLE is deliberately the
+    // NAIVE ALL-PAIRS cosine, not a mirror of the bucketing: green means
+    // the bucketed plan computes the same relation as the O(n²)
+    // definition (the q18 technique). The driver's embeddings are
+    // near-random (no cos≥0.9 pairs at any sf — max ≈ 0.51), so both
+    // sides are empty there; CosineNearDupSpec holds the non-vacuous
+    // recall/containment assertion over a seeded fixture.
     "e04_cosine_neardup" -> QueryDef(
-      build = (spark, dir) => {
-        val quant =
-          "transform(embedding, x -> cast(floor(cast(x as double) * 1048576D) as bigint))"
-        val qdot = "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
-        val emb = table(spark, dir, "embeddings")
-          .select(col("vec_id"), expr(quant).as("qv"))
-          .withColumn("norm2", expr(
-            "aggregate(transform(qv, x -> x * x), 0L, (acc, v) -> acc + v)"))
-          .withColumn("bucket", expr(
-            (1 to 8).map(i => s"(case when qv[${i - 1}] >= 0 then ${1 << i} else 0 end)")
-              .mkString(" + ")))
-        val a = emb.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
-          col("norm2").as("na"), col("bucket"))
-        val b = emb.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
-          col("norm2").as("nb"), col("bucket").as("bucket2"))
-        a.join(b, col("bucket") === col("bucket2") && col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b"), expr(qdot).as("dot"),
-            col("na"), col("nb"))
-          .filter(col("dot") > 0 &&
-            expr("cast(dot as decimal(14,0)) * cast(dot as decimal(14,0)) * 100") >=
-            expr("cast(na as decimal(14,0)) * cast(nb as decimal(14,0)) * 81"))
-          .select(col("vec_a"), col("vec_b"), col("dot"), col("na"), col("nb"))
-          .orderBy("vec_a", "vec_b")
-      },
+      build = (spark, dir) =>
+        graft.operators.CosineNearDup.pairs(table(spark, dir, "embeddings")),
       oracle = Some("""
         WITH q AS (
           SELECT vec_id,
@@ -141,18 +121,16 @@ object TextMedia {
           FROM embeddings),
         e AS (
           SELECT vec_id, qv,
-                 CAST(list_sum([x * x for x in qv]) AS BIGINT) AS norm2,
-                 CAST(list_sum([CASE WHEN qv[i] >= 0 THEN 1 << i ELSE 0 END
-                                for i in range(1, 9)]) AS BIGINT) AS bucket
+                 CAST(list_sum([x * x for x in qv]) AS BIGINT) AS norm2
           FROM q),
         pairs AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                  CAST(list_sum([a.qv[i] * b.qv[i] for i in range(1, 65)]) AS BIGINT) AS dot,
                  a.norm2 AS na, b.norm2 AS nb
-          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
         SELECT vec_a, vec_b, dot, na, nb
         FROM pairs
-        WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 100 >= CAST(na AS HUGEINT) * nb * 81
+        WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(na AS HUGEINT) * nb * 8100
         ORDER BY vec_a, vec_b""")),
 
     // ---------------------------------------------------------------- d06
