@@ -33,13 +33,99 @@ object MySqlDumpReader {
       /** spanner table → (good rows, quarantined raw rows) */
       tables: Map[String, (DataFrame, DataFrame)])
 
-  /** Driver-side schema pass. */
+  /** Sequential driver-side schema pass — for spark-less callers. The
+    * migration path uses the distributed overload. */
   def schemaPass(path: String): (MySqlDumpParser.DumpSchema, SchemaConverter.ConversionPlan) = {
     val src = scala.io.Source.fromFile(path)
     val dump = try MySqlDumpParser.parse(src.getLines()) finally src.close()
-    val plan = SchemaConverter.convert(MySqlTypeMapper, dump.tables,
+    (dump, planOf(dump))
+  }
+
+  private def planOf(dump: MySqlDumpParser.DumpSchema): SchemaConverter.ConversionPlan =
+    SchemaConverter.convert(MySqlTypeMapper, dump.tables,
       dump.tableOrder, dump.timezoneOffset)
-    (dump, plan)
+
+  /** True for a complete single-line extended-INSERT statement — the
+    * distributed schema pass prunes exactly these (outside DELIMITER
+    * blocks) and aggregates their headers on executors; anything else
+    * falls through to the sequential scanner. */
+  private[mysqldump] def prunableInsert(line: String): Boolean =
+    line.regionMatches(true, 0, "INSERT INTO ", 0, 12) &&
+      line.trim.endsWith(";") && MySqlDumpParser.InsertHeader.unapply(line).isDefined
+
+  /** Distributed schema pass: mysqldump data is one extended-INSERT per
+    * line, so the executors prune + aggregate those while the driver
+    * interprets only the collected DDL (KBs at any dump size). DELIMITER
+    * blocks (trigger/routine bodies) are discovered distributed too and
+    * their contents are PROTECTED from insert-pruning — the sequential
+    * scanner counts them skippedInDelimiterBlock, and an INSERT inside a
+    * procedure body is not table data.
+    *
+    * Returns the delimiter-block line ranges as well so the data pass
+    * can exclude procedure-body lines from readInsertRaw. */
+  def schemaPass(spark: SparkSession, lines: DataFrame):
+      (MySqlDumpParser.DumpSchema, SchemaConverter.ConversionPlan, Seq[(Long, Long)]) = {
+    import spark.implicits._
+
+    // 1. DELIMITER boundary candidates (tiny collect).
+    val cands = lines.as[(String, Long)]
+      .filter(t => t._1.trim.regionMatches(true, 0, "DELIMITER", 0, 9))
+      .collect().sortBy(_._2)
+    val rb = Seq.newBuilder[(Long, Long)]
+    var open = -1L
+    cands.foreach { case (l, idx) =>
+      val arg = l.trim.split("\\s+").lift(1).getOrElse(";")
+      if (open < 0) { if (arg != ";") open = idx }
+      else if (arg == ";") { rb += ((open + 1, idx)); open = -1L }
+    }
+    if (open >= 0) rb += ((open + 1, Long.MaxValue)) // unterminated block
+    val blocks = rb.result()
+    val inBlock = (idx: Long) => blocks.exists(r => idx >= r._1 && idx < r._2)
+
+    // 2. Prune + aggregate data INSERTs outside blocks; collect the rest.
+    val SEP = "\u001F"
+    val ddl = lines.as[(String, Long)]
+      .filter(t => inBlock(t._2) || !prunableInsert(t._1))
+      .collect().sortBy(_._2).map(_._1)
+    val inserts = lines.as[(String, Long)]
+      .filter(t => !inBlock(t._2) && prunableInsert(t._1))
+      .map { case (l, idx) =>
+        val (tbl, colsOpt) = MySqlDumpParser.InsertHeader.unapply(l).get
+        (tbl, colsOpt.map(_.mkString(SEP)).orNull, idx)
+      }
+      .groupByKey(t => (t._1, Option(t._2)))
+      .mapGroups { (key: (String, Option[String]), it: Iterator[(String, String, Long)]) =>
+        var n = 0L; var first = Long.MaxValue
+        it.foreach { t => n += 1; if (t._3 < first) first = t._3 }
+        (key._1, key._2.orNull, n, first)
+      }
+      .collect().sortBy(_._4)
+
+    val dump0 = MySqlDumpParser.parse(ddl.iterator)
+    val dump = mergeInserts(dump0, inserts.map { case (t, c, n, _) =>
+      (t, Option(c).map(_.split(SEP, -1).toSeq), n) }.toSeq)
+    (dump, planOf(dump), blocks)
+  }
+
+  /** Fold executor-aggregated INSERT headers into the parsed schema,
+    * mirroring the sequential scanner's interpret() for INSERT. */
+  private def mergeInserts(d: MySqlDumpParser.DumpSchema,
+      ins: Seq[(String, Option[Seq[String]], Long)]): MySqlDumpParser.DumpSchema = {
+    if (ins.isEmpty) return d
+    var insertCols = d.insertCols
+    var bad = d.unparseable
+    var n = 0L
+    ins.foreach { case (tbl, colsOpt, cnt) =>
+      n += cnt
+      if (d.tables.contains(tbl)) {
+        if (!insertCols.contains(tbl)) insertCols = insertCols + (tbl -> colsOpt)
+      } else bad = bad :+ (if (cnt == 1) s"INSERT for unknown table $tbl"
+        else s"INSERT for unknown table $tbl (x$cnt)")
+    }
+    d.copy(insertCols = insertCols,
+      statementStats = d.statementStats
+        .updated("insert", d.statementStats.getOrElse("insert", 0L) + n),
+      unparseable = bad)
   }
 
   // ------------------------------------------------- tuple lexing (exec)
@@ -134,17 +220,22 @@ object MySqlDumpReader {
 
   // ---------------------------------------------------------- data pass
 
-  /** Raw string-typed frame for one table's INSERT tuples, distributed.
-    * Tuples whose arity doesn't match the column list are marked
-    * `__ragged` (→ quarantine). */
-  def readInsertRaw(spark: SparkSession, path: String, srcTable: String,
-      cols: Seq[String]): DataFrame = {
+  /** Raw string-typed frame for one table's INSERT tuples, distributed
+    * over the shared (line, idx) scan. `excludeRanges` (DELIMITER-block
+    * bodies from the schema pass) keeps procedure-body INSERTs out of
+    * the data — the schema pass counts those skippedInDelimiterBlock,
+    * and ingesting them as rows would double-count. Tuples whose arity
+    * doesn't match the column list are marked `__ragged` (→ quarantine). */
+  def readInsertRaw(lines: DataFrame, srcTable: String, cols: Seq[String],
+      excludeRanges: Seq[(Long, Long)] = Nil): DataFrame = {
+    val spark = lines.sparkSession
     import spark.implicits._
     val tbl = srcTable
-    val lines = spark.read.textFile(path)
-    val tuples = lines
-      .filter((l: String) => isInsertFor(l, tbl))
-      .flatMap((l: String) => Tuples.parseLine(l))
+    val ranges = excludeRanges
+    val tuples = lines.as[(String, Long)]
+      .filter(t => !ranges.exists(r => t._2 >= r._1 && t._2 < r._2) &&
+        isInsertFor(t._1, tbl))
+      .flatMap(t => Tuples.parseLine(t._1))
     val n = cols.length
     tuples.toDF("v")
       .select(cols.zipWithIndex.map { case (c, i) =>
@@ -219,14 +310,16 @@ object MySqlDumpReader {
     * `planOverride` (session-file plan) supports -data-only runs. */
   def migrate(spark: SparkSession, path: String,
       planOverride: Option[SchemaConverter.ConversionPlan] = None): Migration = {
-    val (dump, freshPlan) = schemaPass(path)
+    // one cached scan serves boundary discovery AND every table's read
+    val lines = graft.sources.DumpLines.indexed(spark, path).cache()
+    val (dump, freshPlan, blocks) = schemaPass(spark, lines)
     val plan = planOverride.getOrElse(freshPlan)
     val tables = plan.srcSchema.keys.map { srcTable =>
       val spName = plan.toSpannerTable(srcTable)
       val frames = dump.insertCols.get(srcTable) match {
         case Some(colsOpt) =>
           val cols = colsOpt.getOrElse(dump.tables(srcTable).colNames)
-          val raw = readInsertRaw(spark, path, srcTable, cols)
+          val raw = readInsertRaw(lines, srcTable, cols, blocks)
           convertTable(spark, plan, srcTable, raw)
         case None => // schema-only table
           val sp = plan.spSchema(spName)

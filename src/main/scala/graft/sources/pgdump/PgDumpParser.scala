@@ -42,7 +42,23 @@ object PgDumpParser {
   /** Statement boundary scanner: splits on top-level `;` (single-quote
     * aware, `''` escape) and treats COPY ... FROM stdin payloads as
     * opaque line ranges terminated by `\.` (pgdump.go:88-152). */
-  def parse(lines: Iterator[String]): DumpSchema = {
+  def parse(lines: Iterator[String]): DumpSchema =
+    parseIndexed(lines.zipWithIndex.map { case (l, i) => (l, i.toLong) })
+
+  /** True for a complete single-line INSERT statement — the distributed
+    * schema pass prunes exactly these from the driver's statement stream
+    * and aggregates their headers on executors. The predicate must parse
+    * the header: a prefix-only match would prune a statement the driver
+    * parser can't account for. */
+  private[pgdump] def prunableInsert(line: String): Boolean =
+    line.regionMatches(true, 0, "INSERT INTO ", 0, 12) &&
+      line.trim.endsWith(";") && PgTuples.header(line).isDefined
+
+  /** The scanner over (line, ORIGINAL line number) pairs: the distributed
+    * schema pass feeds a pruned stream (COPY payload + single-line INSERT
+    * statements removed) whose indices still address the real file, so
+    * CopyBlock ranges stay correct. */
+  def parseIndexed(lines: Iterator[(String, Long)]): DumpSchema = {
     val tables = mutable.LinkedHashMap.empty[String, SourceTable]
     val copies = mutable.ArrayBuffer.empty[CopyBlock]
     val inserts = mutable.LinkedHashMap.empty[String, Option[Seq[String]]]
@@ -68,8 +84,8 @@ object PgDumpParser {
 
     val it = lines
     while (it.hasNext) {
-      lineNo += 1
-      val line = it.next()
+      val (line, idx) = it.next()
+      lineNo = idx
       copyOf match {
         case Some((tbl, cols)) =>
           if (line == "\\.") {

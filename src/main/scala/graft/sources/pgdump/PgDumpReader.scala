@@ -34,13 +34,105 @@ object PgDumpReader {
       /** spanner table → (good rows, quarantined raw rows) */
       tables: Map[String, (DataFrame, DataFrame)])
 
-  /** Driver-side schema pass. */
+  /** Sequential driver-side schema pass — for spark-less callers (plan
+    * tooling, tests). The migration path uses the distributed overload:
+    * this one streams the WHOLE file (100 GB of COPY payload included)
+    * through the driver. */
   def schemaPass(path: String): (DumpSchema, SchemaConverter.ConversionPlan) = {
     val src = scala.io.Source.fromFile(path)
     val dump = try PgDumpParser.parse(src.getLines()) finally src.close()
-    val plan = SchemaConverter.convert(PostgresTypeMapper, dump.tables,
+    (dump, planOf(dump))
+  }
+
+  private def planOf(dump: DumpSchema): SchemaConverter.ConversionPlan =
+    SchemaConverter.convert(PostgresTypeMapper, dump.tables,
       dump.tableOrder, dump.timezone)
-    (dump, plan)
+
+  /** Distributed schema pass: COPY payload boundaries and INSERT headers
+    * are discovered on executors; the driver interprets only the pruned
+    * statement stream — KBs of DDL even for a 100 GB dump (the payload,
+    * COPY or --inserts, never crosses the driver). Equivalence with the
+    * sequential scanner is pinned by SchemaPassParitySpec.
+    *
+    * Degradation rule: anything the distributed classifiers can't place
+    * (a COPY header split across lines, a multi-line INSERT) stays in
+    * the collected stream and falls through to the sequential logic —
+    * slower, never wrong. */
+  def schemaPass(spark: SparkSession,
+      lines: DataFrame): (DumpSchema, SchemaConverter.ConversionPlan) = {
+    import spark.implicits._
+
+    // 1. COPY boundary candidates (tiny collect: ~2 lines per table).
+    val headerRe = "(?is)^COPY\\s+.+\\s+FROM\\s+stdin\\s*;\\s*$"
+    val cands = lines
+      .filter(col("line") === "\\." || col("line").rlike(headerRe))
+      .select("idx", "line").as[(Long, String)]
+      .collect().sortBy(_._1)
+
+    // 2. Resolve payload ranges with the sequential scanner's state
+    //    rules: the first `\.` after a header closes it; header
+    //    lookalikes inside an open payload are data; a stray `\.`
+    //    outside any payload stays in the statement stream.
+    val rb = Seq.newBuilder[(Long, Long)]
+    var open = -1L
+    cands.foreach { case (idx, line) =>
+      if (open < 0) { if (line != "\\.") open = idx }
+      else if (line == "\\.") { rb += ((open + 1, idx)); open = -1L }
+    }
+    // unterminated COPY at EOF: the block is lost either way; prune the
+    // tail so a truncated 100 GB dump doesn't collect its payload
+    if (open >= 0) rb += ((open + 1, Long.MaxValue))
+    val payload = rb.result()
+    val inPayload = (idx: Long) => payload.exists(r => idx >= r._1 && idx < r._2)
+
+    // 3. One distributed pass over non-payload lines: single-line INSERT
+    //    statements aggregate to (table, cols, count, firstLine) on the
+    //    executors; the remainder IS the DDL — collected, sorted, fed to
+    //    the same sequential scanner with real line numbers.
+    val SEP = "\u001F"
+    val outside = lines.as[(String, Long)].filter(t => !inPayload(t._2))
+    val ddl = outside
+      .filter(t => !PgDumpParser.prunableInsert(t._1))
+      .collect().sortBy(_._2)
+    val inserts = outside
+      .filter(t => PgDumpParser.prunableInsert(t._1))
+      .map { case (l, idx) =>
+        val (tbl, colsOpt) = PgDumpParser.PgTuples.header(l).get
+        (tbl, colsOpt.map(_.mkString(SEP)).orNull, idx)
+      }
+      .groupByKey(t => (t._1, Option(t._2)))
+      .mapGroups { (key: (String, Option[String]), it: Iterator[(String, String, Long)]) =>
+        var n = 0L; var first = Long.MaxValue
+        it.foreach { t => n += 1; if (t._3 < first) first = t._3 }
+        (key._1, key._2.orNull, n, first)
+      }
+      .collect().sortBy(_._4)
+
+    val dump0 = PgDumpParser.parseIndexed(ddl.iterator)
+    val dump = mergeInserts(dump0, inserts.map { case (t, c, n, _) =>
+      (t, Option(c).map(_.split(SEP, -1).toSeq), n) }.toSeq)
+    (dump, planOf(dump))
+  }
+
+  /** Fold the executor-aggregated INSERT headers into the parsed schema,
+    * mirroring the sequential scanner's interpret() for INSERT. */
+  private def mergeInserts(d: DumpSchema,
+      ins: Seq[(String, Option[Seq[String]], Long)]): DumpSchema = {
+    if (ins.isEmpty) return d
+    var insertCols = d.insertCols
+    var bad = d.unparseable
+    var n = 0L
+    ins.foreach { case (tbl, colsOpt, cnt) =>
+      n += cnt
+      if (d.tables.contains(tbl)) {
+        if (!insertCols.contains(tbl)) insertCols = insertCols + (tbl -> colsOpt)
+      } else bad = bad :+ (if (cnt == 1) s"INSERT for unknown table $tbl"
+        else s"INSERT for unknown table $tbl (x$cnt)")
+    }
+    d.copy(insertCols = insertCols,
+      statementStats = d.statementStats
+        .updated("insert", d.statementStats.getOrElse("insert", 0L) + n),
+      unparseable = bad)
   }
 
   /** COPY text-format unescape: \\ first (via a sentinel so \\t stays a
@@ -62,14 +154,10 @@ object PgDumpReader {
     when(c.contains("\\"), full).otherwise(c)
   }
 
-  /** The dump as (line, idx) — one distributed text scan, shared by every
-    * table's data read. */
-  def indexedLines(spark: SparkSession, path: String): DataFrame = {
-    val rdd = spark.sparkContext.textFile(path).zipWithIndex()
-      .map { case (l, i) => Row(l, i) }
-    spark.createDataFrame(rdd, StructType(Seq(
-      StructField("line", StringType), StructField("idx", LongType))))
-  }
+  /** The dump as (line, idx) — one distributed text scan, shared by the
+    * schema pass's boundary discovery and every table's data read. */
+  def indexedLines(spark: SparkSession, path: String): DataFrame =
+    graft.sources.DumpLines.indexed(spark, path)
 
   /** Raw string-typed frame for one table's COPY blocks: one column per
     * COPY column, `\N` → NULL, escapes resolved. Lines whose field count
@@ -170,9 +258,11 @@ object PgDumpReader {
     * -data-only staged runs. */
   def migrate(spark: SparkSession, path: String,
       planOverride: Option[SchemaConverter.ConversionPlan] = None): Migration = {
-    val (dump, freshPlan) = schemaPass(path)
-    val plan = planOverride.getOrElse(freshPlan)
+    // one cached scan serves boundary discovery AND the data pass; the
+    // cache is MEMORY_AND_DISK, so a 100 GB dump spills instead of OOMing
     val lines = indexedLines(spark, path).cache()
+    val (dump, freshPlan) = schemaPass(spark, lines)
+    val plan = planOverride.getOrElse(freshPlan)
     val byTable = dump.copyBlocks.groupBy(_.table)
 
     val tables = plan.srcSchema.keys.map { srcTable =>
