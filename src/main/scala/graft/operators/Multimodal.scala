@@ -6,17 +6,20 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted per partition.
   *
-  * The decode step is a STUB (`decodeStub`): this container ships no
-  * image/audio libraries, so it parses a deterministic fake header
-  * instead. The Spark-side shape — schema contract, per-partition
-  * batching, partition preservation, null/corrupt handling — is real and
-  * is what a production decoder (JavaCV, TwelveMonkeys, ffmpeg-over-pipe)
-  * would drop into: replace `decodeStub` body, keep the signature.
+  * Decode is two-tiered. Real image bytes (PNG/BMP/GIF, sniffed by magic
+  * number) decode through `javax.imageio` — pure JVM, no native deps —
+  * yielding true dimensions plus a luminance-plane payload. Everything
+  * else falls through to the deterministic fake-container STUB
+  * (`decodeStub`): this container ships no audio/video libraries, so
+  * those kinds parse a fake header instead. A production decoder (JavaCV,
+  * ffmpeg-over-pipe) drops into the same seam: bytes in,
+  * Option[Decoded] out.
   *
   * Scale notes: decode runs inside mapPartitions so the (expensive)
-  * decoder initializes once per partition, not per row; output rows are
-  * small feature structs, so a decode stage can follow a pruned
-  * binary-column scan without shuffling media bytes anywhere.
+  * decoder initializes once per partition, not per row; ImageIO's disk
+  * cache is disabled (executor-local tmp churn); output rows are small
+  * feature structs, so a decode stage can follow a pruned binary-column
+  * scan without shuffling media bytes anywhere.
   */
 object Multimodal {
 
@@ -24,9 +27,50 @@ object Multimodal {
   final case class Decoded(kind: String, width: Int, height: Int,
       payload: Array[Byte])
 
-  /** STUB decoder. Fake container format: `K|w|h|payload-bytes` where K
-    * is IMG/AUD/VID. A real decoder keeps this exact signature:
-    * bytes in, Option[Decoded] out (None = corrupt → quarantine). */
+  /** Magic-number sniff: only bytes that claim to be a real image pay
+    * for an ImageIO probe. PNG \x89PNG, BMP "BM", GIF "GIF8". */
+  def looksLikeImage(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 4 && {
+      (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') ||
+      (bytes(0) == 'B' && bytes(1) == 'M') ||
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8')
+    }
+
+  /** Real image decode via javax.imageio. Payload is the 8-bit luminance
+    * plane (integer BT.601 weights — deterministic across JVMs), so
+    * byte_sum downstream is a real, stable image statistic. Corrupt or
+    * truncated image bytes → None (quarantine), never an exception. */
+  def decodeImage(bytes: Array[Byte]): Option[Decoded] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Byte](w * h)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            out(i) = lum.toByte
+            i += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some(Decoded("IMG", w, h, out))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** STUB decoder for the kinds with no pure-JVM codec here. Fake
+    * container format: `K|w|h|payload-bytes` where K is IMG/AUD/VID.
+    * A real decoder keeps this exact signature: bytes in,
+    * Option[Decoded] out (None = corrupt → quarantine). */
   def decodeStub(bytes: Array[Byte]): Option[Decoded] = {
     if (bytes == null) return None
     val s = new String(bytes, "ISO-8859-1")
@@ -39,6 +83,13 @@ object Multimodal {
       h <- parts(2).toIntOption
     } yield Decoded(kind, w, h, parts(3).getBytes("ISO-8859-1"))
   }
+
+  /** The decode seam used by the operators: real images through ImageIO,
+    * everything else through the container stub. */
+  def decode(bytes: Array[Byte]): Option[Decoded] =
+    if (bytes == null) None
+    else if (looksLikeImage(bytes)) decodeImage(bytes)
+    else decodeStub(bytes)
 
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
@@ -61,7 +112,7 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(idIdx)
         val bytes = if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx)
-        decodeStub(bytes) match {
+        decode(bytes) match {
           case Some(d) =>
             var sum = 0L
             d.payload.foreach(b => sum += (b & 0xff))
@@ -89,7 +140,7 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { it =>
       it.flatMap { r =>
         val id = r.getLong(idIdx)
-        decodeStub(if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx))
+        decode(if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx))
           .toSeq.flatMap { d =>
             d.payload.grouped(every).zipWithIndex.map { case (chunk, i) =>
               Row(id, i, chunk.take(1))

@@ -306,6 +306,49 @@ object JdbcData {
       case None    => spark.read.jdbc(url, table, props)
     }
 
+  /** S9: MySQL spatial types whose default SELECT form is WKB bytes that
+    * would miscast downstream (reference: mysql/mysqldump.go:41). */
+  val MySqlSpatialTypes: Set[String] = Set("geometrycollection", "multipoint",
+    "multilinestring", "multipolygon", "point", "linestring", "polygon",
+    "geometry")
+
+  private def bq(id: String): String = "`" + id.replace("`", "``") + "`"
+
+  private def isSpatial(typeName: String): Boolean =
+    MySqlSpatialTypes.exists(typeName.toLowerCase.contains)
+
+  /** S9 column list (reference buildColNameList, mysql/infoschema.go:
+    * 119-137): spatial columns are projected through ST_AsText so they
+    * arrive as WKT text; every name is backtick-quoted (reserved words,
+    * embedded spaces). Input: (columnName, sourceTypeName) in ordinal
+    * order. */
+  def mySqlColProjection(cols: Seq[(String, String)]): String =
+    cols.map { case (name, tpe) =>
+      val q = bq(name)
+      if (isSpatial(tpe)) s"ST_AsText($q) AS $q" else q
+    }.mkString(", ")
+
+  /** S9: MySQL data scan honoring spatial columns. Tables without spatial
+    * columns read by bare name — the cheap path, keeping Spark's full
+    * filter/pruning pushdown against the table itself; tables with one
+    * read through the explicit projection so geometry arrives as WKT
+    * STRING (the type the plan mapped it to) instead of WKB bytes. */
+  def readMySqlTable(spark: SparkSession, url: String,
+      props: java.util.Properties, table: SourceTable,
+      partitionCol: Option[String] = None, numPartitions: Int = 8,
+      lower: Long = 0, upper: Long = 1L << 40): DataFrame = {
+    val colsTypes = table.colNames.map(c => c -> table.colDefs(c).tpe.name)
+    val qualified = table.name.split("\\.", 2) match {
+      case Array(db, t) => bq(db) + "." + bq(t)
+      case _            => bq(table.name)
+    }
+    val dbtable =
+      if (colsTypes.exists { case (_, t) => isSpatial(t) })
+        s"(SELECT ${mySqlColProjection(colsTypes)} FROM $qualified) AS sub"
+      else qualified
+    readTable(spark, url, props, dbtable, partitionCol, numPartitions, lower, upper)
+  }
+
   /** C13 (postgres/infoschema.go:535-613 cvtSQLScalar, Spark-shaped):
     * project typed JDBC columns onto the Spanner schema — rename to
     * Spanner names, cast to the target Spark types (float→int truncates

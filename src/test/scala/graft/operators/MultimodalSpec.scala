@@ -44,6 +44,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.rdd.getNumPartitions === df.rdd.getNumPartitions)
   }
 
+  /** Render a real PNG in-memory: w×h, pixel (x,y) = gray level g(x,y). */
+  private def png(w: Int, h: Int)(g: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = g(x, y) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG decode: true dimensions + luminance payload") {
+    val bytes = png(8, 5)((x, y) => x * 10 + y)
+    assert(Multimodal.looksLikeImage(bytes))
+    val d = Multimodal.decode(bytes).get
+    assert(d.kind === "IMG")
+    assert(d.width === 8 && d.height === 5)
+    assert(d.payload.length === 40)
+    // gray pixel g: BT.601 luminance of (g,g,g) is exactly g
+    assert((d.payload(0) & 0xff) === 0)          // (0,0)
+    assert((d.payload(8) & 0xff) === 1)          // (0,1) row-major
+    assert((d.payload(39) & 0xff) === 74)        // (7,4) = 70+4
+    // truncated PNG → quarantine, not exception
+    assert(Multimodal.decode(bytes.take(20)) === None)
+  }
+
+  test("real PNG flows through extractFeatures next to container rows") {
+    import spark.implicits._
+    val bytes = png(4, 4)((_, _) => 9)
+    val mixed = Seq(
+      (10L, bytes),
+      (11L, media("AUD|1|16000|xyz"))).toDF("media_id", "media")
+    val byId = Multimodal.extractFeatures(mixed, "media_id", "media")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(10L).getString(1) === "IMG")
+    assert(byId(10L).getInt(2) === 4 && byId(10L).getInt(3) === 4)
+    assert(byId(10L).getLong(4) === 16)
+    assert(byId(10L).getLong(5) === 16L * 9) // uniform gray 9
+    assert(byId(11L).getString(1) === "AUD") // stub path intact
+  }
+
   test("frame sampling: every k-th chunk, empty payload yields no frames") {
     val frames = Multimodal.frameSample(df, "media_id", "media", every = 2)
     val byId = frames.collect().groupBy(_.getLong(0))

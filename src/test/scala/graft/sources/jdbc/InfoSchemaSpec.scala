@@ -104,6 +104,48 @@ class InfoSchemaSpec extends AnyFunSuite {
       === Seq("2.700000000", "3.900000000"))
   }
 
+  test("S9: spatial columns project through ST_AsText; plain tables don't") {
+    import graft.schema.{SourceTable, SrcColumn}
+    import graft.types.SrcType
+    val places = SourceTable("places", Seq("id", "name", "loc", "area"),
+      Map(
+        "id"   -> SrcColumn("id", SrcType("bigint", Nil, 0)),
+        "name" -> SrcColumn("name", SrcType("varchar", Seq(40L), 0)),
+        "loc"  -> SrcColumn("loc", SrcType("point", Nil, 0)),
+        "area" -> SrcColumn("area", SrcType("multipolygon", Nil, 0))))
+    assert(JdbcData.mySqlColProjection(
+      places.colNames.map(c => c -> places.colDefs(c).tpe.name))
+      === "`id`, `name`, ST_AsText(`loc`) AS `loc`, ST_AsText(`area`) AS `area`")
+    // a table with no spatial column builds the identity list (readMySqlTable
+    // then uses the bare table name, keeping full pushdown)
+    val plain = SourceTable("t", Seq("id"),
+      Map("id" -> SrcColumn("id", SrcType("bigint", Nil, 0))))
+    assert(JdbcData.mySqlColProjection(
+      plain.colNames.map(c => c -> plain.colDefs(c).tpe.name)) === "`id`")
+  }
+
+  test("S9: WKT text lands as STRING through the MySQL plan") {
+    import graft.schema.{SourceTable, SrcColumn}
+    import graft.types.{SrcType, MySqlTypeMapper}
+    val spark = graft.GraftSession.build("graft-test")
+    import spark.implicits._
+    val places = SourceTable("places", Seq("id", "loc"),
+      Map(
+        "id"  -> SrcColumn("id", SrcType("bigint", Nil, 0), notNull = true),
+        "loc" -> SrcColumn("loc", SrcType("point", Nil, 0))),
+      primaryKeys = Seq(graft.schema.SrcKey("id")))
+    val plan = SchemaConverter.convert(MySqlTypeMapper,
+      Map("places" -> places), Seq("places"))
+    // geometry maps to STRING(MAX) (reference converts spatial to text)
+    assert(plan.spSchema("places").colDefs("loc").t.render === "STRING(MAX)")
+    // frame as the ST_AsText projection delivers it: WKT strings
+    val df = Seq((1L, "POINT(1 2)"), (2L, "POINT(3 4)")).toDF("id", "loc")
+    val out = JdbcData.toSpanner(df, plan, "places")
+    assert(out.schema("loc").dataType.typeName === "string")
+    assert(out.orderBy("id").select("loc").as[String].collect().toSeq
+      === Seq("POINT(1 2)", "POINT(3 4)"))
+  }
+
   test("mysql COLUMN_TYPE mods parsing") {
     val cat = new MySqlJdbcCatalog(null, "jdbc:", new java.util.Properties, "db")
     assert(cat.modsOf("tinyint(1)") === Seq(1L))
