@@ -71,6 +71,10 @@ object Report {
 
   // ---------------------------------------------------------- analysis
 
+  /** One severity section of a table's report: heading "Warning(s)" or
+    * "Note(s)" + numbered lines (report.go:93-97 tableReportBody). */
+  final case class IssueBody(heading: String, lines: Seq[String])
+
   final case class TableReport(
       srcTable: String,
       spTable: String,
@@ -79,20 +83,143 @@ object Report {
       cols: Long,
       warnings: Long,
       syntheticPk: Option[String],
-      issueLines: Seq[String])
+      issueBodies: Seq[IssueBody])
 
-  def issueText(col: String, i: Issue): String = i match {
-    case Issue.Widened => s"Column '$col' is widened to a 64-bit type"
-    case Issue.Serial => s"Column '$col' uses a serial/auto sequence (not supported)"
-    case Issue.TimestampNoZone => s"Column '$col' is a timestamp without time zone; stored as UTC"
-    case Issue.Datetime => s"Column '$col' is a datetime; time zone information dropped"
-    case Issue.Time => s"Column '$col' has a time/year type mapped to STRING"
-    case Issue.NoGoodType => s"Column '$col' has no good Spanner type; mapped to STRING"
-    case Issue.MultiDimensionalArray => s"Column '$col' is a multi-dimensional array; mapped to STRING"
-    case Issue.ForeignKeyIgnored => s"Column '$col': foreign key constraint ignored"
-    case Issue.DefaultValueIgnored => s"Column '$col': default value dropped"
-    case Issue.AutoIncrementIgnored => s"Column '$col': auto-increment dropped"
-    case other => s"Column '$col': ${other.toString}"
+  private final case class IssueMeta(brief: String, warning: Boolean,
+      batch: Boolean)
+
+  /** The reference's IssueDB (report.go:242-268): per-issue brief text,
+    * severity, and whether repeats within a table are batched into one
+    * line. Extra Dynamo-only entries (NumberString, NoGoodTypeConflict,
+    * Empty) follow dynamodb/schema.go's classification semantics. */
+  private val issueDb: Map[Issue, IssueMeta] = Map(
+    Issue.DefaultValueIgnored -> IssueMeta(
+      "Some columns have default values which Spanner does not support",
+      warning = true, batch = true),
+    Issue.ForeignKeyIgnored -> IssueMeta(
+      "Foreign-key constraints are applied after load via FK backfill",
+      warning = true, batch = false),
+    Issue.MultiDimensionalArray -> IssueMeta(
+      "Spanner doesn't support multi-dimensional arrays",
+      warning = true, batch = false),
+    Issue.NoGoodType -> IssueMeta(
+      "No appropriate Spanner type",
+      warning = true, batch = false),
+    Issue.NumericThatFits -> IssueMeta(
+      "This type mapping preserves the numeric's specified precision",
+      warning = false, batch = false),
+    Issue.Serial -> IssueMeta(
+      "Spanner does not support autoincrementing types",
+      warning = true, batch = false),
+    Issue.AutoIncrementIgnored -> IssueMeta(
+      "Spanner does not support auto_increment attribute",
+      warning = true, batch = false),
+    Issue.TimestampNoZone -> IssueMeta(
+      "Spanner timestamp is closer to PostgreSQL timestamptz",
+      warning = false, batch = true),
+    Issue.Datetime -> IssueMeta(
+      "Spanner timestamp is closer to MySQL timestamp",
+      warning = false, batch = true),
+    Issue.Time -> IssueMeta(
+      "Spanner does not support time/year types",
+      warning = false, batch = true),
+    Issue.Widened -> IssueMeta(
+      "Some columns will consume more storage in Spanner",
+      warning = false, batch = true),
+    Issue.NumberString -> IssueMeta(
+      "Some number values do not fit Spanner NUMERIC; mapped to STRING",
+      warning = false, batch = true),
+    Issue.NoGoodTypeConflict -> IssueMeta(
+      "Sampled rows disagree on this attribute's type; defaulted to STRING",
+      warning = true, batch = false),
+    Issue.Empty -> IssueMeta(
+      "Attribute was absent or empty in every sampled row",
+      warning = true, batch = false),
+    Issue.MissingPrimaryKey -> IssueMeta(
+      "Spanner requires a primary key for every table",
+      warning = true, batch = false))
+
+  private def metaOf(i: Issue): IssueMeta =
+    issueDb.getOrElse(i, IssueMeta(i.toString, warning = true, batch = false))
+
+  /** Per-issue line text (report.go:186-205's switch, with the same
+    * special cases). `srcType`/`spType` are the rendered type strings;
+    * Spanner types print lower-case like the reference's report. */
+  def issueText(col: String, i: Issue, srcType: String, spType: String): String = {
+    val brief = metaOf(i).brief
+    i match {
+      case Issue.DefaultValueIgnored => s"$brief e.g. column '$col'"
+      case Issue.ForeignKeyIgnored => s"Column '$col' uses foreign keys; $brief"
+      case Issue.AutoIncrementIgnored =>
+        s"Column '$col' is an autoincrement column. $brief"
+      case Issue.TimestampNoZone =>
+        "Some columns have source DB type 'timestamp without timezone' which is " +
+          s"mapped to Spanner type timestamp e.g. column '$col'. $brief"
+      case Issue.Datetime =>
+        "Some columns have source DB type 'datetime' which is mapped to Spanner " +
+          s"type timestamp e.g. column '$col'. $brief"
+      case Issue.Widened =>
+        s"$brief e.g. for column '$col', source DB type $srcType is mapped to " +
+          s"Spanner type $spType"
+      case _ => s"Column '$col': type $srcType is mapped to $spType. $brief"
+    }
+  }
+
+  /** Severity-grouped issue bodies for one table (report.go:139-215
+    * buildTableReportBody): Warning section then Note section, columns in
+    * alphabetical order, batched issues reported once per table, plus the
+    * synthetic-PK warning special case. */
+  def issueBodies(plan: ConversionPlan, srcTable: String): Seq[IssueBody] = {
+    val src = plan.srcSchema(srcTable)
+    val spTable = plan.toSpannerTable(srcTable)
+    val sp = plan.spSchema(spTable)
+    val colMap = plan.toSpannerCols(srcTable)
+    val colIssues = plan.issues.getOrElse(srcTable, Map.empty)
+    val synthPk = plan.syntheticPks.get(spTable)
+    Seq(true, false).flatMap { wantWarning =>
+      val batched = mutable.Set.empty[Issue]
+      val pkLine =
+        if (wantWarning) synthPk.toSeq.map(k =>
+          s"Column '$k' was added because this table didn't have a primary " +
+            "key. Spanner requires a primary key for every table")
+        else Nil
+      val lines = pkLine ++ colIssues.keys.toSeq.sorted.flatMap { col =>
+        colIssues(col).flatMap { i =>
+          val m = metaOf(i)
+          if (m.warning != wantWarning) None
+          else if (m.batch && !batched.add(i)) None
+          else {
+            val srcType = src.colDefs(col).tpe.print
+            val spType = colMap.get(col).flatMap(sp.colDefs.get)
+              .map(_.t.render.toLowerCase).getOrElse("?")
+            Some(issueText(col, i, srcType, spType))
+          }
+        }
+      }
+      if (lines.isEmpty) None
+      else {
+        val h = if (wantWarning) "Warning" else "Note"
+        Some(IssueBody(if (lines.length > 1) h + "s" else h, lines))
+      }
+    }
+  }
+
+  /** Warning count with the reference's semantics (report.go:277-304
+    * analyzeCols): notes don't count; non-batched warnings count at most
+    * once per column; batched warnings at most once per table. */
+  def countWarnings(colIssues: Map[String, Seq[Issue]]): Long = {
+    val batchedSeen = mutable.Set.empty[Issue]
+    var n = 0L
+    colIssues.values.foreach { is =>
+      var colWarning = false
+      is.foreach { i =>
+        val m = metaOf(i)
+        if (m.warning && m.batch) batchedSeen += i
+        else if (m.warning) colWarning = true
+      }
+      if (colWarning) n += 1
+    }
+    n + batchedSeen.size
   }
 
   def analyze(plan: ConversionPlan,
@@ -101,18 +228,15 @@ object Report {
       val spTable = plan.toSpannerTable(srcTable)
       val st = stats.getOrElse(spTable, TableStats(0, 0))
       val colIssues = plan.issues.getOrElse(srcTable, Map.empty)
-      val warnings = colIssues.values.map(_.length.toLong).sum
       TableReport(
         srcTable = srcTable,
         spTable = spTable,
         rows = st.rows,
         badRows = st.badRows,
         cols = plan.srcSchema(srcTable).colNames.length.toLong,
-        warnings = warnings,
+        warnings = countWarnings(colIssues),
         syntheticPk = plan.syntheticPks.get(spTable),
-        issueLines = colIssues.toSeq.sortBy(_._1).flatMap { case (c, is) =>
-          is.map(issueText(c, _))
-        })
+        issueBodies = issueBodies(plan, srcTable))
     }
 
   // ----------------------------------------------------------- summary
@@ -142,6 +266,24 @@ object Report {
     w ++= "-" * 77 += '\n'
   }
 
+  /** Word-wrap `s` at `limit` columns with `indent`-space continuation
+    * lines (report.go:500-525 justifyLines — same space-only splitting). */
+  def justifyLines(w: StringBuilder, s: String, limit: Int, indent: Int): Unit = {
+    var n = 0
+    var startOfLine = true
+    s.split(" ", -1).foreach { x =>
+      if (n + x.length > limit && !startOfLine) {
+        w += '\n'
+        w ++= " " * indent
+        n = indent
+        startOfLine = true
+      }
+      if (startOfLine) { w ++= x; n += x.length }
+      else { w += ' '; w ++= x; n += x.length + 1 }
+      startOfLine = false
+    }
+  }
+
   /** K6: the full text report. */
   def render(driverName: String, plan: ConversionPlan,
       stats: Map[String, TableStats],
@@ -167,13 +309,14 @@ object Report {
       w ++= s"Data conversion: ${rateData(t.rows, t.badRows)}.\n"
       t.syntheticPk.foreach(k =>
         w ++= s"Added synthetic primary key '$k'.\n")
-      if (t.issueLines.nonEmpty) {
-        w ++= "Warnings:\n"
-        t.issueLines.zipWithIndex.foreach { case (l, i) =>
-          w ++= s"  ${i + 1}) $l.\n"
+      t.issueBodies.foreach { b =>
+        w ++= b.heading += '\n'
+        b.lines.zipWithIndex.foreach { case (l, i) =>
+          justifyLines(w, s"${i + 1}) $l.\n", 80, 3)
         }
+        w += '\n'
       }
-      w += '\n'
+      if (t.issueBodies.isEmpty) w += '\n'
     }
     if (unexpected.nonEmpty) {
       heading(w, "Unexpected conditions")

@@ -53,11 +53,56 @@ class ReportSpec extends AnyFunSuite {
     assert(text.contains("Summary of Conversion"))
     assert(text.contains("Table order log (mapped to Spanner table order_log)"))
     assert(text.contains("Added synthetic primary key 'synth_id'"))
-    assert(text.contains("widened to a 64-bit type"))
+    // reference-parity issue bodies: severity headings + IssueDB text
+    assert(text.contains("Some columns will consume more storage in Spanner"))
+    assert(text.contains("source DB type integer[] is mapped to Spanner type array<int64>"))
     assert(text.contains("Statements processed by pg_dump"))
     // all three tables have data and no bad rows → data EXCELLENT overall
     assert(text.linesIterator.exists(l =>
       l.startsWith("Data conversion: EXCELLENT")))
+  }
+
+  test("issue bodies: severity grouping, batching, reference line formats") {
+    // A table carrying Serial (warning), TimestampNoZone (note, batched),
+    // and Widened (note, batched — two instances must collapse to one).
+    val dumpText =
+      """CREATE TABLE issues_t (
+        |  id serial NOT NULL,
+        |  a integer,
+        |  b smallint,
+        |  seen timestamp without time zone,
+        |  touched timestamp without time zone,
+        |  PRIMARY KEY (id)
+        |);
+        |""".stripMargin
+    val p = java.nio.file.Files.createTempFile("graft", ".pgdump")
+    java.nio.file.Files.writeString(p, dumpText)
+    val (_, plan) = PgDumpReader.schemaPass(p.toString)
+
+    val bodies = Report.issueBodies(plan, "issues_t")
+    assert(bodies.map(_.heading) === Seq("Warning", "Notes"))
+    assert(bodies(0).lines === Seq(
+      "Column 'id': type serial is mapped to int64. " +
+        "Spanner does not support autoincrementing types"))
+    // batched notes: one Widened line (for the alphabetically-first of
+    // a/b) and one TimestampNoZone line (for seen, not touched)
+    assert(bodies(1).lines === Seq(
+      "Some columns will consume more storage in Spanner e.g. for column " +
+        "'a', source DB type integer is mapped to Spanner type int64",
+      "Some columns have source DB type 'timestamp without timezone' which " +
+        "is mapped to Spanner type timestamp e.g. column 'seen'. " +
+        "Spanner timestamp is closer to PostgreSQL timestamptz"))
+
+    // warning counting (report.go:277-304): notes don't count; the one
+    // non-batched warning (Serial on id) counts once
+    assert(Report.countWarnings(plan.issues("issues_t")) === 1L)
+
+    // render justifies numbered lines at 80 cols with 3-space indent
+    val text = Report.render("pg_dump", plan, Map.empty)
+    val rendered = text.linesIterator.toSeq
+    val wrapped = rendered.filter(_.startsWith("   "))
+    assert(wrapped.nonEmpty) // long issue lines wrapped with continuation indent
+    assert(rendered.forall(_.length <= 83)) // limit 80 + "N) " slack
   }
 
   test("quarantine side output writes only non-empty bad frames") {

@@ -1,0 +1,186 @@
+package graft.web
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** T8 delivery: the schema-assistant HTTP API driven over real sockets —
+  * convert → inspect → edit (rename/retype/notnull/remove, atomic batch
+  * rollback) → interleave → session persist/resume → DDL round-trip
+  * (reference: web/web.go:152-507 + web_test.go's handler tests). */
+class WebApiSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val mapper = new ObjectMapper()
+  private var server: com.sun.net.httpserver.HttpServer = _
+  private var session: WebSession = _
+  private def base: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  override def beforeAll(): Unit = {
+    val (s, st) = WebApi.start(0)
+    server = s
+    session = st
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop(0)
+
+  private def http(method: String, path: String, body: String = null):
+      (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    val conn = URI.create(base + path).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    if (body != null) {
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      os.write(body.getBytes(UTF_8)); os.close()
+    }
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val text = new String(is.readAllBytes(), UTF_8)
+    (code, mapper.readTree(text))
+  }
+
+  private def convert(): Unit = {
+    val (code, _) = http("POST", "/convert/dump",
+      """{"driver":"pgdump","filePath":"src/test/resources/fixtures/sample.pgdump"}""")
+    assert(code === 200)
+  }
+
+  test("endpoints require a converted schema") {
+    session.synchronized { session.plan = None }
+    val (code, _) = http("GET", "/ddl")
+    assert(code === 404)
+  }
+
+  test("convert/dump → ddl lists every table's CREATE TABLE") {
+    convert()
+    val (code, ddl) = http("GET", "/ddl")
+    assert(code === 200)
+    assert(ddl.has("inventory") && ddl.has("order_log") && ddl.has("unkeyed"))
+    assert(ddl.get("inventory").asText.contains("CREATE TABLE inventory"))
+    assert(ddl.get("order_log").asText.contains("order_ref"))
+  }
+
+  test("typemap lists source types in use with default mappings") {
+    convert()
+    val (_, tm) = http("GET", "/typemap")
+    assert(tm.get("bigint").get("spType").asText === "INT64")
+    assert(tm.get("integer").get("spType").asText === "INT64")
+    assert(tm.get("integer").get("issues").get(0).asText === "Widened")
+  }
+
+  test("conversion rates and summary render per table") {
+    convert()
+    val (_, rate) = http("GET", "/conversion")
+    assert(rate.get("unkeyed").asText.contains("missing primary key"))
+    val (_, sum) = http("GET", "/summary")
+    assert(sum.get("inventory").asText.contains("Note"))
+    val (_, overview) = http("GET", "/overview")
+    assert(overview.asText.contains("Summary of Conversion"))
+  }
+
+  test("typemap/table applies rename+retype+notnull and renders into DDL") {
+    convert()
+    val (code, _) = http("POST", "/typemap/table?table=inventory",
+      """{"UpdateCols": {
+        |  "qty":   {"Rename": "quantity", "NotNull": "ADDED"},
+        |  "note3": {},
+        |  "weight": {"ToType": "STRING(40)"}
+        |}}""".stripMargin)
+    assert(code === 200)
+    val (_, ddl) = http("GET", "/ddl")
+    val inv = ddl.get("inventory").asText
+    assert(inv.contains("quantity INT64 NOT NULL"))
+    assert(inv.contains("weight STRING(40)"))
+    assert(!inv.contains("qty INT64"))
+  }
+
+  test("a failing batch edit rolls back atomically") {
+    convert()
+    val before = http("GET", "/ddl")._2.get("inventory").asText
+    // rename applies first in the batch, then the PK-column removal fails
+    val (code, err) = http("POST", "/typemap/table?table=inventory",
+      """{"UpdateCols": {
+        |  "weight": {"Rename": "mass"},
+        |  "sku":    {"Removed": true}
+        |}}""".stripMargin)
+    assert(code === 412)
+    assert(err.asText.contains("primary key"))
+    val after = http("GET", "/ddl")._2.get("inventory").asText
+    assert(after === before) // the successful rename did NOT leak through
+  }
+
+  test("column remove updates DDL; removing a PK column is refused") {
+    convert()
+    val (code, _) = http("POST", "/typemap/table?table=inventory",
+      """{"UpdateCols": {"blob": {"Removed": true}}}""")
+    assert(code === 200)
+    assert(!http("GET", "/ddl")._2.get("inventory").asText.contains("blob"))
+    val (code2, _) = http("POST", "/typemap/table?table=inventory",
+      """{"UpdateCols": {"sku": {"Removed": true}}}""")
+    assert(code2 === 412)
+  }
+
+  test("setparent interleaves order_log under inventory only when PK-prefixed") {
+    convert()
+    // order_log's FK (order_ref → inventory.sku) is not a PK prefix of
+    // order_log's own PK (id), so interleave must be refused.
+    val (_, st) = http("GET", "/setparent?table=order_log&update=true")
+    assert(st.get("tableInterleaveStatus").get("possible").asBoolean === false)
+  }
+
+  test("drop/fk and drop/secondaryindex are positional like the reference") {
+    convert()
+    val (code, plan) = http("GET", "/drop/fk?table=order_log&pos=0")
+    assert(code === 200)
+    assert(plan.get("tables").elements().asScala
+      .find(_.get("name").asText == "order_log").get.get("fks").size === 0)
+    val (code2, _) = http("GET", "/drop/fk?table=order_log&pos=0")
+    assert(code2 === 400) // nothing left at position 0
+    val (code3, plan3) = http("GET", "/drop/secondaryindex?table=inventory&pos=0")
+    assert(code3 === 200)
+    assert(plan3.get("tables").elements().asScala
+      .find(_.get("name").asText == "inventory").get.get("indexes").size === 0)
+  }
+
+  test("add/indexes validates columns and is atomic") {
+    convert()
+    val (code, _) = http("POST", "/add/indexes",
+      """[{"table":"inventory","name":"idx_price","unique":false,
+        |  "keys":[{"column":"price"}]}]""".stripMargin)
+    assert(code === 200)
+    // second batch: one good + one bad column → whole batch refused
+    val (code2, _) = http("POST", "/add/indexes",
+      """[{"table":"inventory","name":"idx_ok","unique":false,"keys":[{"column":"sku"}]},
+        |{"table":"inventory","name":"idx_bad","unique":false,"keys":[{"column":"nope"}]}]""".stripMargin)
+    assert(code2 === 412)
+    assert(session.plan.get.spSchema("inventory").indexes.map(_.name) ===
+      Seq("idx_qty", "idx_price"))
+  }
+
+  test("session persist, edit auto-persist, and resume round-trip") {
+    convert()
+    val dir = java.nio.file.Files.createTempDirectory("graft_web_spec").toString
+    val (_, created) = http("GET", s"/session?dir=$dir")
+    val path = created.get("path").asText
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+
+    // an edit while a session file is attached re-persists it
+    val (code, _) = http("POST", "/typemap/table?table=unkeyed",
+      """{"UpdateCols": {"label": {"Rename": "tag"}}}""")
+    assert(code === 200)
+
+    // clobber the in-memory session, then resume from disk
+    session.synchronized { session.plan = None }
+    val (code2, _) = http("POST", "/session/resume", s"""{"path":"$path"}""")
+    assert(code2 === 200)
+    val (_, ddl) = http("GET", "/ddl")
+    assert(ddl.get("unkeyed").asText.contains("tag STRING(MAX)"))
+    assert(!ddl.get("unkeyed").asText.contains("label STRING"))
+  }
+
+  private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+  }
+}
