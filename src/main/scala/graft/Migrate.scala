@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import graft.plan.SessionFile
-import graft.report.Report
+import graft.report.{ProgressReporter, Report}
 import graft.schema.DdlRender
 import graft.sink.DdlSink
 
@@ -33,8 +33,13 @@ object Migrate {
 
   final case class Result(tables: Map[String, (Long, Long)], report: String)
 
+  /** Job-description prefix that turns on the console progress meter for
+    * a data-pass job (reference UX: internal/progress.go). */
+  val ProgressPrefix = "Writing data for table "
+
   def run(spark: SparkSession, driver: String, dumpFile: String,
-      outDir: String, mode: String = "full"): Result = {
+      outDir: String, mode: String = "full",
+      progressOut: String => Unit = println): Result = {
     require(Set("full", "schema-only", "data-only").contains(mode), mode)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val sessionPath = s"$outDir/session.json"
@@ -72,10 +77,21 @@ object Migrate {
 
     // Data pass: one write job per table (parquet stands in for the
     // Spanner BatchWriter sink; swap sinkDataFrame in for live writes).
-    tables.foreach { case (name, (good, _)) =>
-      good.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    // Each write is labeled so the progress listener can meter it
+    // (reference: internal/progress.go percent lines per table).
+    val progress = new ProgressReporter(ProgressPrefix, progressOut)
+    spark.sparkContext.addSparkListener(progress)
+    try {
+      tables.foreach { case (name, (good, _)) =>
+        spark.sparkContext.setJobDescription(ProgressPrefix + name)
+        try good.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        finally spark.sparkContext.setJobDescription(null)
+      }
+      Report.writeQuarantine(tables, outDir)
+    } finally {
+      progress.drain(expectedJobs = tables.size)
+      spark.sparkContext.removeSparkListener(progress)
     }
-    Report.writeQuarantine(tables, outDir)
 
     val stats = Report.tableStats(tables)
     val report = Report.render(driver, plan, stats, stmtStats)

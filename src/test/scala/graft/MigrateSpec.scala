@@ -42,6 +42,25 @@ class MigrateSpec extends AnyFunSuite {
         graft.schema.DdlRender.Config()).mkString(";"))
   }
 
+  test("progress meter emits per-table percent lines during the data pass") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mig-prog").toString
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Migrate.run(spark, "pgdump",
+      "src/test/resources/fixtures/sample.pgdump", out,
+      progressOut = lines.add(_))
+    val got = lines.toArray(Array.empty[String]).toSeq
+    // every table's write is metered and closes at 100%
+    Seq("inventory", "order_log", "unkeyed").foreach { t =>
+      assert(got.exists(_.startsWith(s"Writing data for table $t:")), got)
+      assert(got.contains(s"Writing data for table $t: 100%"), got)
+    }
+    // integer-pct gating: per table, percentages strictly increase
+    got.groupBy(_.takeWhile(_ != ':')).values.foreach { ls =>
+      val pcts = ls.map(_.split(": ").last.trim.stripSuffix("%").trim.toInt)
+      assert(pcts === pcts.sorted.distinct, ls)
+    }
+  }
+
   test("staged: schema-only then edited session drives data-only") {
     val out = java.nio.file.Files.createTempDirectory("graft-mig-staged").toString
     val fixture = "src/test/resources/fixtures/sample.pgdump"

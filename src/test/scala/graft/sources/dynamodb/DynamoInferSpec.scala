@@ -10,6 +10,36 @@ class DynamoInferSpec extends AnyFunSuite {
   private lazy val spark = GraftSession.build("graft-test")
   import DynamoInfer._
 
+  test("control plane: paginated ListTables + DescribeTable drive inference") {
+    import spark.implicits._
+    // in-memory fake client standing where the AWS SDK impl would
+    // (reference mock: dynamodb/schema_test.go), with 2-name pages
+    val gsi = Seq("by_qty" -> Seq("qty"))
+    val fake = new DynamoControlPlane {
+      private val all = Seq("alpha", "beta", "gamma")
+      def listTablesPage(start: Option[String]) = {
+        val from = start.map(s => all.indexOf(s) + 1).getOrElse(0)
+        val page = all.slice(from, from + 2)
+        (page, if (from + 2 < all.length) Some(page.last) else None)
+      }
+      def describeTable(name: String) =
+        DynamoControlPlane.TableDescription(name, Seq("id", "sk"),
+          if (name == "beta") gsi else Nil)
+    }
+    assert(DynamoControlPlane.listTables(fake) === Seq("alpha", "beta", "gamma"))
+
+    val items = Seq(
+      """{"id": {"S": "a"}, "sk": {"N": "1"}, "qty": {"N": "5"}}""",
+      """{"id": {"S": "b"}, "sk": {"N": "2"}, "qty": {"N": "7"}}""").toDS()
+    val tables = DynamoControlPlane.inferAll(spark, fake, _ => items)
+    assert(tables.map(_.name) === Seq("alpha", "beta", "gamma"))
+    val beta = tables(1)
+    assert(beta.primaryKeys === Seq(graft.schema.SrcKey("id"),
+      graft.schema.SrcKey("sk")))
+    assert(beta.indexes.map(_.name) === Seq("by_qty"))
+    assert(beta.colDefs("qty").tpe.name === "Number")
+  }
+
   test("numericParsable: Spanner NUMERIC(38,9) bounds") {
     assert(numericParsable("1234.5"))
     assert(numericParsable("-0.999999999"))
