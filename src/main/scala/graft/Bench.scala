@@ -22,8 +22,12 @@ object Bench {
 
     def run(name: String): Either[String, Double] = {
       try {
-        val df = SparkEntry.queries(name)(spark, sfDir)
+        // time build + materialize: build is pure plan construction for
+        // declarative queries (≈0), but iterative operators (c01's label
+        // propagation) run their convergence loop inside build — timing
+        // only the final write would hide their real cost
         val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
         Right((System.nanoTime() - t0) / 1e9)
       } catch {

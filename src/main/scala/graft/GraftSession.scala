@@ -31,6 +31,11 @@ object GraftSession {
       // failures to the bad-row quarantine; integer-overflow wrap is
       // prevented by explicit range gates in Casts.int64.
       .config("spark.sql.ansi.enabled", "false")
+      // Kryo for the few RDD-shuffle paths (iterative connected
+      // components): Java serialization of boxed Tuple2[Long,Long] was
+      // the dominant cost of the edge-partitioning shuffle. DataFrame
+      // shuffles use Tungsten's UnsafeRow and don't care.
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
       .config("spark.ui.enabled", "false")

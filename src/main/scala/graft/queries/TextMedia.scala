@@ -40,43 +40,47 @@ object TextMedia {
     (0 until SimHashBits).map(i => s"(CASE WHEN ${s(i)} > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
 
-  // ------------------------------------------------------------- defs
+  /** s01's pair pipeline up to (doc_a, doc_b, hamming), shared with the
+    * c01 cluster-resolution query. Hamming-filter BEFORE the pair
+    * dedup: an 8-bit band over a 32-bit fp admits ~n²/256 random
+    * collisions per band (≈20× the true near-dup count at sf0.1), and
+    * bit_count is a codegen'd per-row op while distinct() is a shuffle —
+    * so the cheap filter runs in the join stage and the distinct
+    * shuffles only real near-dup pairs. Same relation: (doc_a, doc_b)
+    * determines (fp_a, fp_b) and hence hamming. */
+  private def simhashPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val sums = docs
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct($toks)")).as("token"))
+      .withColumn("h", md5(col("token")))
+      .withColumn("v", expr(hashWordSpark))
+      .groupBy("doc_id")
+      .agg(expr(contribSpark(0)).as("s0"),
+        (1 until SimHashBits).map(i => expr(contribSpark(i)).as(s"s$i")): _*)
+    val fps = sums.select(col("doc_id"),
+      expr(s"cast(${fpExpr(i => s"s$i")} as bigint)").as("fp"))
+    val bands = fps.select(col("doc_id"), col("fp"),
+      posexplode(expr(
+        "array(fp % 256, fp div 256 % 256, fp div 65536 % 256, fp div 16777216 % 256)"))
+        .as(Seq("bi", "bv")))
+    bands
+      .select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("bi"), col("bv"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+        col("bi").as("bi2"), col("bv").as("bv2")),
+        col("bi") === col("bi2") && col("bv") === col("bv2") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(fp_a ^ fp_b) as bigint)").as("hamming"))
+      .filter(col("hamming") <= 2)
+      .distinct()
+  }
 
-  val defs: Map[String, QueryDef] = Map(
-    // ---------------------------------------------------------------- s01
-    "s01_simhash_neardup" -> QueryDef(
-      build = (spark, dir) => {
-        val docs = table(spark, dir, "documents")
-        val sums = docs
-          .select(col("doc_id"),
-            explode(expr(s"array_distinct($toks)")).as("token"))
-          .withColumn("h", md5(col("token")))
-          .withColumn("v", expr(hashWordSpark))
-          .groupBy("doc_id")
-          .agg(expr(contribSpark(0)).as("s0"),
-            (1 until SimHashBits).map(i => expr(contribSpark(i)).as(s"s$i")): _*)
-        val fps = sums.select(col("doc_id"),
-          expr(s"cast(${fpExpr(i => s"s$i")} as bigint)").as("fp"))
-        val bands = fps.select(col("doc_id"), col("fp"),
-          posexplode(expr(
-            "array(fp % 256, fp div 256 % 256, fp div 65536 % 256, fp div 16777216 % 256)"))
-            .as(Seq("bi", "bv")))
-        val pairs = bands
-          .select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("bi"), col("bv"))
-          .join(bands.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
-            col("bi").as("bi2"), col("bv").as("bv2")),
-            col("bi") === col("bi2") && col("bv") === col("bv2") &&
-              col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b", "fp_a", "fp_b")
-          .distinct()
-        pairs
-          .select(col("doc_a"), col("doc_b"),
-            expr("cast(bit_count(fp_a ^ fp_b) as bigint)").as("hamming"))
-          .filter(col("hamming") <= 2)
-          .orderBy("doc_a", "doc_b")
-      },
-      oracle = Some(s"""
-        WITH tok AS (
+  /** The matching DuckDB CTE chain ending in a `neardup(doc_a, doc_b,
+    * hamming)` relation. */
+  private val simhashCtes = s"""
+        tok AS (
           SELECT doc_id, unnest(list_distinct(
             list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS token
           FROM documents),
@@ -96,10 +100,55 @@ object TextMedia {
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.fp AS fp_a, b.fp AS fp_b
           FROM bands a JOIN bands b
-            ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
-        FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 2
+            ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        neardup AS (
+          SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+          FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 2)"""
+
+  // ------------------------------------------------------------- defs
+
+  val defs: Map[String, QueryDef] = Map(
+    // ---------------------------------------------------------------- s01
+    "s01_simhash_neardup" -> QueryDef(
+      build = (spark, dir) =>
+        simhashPairs(spark, dir).orderBy("doc_a", "doc_b"),
+      oracle = Some(s"""
+        WITH $simhashCtes
+        SELECT doc_a, doc_b, hamming FROM neardup
         ORDER BY doc_a, doc_b"""),
+      headline = true),
+
+    // ---------------------------------------------------------------- c01
+    // Duplicate-cluster resolution: the step after pair generation in
+    // every dedup pipeline — connected components over the near-dup
+    // graph, cluster id = min doc_id, keep = 1 for the canonical
+    // survivor. Spark side iterates distributed min-label propagation
+    // (operators/ConnectedComponents); the oracle derives the same
+    // relation from first principles via a recursive-CTE transitive
+    // closure — proving the iterative plan computes the textbook
+    // definition, not mirroring the implementation.
+    "c01_dup_clusters" -> QueryDef(
+      build = (spark, dir) => {
+        val cc = graft.operators.ConnectedComponents.resolve(
+          simhashPairs(spark, dir), "doc_a", "doc_b")
+        cc.select(col("v").as("doc_id"), col("label").as("cluster_id"),
+          (col("v") === col("label")).cast("long").as("keep"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $simhashCtes,
+        sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM neardup
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM neardup),
+        prop AS (
+          SELECT src AS v, src AS label FROM sym
+          UNION
+          SELECT s.dst AS v, p.label FROM prop p JOIN sym s ON s.src = p.v)
+        SELECT v AS doc_id, MIN(label) AS cluster_id,
+               CAST(v = MIN(label) AS BIGINT) AS keep
+        FROM prop GROUP BY v
+        ORDER BY doc_id"""),
       headline = true),
 
     // ---------------------------------------------------------------- e04

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.GraftSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distributed min-label propagation contract: component = min reachable
+  * id, convergence beyond one round (path graphs), edge-direction and
+  * parallel-edge insensitivity. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.build("graft-test")
+
+  private def components(edges: (Long, Long)*): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.resolve(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two components: a triangle and a disjoint pair") {
+    val cc = components((5L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    assert(cc === Map(3L -> 3L, 4L -> 3L, 5L -> 3L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("path graph needs multiple propagation rounds") {
+    // 1-2-3-...-12 as a chain with the min at one end: the worst case
+    // for one-round propagation; must still converge to all-1s
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val cc = components(chain: _*)
+    assert(cc.values.toSet === Set(1L))
+    assert(cc.keySet === (1L to 12L).toSet)
+  }
+
+  test("edge direction and duplicates don't matter") {
+    val cc = components((7L, 2L), (2L, 7L), (7L, 2L), (9L, 7L))
+    assert(cc === Map(2L -> 2L, 7L -> 2L, 9L -> 2L))
+  }
+
+  test("keep flag semantics: exactly one canonical per cluster") {
+    val cc = components((1L, 2L), (2L, 3L), (8L, 9L))
+    val keepers = cc.filter { case (v, label) => v == label }.keys.toSet
+    assert(keepers === Set(1L, 8L))
+  }
+}
