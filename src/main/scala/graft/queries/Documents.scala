@@ -161,6 +161,37 @@ object Documents {
       },
       oracle = Some("""
         SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-        FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+        FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
+    // ---------------------------------------------------------------- c02
+    // Deterministic stratified sampling for corpus curation: k docs per
+    // (lang, source) stratum, chosen by hash order — the reproducible
+    // "sample N per language" every training-mix pipeline needs (a
+    // random() sample can't be re-derived or oracle-checked; a hash
+    // order is a uniform permutation that every engine agrees on).
+    // Scale shape: one shuffle by stratum; Spark's WindowGroupLimit
+    // rewrites rk<=k into a per-partition partial top-k, so a giant
+    // stratum never fully sorts — each task keeps a k-row heap.
+    "c02_stratified_sample" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = table(spark, dir, "documents")
+        docs
+          .select(col("doc_id"), col("lang"), col("source"),
+            md5(col("doc_id").cast("string")).as("hk"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("lang", "source").orderBy("hk")))
+          .filter(col("rk") <= 10)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("rk").cast("long").as("rk"))
+          .orderBy("lang", "source", "rk")
+      },
+      oracle = Some("""
+        SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk FROM (
+          SELECT doc_id, lang, source,
+                 row_number() OVER (PARTITION BY lang, source
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+          FROM documents)
+        WHERE rk <= 10 ORDER BY lang, source, rk"""))
   )
 }

@@ -164,6 +164,44 @@ object Similarity {
         WHERE common * 1000 // (len(x.sh) + len(y.sh) - common) >= 500
         ORDER BY doc_a, doc_b""")),
 
+    // ---------------------------------------------------------------- c03
+    // Benchmark-contamination check: which training docs share any word
+    // 3-gram with the (stand-in) benchmark set — doc_id % 97 == 0 marks
+    // probe docs here; a real run points the probe frame at the eval
+    // suite. Inverted-index shape like m02: docs meet probes only
+    // through a shared shingle. The probe shingle set is explicitly
+    // broadcast — benchmark suites are bounded (MBs), the training
+    // corpus is not, and without the hint a stats-blind join could
+    // shuffle the 100 TB side.
+    "c03_contamination" -> QueryDef(
+      build = (spark, dir) => {
+        val sh = shingled(spark, dir)
+        val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        val probeShingles = ex.filter(col("doc_id") % 97 === 0)
+          .select("s").distinct()
+        ex.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(probeShingles), "s")
+          // shingle sets are distinct per doc, so count(*) = distinct
+          // shared shingles
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tkn AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+          FROM documents),
+        shn AS (
+          SELECT doc_id, CASE WHEN len(tk) >= 3
+            THEN list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' ')))
+            ELSE list_distinct(tk) END AS sh
+          FROM tkn),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shn),
+        probe AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0)
+        SELECT doc_id, COUNT(*) AS n_shared
+        FROM ex JOIN probe USING (s)
+        WHERE doc_id % 97 <> 0
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- e01
     // Brute-force KNN by exact quantized dot product: bounded probe set
     // (8 vectors) broadcast against the streaming corpus; per-probe
