@@ -40,6 +40,24 @@ object TextMedia {
     (0 until SimHashBits).map(i => s"(CASE WHEN ${s(i)} > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
 
+  /** Per-document 32-bit fingerprints (doc_id, fp) — the signature stage
+    * of s01, exposed so the streaming operator's Scala-side hash can be
+    * parity-pinned against the SQL scheme (StreamingNearDupSpec). */
+  def simhashFingerprints(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = table(spark, dir, "documents")
+    docs
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct($toks)")).as("token"))
+      .withColumn("h", md5(col("token")))
+      .withColumn("v", expr(hashWordSpark))
+      .groupBy("doc_id")
+      .agg(expr(contribSpark(0)).as("s0"),
+        (1 until SimHashBits).map(i => expr(contribSpark(i)).as(s"s$i")): _*)
+      .select(col("doc_id"),
+        expr(s"cast(${fpExpr(i => s"s$i")} as bigint)").as("fp"))
+  }
+
   /** s01's pair pipeline up to (doc_a, doc_b, hamming), shared with the
     * c01 cluster-resolution query. Hamming-filter BEFORE the pair
     * dedup: an 8-bit band over a 32-bit fp admits ~n²/256 random
@@ -50,17 +68,7 @@ object TextMedia {
     * determines (fp_a, fp_b) and hence hamming. */
   private def simhashPairs(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val docs = table(spark, dir, "documents")
-    val sums = docs
-      .select(col("doc_id"),
-        explode(expr(s"array_distinct($toks)")).as("token"))
-      .withColumn("h", md5(col("token")))
-      .withColumn("v", expr(hashWordSpark))
-      .groupBy("doc_id")
-      .agg(expr(contribSpark(0)).as("s0"),
-        (1 until SimHashBits).map(i => expr(contribSpark(i)).as(s"s$i")): _*)
-    val fps = sums.select(col("doc_id"),
-      expr(s"cast(${fpExpr(i => s"s$i")} as bigint)").as("fp"))
+    val fps = simhashFingerprints(spark, dir)
     val bands = fps.select(col("doc_id"), col("fp"),
       posexplode(expr(
         "array(fp % 256, fp div 256 % 256, fp div 65536 % 256, fp div 16777216 % 256)"))
