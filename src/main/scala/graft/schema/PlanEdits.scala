@@ -126,6 +126,55 @@ object PlanEdits {
       else Right(t.copy(indexes = t.indexes.filterNot(_.name == name)))
     }
 
+  /** Names already taken in the Spanner constraint namespace — tables,
+    * secondary indexes, and FK constraint names share it
+    * (web.go:714-743 canRename / web.go:912-931 isUniqueName). */
+  private def usedNames(plan: ConversionPlan): Set[String] =
+    (plan.spSchema.keysIterator ++
+      plan.spSchema.valuesIterator.flatMap(t =>
+        t.indexes.iterator.map(_.name) ++ t.fks.iterator.map(_.name)))
+      .map(_.toLowerCase).toSet
+
+  /** Validity + global-uniqueness gate shared by the constraint renames
+    * (web.go:702-743): every new name a legal Spanner id, no duplicates
+    * within the request, none already used by a table/index/FK. */
+  private def checkRenames(plan: ConversionPlan,
+      renames: Map[String, String]): Either[String, Unit] = {
+    val news = renames.values.map(_.toLowerCase).toSeq
+    val illegal = renames.values.filter(n => NameRegistry.fixName(n)._2 || n.isEmpty)
+    if (illegal.nonEmpty)
+      Left(s"not valid Spanner identifiers: ${illegal.mkString(",")}")
+    else if (news.distinct.length != news.length)
+      Left(s"found duplicate names in input: ${news.mkString(",")}")
+    else {
+      val used = usedNames(plan) -- renames.keys.map(_.toLowerCase)
+      val taken = news.filter(used.contains)
+      if (taken.nonEmpty) Left(s"names already in use: ${taken.mkString(",")}")
+      else Right(())
+    }
+  }
+
+  /** Rename FK constraints of one table (web.go:539-599). Unknown old
+    * names are ignored, like the reference (it maps over existing FKs). */
+  def renameForeignKeys(plan: ConversionPlan, spTable: String,
+      renames: Map[String, String]): Either[String, ConversionPlan] =
+    checkRenames(plan, renames).flatMap { _ =>
+      withTable(plan, spTable) { t =>
+        Right(t.copy(fks = t.fks.map(fk =>
+          renames.get(fk.name).map(n => fk.copy(name = n)).getOrElse(fk))))
+      }
+    }
+
+  /** Rename secondary indexes of one table (web.go:601-656). */
+  def renameIndexes(plan: ConversionPlan, spTable: String,
+      renames: Map[String, String]): Either[String, ConversionPlan] =
+    checkRenames(plan, renames).flatMap { _ =>
+      withTable(plan, spTable) { t =>
+        Right(t.copy(indexes = t.indexes.map(ix =>
+          renames.get(ix.name).map(n => ix.copy(name = n)).getOrElse(ix))))
+      }
+    }
+
   /** Interleave edit (web.go:449-507 setparent): validates with the same
     * prefix rule as the automatic detector. */
   def setParent(plan: ConversionPlan, spTable: String): Either[String, ConversionPlan] =

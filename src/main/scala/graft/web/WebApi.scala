@@ -84,6 +84,9 @@ object WebApi {
     ctx("/drop/fk")(dropFk)               // GET ?table=&pos=
     ctx("/drop/secondaryindex")(dropIndex)// GET ?table=&pos=
     ctx("/add/indexes")(addIndexes)       // POST [{table,name,unique,keys}]
+    ctx("/typemap/global")(setTypeMapGlobal) // POST {srcType: spType}
+    ctx("/rename/fks")(renameFks)         // POST ?table= {old: new}
+    ctx("/rename/indexes")(renameIndexes) // POST ?table= {old: new}
   }
 
   private final class ApiError(val status: Int, msg: String) extends RuntimeException(msg)
@@ -344,6 +347,66 @@ object WebApi {
     }
     edited match {
       case Left(err) => fail(412, err)
+      case Right(p)  => s.commit(p); respond(ex, 200, planJson(p))
+    }
+  }
+
+  /** POST /typemap/global (web.go:266-300): retype every column whose
+    * SOURCE type name is in the map — driven over the Spanner schema so
+    * prior edits (drops, renames) are preserved, exactly like the
+    * reference's comment insists. */
+  private def setTypeMapGlobal(ex: HttpExchange, s: WebSession): Unit = {
+    val plan = requirePlan(s)
+    val body = readJson(ex)
+    val typeMap = body.fields().asScala
+      .map(e => e.getKey -> e.getValue.asText).toMap
+    val spToSrc = plan.toSpannerTable.map(_.swap)
+    val edited = plan.spSchema.keys.toSeq.sorted
+      .foldLeft[Either[String, ConversionPlan]](Right(plan)) { (acc, spTable) =>
+        acc.flatMap { p =>
+          val srcTable = spToSrc(spTable)
+          val colMap = p.toSpannerCols(srcTable)
+          colMap.toSeq.sortBy(_._1)
+            .foldLeft[Either[String, ConversionPlan]](Right(p)) {
+              case (acc2, (srcCol, spCol)) =>
+                acc2.flatMap { p2 =>
+                  val srcType = p2.srcSchema(srcTable).colDefs(srcCol).tpe.name
+                  typeMap.get(srcType) match {
+                    case None => Right(p2)
+                    case Some(t) => parseType(t)
+                      .flatMap(PlanEdits.changeType(p2, spTable, spCol, _))
+                  }
+                }
+            }
+        }
+      }
+    edited match {
+      case Left(err) => fail(412, err)
+      case Right(p)  => s.commit(p); respond(ex, 200, planJson(p))
+    }
+  }
+
+  /** POST /rename/fks?table= (web.go:539-599): atomic constraint-name
+    * batch with validity + global-uniqueness checks in PlanEdits. */
+  private def renameFks(ex: HttpExchange, s: WebSession): Unit = {
+    val plan = requirePlan(s)
+    val table = query(ex).getOrElse("table", fail(400, "Table name is empty"))
+    val renames = readJson(ex).fields().asScala
+      .map(e => e.getKey -> e.getValue.asText).toMap
+    PlanEdits.renameForeignKeys(plan, table, renames) match {
+      case Left(err) => fail(400, err)
+      case Right(p)  => s.commit(p); respond(ex, 200, planJson(p))
+    }
+  }
+
+  /** POST /rename/indexes?table= (web.go:601-656). */
+  private def renameIndexes(ex: HttpExchange, s: WebSession): Unit = {
+    val plan = requirePlan(s)
+    val table = query(ex).getOrElse("table", fail(400, "Table name is empty"))
+    val renames = readJson(ex).fields().asScala
+      .map(e => e.getKey -> e.getValue.asText).toMap
+    PlanEdits.renameIndexes(plan, table, renames) match {
+      case Left(err) => fail(400, err)
       case Right(p)  => s.commit(p); respond(ex, 200, planJson(p))
     }
   }

@@ -159,6 +159,48 @@ class WebApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("idx_qty", "idx_price"))
   }
 
+  test("typemap/global retypes by source type, preserving prior edits") {
+    convert()
+    // prior per-column edit survives the global retype (the reference
+    // drives the retype over the Spanner schema for exactly this reason)
+    val (c0, _) = http("POST", "/typemap/table?table=unkeyed",
+      """{"UpdateCols": {"hits": {"Rename": "hit_count"}}}""")
+    assert(c0 === 200)
+    val (code, _) = http("POST", "/typemap/global",
+      """{"bigint": "STRING(50)", "integer": "STRING(MAX)"}""")
+    assert(code === 200)
+    val ddl = http("GET", "/ddl")._2
+    assert(ddl.get("order_log").asText.contains("id STRING(50)"))
+    assert(ddl.get("unkeyed").asText.contains("hit_count STRING(MAX)"))
+    // non-mapped types untouched
+    assert(ddl.get("inventory").asText.contains("weight FLOAT64"))
+  }
+
+  test("rename/fks and rename/indexes enforce the global namespace") {
+    convert()
+    val (code, plan) = http("POST", "/rename/fks?table=order_log",
+      """{"fk_sku": "fk_sku_renamed"}""")
+    assert(code === 200)
+    assert(plan.get("tables").elements().asScala
+      .find(_.get("name").asText == "order_log").get
+      .get("fks").get(0).asText === "fk_sku_renamed")
+    // collides with an existing table name → refused
+    val (c2, err) = http("POST", "/rename/fks?table=order_log",
+      """{"fk_sku_renamed": "inventory"}""")
+    assert(c2 === 400)
+    assert(err.asText.contains("already in use"))
+    // index rename with an illegal identifier → refused
+    val (c3, _) = http("POST", "/rename/indexes?table=inventory",
+      """{"idx_qty": "bad name!"}""")
+    assert(c3 === 400)
+    val (c4, plan4) = http("POST", "/rename/indexes?table=inventory",
+      """{"idx_qty": "idx_quantity"}""")
+    assert(c4 === 200)
+    assert(plan4.get("tables").elements().asScala
+      .find(_.get("name").asText == "inventory").get
+      .get("indexes").get(0).asText === "idx_quantity")
+  }
+
   test("session persist, edit auto-persist, and resume round-trip") {
     convert()
     val dir = java.nio.file.Files.createTempDirectory("graft_web_spec").toString
