@@ -192,6 +192,56 @@ object Documents {
                  row_number() OVER (PARTITION BY lang, source
                                     ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
           FROM documents)
-        WHERE rk <= 10 ORDER BY lang, source, rk"""))
+        WHERE rk <= 10 ORDER BY lang, source, rk""")),
+
+    // ---------------------------------------------------------------- c04
+    // Training-mix allocation: split a global token budget across
+    // languages proportionally to their corpus token mass, with
+    // largest-remainder rounding so the integer allocations sum to the
+    // budget EXACTLY (floor-only allocation under-spends by up to
+    // |langs|-1 tokens; naive float rounding can over-spend). The
+    // per-doc token count is a distributed scan→agg; the allocation
+    // arithmetic runs on the per-language frame, which is stratum-sized
+    // (tens of rows at any corpus scale), so its single-partition
+    // windows are deliberate, not a scale bug.
+    "c04_mix_allocation" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 1000000L
+        val docs = table(spark, dir, "documents")
+        val tot = docs.groupBy("lang")
+          .agg(sum(expr(s"size($toks)")).cast("long").as("n_tok"))
+        val all = Window.partitionBy()
+        tot
+          .withColumn("grand", sum("n_tok").over(all))
+          .withColumn("base", expr(s"$budget * n_tok div grand"))
+          .withColumn("rem", expr(s"($budget * n_tok) % grand"))
+          .withColumn("rk",
+            row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+          .withColumn("deficit", expr(s"$budget - sum(base) over ()"))
+          .select(col("lang"), col("n_tok"),
+            (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+              .as("alloc_tokens"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH tot AS (
+          SELECT lang, CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                 t -> t <> ''))) AS BIGINT) AS n_tok
+          FROM documents GROUP BY lang),
+        calc AS (
+          SELECT lang, n_tok,
+                 1000000 * n_tok // SUM(n_tok) OVER () AS base,
+                 (1000000 * n_tok) % SUM(n_tok) OVER () AS rem
+          FROM tot),
+        ranked AS (
+          SELECT lang, n_tok, base,
+                 row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+                 1000000 - SUM(base) OVER () AS deficit
+          FROM calc)
+        SELECT lang, n_tok,
+               CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+                 AS alloc_tokens
+        FROM ranked ORDER BY lang"""))
   )
 }
