@@ -36,12 +36,12 @@ object IvfAnn {
   }
 
   /** `dists` array column over all centroids. */
-  private def distArray(cents: Seq[Array[Double]]): Column =
+  private[operators] def distArray(cents: Seq[Array[Double]]): Column =
     array(cents.map(dist2): _*)
 
   /** Cluster ids of the `nprobe` nearest centroids, nearest first
     * (struct sort on (distance, index) — deterministic ties). */
-  private def nearestClusters(k: Int, nprobe: Int): Column =
+  private[operators] def nearestClusters(k: Int, nprobe: Int): Column =
     expr(s"slice(transform(array_sort(transform(sequence(0, ${k - 1}), " +
       s"i -> struct(element_at(dists, i + 1) as d, i as i))), x -> x.i), 1, $nprobe)")
 

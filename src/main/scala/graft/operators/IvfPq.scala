@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ approximate nearest neighbor: the memory-bound scale path.
+  *
+  * IVF alone (IvfAnn) still joins real vectors back for every candidate
+  * — at 100 TB the candidate join-back moves dim×8 bytes per pair.
+  * Product quantization compresses each corpus vector to M one-byte
+  * codes (dim 64 → 8 bytes, 64× smaller): split the vector into M
+  * subvectors, per subspace train a K-codeword codebook (the same
+  * seedless md5-init + exact-average Lloyd as the coarse quantizer, so
+  * training is deterministic), store each subvector as its nearest
+  * codeword index.
+  *
+  * Search is asymmetric distance computation (ADC): each probe
+  * precomputes its dot product against all M×K codewords ONCE (an M×K
+  * table, data-dependent so it travels as an array column, not a
+  * literal), then scoring a candidate is M table lookups — codegen'd
+  * `element_at` over the codes array, no vector arithmetic per pair.
+  * The ADC shortlist then re-ranks by exact quantized dot (e01's
+  * scoring) over real vectors, so only shortlistFactor·k vectors per
+  * probe are ever touched.
+  *
+  * Pipeline shape: candidates meet through IVF inverted lists (ids
+  * only), ADC scores flow through a codes join (M bytes per candidate),
+  * exact re-rank joins vectors once per surviving candidate. Nothing
+  * all-pairs, nothing driver-side except the k×dim + M×K×(dim/M)
+  * codebooks.
+  */
+object IvfPq {
+
+  private val quant =
+    "transform(embedding, x -> cast(floor(cast(x as double) * 1048576D) as bigint))"
+  private def qdot(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+  /** Per-subspace codebooks: books(m)(k) = codeword vector (dim/M). */
+  final case class Codebooks(m: Int, k: Int, subDim: Int,
+      books: Seq[Seq[Array[Double]]])
+
+  /** Train M independent K-codeword codebooks by running the coarse
+    * quantizer's deterministic Lloyd on each subvector slice. */
+  def trainCodebooks(emb: DataFrame, m: Int = 8, k: Int = 16,
+      iters: Int = 2): Codebooks = {
+    val dim = emb.selectExpr("size(embedding)").head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by M=$m")
+    val subDim = dim / m
+    val books = (0 until m).map { mi =>
+      val sub = emb.select(col("vec_id"),
+        expr(s"slice(cast(embedding as array<double>), ${mi * subDim + 1}, $subDim)")
+          .as("embedding"))
+      IvfAnn.trainCentroids(sub, k, iters)
+    }
+    Codebooks(m, k, subDim, books)
+  }
+
+  /** PQ codes column: array<int> of M nearest-codeword indices. Ties
+    * break on the lower index (struct sort), so encoding is
+    * deterministic. */
+  private def codesCol(cb: Codebooks): Column = {
+    val perSub = (0 until cb.m).map { mi =>
+      val sub = s"slice(cast(embedding as array<double>), ${mi * cb.subDim + 1}, ${cb.subDim})"
+      val dists = cb.books(mi).zipWithIndex.map { case (cw, ki) =>
+        val lits = cw.map(v => s"${v}D").mkString("array(", ", ", ")")
+        s"struct(aggregate(zip_with($sub, $lits, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v) as d, $ki as i)"
+      }.mkString("array(", ", ", ")")
+      s"element_at(transform(array_sort($dists), x -> x.i), 1)"
+    }
+    expr(perSub.mkString("array(", ", ", ")"))
+  }
+
+  /** Probe-side ADC table: flat array of M×K dot products between the
+    * probe's m-th subvector and codeword k (index m*K + k). */
+  private def adcTableCol(cb: Codebooks): Column = {
+    val entries = for {
+      mi <- 0 until cb.m
+      ki <- 0 until cb.k
+    } yield {
+      val sub = s"slice(cast(embedding as array<double>), ${mi * cb.subDim + 1}, ${cb.subDim})"
+      val lits = cb.books(mi)(ki).map(v => s"${v}D").mkString("array(", ", ", ")")
+      s"aggregate(zip_with($sub, $lits, (x, y) -> x * y), 0D, (a, v) -> a + v)"
+    }
+    expr(entries.mkString("array(", ", ", ")"))
+  }
+
+  /** Approximate dot of a probe (ADC table) against a candidate (codes):
+    * sum over subspaces of table[m*K + code[m]]. */
+  private def adcScore(k: Int): Column =
+    expr(s"aggregate(zip_with(codes, sequence(0, size(codes) - 1), " +
+      s"(c, m) -> element_at(adc, m * $k + c + 1)), 0D, (a, v) -> a + v)")
+
+  /** Top-k approximate neighbors via IVF lists + PQ-ADC scoring + exact
+    * re-rank of the ADC top-(shortlistFactor·k). The shortlist factor is
+    * the recall/IO dial: candidates are cheap to ADC-score (table
+    * lookups), so over-shortlisting costs only re-rank join width. */
+  def knn(spark: SparkSession, dir: String, probePred: Column, topK: Int = 10,
+      coarseK: Int = 16, nprobe: Int = 4, m: Int = 8, pqK: Int = 16,
+      iters: Int = 2, shortlistFactor: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cb = trainCodebooks(emb, m, pqK, iters)
+
+    // coarse IVF lists (ids only) — same candidate generation as e05
+    val cents = IvfAnn.trainCentroids(emb, coarseK, iters)
+    val withD = emb.withColumn("dists", IvfAnn.distArray(cents))
+    val corpus = withD.select(col("vec_id"),
+      element_at(IvfAnn.nearestClusters(cents.length, 1), 1).as("cluster"))
+    val probeClusters = withD.filter(probePred)
+      .select(col("vec_id").as("query_id"),
+        explode(IvfAnn.nearestClusters(cents.length, nprobe)).as("cluster"))
+    val pairs = probeClusters.join(corpus,
+        probeClusters("cluster") === corpus("cluster") &&
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+      .distinct()
+
+    // ADC scoring: probes carry their M×K table, candidates their M codes
+    val codes = emb.select(col("vec_id").as("cand_id"), codesCol(cb).as("codes"))
+    val probeTables = emb.filter(probePred)
+      .select(col("vec_id").as("query_id"), adcTableCol(cb).as("adc"))
+    val w = Window.partitionBy("query_id")
+    val shortlist = pairs
+      .join(codes, "cand_id")
+      .join(broadcast(probeTables), "query_id") // probe set is bounded
+      .select(col("query_id"), col("cand_id"), adcScore(cb.k).as("approx"))
+      .withColumn("ark", row_number().over(
+        w.orderBy(col("approx").desc, col("cand_id"))))
+      .filter(col("ark") <= shortlistFactor * topK)
+      .select("query_id", "cand_id")
+
+    // exact re-rank (e01 scoring) over only the shortlist's vectors
+    val qvs = emb.select(col("vec_id"), expr(quant).as("qv"))
+    val rer = shortlist
+      .join(qvs.select(col("vec_id").as("query_id"), col("qv").as("pq")), "query_id")
+      .join(qvs.select(col("vec_id").as("cand_id"), col("qv")), "cand_id")
+      .select(col("query_id"), col("cand_id"), expr(qdot("pq", "qv")).as("dot"))
+    rer.withColumn("rnk", row_number().over(
+        w.orderBy(col("dot").desc, col("cand_id"))).cast("bigint"))
+      .filter(col("rnk") <= topK)
+      .orderBy("query_id", "rnk")
+  }
+}

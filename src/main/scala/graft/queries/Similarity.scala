@@ -255,6 +255,16 @@ object Similarity {
         graft.operators.IvfAnn.knn(spark, dir, col("vec_id") < 8),
       oracle = None),
 
+    // ---------------------------------------------------------------- e06
+    // IVF-PQ: inverted lists + product-quantized codes + ADC shortlist +
+    // exact re-rank — the memory-bound ANN scale path (candidates move
+    // 8-byte codes, not vectors). Iterative/seeded like e03/e05 → rows
+    // only here; IvfPqSpec holds the recall gate vs e01/e05.
+    "e06_ann_ivfpq" -> QueryDef(
+      build = (spark, dir) =>
+        graft.operators.IvfPq.knn(spark, dir, col("vec_id") < 8),
+      oracle = None),
+
     // ---------------------------------------------------------------- e02
     // Per-label centroid accumulation (the IVF build step): exact integer
     // sums per (label, dimension); a downstream consumer divides s/n.
