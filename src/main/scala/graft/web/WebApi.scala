@@ -87,6 +87,8 @@ object WebApi {
     ctx("/typemap/global")(setTypeMapGlobal) // POST {srcType: spType}
     ctx("/rename/fks")(renameFks)         // POST ?table= {old: new}
     ctx("/rename/indexes")(renameIndexes) // POST ?table= {old: new}
+    ctx("/schema")(schemaFile)            // GET ?dir= → writes schema file
+    ctx("/report")(reportFile)            // GET ?dir= → writes report file
   }
 
   private final class ApiError(val status: Int, msg: String) extends RuntimeException(msg)
@@ -409,6 +411,30 @@ object WebApi {
       case Left(err) => fail(400, err)
       case Right(p)  => s.commit(p); respond(ex, 200, planJson(p))
     }
+  }
+
+  /** GET /schema?dir= (web.go:403-420): write the pretty schema file,
+    * return its absolute path. */
+  private def schemaFile(ex: HttpExchange, s: WebSession): Unit = {
+    val plan = requirePlan(s)
+    val dir = query(ex).getOrElse("dir",
+      Files.createTempDirectory("graft_web").toString)
+    Files.createDirectories(Paths.get(dir))
+    val path = Paths.get(dir, "schema.txt").toAbsolutePath.toString
+    DdlRender.writeSchemaFile(plan.spSchema, path, pretty = true)
+    respond(ex, 200, textNode(path))
+  }
+
+  /** GET /report?dir= (web.go:422-447): write the schema-mode report,
+    * return its absolute path. */
+  private def reportFile(ex: HttpExchange, s: WebSession): Unit = {
+    val plan = requirePlan(s)
+    val dir = query(ex).getOrElse("dir",
+      Files.createTempDirectory("graft_web").toString)
+    Files.createDirectories(Paths.get(dir))
+    val path = Paths.get(dir, "report.txt").toAbsolutePath.toString
+    Files.writeString(Paths.get(path), Report.render(s.driver, plan, Map.empty))
+    respond(ex, 200, textNode(path))
   }
 
   // ------------------------------------------------------------ plumbing

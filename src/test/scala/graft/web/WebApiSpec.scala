@@ -201,6 +201,21 @@ class WebApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .get("indexes").get(0).asText === "idx_quantity")
   }
 
+  test("schema and report file endpoints write artifacts and return paths") {
+    convert()
+    val dir = java.nio.file.Files.createTempDirectory("graft_web_files").toString
+    val (c1, schemaPath) = http("GET", s"/schema?dir=$dir")
+    assert(c1 === 200)
+    val schemaTxt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(schemaPath.asText))
+    assert(schemaTxt.contains("CREATE TABLE inventory"))
+    val (c2, reportPath) = http("GET", s"/report?dir=$dir")
+    assert(c2 === 200)
+    val reportTxt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(reportPath.asText))
+    assert(reportTxt.contains("Summary of Conversion"))
+  }
+
   test("session persist, edit auto-persist, and resume round-trip") {
     convert()
     val dir = java.nio.file.Files.createTempDirectory("graft_web_spec").toString
