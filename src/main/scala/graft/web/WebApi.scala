@@ -34,6 +34,15 @@ final class WebSession {
   @volatile var driver: String = ""
   @volatile var plan: Option[ConversionPlan] = None
   @volatile var sessionFile: Option[String] = None
+  /** Live-DB connection config stored by POST /connect
+    * (web.go:60-74 driverConfig). */
+  @volatile var connect: Option[WebApi.ConnectConfig] = None
+  /** Seam for GET /convert/infoschema: build an InfoSchema.Catalog from
+    * the stored config. The production wiring is `PgJdbcCatalog`/
+    * `MySqlJdbcCatalog` over spark.read.jdbc (needs a SparkSession and a
+    * reachable database); tests inject a canned catalog — the same
+    * mocked-driver strategy the reference's infoschema tests use. */
+  @volatile var catalogFactory: Option[WebApi.ConnectConfig => graft.sources.jdbc.InfoSchema.Catalog] = None
 
   /** Commit a successful edit: swap the plan and re-persist the session
     * file if one is attached (reference updateSessionFile). */
@@ -89,7 +98,12 @@ object WebApi {
     ctx("/rename/indexes")(renameIndexes) // POST ?table= {old: new}
     ctx("/schema")(schemaFile)            // GET ?dir= → writes schema file
     ctx("/report")(reportFile)            // GET ?dir= → writes report file
+    ctx("/connect")(connectDb)            // POST {driver,host,port,database,user,password}
+    ctx("/convert/infoschema")(convertInfoSchema) // GET
   }
+
+  final case class ConnectConfig(driver: String, host: String, port: String,
+      database: String, user: String, password: String)
 
   private final class ApiError(val status: Int, msg: String) extends RuntimeException(msg)
   private def fail(status: Int, msg: String): Nothing = throw new ApiError(status, msg)
@@ -411,6 +425,48 @@ object WebApi {
       case Left(err) => fail(400, err)
       case Right(p)  => s.commit(p); respond(ex, 200, planJson(p))
     }
+  }
+
+  /** POST /connect (web.go:76-116 databaseConnection): validate + store
+    * the live-DB config. The reference pings the database here; we can
+    * only do that when a catalog factory is wired, in which case catalog
+    * construction is the ping. */
+  private def connectDb(ex: HttpExchange, s: WebSession): Unit = {
+    val b = readJson(ex)
+    val cfg = ConnectConfig(b.path("driver").asText(""), b.path("host").asText(""),
+      b.path("port").asText(""), b.path("database").asText(""),
+      b.path("user").asText(""), b.path("password").asText(""))
+    if (!Set("postgres", "mysql").contains(cfg.driver))
+      fail(400, s"Driver : '${cfg.driver}' is not supported")
+    if (cfg.host.isEmpty || cfg.database.isEmpty)
+      fail(400, "database configuration is incomplete")
+    s.synchronized { s.connect = Some(cfg) }
+    respond(ex, 200, textNode("connection configuration stored"))
+  }
+
+  /** GET /convert/infoschema (web.go:118-150 convertSchemaSQL): read the
+    * live database's information_schema through the Catalog seam and
+    * build the conversion plan. */
+  private def convertInfoSchema(ex: HttpExchange, s: WebSession): Unit = {
+    import graft.sources.jdbc.InfoSchema
+    val cfg = s.connect.getOrElse(fail(404, "Database is not configured"))
+    val factory = s.catalogFactory.getOrElse(fail(501,
+      "live database access is not wired in this environment; " +
+        "inject a catalog factory (PgJdbcCatalog/MySqlJdbcCatalog over " +
+        "spark.read.jdbc in production)"))
+    val (mapper, sysSchemas) = cfg.driver match {
+      case "mysql" => (MySqlTypeMapper,
+        Set("information_schema", "mysql", "performance_schema", "sys"))
+      case _       => (PostgresTypeMapper, InfoSchema.PgSystemSchemas)
+    }
+    val (tables, order) = InfoSchema.readSchema(factory(cfg), sysSchemas)
+    val plan = SchemaConverter.convert(mapper, tables, order)
+    s.synchronized {
+      s.driver = if (cfg.driver == "mysql") "mysql" else "postgres"
+      s.plan = Some(plan)
+      s.sessionFile = None
+    }
+    respond(ex, 200, planJson(plan))
   }
 
   /** GET /schema?dir= (web.go:403-420): write the pretty schema file,

@@ -34,6 +34,36 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(cc === Map(2L -> 2L, 7L -> 2L, 9L -> 2L))
   }
 
+  test("random graphs match a driver-side union-find oracle") {
+    // property-style: 20 random graphs vs the textbook sequential
+    // algorithm — catches frontier/compression interaction bugs that
+    // hand-picked shapes miss
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { trial =>
+      val n = 2 + rnd.nextInt(40)
+      val edges = Seq.fill(1 + rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // sequential union-find with path compression
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(v => v -> find(v)).toMap
+        // find() roots are component minima because union always hangs
+        // the larger root under the smaller
+        assert(components(edges: _*) === expected, s"trial $trial: $edges")
+      }
+    }
+  }
+
   test("keep flag semantics: exactly one canonical per cluster") {
     val cc = components((1L, 2L), (2L, 3L), (8L, 9L))
     val keepers = cc.filter { case (v, label) => v == label }.keys.toSet

@@ -201,6 +201,39 @@ class WebApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .get("indexes").get(0).asText === "idx_quantity")
   }
 
+  test("connect + convert/infoschema drive a live-DB conversion via the catalog seam") {
+    import graft.sources.jdbc.InfoSchema._
+    // canned catalog injected where PgJdbcCatalog would connect — the
+    // reference's mocked-sql-driver test strategy
+    session.synchronized {
+      session.catalogFactory = Some(_ => new Catalog {
+        def tables() = Seq(TableId("public", "accounts"))
+        def columns(t: TableId) = Seq(
+          ColumnRow("id", "bigint", None, "NO", hasDefault = false, None, None, None),
+          ColumnRow("name", "text", None, "YES", hasDefault = false, None, None, None))
+        def constraints(t: TableId) = Seq(ConstraintRow("id", "PRIMARY KEY"))
+        def foreignKeys(t: TableId) = Nil
+        def indexes(t: TableId) = Nil
+      })
+    }
+    // missing config → 404; bad driver → 400
+    session.synchronized { session.connect = None }
+    assert(http("GET", "/convert/infoschema")._1 === 404)
+    assert(http("POST", "/connect",
+      """{"driver":"oracle","host":"h","database":"d"}""")._1 === 400)
+    val (c1, _) = http("POST", "/connect",
+      """{"driver":"postgres","host":"db.example","port":"5432",
+        |"database":"prod","user":"u","password":"p"}""".stripMargin)
+    assert(c1 === 200)
+    val (c2, plan) = http("GET", "/convert/infoschema")
+    assert(c2 === 200)
+    val acct = plan.get("tables").elements().asScala
+      .find(_.get("name").asText == "accounts").get
+    assert(acct.get("cols").get(0).get("name").asText === "id")
+    assert(http("GET", "/ddl")._2.get("accounts").asText
+      .contains("name STRING(MAX)"))
+  }
+
   test("schema and report file endpoints write artifacts and return paths") {
     convert()
     val dir = java.nio.file.Files.createTempDirectory("graft_web_files").toString
