@@ -84,7 +84,7 @@ object ConnectedComponents {
     var changedCount = labels.count()
 
     var round = 0
-    val retired = scala.collection.mutable.Buffer.empty[RDD[_]]
+    val initialLabels = labels
     while (changedCount > 0 && round < maxRounds) {
       round += 1
       // hook: neighbors of changed vertices take the min offered label.
@@ -115,14 +115,18 @@ object ConnectedComponents {
       // the frontier count after it is a cached-scan triviality
       next.count()
       changedCount = compressed.count()
-      retired += labels; retired += changed
+      // retire the superseded generation NOW — next is checkpointed and
+      // no longer references them, and keeping every round cached would
+      // make peak storage O(rounds × V) instead of O(V)
+      labels.unpersist(false)
+      if (!(changed eq labels)) changed.unpersist(false)
       labels = next
       changed = compressed
     }
     require(changedCount == 0, s"did not converge in $maxRounds rounds")
     adj.unpersist(false)
     if (!(changed eq labels)) changed.unpersist(false) // final empty frontier
-    retired.foreach(_.unpersist(false))
+    if (!(initialLabels eq labels)) initialLabels.unpersist(false)
 
     val schema = StructType(Seq(
       StructField("v", LongType, nullable = false),

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
-  private val quant =
+  /** Shared with IvfPq: the e01 quantization contract — any drift here
+    * breaks the cross-operator recall comparisons. */
+  private[operators] val quant =
     "transform(embedding, x -> cast(floor(cast(x as double) * 1048576D) as bigint))"
-  private def qdot(a: String, b: String) =
+  private[operators] def qdot(a: String, b: String) =
     s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
 
   /** Squared L2 distance from the embedding column to a centroid literal

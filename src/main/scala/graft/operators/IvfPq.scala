@@ -31,11 +31,6 @@ import org.apache.spark.sql.functions._
   */
 object IvfPq {
 
-  private val quant =
-    "transform(embedding, x -> cast(floor(cast(x as double) * 1048576D) as bigint))"
-  private def qdot(a: String, b: String) =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
-
   /** Per-subspace codebooks: books(m)(k) = codeword vector (dim/M). */
   final case class Codebooks(m: Int, k: Int, subDim: Int,
       books: Seq[Seq[Array[Double]]])
@@ -131,11 +126,11 @@ object IvfPq {
       .select("query_id", "cand_id")
 
     // exact re-rank (e01 scoring) over only the shortlist's vectors
-    val qvs = emb.select(col("vec_id"), expr(quant).as("qv"))
+    val qvs = emb.select(col("vec_id"), expr(IvfAnn.quant).as("qv"))
     val rer = shortlist
       .join(qvs.select(col("vec_id").as("query_id"), col("qv").as("pq")), "query_id")
       .join(qvs.select(col("vec_id").as("cand_id"), col("qv")), "cand_id")
-      .select(col("query_id"), col("cand_id"), expr(qdot("pq", "qv")).as("dot"))
+      .select(col("query_id"), col("cand_id"), expr(IvfAnn.qdot("pq", "qv")).as("dot"))
     rer.withColumn("rnk", row_number().over(
         w.orderBy(col("dot").desc, col("cand_id"))).cast("bigint"))
       .filter(col("rnk") <= topK)

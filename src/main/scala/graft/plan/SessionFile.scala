@@ -20,9 +20,22 @@ object SessionFile {
 
   // ------------------------------------------------------------- write
 
-  def write(plan: ConversionPlan, path: String): Unit =
+  def write(plan: ConversionPlan, path: String,
+      driver: Option[String] = None): Unit = {
+    val root = toJson(plan)
+    // optional source-driver tag: the web session needs it back on
+    // resume (typemap/overview are driver-keyed); the Migrate data-only
+    // path takes the driver on the CLI and ignores it
+    driver.foreach(root.put("driver", _))
     Files.writeString(Paths.get(path),
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(toJson(plan)))
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+  }
+
+  /** The driver tag written by [[write]], if the file carries one. */
+  def readDriver(path: String): Option[String] = {
+    val root = mapper.readTree(Files.readString(Paths.get(path)))
+    Option(root.get("driver")).map(_.asText).filter(_.nonEmpty)
+  }
 
   def toJson(plan: ConversionPlan): ObjectNode = {
     val root = mapper.createObjectNode()

@@ -212,10 +212,16 @@ object Documents {
         val tot = docs.groupBy("lang")
           .agg(sum(expr(s"size($toks)")).cast("long").as("n_tok"))
         val all = Window.partitionBy()
+        // budget × n_tok runs in DECIMAL: at real corpus scale (1e13+
+        // tokens) the Long product would exceed 2^63 and, with ANSI off,
+        // silently wrap instead of erroring — decimal(21,0)×bigint stays
+        // exact to 38 digits and div/% stay integral
         tot
           .withColumn("grand", sum("n_tok").over(all))
-          .withColumn("base", expr(s"$budget * n_tok div grand"))
-          .withColumn("rem", expr(s"($budget * n_tok) % grand"))
+          .withColumn("base",
+            expr(s"cast((cast($budget as decimal(21,0)) * n_tok) div grand as bigint)"))
+          .withColumn("rem",
+            expr(s"cast((cast($budget as decimal(21,0)) * n_tok) % grand as bigint)"))
           .withColumn("rk",
             row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
           .withColumn("deficit", expr(s"$budget - sum(base) over ()"))
@@ -231,8 +237,8 @@ object Documents {
           FROM documents GROUP BY lang),
         calc AS (
           SELECT lang, n_tok,
-                 1000000 * n_tok // SUM(n_tok) OVER () AS base,
-                 (1000000 * n_tok) % SUM(n_tok) OVER () AS rem
+                 CAST(1000000::HUGEINT * n_tok // SUM(n_tok) OVER () AS BIGINT) AS base,
+                 CAST(1000000::HUGEINT * n_tok % SUM(n_tok) OVER () AS BIGINT) AS rem
           FROM tot),
         ranked AS (
           SELECT lang, n_tok, base,

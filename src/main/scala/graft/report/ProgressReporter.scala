@@ -21,7 +21,9 @@ final class ProgressReporter(prefix: String, out: String => Unit = println)
 
   private final class Job(val message: String, val total: Int) {
     var done = 0
-    var pct = if (total == 0) 100 else 0
+    // 0 even for zero-task jobs: onJobEnd's pct<100 guard then emits the
+    // closing 100% line, keeping the always-closes contract
+    var pct = 0
   }
 
   private val jobs = mutable.Map.empty[Int, Job]      // jobId → state

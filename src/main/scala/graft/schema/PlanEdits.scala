@@ -114,8 +114,10 @@ object PlanEdits {
     withTable(plan, spTable) { t =>
       if (ix.keys.exists(k => !t.colDefs.contains(k.column)))
         Left("index references unknown columns")
-      else if (t.indexes.exists(_.name == ix.name))
-        Left(s"duplicate index name ${ix.name}")
+      else if (usedNames(plan).contains(ix.name.toLowerCase))
+        // tables, indexes, and FK names share one Spanner namespace
+        // (web.go:912-931 isUniqueName gates addIndexes the same way)
+        Left(s"name ${ix.name} already in use")
       else Right(t.copy(indexes = t.indexes :+ ix))
     }
 
@@ -137,9 +139,14 @@ object PlanEdits {
 
   /** Validity + global-uniqueness gate shared by the constraint renames
     * (web.go:702-743): every new name a legal Spanner id, no duplicates
-    * within the request, none already used by a table/index/FK. */
+    * within the request, none already used by a table/index/FK.
+    * `vacated` must be ONLY the names the rename actually frees (the
+    * target table's matching old FK/index names) — subtracting every
+    * request key would let a stray key naming an unrelated table/index
+    * unblock a real collision. */
   private def checkRenames(plan: ConversionPlan,
-      renames: Map[String, String]): Either[String, Unit] = {
+      renames: Map[String, String],
+      vacated: Set[String]): Either[String, Unit] = {
     val news = renames.values.map(_.toLowerCase).toSeq
     val illegal = renames.values.filter(n => NameRegistry.fixName(n)._2 || n.isEmpty)
     if (illegal.nonEmpty)
@@ -147,7 +154,7 @@ object PlanEdits {
     else if (news.distinct.length != news.length)
       Left(s"found duplicate names in input: ${news.mkString(",")}")
     else {
-      val used = usedNames(plan) -- renames.keys.map(_.toLowerCase)
+      val used = usedNames(plan) -- vacated.map(_.toLowerCase)
       val taken = news.filter(used.contains)
       if (taken.nonEmpty) Left(s"names already in use: ${taken.mkString(",")}")
       else Right(())
@@ -158,20 +165,22 @@ object PlanEdits {
     * names are ignored, like the reference (it maps over existing FKs). */
   def renameForeignKeys(plan: ConversionPlan, spTable: String,
       renames: Map[String, String]): Either[String, ConversionPlan] =
-    checkRenames(plan, renames).flatMap { _ =>
-      withTable(plan, spTable) { t =>
-        Right(t.copy(fks = t.fks.map(fk =>
-          renames.get(fk.name).map(n => fk.copy(name = n)).getOrElse(fk))))
+    withTable(plan, spTable) { t =>
+      val vacated = t.fks.map(_.name).filter(renames.contains).toSet
+      checkRenames(plan, renames, vacated).map { _ =>
+        t.copy(fks = t.fks.map(fk =>
+          renames.get(fk.name).map(n => fk.copy(name = n)).getOrElse(fk)))
       }
     }
 
   /** Rename secondary indexes of one table (web.go:601-656). */
   def renameIndexes(plan: ConversionPlan, spTable: String,
       renames: Map[String, String]): Either[String, ConversionPlan] =
-    checkRenames(plan, renames).flatMap { _ =>
-      withTable(plan, spTable) { t =>
-        Right(t.copy(indexes = t.indexes.map(ix =>
-          renames.get(ix.name).map(n => ix.copy(name = n)).getOrElse(ix))))
+    withTable(plan, spTable) { t =>
+      val vacated = t.indexes.map(_.name).filter(renames.contains).toSet
+      checkRenames(plan, renames, vacated).map { _ =>
+        t.copy(indexes = t.indexes.map(ix =>
+          renames.get(ix.name).map(n => ix.copy(name = n)).getOrElse(ix)))
       }
     }
 

@@ -26,7 +26,7 @@ object StreamingNearDup {
 
   final case class DocEvent(ts: Timestamp, docId: Long, text: String)
   final case class BandHit(bi: Int, bv: Int, fp: Long, docId: Long, ts: Timestamp)
-  final case class BucketState(entries: List[(Long, Long)]) // (fp, docId)
+  final case class BucketState(entries: List[(Long, Long, Long)]) // (fp, docId, tsMs)
   final case class NearDup(docA: Long, docB: Long, hamming: Int)
 
   /** Retention horizon per band bucket after the watermark. */
@@ -83,12 +83,18 @@ object StreamingNearDup {
             state.remove()
             Iterator.empty
           } else {
+            // per-entry horizon pruning: the bucket timeout only fires
+            // when a bucket goes completely quiet, so a hot bucket must
+            // also evict entries past the horizon or its state grows
+            // with stream volume (and matches against years-old docs)
+            val horizonFloor = state.getCurrentWatermarkMs() - HorizonMs
             var entries = state.getOption.map(_.entries).getOrElse(Nil)
+              .filter(_._3 >= horizonFloor)
             val out = List.newBuilder[NearDup]
             var maxTs = 0L
             // deterministic intra-batch order: event time, then id
             batch.toSeq.sortBy(h => (h.ts.getTime, h.docId)).foreach { h =>
-              entries.foreach { case (fp0, id0) =>
+              entries.foreach { case (fp0, id0, _) =>
                 if (id0 != h.docId) {
                   val ham = java.lang.Long.bitCount(fp0 ^ h.fp)
                   if (ham <= 2)
@@ -96,7 +102,7 @@ object StreamingNearDup {
                       math.max(id0, h.docId), ham)
                 }
               }
-              entries = (h.fp, h.docId) :: entries
+              entries = (h.fp, h.docId, h.ts.getTime) :: entries
               maxTs = math.max(maxTs, h.ts.getTime)
             }
             state.update(BucketState(entries))

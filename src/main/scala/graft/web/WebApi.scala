@@ -48,7 +48,7 @@ final class WebSession {
     * file if one is attached (reference updateSessionFile). */
   def commit(p: ConversionPlan): Unit = synchronized {
     plan = Some(p)
-    sessionFile.foreach(SessionFile.write(p, _))
+    sessionFile.foreach(SessionFile.write(p, _, Some(driver)))
   }
 }
 
@@ -159,7 +159,7 @@ object WebApi {
       Files.createTempDirectory("graft_web").toString)
     Files.createDirectories(Paths.get(dir))
     val path = s"$dir/session.json"
-    SessionFile.write(plan, path)
+    SessionFile.write(plan, path, Some(s.driver))
     s.synchronized { s.sessionFile = Some(path) }
     val o = mapper.createObjectNode()
     o.put("path", path)
@@ -174,6 +174,9 @@ object WebApi {
     s.synchronized {
       s.plan = Some(plan)
       s.sessionFile = Some(path)
+      // restore the driver tag too — /typemap and /overview are
+      // driver-keyed and would otherwise break on a fresh process
+      SessionFile.readDriver(path).foreach(s.driver = _)
     }
     respond(ex, 200, planJson(plan))
   }
@@ -526,7 +529,12 @@ object WebApi {
   private def readJson(ex: HttpExchange): JsonNode = {
     val bytes = ex.getRequestBody.readAllBytes()
     if (bytes.isEmpty) mapper.createObjectNode()
-    else mapper.readTree(new String(bytes, UTF_8))
+    else
+      try mapper.readTree(new String(bytes, UTF_8))
+      catch {
+        case e: com.fasterxml.jackson.core.JsonProcessingException =>
+          fail(400, s"Request Body parse error : ${e.getOriginalMessage}")
+      }
   }
 
   private def query(ex: HttpExchange): Map[String, String] =

@@ -56,4 +56,31 @@ class StreamingNearDupSpec extends AnyFunSuite {
       assert(got(0).getInt(2) <= 2)
     } finally q.stop()
   }
+
+  test("entries past the horizon are pruned even in hot buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val nearA = base + "alpha"
+    val in = MemoryStream[DocEvent]
+    val q = pairs(in.toDS).writeStream
+      .format("memory").queryName("neardup_prune").outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      in.addData(DocEvent(t0, 1L, base))
+      q.processAllAvailable()
+      // push the watermark (1h delay) far past t0 + the 24h horizon —
+      // the bucket stays "hot" (keeps receiving docs) so only per-entry
+      // pruning can evict doc 1
+      val t1 = Timestamp.valueOf("2024-01-03 12:00:00")
+      in.addData(DocEvent(t1, 2L, "unrelated filler content " * 8))
+      q.processAllAvailable()
+      in.addData(DocEvent(Timestamp.valueOf("2024-01-03 12:30:00"), 9L, nearA))
+      q.processAllAvailable()
+      // doc 1's fingerprint left state when the watermark passed its
+      // horizon, so the would-be (1, 9) pair must NOT appear
+      assert(spark.sql(
+        "SELECT * FROM neardup_prune WHERE docA = 1 AND docB = 9").count() === 0)
+    } finally q.stop()
+  }
 }

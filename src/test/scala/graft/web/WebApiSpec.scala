@@ -199,6 +199,41 @@ class WebApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan4.get("tables").elements().asScala
       .find(_.get("name").asText == "inventory").get
       .get("indexes").get(0).asText === "idx_quantity")
+    // a stray key naming an unrelated entity must NOT vacate its name:
+    // only names the rename actually frees leave the used set
+    val (c5, err5) = http("POST", "/rename/fks?table=order_log",
+      """{"inventory": "x", "fk_sku": "inventory"}""")
+    assert(c5 === 400)
+    assert(err5.asText.contains("already in use"))
+  }
+
+  test("add/indexes enforces the shared constraint namespace") {
+    convert()
+    // an index named like an existing table is a Spanner name collision
+    val (code, err) = http("POST", "/add/indexes",
+      """[{"table":"inventory","name":"order_log","unique":false,
+        |"keys":[{"column":"price"}]}]""".stripMargin)
+    assert(code === 412)
+    assert(err.asText.contains("already in use"))
+  }
+
+  test("session resume restores the driver tag") {
+    convert()
+    val dir = java.nio.file.Files.createTempDirectory("graft_web_drv").toString
+    val path = http("GET", s"/session?dir=$dir")._2.get("path").asText
+    // simulate a fresh process: plan AND driver gone
+    session.synchronized { session.plan = None; session.driver = "" }
+    assert(http("POST", "/session/resume", s"""{"path":"$path"}""")._1 === 200)
+    val (code, tm) = http("GET", "/typemap") // driver-keyed endpoint
+    assert(code === 200)
+    assert(tm.get("bigint").get("spType").asText === "INT64")
+  }
+
+  test("malformed JSON is a 400, not a 500") {
+    convert()
+    val (code, err) = http("POST", "/typemap/table?table=inventory", "{not json")
+    assert(code === 400)
+    assert(err.asText.contains("parse error"))
   }
 
   test("connect + convert/infoschema drive a live-DB conversion via the catalog seam") {
