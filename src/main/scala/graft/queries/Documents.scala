@@ -248,6 +248,38 @@ object Documents {
         SELECT lang, n_tok,
                CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
                  AS alloc_tokens
-        FROM ranked ORDER BY lang"""))
+        FROM ranked ORDER BY lang""")),
+
+    // ---------------------------------------------------------------- c05
+    // Text-normalization pass: lowercase, strip ASCII punctuation,
+    // collapse whitespace — the canonical pre-dedup cleanup. Reported as
+    // per-language aggregate deltas (docs changed, chars removed) so the
+    // whole pipeline is one scan→project→agg with no normalized text
+    // ever shuffled. lower() parity with DuckDB is already exercised by
+    // d06 on this corpus.
+    "c05_normalize_stats" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
+          "'[!-/:-@\\\\[-`{-~]', ' '), '\\\\s+', ' '))"
+        docs
+          .select(col("lang"), col("text"), expr(norm).as("norm"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("text") =!= col("norm")).cast("long")).as("n_changed"),
+            sum(length(col("text")) - length(col("norm"))).cast("bigint")
+              .as("chars_removed"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH n AS (
+          SELECT lang, text,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN text <> norm THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+               CAST(SUM(length(text) - length(norm)) AS BIGINT) AS chars_removed
+        FROM n GROUP BY lang ORDER BY lang"""))
   )
 }
