@@ -75,10 +75,20 @@ object ConnectedComponents {
       .mapValues(_.toArray)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // adjacency keys ARE the vertex set, already partitioned like part
+    // adjacency keys ARE the vertex set, already partitioned like part.
+    // Seed label(v) = min(v, neighbors(v)) — the first hook round's
+    // result, computed per partition for free since the neighbors are
+    // right there in the adjacency array; the min then spreads two hops
+    // per round (seed + hook) instead of one, shaving rounds off the
+    // eccentricity bound. Delta invariant is unaffected: round 1 still
+    // sends from every vertex.
     var labels: RDD[(Long, Long)] = adj
-      .mapPartitions(_.map { case (v, _) => (v, v) },
-        preservesPartitioning = true)
+      .mapPartitions(_.map { case (v, nbrs) =>
+        var m = v
+        var i = 0
+        while (i < nbrs.length) { if (nbrs(i) < m) m = nbrs(i); i += 1 }
+        (v, m)
+      }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = labels
     var changedCount = labels.count()
