@@ -41,9 +41,8 @@ import org.apache.spark.storage.StorageLevel
   * per-round network cost is proportional to the frontier, which for
   * near-dup blobs collapses after 2–3 rounds. Round count is bounded by
   * the min vertex's eccentricity; for adversarial giant-diameter
-  * graphs, the large-star/small-star scheme (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond") is the next rung; this loop is
-  * the seam it would replace.
+  * graphs use [[resolveStarContraction]], whose round count is
+  * O(log² n) regardless of diameter.
   */
 object ConnectedComponents {
 
@@ -138,6 +137,96 @@ object ConnectedComponents {
     if (!(changed eq labels)) changed.unpersist(false) // final empty frontier
     if (!(initialLabels eq labels)) initialLabels.unpersist(false)
 
+    val schema = StructType(Seq(
+      StructField("v", LongType, nullable = false),
+      StructField("label", LongType, nullable = false)))
+    spark.createDataFrame(labels.map { case (v, l) => Row(v, l) }, schema)
+  }
+
+  /** Alternative resolver for adversarial graphs: the two-phase
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", 2014). Label propagation
+    * ([[resolve]]) needs rounds proportional to the min vertex's
+    * eccentricity — fine for near-dup blobs, painful for a 10⁶-long
+    * chain; star contraction rewrites the EDGE SET each round
+    * (large-star hangs every neighbor larger than u off Γ(u)'s min,
+    * small-star re-parents u's smaller neighbors), which provably
+    * converges in O(log² n) rounds regardless of diameter. Same output
+    * contract as [[resolve]]: (v, label) with label = component min,
+    * edge-participating vertices only.
+    *
+    * Cost shape: every round shuffles the current edge set twice (one
+    * groupByKey per phase) — more per-round IO than resolve's delta
+    * frontiers, which is why resolve is the default and this is the
+    * diameter-insurance variant. */
+  def resolveStarContraction(edges: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val part = new HashPartitioner(
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+
+    def largeStar(e: RDD[(Long, Long)]): RDD[(Long, Long)] =
+      e.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+        .groupByKey(part)
+        .flatMap { case (u, nbrs) =>
+          var m = u
+          nbrs.foreach(n => if (n < m) m = n)
+          // hang every LARGER neighbor off the minimum of Γ(u) ∪ {u}
+          nbrs.iterator.filter(_ > u).map(x => (x, m)) ++
+            (if (m != u) Iterator((u, m)) else Iterator.empty)
+        }
+        .distinct()
+
+    def smallStar(e: RDD[(Long, Long)]): RDD[(Long, Long)] =
+      e.map { case (u, v) => if (u > v) (u, v) else (v, u) }
+        .groupByKey(part)
+        .flatMap { case (u, smaller) =>
+          var m = u
+          smaller.foreach(n => if (n < m) m = n)
+          // re-parent u and its smaller neighbors onto the minimum
+          smaller.iterator.filter(_ != m).map(x => (x, m)) ++
+            (if (m != u) Iterator((u, m)) else Iterator.empty)
+        }
+        .distinct()
+
+    var e: RDD[(Long, Long)] = edges
+      .select(col(aCol).cast("long"), col(bCol).cast("long")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a != b }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // all vertices, to re-attach roots and isolated-within-the-edge-set
+    // vertices at the end
+    val vertices = e.flatMap { case (a, b) => Seq(a, b) }.distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var round = 0
+    var converged = e.isEmpty()
+    var checksum = (e.count(), e.map(_._1).sum(), e.map(_._2).sum())
+    while (!converged && round < maxRounds) {
+      round += 1
+      val next = smallStar(largeStar(e)).persist(StorageLevel.MEMORY_AND_DISK)
+      next.localCheckpoint()
+      val nextSum = (next.count(), next.map(_._1).sum(), next.map(_._2).sum())
+      e.unpersist(false)
+      e = next
+      converged = nextSum == checksum
+      checksum = nextSum
+    }
+    require(converged, s"did not converge in $maxRounds rounds")
+
+    // converged edge set is a star forest: each non-root points at its
+    // component min; roots get themselves back via the vertex set.
+    // Materialize + checkpoint BEFORE releasing the inputs — the labels
+    // RDD is lazy, and unpersisting a localCheckpointed parent deletes
+    // the only copy of its partitions.
+    val labels = vertices.map(v => (v, v))
+      .leftOuterJoin(e.reduceByKey(math.min(_: Long, _: Long)), part)
+      .map { case (v, (_, root)) => (v, root.getOrElse(v)) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.localCheckpoint()
+    labels.count()
+    e.unpersist(false)
+    vertices.unpersist(false)
     val schema = StructType(Seq(
       StructField("v", LongType, nullable = false),
       StructField("label", LongType, nullable = false)))

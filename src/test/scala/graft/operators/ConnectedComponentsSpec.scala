@@ -64,6 +64,33 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  private def starComponents(edges: (Long, Long)*): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.resolveStarContraction(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("star contraction agrees with label propagation") {
+    // the contraction variant's motivating case: a long chain, where
+    // propagation needs diameter rounds but contraction needs O(log²)
+    val chain = (1L until 64L).map(i => (i, i + 1))
+    assert(starComponents(chain: _*) === components(chain: _*))
+    // mixed shapes incl. self-contained triangle + pair
+    val mixed = Seq((5L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (2L, 40L))
+    assert(starComponents(mixed: _*) === components(mixed: _*))
+    // random graphs, both resolvers, same answer
+    val rnd = new scala.util.Random(7)
+    (1 to 8).foreach { trial =>
+      val n = 2 + rnd.nextInt(30)
+      val edges = Seq.fill(1 + rnd.nextInt(50))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty)
+        assert(starComponents(edges: _*) === components(edges: _*),
+          s"trial $trial: $edges")
+    }
+  }
+
   test("keep flag semantics: exactly one canonical per cluster") {
     val cc = components((1L, 2L), (2L, 3L), (8L, 9L))
     val keepers = cc.filter { case (v, label) => v == label }.keys.toSet
