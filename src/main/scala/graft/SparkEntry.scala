@@ -18,7 +18,8 @@ object SparkEntry {
     Similarity.defs,
     PgDumpQueries.defs,
     MySqlDumpQueries.defs,
-    TextMedia.defs
+    TextMedia.defs,
+    Curation.defs
   )
 
   private lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

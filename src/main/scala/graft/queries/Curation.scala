@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond the reference's surface (SURVEY.md
+  * §2.7): repetition-based quality signals, PII detection/redaction, and
+  * deterministic shard assignment for training-data export.
+  *
+  * Scale discipline shared by all three:
+  *   - per-row signals are pure expressions (one codegen stage, no UDF);
+  *   - per-doc counts go through explode → groupBy with map-side combine,
+  *     keyed on doc_id, so shuffle volume is O(distinct (doc, gram)) and
+  *     every downstream join is co-partitioned on the groupBy key;
+  *   - nothing collects to the driver.
+  *
+  * Oracle discipline is QueryDef's: BIGINT/STRING outputs only, identical
+  * aliases both engines, deterministic ORDER BY.
+  */
+object Curation {
+  import QueryDef.table
+
+  /** Whitespace tokens, empties dropped (same tokenizer as Documents). */
+  private val toks = "filter(split(text, '\\\\s+'), t -> t != '')"
+
+  /** md5-derived 32-bit integer — the engine-agnostic hash used by q19's
+    * CMS and d04's fingerprints: Spark conv(hex,16,10) and DuckDB
+    * CAST('0x'||hex AS BIGINT) agree bit-for-bit. */
+  private def md5Int(sqlExpr: String): String =
+    s"cast(conv(substring(md5($sqlExpr), 1, 8), 16, 10) as bigint)"
+
+  val defs: Map[String, QueryDef] = Map(
+    // ---------------------------------------------------------------- c06
+    // Repetition quality signals (the Gopher-rule family): per document,
+    // the fraction of tokens inside the most frequent token and the most
+    // frequent 2-gram. Training pipelines drop documents whose top-gram
+    // fraction exceeds a threshold — boilerplate and template spam score
+    // high, prose scores low. Counts are exact: explode → (doc, gram)
+    // groupBy (partial agg collapses repeats before the shuffle) → per-doc
+    // max/sum. The bigram array is built per-row from the token array —
+    // no self-join, no window — and both grams' per-doc frames arrive
+    // hash-partitioned on doc_id, so the final join is co-located.
+    "c06_repetition_signals" -> QueryDef(
+      build = (spark, dir) => {
+        val base = table(spark, dir, "documents")
+          .select(col("doc_id"), expr(toks).as("tk"))
+        val tokStats = base
+          .select(col("doc_id"), explode(col("tk")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_tok"), count(lit(1)).as("n_distinct"),
+            max("c").as("top_tok_c"))
+        val bgStats = base
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(tk) >= 2
+              |THEN transform(sequence(1, size(tk) - 1),
+              |               i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))
+              |ELSE cast(array() as array<string>) END""".stripMargin)).as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_bigram"), max("c").as("top_bigram_c"))
+        tokStats.join(bgStats, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            col("n_tok").cast("long").as("n_tok"),
+            col("n_distinct").cast("long").as("n_distinct"),
+            col("top_tok_c").cast("long").as("top_tok_c"),
+            coalesce(col("top_bigram_c"), lit(0L)).cast("long")
+              .as("top_bigram_c"),
+            expr("top_tok_c * 1000 div n_tok").as("top_tok_pm"),
+            expr("cast(coalesce(top_bigram_c * 1000 div n_bigram, 0) as bigint)")
+              .as("top_bigram_pm"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+          FROM documents),
+        tc AS (
+          SELECT doc_id, tok, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(tk) AS tok FROM base)
+          GROUP BY doc_id, tok),
+        ts AS (
+          SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS n_distinct,
+                 MAX(c) AS top_tok_c
+          FROM tc GROUP BY doc_id),
+        bc AS (
+          SELECT doc_id, bg, COUNT(*) AS c
+          FROM (SELECT doc_id,
+                       unnest(CASE WHEN len(tk) >= 2
+                         THEN list_transform(range(1, len(tk)),
+                                             i -> tk[i] || ' ' || tk[i + 1])
+                         ELSE [] END) AS bg
+                FROM base)
+          GROUP BY doc_id, bg),
+        bs AS (
+          SELECT doc_id, SUM(c) AS n_bigram, MAX(c) AS top_bigram_c
+          FROM bc GROUP BY doc_id)
+        SELECT ts.doc_id AS doc_id,
+               CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               CAST(top_tok_c AS BIGINT) AS top_tok_c,
+               CAST(COALESCE(top_bigram_c, 0) AS BIGINT) AS top_bigram_c,
+               CAST(top_tok_c * 1000 // n_tok AS BIGINT) AS top_tok_pm,
+               CAST(COALESCE(top_bigram_c * 1000 // n_bigram, 0) AS BIGINT)
+                 AS top_bigram_pm
+        FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- c07
+    // PII detection + redaction. The synthetic corpus carries no PII, so
+    // the query first injects deterministic email/phone strings into a
+    // doc_id-selected subset — the SAME construction on both engines —
+    // then detects with generic patterns and redacts with regexp_replace.
+    // The non-injected majority proves the patterns don't false-positive
+    // on clean text; the injected subset proves they fire; the md5 digest
+    // over the redacted text pins the exact redaction output, not just
+    // the counts. One scan, one codegen stage, groupBy(lang) at the end.
+    // Patterns avoid regex escapes that differ between Java regex and
+    // RE2 ([.] instead of \., [0-9] instead of \d).
+    "c07_pii_scrub" -> QueryDef(
+      build = (spark, dir) => {
+        val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+        val phonePat = "[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+        val docs = table(spark, dir, "documents")
+        docs
+          .withColumn("aug", concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" contact user"), col("doc_id"),
+                lit("@example.com for details"))).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              concat(lit(" or call 1-555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit(""))))
+          .withColumn("redacted",
+            regexp_replace(regexp_replace(col("aug"), emailPat, "<EMAIL>"),
+              phonePat, "<PHONE>"))
+          .withColumn("n_email",
+            size(expr(s"regexp_extract_all(aug, '$emailPat', 0)")).cast("long"))
+          .withColumn("n_phone",
+            size(expr(s"regexp_extract_all(aug, '$phonePat', 0)")).cast("long"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_email").as("emails_found"),
+            sum("n_phone").as("phones_found"),
+            sum((col("n_email") > 0 || col("n_phone") > 0).cast("long"))
+              .as("docs_with_pii"),
+            sum(length(col("aug")) - length(col("redacted"))).cast("bigint")
+              .as("chars_delta"),
+            sum(expr(md5Int("redacted"))).as("redact_digest"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH aug AS (
+          SELECT lang,
+                 text
+                 || CASE WHEN doc_id % 7 = 0
+                      THEN ' contact user' || doc_id || '@example.com for details'
+                      ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                      THEN ' or call 1-555-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS aug
+          FROM documents),
+        scrub AS (
+          SELECT lang, aug,
+                 regexp_replace(regexp_replace(aug,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+                 len(regexp_extract_all(aug,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS n_email,
+                 len(regexp_extract_all(aug,
+                   '[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phone
+          FROM aug)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_email) AS BIGINT) AS emails_found,
+               CAST(SUM(n_phone) AS BIGINT) AS phones_found,
+               CAST(SUM(CASE WHEN n_email > 0 OR n_phone > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS docs_with_pii,
+               CAST(SUM(length(aug) - length(redacted)) AS BIGINT) AS chars_delta,
+               CAST(SUM(CAST('0x' || substring(md5(redacted), 1, 8) AS BIGINT))
+                 AS BIGINT) AS redact_digest
+        FROM scrub GROUP BY lang ORDER BY lang""")),
+
+    // ---------------------------------------------------------------- c08
+    // Deterministic shard assignment for training-data export: every doc
+    // hashes to one of 64 shards via the md5 bucket (engine-agnostic and
+    // stable under re-runs/speculative retries — rand() is neither), and
+    // the query reports per-shard volume plus an order-independent
+    // content digest. This is the assignment the export writer uses
+    // (CurationSpec writes partitionBy(shard) parquet from it); at 100 TB
+    // the same expression feeds repartition(shard) so each output file is
+    // one shard, and the digest column is how two export runs are
+    // compared without re-reading the text. Digest sums stay well inside
+    // BIGINT here (32-bit values × corpus rows); a >2^31-doc corpus
+    // would sum in DECIMAL(38,0) instead.
+    "c08_shard_export" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        docs
+          .withColumn("shard",
+            expr(s"${md5Int("cast(doc_id as string)")} % 64"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("bigint").as("total_chars"),
+            min("doc_id").as("min_doc"),
+            max("doc_id").as("max_doc"),
+            sum(expr(md5Int("text"))).as("content_digest"))
+          .orderBy("shard")
+      },
+      oracle = Some("""
+        SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 64 AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(doc_id) AS min_doc,
+               MAX(doc_id) AS max_doc,
+               CAST(SUM(CAST('0x' || substring(md5(text), 1, 8) AS BIGINT))
+                 AS BIGINT) AS content_digest
+        FROM documents GROUP BY 1 ORDER BY shard"""))
+  )
+}

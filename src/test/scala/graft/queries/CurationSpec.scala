@@ -1,0 +1,89 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+
+/** Semantics contracts for the curation operators (c06–c08) on crafted
+  * corpora — the known-answer checks the DuckDB oracle (which only
+  * proves cross-engine agreement on the synthetic corpus) can't express.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.build("graft-test")
+
+  /** Write a crafted documents.parquet into a temp dir shaped like a
+    * testdata sf directory, so the queries run on it unchanged. */
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_curation").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("c06: repetition fractions are exact on known documents") {
+    val dir = docsDir(Seq(
+      (0L, "spam spam spam spam", "en", "s"), // pure repetition
+      (1L, "one two three four", "en", "s"), // no repetition
+      (2L, "go go stop go go", "en", "s"), // top tok 4/5, top bigram "go go" 2/4
+      (3L, "solo", "en", "s"))) // single token: no bigrams
+    val out = Curation.defs("c06_repetition_signals").build(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(5) === 1000L) // top_tok_pm
+    assert(out(0L).getLong(6) === 1000L) // top_bigram_pm ("spam spam" 3/3)
+    assert(out(1L).getLong(5) === 250L)
+    assert(out(1L).getLong(6) === 333L) // 3 distinct bigrams, top 1/3
+    assert(out(2L).getLong(3) === 4L) // top_tok_c: "go"
+    assert(out(2L).getLong(4) === 2L) // top_bigram_c: "go go"
+    assert(out(2L).getLong(6) === 500L) // 2/4 bigrams
+    assert(out(3L).getLong(1) === 1L && out(3L).getLong(4) === 0L
+      && out(3L).getLong(6) === 0L) // no bigram, fraction reported as 0
+  }
+
+  test("c07: injected PII is found and fully redacted; clean docs untouched") {
+    // doc 0: %7 and %11 both 0 → email + phone injected; doc 1: clean
+    val dir = docsDir(Seq(
+      (0L, "hello world", "en", "s"),
+      (1L, "no pii here at all", "en", "s")))
+    val out = Curation.defs("c07_pii_scrub").build(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getLong(1) === 2L) // n_docs
+    assert(r.getLong(2) === 1L) // emails_found
+    assert(r.getLong(3) === 1L) // phones_found
+    assert(r.getLong(4) === 1L) // docs_with_pii: only doc 0
+    // Re-derive the redaction and prove no PII pattern survives it
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    val phonePat = "[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    val aug = "hello world contact user0@example.com for details or call 1-555-0000"
+    val redacted = aug.replaceAll(emailPat, "<EMAIL>").replaceAll(phonePat, "<PHONE>")
+    assert(!redacted.matches(s".*($emailPat|$phonePat).*"), redacted)
+    assert(r.getLong(5) ===
+      (aug.length + "no pii here at all".length) - (redacted.length + "no pii here at all".length))
+  }
+
+  test("c08: shard stats match a real partitioned export read back") {
+    val dir = "/root/testdata/sf0.001"
+    val stats = Curation.defs("c08_shard_export").build(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats.values.map(_._1).sum ===
+      spark.read.parquet(s"$dir/documents.parquet").count())
+
+    // The export writer uses the same assignment: one directory per shard
+    val out = Files.createTempDirectory("graft_export").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("shard", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 64"))
+      .repartition(col("shard")) // co-locate each shard into one task's files
+      .write.partitionBy("shard").mode("overwrite").parquet(out)
+
+    // partition-column values come back type-inferred (int) → cast to match
+    val back = spark.read.parquet(out)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(back === stats, "export partition contents must match the shard stats query")
+  }
+}
