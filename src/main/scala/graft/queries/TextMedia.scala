@@ -66,7 +66,7 @@ object TextMedia {
     * so the cheap filter runs in the join stage and the distinct
     * shuffles only real near-dup pairs. Same relation: (doc_a, doc_b)
     * determines (fp_a, fp_b) and hence hamming. */
-  private def simhashPairs(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def simhashPairs(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val fps = simhashFingerprints(spark, dir)
     val bands = fps.select(col("doc_id"), col("fp"),
@@ -130,18 +130,71 @@ object TextMedia {
     // Duplicate-cluster resolution: the step after pair generation in
     // every dedup pipeline — connected components over the near-dup
     // graph, cluster id = min doc_id, keep = 1 for the canonical
-    // survivor. Spark side iterates distributed min-label propagation
-    // (operators/ConnectedComponents); the oracle derives the same
-    // relation from first principles via a recursive-CTE transitive
-    // closure — proving the iterative plan computes the textbook
-    // definition, not mirroring the implementation.
+    // survivor.
+    //
+    // The plan CONTRACTS IDENTICAL FINGERPRINTS FIRST: docs sharing a
+    // SimHash fp are hamming-0 duplicates by construction, so the doc
+    // graph's components equal the distinct-fp graph's components
+    // expanded back through the fp groups. That collapses the problem
+    // quadratically where it matters — at sf0.1, 5,000 docs / 777k doc
+    // pairs contract to 2,949 fps / ~15k fp edges (52×), and at 100 TB
+    // duplicate-heavy corpora it is the difference between a pair list
+    // that explodes in the largest cluster's size² and an edge set
+    // near-linear in distinct signatures. Each fp vertex is keyed by
+    // its group's min doc_id ("rep"), so the component's min rep IS the
+    // component's min doc_id and no relabeling pass is needed.
+    //
+    // Completeness of the 4×8-bit banding at hamming ≤ 2 is pigeonhole:
+    // 2 differing bits touch ≤ 2 bands, so near-dup fps always share a
+    // band. Spark side iterates distributed min-label propagation on
+    // the contracted graph (operators/ConnectedComponents); the oracle
+    // derives the same relation from first principles via a
+    // recursive-CTE transitive closure over the UNCONTRACTED doc-level
+    // pair graph — proving the contracted iterative plan computes the
+    // textbook definition, not mirroring the implementation.
     "c01_dup_clusters" -> QueryDef(
       build = (spark, dir) => {
+        val fps = simhashFingerprints(spark, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // one row per distinct fingerprint, keyed by its min doc
+        val dfp = fps.groupBy("fp")
+          .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bands = dfp.select(col("fp"), col("rep"),
+          posexplode(expr(
+            "array(fp % 256, fp div 256 % 256, fp div 65536 % 256, fp div 16777216 % 256)"))
+            .as(Seq("bi", "bv")))
+        val fpEdges = bands
+          .select(col("fp").as("fp_a"), col("rep").as("rep_a"),
+            col("bi"), col("bv"))
+          .join(bands.select(col("fp").as("fp_b"), col("rep").as("rep_b"),
+            col("bi").as("bi2"), col("bv").as("bv2")),
+            col("bi") === col("bi2") && col("bv") === col("bv2") &&
+              col("fp_a") < col("fp_b"))
+          .filter(expr("bit_count(fp_a ^ fp_b)") <= 2)
+          .select(col("rep_a"), col("rep_b"))
+          .distinct()
         val cc = graft.operators.ConnectedComponents.resolve(
-          simhashPairs(spark, dir), "doc_a", "doc_b")
-        cc.select(col("v").as("doc_id"), col("label").as("cluster_id"),
-          (col("v") === col("label")).cast("long").as("keep"))
+          fpEdges, "rep_a", "rep_b")
+        // fp participates if its group has ≥2 docs (hamming-0 pairs) or
+        // its rep appears in a cross-fp edge; cluster = CC label where
+        // present, else the group's own rep
+        val fpLabel = dfp
+          .join(cc.withColumnRenamed("v", "rep"), Seq("rep"), "left")
+          .filter(col("n") >= 2 || col("label").isNotNull)
+          .select(col("fp"), coalesce(col("label"), col("rep")).as("cluster_id"))
+        val out = fps.join(fpLabel, Seq("fp"))
+          .select(col("doc_id"), col("cluster_id"),
+            (col("doc_id") === col("cluster_id")).cast("long").as("keep"))
           .orderBy("doc_id")
+        // materialize before releasing the loop inputs: out is lazy over
+        // cc, which is lazy over the persisted label RDD
+        out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .count()
+        fps.unpersist(false)
+        dfp.unpersist(false)
+        graft.operators.ConnectedComponents.releaseLabels(cc)
+        out
       },
       oracle = Some(s"""
         WITH RECURSIVE $simhashCtes,

@@ -15,6 +15,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  // force the distributed min-label loop (threshold 0 disables the
+  // driver union-find shortcut) so both strategies stay covered
+  private def distComponents(edges: (Long, Long)*): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.resolve(edges.toDF("a", "b"), "a", "b",
+        driverEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
   test("two components: a triangle and a disjoint pair") {
     val cc = components((5L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
     assert(cc === Map(3L -> 3L, 4L -> 3L, 5L -> 3L, 10L -> 10L, 11L -> 10L))
@@ -27,6 +36,21 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val cc = components(chain: _*)
     assert(cc.values.toSet === Set(1L))
     assert(cc.keySet === (1L to 12L).toSet)
+    // same answer from the distributed loop (driver shortcut disabled)
+    assert(distComponents(chain: _*) === cc)
+  }
+
+  test("driver union-find and distributed loop agree on random graphs") {
+    val rnd = new scala.util.Random(1234)
+    (1 to 6).foreach { trial =>
+      val n = 2 + rnd.nextInt(40)
+      val edges = Seq.fill(1 + rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty)
+        assert(distComponents(edges: _*) === components(edges: _*),
+          s"trial $trial: $edges")
+    }
   }
 
   test("edge direction and duplicates don't matter") {
