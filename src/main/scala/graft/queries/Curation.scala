@@ -59,14 +59,22 @@ object Curation {
           .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
           .groupBy("doc_id")
           .agg(sum("c").as("n_bigram"), max("c").as("top_bigram_c"))
-        tokStats.join(bgStats, Seq("doc_id"), "left")
+        // anchor on the full documents frame, not the exploded stats:
+        // a doc whose text tokenizes to nothing would otherwise vanish
+        // from the output (explode of an empty array drops the row on
+        // both engines — an omission the oracle cannot catch); report
+        // it with all-zero signals instead
+        base.select("doc_id")
+          .join(tokStats, Seq("doc_id"), "left")
+          .join(bgStats, Seq("doc_id"), "left")
           .select(col("doc_id"),
-            col("n_tok").cast("long").as("n_tok"),
-            col("n_distinct").cast("long").as("n_distinct"),
-            col("top_tok_c").cast("long").as("top_tok_c"),
+            coalesce(col("n_tok"), lit(0L)).cast("long").as("n_tok"),
+            coalesce(col("n_distinct"), lit(0L)).cast("long").as("n_distinct"),
+            coalesce(col("top_tok_c"), lit(0L)).cast("long").as("top_tok_c"),
             coalesce(col("top_bigram_c"), lit(0L)).cast("long")
               .as("top_bigram_c"),
-            expr("top_tok_c * 1000 div n_tok").as("top_tok_pm"),
+            expr("cast(coalesce(top_tok_c * 1000 div n_tok, 0) as bigint)")
+              .as("top_tok_pm"),
             expr("cast(coalesce(top_bigram_c * 1000 div n_bigram, 0) as bigint)")
               .as("top_bigram_pm"))
           .orderBy("doc_id")
@@ -96,15 +104,18 @@ object Curation {
         bs AS (
           SELECT doc_id, SUM(c) AS n_bigram, MAX(c) AS top_bigram_c
           FROM bc GROUP BY doc_id)
-        SELECT ts.doc_id AS doc_id,
-               CAST(n_tok AS BIGINT) AS n_tok,
-               CAST(n_distinct AS BIGINT) AS n_distinct,
-               CAST(top_tok_c AS BIGINT) AS top_tok_c,
+        SELECT d.doc_id AS doc_id,
+               CAST(COALESCE(n_tok, 0) AS BIGINT) AS n_tok,
+               CAST(COALESCE(n_distinct, 0) AS BIGINT) AS n_distinct,
+               CAST(COALESCE(top_tok_c, 0) AS BIGINT) AS top_tok_c,
                CAST(COALESCE(top_bigram_c, 0) AS BIGINT) AS top_bigram_c,
-               CAST(top_tok_c * 1000 // n_tok AS BIGINT) AS top_tok_pm,
+               CAST(COALESCE(top_tok_c * 1000 // n_tok, 0) AS BIGINT)
+                 AS top_tok_pm,
                CAST(COALESCE(top_bigram_c * 1000 // n_bigram, 0) AS BIGINT)
                  AS top_bigram_pm
-        FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+        FROM documents d
+        LEFT JOIN ts ON d.doc_id = ts.doc_id
+        LEFT JOIN bs ON d.doc_id = bs.doc_id
         ORDER BY doc_id""")),
 
     // ---------------------------------------------------------------- c07
@@ -121,7 +132,13 @@ object Curation {
     "c07_pii_scrub" -> QueryDef(
       build = (spark, dir) => {
         val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
-        val phonePat = "[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+        // guarded: a leading non-digit (or start) keeps a longer digit
+        // run from matching on its tail — without it, 123-456-7890
+        // would redact as '1<PHONE>'. Group 1 is restored in the
+        // replacement ($1 in Java regex, \1 in RE2 — spelled per
+        // engine, same semantics); RE2 has no lookbehind, so a
+        // consumed guard group is the portable anchor.
+        val phonePat = "(^|[^0-9-])([0-9]{1,3}-[0-9]{3}-[0-9]{4})"
         val docs = table(spark, dir, "documents")
         docs
           .withColumn("aug", concat(col("text"),
@@ -134,7 +151,7 @@ object Curation {
               .otherwise(lit(""))))
           .withColumn("redacted",
             regexp_replace(regexp_replace(col("aug"), emailPat, "<EMAIL>"),
-              phonePat, "<PHONE>"))
+              phonePat, "$1<PHONE>"))
           .withColumn("n_email",
             size(expr(s"regexp_extract_all(aug, '$emailPat', 0)")).cast("long"))
           .withColumn("n_phone",
@@ -166,11 +183,11 @@ object Curation {
           SELECT lang, aug,
                  regexp_replace(regexp_replace(aug,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
-                   '[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+                   '(^|[^0-9-])([0-9]{1,3}-[0-9]{3}-[0-9]{4})', '\1<PHONE>', 'g') AS redacted,
                  len(regexp_extract_all(aug,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS n_email,
                  len(regexp_extract_all(aug,
-                   '[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phone
+                   '(^|[^0-9-])([0-9]{1,3}-[0-9]{3}-[0-9]{4})')) AS n_phone
           FROM aug)
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(n_email) AS BIGINT) AS emails_found,

@@ -1,6 +1,7 @@
 package graft.queries
 
-import java.nio.file.Files
+import java.nio.file.{Files, Path}
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.GraftSession
@@ -9,14 +10,31 @@ import graft.GraftSession
   * corpora — the known-answer checks the DuckDB oracle (which only
   * proves cross-engine agreement on the synthetic corpus) can't express.
   */
-class CurationSpec extends AnyFunSuite {
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = GraftSession.build("graft-test")
+
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[Path]
+
+  private def newTmpDir(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    tmpDirs += p
+    p.toString
+  }
+
+  override def afterAll(): Unit = {
+    tmpDirs.foreach { p =>
+      // delete children before parents
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+    }
+    super.afterAll()
+  }
 
   /** Write a crafted documents.parquet into a temp dir shaped like a
     * testdata sf directory, so the queries run on it unchanged. */
   private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft_curation").toString
+    val dir = newTmpDir("graft_curation")
     rows.toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -28,7 +46,9 @@ class CurationSpec extends AnyFunSuite {
       (0L, "spam spam spam spam", "en", "s"), // pure repetition
       (1L, "one two three four", "en", "s"), // no repetition
       (2L, "go go stop go go", "en", "s"), // top tok 4/5, top bigram "go go" 2/4
-      (3L, "solo", "en", "s"))) // single token: no bigrams
+      (3L, "solo", "en", "s"), // single token: no bigrams
+      (4L, "   ", "en", "s"), // whitespace-only: zero tokens
+      (5L, "", "en", "s"))) // empty: zero tokens
     val out = Curation.defs("c06_repetition_signals").build(spark, dir)
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(out(0L).getLong(5) === 1000L) // top_tok_pm
@@ -40,28 +60,42 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L).getLong(6) === 500L) // 2/4 bigrams
     assert(out(3L).getLong(1) === 1L && out(3L).getLong(4) === 0L
       && out(3L).getLong(6) === 0L) // no bigram, fraction reported as 0
+    // zero-token docs are REPORTED (all-zero signals), not dropped —
+    // explode of an empty array would silently omit them
+    assert(out.keySet === Set(0L, 1L, 2L, 3L, 4L, 5L))
+    Seq(4L, 5L).foreach { id =>
+      (1 to 6).foreach(i => assert(out(id).getLong(i) === 0L, s"doc $id col $i"))
+    }
   }
 
   test("c07: injected PII is found and fully redacted; clean docs untouched") {
-    // doc 0: %7 and %11 both 0 → email + phone injected; doc 1: clean
+    // doc 0: %7 and %11 both 0 → email + phone injected; doc 1: clean;
+    // doc 2: a full 10-digit phone in the raw text — the case the
+    // unguarded 2-digit pattern used to redact partially ('1<PHONE>')
     val dir = docsDir(Seq(
       (0L, "hello world", "en", "s"),
-      (1L, "no pii here at all", "en", "s")))
+      (1L, "no pii here at all", "en", "s"),
+      (2L, "call 123-456-7890 now", "en", "s")))
     val out = Curation.defs("c07_pii_scrub").build(spark, dir).collect()
     assert(out.length === 1)
     val r = out(0)
-    assert(r.getLong(1) === 2L) // n_docs
+    assert(r.getLong(1) === 3L) // n_docs
     assert(r.getLong(2) === 1L) // emails_found
-    assert(r.getLong(3) === 1L) // phones_found
-    assert(r.getLong(4) === 1L) // docs_with_pii: only doc 0
+    assert(r.getLong(3) === 2L) // phones_found
+    assert(r.getLong(4) === 2L) // docs_with_pii: docs 0 and 2
     // Re-derive the redaction and prove no PII pattern survives it
     val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
-    val phonePat = "[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    val phonePat = "(^|[^0-9-])([0-9]{1,3}-[0-9]{3}-[0-9]{4})"
     val aug = "hello world contact user0@example.com for details or call 1-555-0000"
-    val redacted = aug.replaceAll(emailPat, "<EMAIL>").replaceAll(phonePat, "<PHONE>")
+    val redacted = aug.replaceAll(emailPat, "<EMAIL>").replaceAll(phonePat, "$1<PHONE>")
     assert(!redacted.matches(s".*($emailPat|$phonePat).*"), redacted)
+    // boundary guard: the 10-digit phone redacts whole — no stray
+    // leading digit left behind
+    val redacted2 = "call 123-456-7890 now".replaceAll(phonePat, "$1<PHONE>")
+    assert(redacted2 === "call <PHONE> now", redacted2)
     assert(r.getLong(5) ===
-      (aug.length + "no pii here at all".length) - (redacted.length + "no pii here at all".length))
+      (aug.length - redacted.length) +
+        ("call 123-456-7890 now".length - redacted2.length))
   }
 
   test("c08: shard stats match a real partitioned export read back") {
@@ -72,7 +106,7 @@ class CurationSpec extends AnyFunSuite {
       spark.read.parquet(s"$dir/documents.parquet").count())
 
     // The export writer uses the same assignment: one directory per shard
-    val out = Files.createTempDirectory("graft_export").toString
+    val out = newTmpDir("graft_export")
     spark.read.parquet(s"$dir/documents.parquet")
       .withColumn("shard", expr(
         "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 64"))
