@@ -36,6 +36,15 @@ object GraftSession {
       // the dominant cost of the edge-partitioning shuffle. DataFrame
       // shuffles use Tungsten's UnsafeRow and don't care.
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // Generated methods between the JVM JIT's 8 KB HugeMethodLimit
+      // and Janino's 64 KB hard cap compile fine but run in the
+      // BYTECODE INTERPRETER — measured 6× slower than Spark's own
+      // non-codegen fallback on the dump-cast stage. Capping at the JIT
+      // limit makes Spark fall back instead of shipping an
+      // uncompilable-by-JIT method; stages are kept under the cap by
+      // construction (compact custom expressions + the OptimizerBarrier
+      // split in convertTable), so this is the backstop, not the plan.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
       .config("spark.ui.enabled", "false")

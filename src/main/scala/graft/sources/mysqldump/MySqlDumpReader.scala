@@ -285,17 +285,24 @@ object MySqlDumpReader {
         else MySqlCasts.scalar(d.t, srcTy, in, offset)
       (spCol, in, out)
     }
-    val castBad = casts.map { case (_, in, out) => in.isNotNull && out.isNull }
-      .reduce(_ || _)
-    val badExpr =
-      if (raw.columns.contains("__ragged")) col("__ragged") || castBad else castBad
-    // single projection: every cast computed exactly once (see the
-    // pgdump reader — re-evaluating the chain in both filter branches
-    // doubled the work and broke whole-stage codegen)
-    val projected = raw.select(
+    // fenced two-stage split — see the pgdump reader's convertTable for
+    // the full rationale (per-column flags keep each generated method
+    // under the JVM JIT's 8 KB limit; the OptimizerBarrier stops
+    // predicate pushdown from re-inlining every cast chain into one
+    // giant filter condition)
+    val stage1 = raw.select(
       casts.map { case (spCol, _, out) => out.as(spCol) } ++
-        Seq(badExpr.as("__bad"),
-          struct(present.map(col): _*).as("__orig")): _*)
+        casts.map { case (spCol, in, out) =>
+          (in.isNotNull && out.isNull).as(s"__badc_$spCol") } ++
+        (if (raw.columns.contains("__ragged")) Seq(col("__ragged")) else Nil) ++
+        Seq(struct(present.map(col): _*).as("__orig")): _*)
+    val badFlags = casts.map { case (spCol, _, _) => col(s"__badc_$spCol") } ++
+      (if (raw.columns.contains("__ragged")) Seq(col("__ragged")) else Nil)
+    val projected = stage1.select(
+      casts.map { case (spCol, _, _) => col(spCol) } ++
+        Seq(graft.functions.OptimizerBarrier.fence(badFlags.reduce(_ || _))
+          .as("__bad"),
+          col("__orig")): _*)
     val good0 = projected.filter(!col("__bad")).drop("__bad", "__orig")
     val quarantine = projected.filter(col("__bad")).select(col("__orig.*"))
 

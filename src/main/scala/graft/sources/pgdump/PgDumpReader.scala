@@ -135,23 +135,15 @@ object PgDumpReader {
       unparseable = bad)
   }
 
-  /** COPY text-format unescape: \\ first (via a sentinel so \\t stays a
-    * literal backslash + t), then the control escapes
-    * (postgres/pgdump.go:122-152). Pure column expressions → codegen. */
-  private val SENTINEL = "\u0000\u0001\u0000"
+  /** COPY text-format unescape (postgres/pgdump.go:122-152): a native
+    * single-pass Expression (graft.functions.CopyUnescape). The earlier
+    * 8-regex chain overflowed Janino's 64 KB method limit once the
+    * quarantine predicate inlined it per column, knocking the bulk path
+    * out of whole-stage codegen; one static call per field keeps the
+    * stage compiled and does the scan in a single pass. */
   def unescapeCopy(c: Column): Column = {
-    var x = regexp_replace(c, "\\\\\\\\", SENTINEL)
-    x = regexp_replace(x, "\\\\t", "\t")
-    x = regexp_replace(x, "\\\\n", "\n")
-    x = regexp_replace(x, "\\\\r", "\r")
-    x = regexp_replace(x, "\\\\b", "\b")
-    x = regexp_replace(x, "\\\\f", "\f")
-    x = regexp_replace(x, "\\\\v", "\u000B")
-    val full = regexp_replace(x, SENTINEL, "\\\\")
-    // the 8-regex chain only runs on values that actually contain a
-    // backslash (rare in real dumps); the contains() guard keeps the
-    // hot path to one substring scan per field
-    when(c.contains("\\"), full).otherwise(c)
+    graft.functions.CopyUnescape.register(SparkSession.active)
+    call_function("copy_unescape", c)
   }
 
   /** The dump as (line, idx) — one distributed text scan, shared by the
@@ -231,17 +223,27 @@ object PgDumpReader {
     // form of the reference's per-row error return. Good rows project to
     // typed Spanner columns; bad rows keep their ORIGINAL strings so the
     // quarantine output is debuggable (K7).
-    val castBad = casts.map { case (_, in, out) => in.isNotNull && out.isNull }
-      .reduce(_ || _)
-    val badExpr =
-      if (raw.columns.contains("__ragged")) col("__ragged") || castBad else castBad
-    // One projection computes every cast exactly once (plus the original
-    // strings for the quarantine side); the good/bad split then filters
-    // on the precomputed flag instead of re-evaluating the cast chain.
-    val projected = raw.select(
+    //
+    // Two projections, fenced: stage 1 computes each column's cast and a
+    // per-column bad flag (each a small expression → its own
+    // JIT-compilable generated method); stage 2 ORs the flags into
+    // `__bad` behind an OptimizerBarrier. Without the fence, predicate
+    // pushdown substitutes EVERY cast chain into one filter condition —
+    // a single generated method past the JVM JIT's 8 KB limit that runs
+    // in the bytecode interpreter (measured 6× slower end-to-end).
+    val stage1 = raw.select(
       casts.map { case (spCol, _, out) => out.as(spCol) } ++
-        Seq(badExpr.as("__bad"),
-          struct(present.map(col): _*).as("__orig")): _*)
+        casts.map { case (spCol, in, out) =>
+          (in.isNotNull && out.isNull).as(s"__badc_$spCol") } ++
+        (if (raw.columns.contains("__ragged")) Seq(col("__ragged")) else Nil) ++
+        Seq(struct(present.map(col): _*).as("__orig")): _*)
+    val badFlags = casts.map { case (spCol, _, _) => col(s"__badc_$spCol") } ++
+      (if (raw.columns.contains("__ragged")) Seq(col("__ragged")) else Nil)
+    val projected = stage1.select(
+      casts.map { case (spCol, _, _) => col(spCol) } ++
+        Seq(graft.functions.OptimizerBarrier.fence(badFlags.reduce(_ || _))
+          .as("__bad"),
+          col("__orig")): _*)
     val good0 = projected.filter(!col("__bad")).drop("__bad", "__orig")
     val quarantine = projected.filter(col("__bad")).select(col("__orig.*"))
 
