@@ -234,6 +234,109 @@ object Curation {
                MAX(doc_id) AS max_doc,
                CAST(SUM(CAST('0x' || substring(md5(text), 1, 8) AS BIGINT))
                  AS BIGINT) AS content_digest
-        FROM documents GROUP BY 1 ORDER BY shard"""))
+        FROM documents GROUP BY 1 ORDER BY shard""")),
+
+    // ---------------------------------------------------------------- c09
+    // Sequence packing (GPT-style concat-and-chunk): per shard, docs are
+    // concatenated in deterministic doc_id order and the token stream is
+    // cut every L=512 tokens; the output is one row per (shard, seq)
+    // with the number of docs contributing to the sequence and the
+    // number of tokens falling inside it — the exact assignment a
+    // pretraining data loader materializes. Packing WITHIN a shard is
+    // the scale design: the only order-dependent step (the running token
+    // offset) is a window partitioned by shard, so a 100 TB corpus packs
+    // as thousands of independent shard-local sorts instead of one
+    // global sort; shard count scales with the corpus (16 here). A doc
+    // spanning a cut contributes to both neighbors (explode over its
+    // [first_seq, last_seq] range — O(n_tok/L + 1) rows per doc, so the
+    // explode's output is ~total_tokens/L rows, not docs × seqs).
+    "c09_sequence_packing" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val L = 512
+        val docs = table(spark, dir, "documents")
+          .select(col("doc_id"),
+            expr(s"${md5Int("cast(doc_id as string)")} % 16").as("shard"),
+            expr(s"cast(size($toks) as bigint)").as("n_tok"))
+          .filter(col("n_tok") > 0) // zero-token docs occupy no stream space
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val spans = docs
+          .withColumn("fin", sum("n_tok").over(w))
+          .withColumn("st", col("fin") - col("n_tok"))
+        spans
+          .select(col("shard"), col("st"), col("fin"),
+            explode(expr(s"sequence(st div $L, (fin - 1) div $L)")).as("seq"))
+          .groupBy("shard", "seq")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(least(col("fin"), (col("seq") + 1) * L) -
+              greatest(col("st"), col("seq") * L)).cast("long").as("n_tokens"))
+          .orderBy("shard", "seq")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 16 AS shard,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                   t -> t <> '')) AS BIGINT) AS n_tok
+          FROM documents),
+        s AS (
+          SELECT shard, n_tok,
+                 CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS fin
+          FROM d WHERE n_tok > 0),
+        e AS (
+          SELECT shard, st, fin,
+                 unnest(range(st // 512, (fin - 1) // 512 + 1)) AS seq
+          FROM (SELECT shard, fin - n_tok AS st, fin FROM s))
+        SELECT shard, seq, COUNT(*) AS n_docs,
+               CAST(SUM(least(fin, (seq + 1) * 512)
+                 - greatest(st, seq * 512)) AS BIGINT) AS n_tokens
+        FROM e GROUP BY shard, seq ORDER BY shard, seq""")),
+
+    // ---------------------------------------------------------------- c10
+    // Incremental (append-batch) dedup: the arriving batch (doc_id % 10
+    // = 0 stands in for "today's crawl") is checked against the existing
+    // corpus AND itself by exact content digest. Verdict per batch doc:
+    // dup_of_base (digest already in the corpus), dup_in_batch (first
+    // occurrence wins inside the batch), kept. Only 16-byte digests ever
+    // shuffle — the text column is dropped before the join — and the
+    // base side collapses to distinct digests first, so at 100 TB the
+    // join is (new-batch digests) × (corpus digest index), the shape an
+    // incremental ingestion pipeline maintains as a bucketed digest
+    // table rather than recomputing (BucketedSink is that seam).
+    "c10_incremental_dedup" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = table(spark, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+        val base = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("digest")).distinct()
+          .withColumn("in_base", lit(1))
+        docs.filter(col("doc_id") % 10 === 0)
+          .join(base, Seq("digest"), "left")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("digest").orderBy("doc_id")))
+          .select(col("doc_id"),
+            when(col("in_base").isNotNull, lit("dup_of_base"))
+              .when(col("rk") > 1, lit("dup_in_batch"))
+              .otherwise(lit("kept")).as("verdict"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+        base AS (SELECT DISTINCT digest FROM d WHERE doc_id % 10 <> 0),
+        batch AS (
+          SELECT doc_id, digest,
+                 row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rk
+          FROM d WHERE doc_id % 10 = 0)
+        SELECT b.doc_id AS doc_id,
+               CASE WHEN base.digest IS NOT NULL THEN 'dup_of_base'
+                    WHEN rk > 1 THEN 'dup_in_batch'
+                    ELSE 'kept' END AS verdict
+        FROM batch b LEFT JOIN base ON b.digest = base.digest
+        ORDER BY doc_id"""))
   )
 }

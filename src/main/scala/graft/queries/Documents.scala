@@ -280,6 +280,88 @@ object Documents {
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(CASE WHEN text <> norm THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
                CAST(SUM(length(text) - length(norm)) AS BIGINT) AS chars_removed
-        FROM n GROUP BY lang ORDER BY lang"""))
+        FROM n GROUP BY lang ORDER BY lang""")),
+
+    // ---------------------------------------------------------------- d09
+    // Per-language vocabulary top-k: the term-frequency head, the table a
+    // tokenizer-training or stopword-selection pass starts from. The
+    // groupBy collapses (lang, token) with map-side partial aggregation
+    // BEFORE anything wide happens, so the window's input is the distinct
+    // vocabulary (≪ token instances); the rank filter itself runs as
+    // WindowGroupLimit, which keeps only k rows per lang on each map side
+    // before the window shuffle. Ties break alphabetically (count desc,
+    // token asc) — deterministic on both engines (binary collation).
+    "d09_vocab_topk" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = table(spark, dir, "documents")
+        docs
+          .select(col("lang"), explode(expr(
+            "filter(split(lower(text), '\\\\s+'), t -> t != '')")).as("token"))
+          .groupBy("lang", "token").agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("lang").orderBy(col("c").desc, col("token"))))
+          .filter(col("rk") <= 10)
+          .select(col("lang"), col("rk").cast("long").as("rk"),
+            col("token"), col("c"))
+          .orderBy("lang", "rk")
+      },
+      oracle = Some("""
+        WITH tf AS (
+          SELECT lang, token, COUNT(*) AS c
+          FROM (SELECT lang,
+                       unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '')) AS token
+                FROM documents)
+          GROUP BY lang, token),
+        ranked AS (
+          SELECT lang, token, c,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY c DESC, token) AS rk
+          FROM tf)
+        SELECT lang, CAST(rk AS BIGINT) AS rk, token, c
+        FROM ranked WHERE rk <= 10 ORDER BY lang, rk""")),
+
+    // ---------------------------------------------------------------- d10
+    // Exact rank-based length percentiles per language (percentile_disc
+    // semantics: the value at row ceil(p·n/100) of the sorted stratum).
+    // Rank arithmetic is pure integer ((p·n + 99) div 100) — no float
+    // percentile interpolation, which differs bit-for-bit across
+    // engines. The sort is one window per stratum — the exact-quantile
+    // lower bound; at 100 TB the same report would come from
+    // approx_percentile's t-digest merge (one scan, mergeable sketches,
+    // rank error ε·n) with this query as its calibration oracle.
+    "d10_length_percentiles" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = table(spark, dir, "documents")
+        val byLen = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+        val stratum = Window.partitionBy("lang")
+        docs
+          .select(col("lang"), col("n_chars"), col("doc_id"))
+          .withColumn("rn", row_number().over(byLen))
+          .withColumn("n", count(lit(1)).over(stratum))
+          .groupBy("lang")
+          .agg(max(col("n")).as("n_docs"),
+            max(when(col("rn") === expr("(50 * n + 99) div 100"),
+              col("n_chars"))).as("p50"),
+            max(when(col("rn") === expr("(90 * n + 99) div 100"),
+              col("n_chars"))).as("p90"),
+            max(when(col("rn") === expr("(99 * n + 99) div 100"),
+              col("n_chars"))).as("p99"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT lang, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM documents)
+        SELECT lang, MAX(n) AS n_docs,
+               MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN n_chars END) AS p50,
+               MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN n_chars END) AS p90,
+               MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS p99
+        FROM r GROUP BY lang ORDER BY lang"""))
   )
 }

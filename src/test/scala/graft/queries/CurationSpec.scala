@@ -120,4 +120,62 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(back === stats, "export partition contents must match the shard stats query")
   }
+
+  test("c09: packing conserves tokens and fills every non-final sequence") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Curation.defs("c09_sequence_packing").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // conservation: packed token mass equals the corpus token mass
+    val totalTok = spark.read.parquet(s"$dir/documents.parquet")
+      .select(expr(
+        "cast(size(filter(split(text, '\\\\s+'), t -> t != '')) as bigint)").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(out.values.map(_._2).sum === totalTok)
+    val byShard = out.groupBy(_._1._1)
+    byShard.foreach { case (shard, seqs) =>
+      val ids = seqs.keys.map(_._2).toSeq.sorted
+      // sequences are contiguous from 0 (concat-and-chunk leaves no gap)
+      assert(ids === (0L until ids.length).toSeq, s"shard $shard gap")
+      // every sequence but the shard's last is exactly full
+      val last = ids.last
+      seqs.foreach { case ((_, seq), (_, nTok)) =>
+        if (seq != last) assert(nTok === 512L, s"shard $shard seq $seq")
+        else assert(nTok >= 1L && nTok <= 512L)
+      }
+    }
+  }
+
+  test("c10: verdicts partition the batch by base/batch/first-seen digest") {
+    val dir = docsDir(Seq(
+      (1L, "alpha text", "en", "s"), (2L, "beta text", "en", "s"), // base
+      (10L, "alpha text", "en", "s"), // digest already in base
+      (20L, "gamma text", "en", "s"), // new digest, first in batch
+      (30L, "gamma text", "en", "s"), // same digest, later doc_id
+      (40L, "delta text", "en", "s"))) // unique
+    val out = Curation.defs("c10_incremental_dedup").build(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(10L -> "dup_of_base", 20L -> "kept",
+      30L -> "dup_in_batch", 40L -> "kept"))
+  }
+
+  test("d09: top-k ranks by count with alphabetical tie-break") {
+    val dir = docsDir(Seq(
+      (0L, "a a a b b c", "en", "s"),
+      (1L, "y x", "fr", "s"))) // x and y tie at 1 → x first
+    val out = Documents.defs("d09_vocab_topk").build(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("en", 1L, "a", 3L), ("en", 2L, "b", 2L), ("en", 3L, "c", 1L),
+      ("fr", 1L, "x", 1L), ("fr", 2L, "y", 1L)))
+  }
+
+  test("d10: rank percentiles hit the exact order statistics") {
+    // lengths 1..10 per lang: p50 = 5th value, p90 = 9th, p99 = 10th
+    val docs = (1 to 10).map(k => (k.toLong, "x" * k, "en", "s"))
+    val dir = docsDir(docs)
+    val r = Documents.defs("d10_length_percentiles").build(spark, dir).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((10L, 5L, 9L, 10L)))
+  }
 }
