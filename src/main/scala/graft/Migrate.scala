@@ -48,16 +48,20 @@ object Migrate {
     val planOverride =
       if (mode == "data-only") Some(SessionFile.read(sessionPath)) else None
 
-    val (tables, plan, stmtStats) = driver match {
+    val (tables, plan, stmtStats, release) = driver match {
       case "pgdump" =>
         val m = graft.sources.pgdump.PgDumpReader.migrate(spark, dumpFile, planOverride)
-        (m.tables, m.plan, m.dump.statementStats)
+        (m.tables, m.plan, m.dump.statementStats, m.release)
       case "mysqldump" =>
         val m = graft.sources.mysqldump.MySqlDumpReader.migrate(spark, dumpFile, planOverride)
-        (m.tables, m.plan, m.dump.statementStats)
+        (m.tables, m.plan, m.dump.statementStats, m.release)
       case other => throw new IllegalArgumentException(s"unknown driver $other")
     }
 
+    // the dump-line cache lives exactly as long as this run: released
+    // after the last sink materializes (or on failure) so a 100 GB dump
+    // doesn't stay pinned in block-manager storage for the session
+    try {
     if (mode != "data-only") {
       // Schema artifacts first (the reference emits them before data so a
       // failed data pass still leaves usable schema files).
@@ -98,6 +102,7 @@ object Migrate {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/report.txt"), report)
     Result(stats.map { case (t, s) => t -> (s.rows, s.badRows) }, report)
+    } finally release()
   }
 
   def main(args: Array[String]): Unit = {

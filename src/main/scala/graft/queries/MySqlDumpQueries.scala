@@ -65,6 +65,7 @@ object MySqlDumpQueries {
       build = (spark, dir) => {
         val path = bulkDump(spark, dir)
         val m = MySqlDumpReader.migrate(spark, path)
+        QueryDef.deferCleanup(m.release)
         val (good, _) = m.tables("lineitem")
         good.agg(count(lit(1)).as("n_rows"))
       },
@@ -73,6 +74,7 @@ object MySqlDumpQueries {
     "p02_mysqldump_customers" -> QueryDef(
       build = (spark, _) => {
         val m = MySqlDumpReader.migrate(spark, fixture)
+        QueryDef.deferCleanup(m.release)
         val (cust, _) = m.tables("customers")
         cust.select(
           col("id"),

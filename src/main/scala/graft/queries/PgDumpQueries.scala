@@ -70,6 +70,7 @@ object PgDumpQueries {
       build = (spark, dir) => {
         val path = bulkDump(spark, dir)
         val m = graft.sources.pgdump.PgDumpReader.migrate(spark, path)
+        QueryDef.deferCleanup(m.release)
         val (good, _) = m.tables("lineitem")
         good.agg(count(lit(1)).as("n_rows"))
       },
@@ -78,6 +79,7 @@ object PgDumpQueries {
     "p01_pgdump_inventory" -> QueryDef(
       build = (spark, _) => {
         val m = PgDumpReader.migrate(spark, fixture)
+        QueryDef.deferCleanup(m.release)
         val (inv, _) = m.tables("inventory")
         inv.select(
           col("sku"),

@@ -24,6 +24,29 @@ final case class QueryDef(
     headline: Boolean = false)
 
 object QueryDef {
+
+  /** Post-materialization cleanups. A build function that caches shared
+    * state the returned frame still references (the dump readers' line
+    * scan) can't unpersist at build time without losing the sharing, and
+    * has no way to see when the caller's write action finishes — so it
+    * registers the release here and the harnesses (Bench, Verify) drain
+    * the queue after each query materializes. Queues, not a single slot:
+    * a build may register several handles, and a failed query's handle
+    * still runs before the next query's build. */
+  private val pendingCleanups =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]
+
+  def deferCleanup(f: () => Unit): Unit = pendingCleanups.add(f)
+
+  def drainCleanups(): Unit = {
+    var f = pendingCleanups.poll()
+    while (f != null) {
+      try f() catch { case e: Throwable =>
+        System.err.println(s"[cleanup] ${e.getMessage}") }
+      f = pendingCleanups.poll()
+    }
+  }
+
   /** Load one testdata table. Column pruning + predicate pushdown reach the
     * parquet scan automatically because the plan stays declarative. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =

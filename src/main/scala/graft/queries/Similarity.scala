@@ -70,6 +70,9 @@ object Similarity {
         // materialization (MEMORY_AND_DISK spills instead of OOMing).
         val sh = shingled(spark, dir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the returned plan is lazy over sh, so the release has to wait
+        // for the caller's materialization — harness-drained cleanup
+        QueryDef.deferCleanup(() => { sh.unpersist(false); () })
         val bands = sh
           .withColumn("mh", expr(s"array(${(0 until 6).map(mh).mkString(",")})"))
           .select(col("doc_id"), posexplode(expr(

@@ -194,6 +194,10 @@ object TextMedia {
         fps.unpersist(false)
         dfp.unpersist(false)
         graft.operators.ConnectedComponents.releaseLabels(cc)
+        // out itself is released after the caller materializes it —
+        // without this the persisted result pinned storage for the
+        // session and pass N+1 of the bench re-read pass N's cache
+        QueryDef.deferCleanup(() => { out.unpersist(false); () })
         out
       },
       oracle = Some(s"""

@@ -31,7 +31,10 @@ object MySqlDumpReader {
       plan: SchemaConverter.ConversionPlan,
       dump: MySqlDumpParser.DumpSchema,
       /** spanner table → (good rows, quarantined raw rows) */
-      tables: Map[String, (DataFrame, DataFrame)])
+      tables: Map[String, (DataFrame, DataFrame)],
+      /** Drops the shared dump-line cache once sinks have materialized —
+        * see PgDumpReader.Migration.release for the rationale. */
+      release: () => Unit = () => ())
 
   /** Sequential driver-side schema pass — for spark-less callers. The
     * migration path uses the distributed overload. */
@@ -337,6 +340,6 @@ object MySqlDumpReader {
       }
       spName -> frames
     }.toMap
-    Migration(plan, dump, tables)
+    Migration(plan, dump, tables, () => { lines.unpersist(blocking = false); () })
   }
 }

@@ -314,19 +314,66 @@ object PgDumpParser {
     }
   }
 
+  /** CREATE INDEX via a paren-depth scan over the key list. The earlier
+    * single-level regex group (`\(([^)]*)\)`) stopped at the FIRST `)`,
+    * so an expression index — which machine-generated pg_dump emits for
+    * any functional index — captured `lower(name` and corrupted the key.
+    * The reference parses these through pg_query_go's IndexStmt
+    * (postgres/pgdump.go:199-221); its toIndexKeys (pgdump.go:662-671)
+    * only reads plain-column IndexElems, and Spanner secondary indexes
+    * cannot index expressions — so plain-column keys are parsed exactly,
+    * and an index containing an expression element is skipped with a
+    * recorded unexpected condition instead of a silently-mangled key.
+    * Trailing clauses (partial-index WHERE, INCLUDE, WITH, TABLESPACE)
+    * are ignored, as the reference ignores IndexStmt.WhereClause. */
   private def applyCreateIndex(stmt: String,
       tables: mutable.LinkedHashMap[String, SourceTable],
       bad: mutable.ArrayBuffer[String]): Unit = {
-    val re = """(?is)CREATE\s+(UNIQUE\s+)?INDEX\s+(\S+)\s+ON\s+([^(]+?)\s*(?:USING\s+\S+\s*)?\(([^)]*)\)\s*;?""".r
+    val head =
+      """(?is)^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+NOT\s+EXISTS\s+)?("(?:[^"]|"")*"|\S+)\s+ON\s+([\s\S]+)$""".r
+    // plain-column element: (quoted) identifier + optional ordering
+    val plainCol =
+      """(?is)^("(?:[^"]|"")*"|[\p{L}_][\p{L}\p{N}_$]*)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?$""".r
     stmt match {
-      case re(uniq, name, tbl, cols) =>
-        update(tables, unqualify(tbl), bad) { t =>
-          val keys = cols.split(",").map { c =>
-            val parts = c.trim.split("\\s+")
-            SrcKey(unquoteId(parts(0)), desc = parts.exists(_.equalsIgnoreCase("DESC")))
-          }.toSeq
-          t.copy(indexes = t.indexes :+ SrcIndex(unquoteId(name), uniq != null, keys))
+      case head(uniq, name, rest0) =>
+        // table identifier: up to the first unquoted whitespace or '('
+        var i = 0; var inDq = false
+        while (i < rest0.length && (inDq ||
+            !(rest0.charAt(i).isWhitespace || rest0.charAt(i) == '('))) {
+          if (rest0.charAt(i) == '"') inDq = !inDq
+          i += 1
         }
+        val tbl = rest0.substring(0, i)
+        var rest = rest0.substring(i).dropWhile(_.isWhitespace)
+        rest = "(?is)^USING\\s+\\S+\\s*([\\s\\S]*)$".r.findFirstMatchIn(rest)
+          .map(_.group(1).dropWhile(_.isWhitespace)).getOrElse(rest)
+        if (!rest.startsWith("(")) { bad += stmt.linesIterator.next(); return }
+        // matching close paren: depth counter, quote-aware
+        var depth = 0; var inQ = false; var dq = false; var j = 0; var end = -1
+        while (j < rest.length && end < 0) {
+          rest.charAt(j) match {
+            case '\'' if !dq        => inQ = !inQ
+            case '"' if !inQ        => dq = !dq
+            case '(' if !inQ && !dq => depth += 1
+            case ')' if !inQ && !dq => depth -= 1; if (depth == 0) end = j
+            case _ =>
+          }
+          j += 1
+        }
+        if (end < 0) { bad += stmt.linesIterator.next(); return }
+        val elems = splitTopLevel(rest.substring(1, end)).map(_.trim).filter(_.nonEmpty)
+        val keys = elems.map {
+          case plainCol(id, ord) =>
+            Some(SrcKey(unquoteId(id), desc = ord != null && ord.equalsIgnoreCase("DESC")))
+          case _ => None
+        }
+        if (keys.forall(_.isDefined))
+          update(tables, unqualify(tbl), bad) { t =>
+            t.copy(indexes = t.indexes :+
+              SrcIndex(unquoteId(name), uniq != null, keys.flatten))
+          }
+        else bad += s"expression index ${unquoteId(name)} on ${unqualify(tbl)} " +
+          "skipped (Spanner indexes cannot contain expressions)"
       case _ => bad += stmt.linesIterator.next()
     }
   }

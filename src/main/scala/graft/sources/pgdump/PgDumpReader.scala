@@ -32,7 +32,14 @@ object PgDumpReader {
       plan: SchemaConverter.ConversionPlan,
       dump: DumpSchema,
       /** spanner table → (good rows, quarantined raw rows) */
-      tables: Map[String, (DataFrame, DataFrame)])
+      tables: Map[String, (DataFrame, DataFrame)],
+      /** Drops the shared dump-line cache. Call once every sink has
+        * materialized: at the reference's 100 GB envelope the cache is
+        * ~100 GB of block-manager storage, and without an explicit
+        * release it stays pinned for the session's lifetime (the table
+        * frames still work afterwards — they just re-scan the file).
+        * Idempotent; same pattern as ConnectedComponents.releaseLabels. */
+      release: () => Unit = () => ())
 
   /** Sequential driver-side schema pass — for spark-less callers (plan
     * tooling, tests). The migration path uses the distributed overload:
@@ -261,7 +268,9 @@ object PgDumpReader {
   def migrate(spark: SparkSession, path: String,
       planOverride: Option[SchemaConverter.ConversionPlan] = None): Migration = {
     // one cached scan serves boundary discovery AND the data pass; the
-    // cache is MEMORY_AND_DISK, so a 100 GB dump spills instead of OOMing
+    // cache is MEMORY_AND_DISK, so a 100 GB dump spills instead of
+    // OOMing — and Migration.release is the matching unpersist, called
+    // by Migrate.run (and the bench queries) once the sinks materialize
     val lines = indexedLines(spark, path).cache()
     val (dump, freshPlan) = schemaPass(spark, lines)
     val plan = planOverride.getOrElse(freshPlan)
@@ -293,6 +302,6 @@ object PgDumpReader {
       spName -> frames
     }.toMap
 
-    Migration(plan, dump, tables)
+    Migration(plan, dump, tables, () => { lines.unpersist(blocking = false); () })
   }
 }

@@ -97,6 +97,23 @@ class MigrateSpec extends AnyFunSuite {
     assert(!inv.columns.contains("qty"))
   }
 
+  test("dump-line cache is released once the run completes") {
+    val fixture = "src/test/resources/fixtures/sample.pgdump"
+    val out = java.nio.file.Files.createTempDirectory("graft-mig-rel").toString
+    Migrate.run(spark, "pgdump", fixture, out)
+    // Dataset.storageLevel consults the shared CacheManager by plan
+    // equality — a fresh build of the same scan reports NONE only if the
+    // run's cache was actually unpersisted
+    val again = graft.sources.pgdump.PgDumpReader.indexedLines(spark, fixture)
+    assert(again.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    // and the Migration handle itself is idempotent + keeps frames usable
+    val m = graft.sources.pgdump.PgDumpReader.migrate(spark, fixture)
+    m.release(); m.release()
+    assert(m.tables("inventory")._1.count() === 3)
+    assert(graft.sources.pgdump.PgDumpReader.indexedLines(spark, fixture)
+      .storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("mysqldump end-to-end") {
     val out = java.nio.file.Files.createTempDirectory("graft-mig-my").toString
     val r = Migrate.run(spark, "mysqldump",

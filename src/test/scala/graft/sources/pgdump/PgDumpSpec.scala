@@ -34,6 +34,27 @@ class PgDumpSpec extends AnyFunSuite {
     assert(dump.unparseable.isEmpty)
   }
 
+  test("expression indexes: paren-depth scan keeps plain keys exact, skips expr keys with issue") {
+    val ddl =
+      """CREATE TABLE t (a bigint, name text, b bigint);
+        |CREATE INDEX plain_ix ON t USING btree (a DESC, name);
+        |CREATE INDEX expr_ix ON t (lower(name), (a + b));
+        |CREATE UNIQUE INDEX partial_ix ON t (b) WHERE (a > 0);
+        |""".stripMargin
+    val dump = PgDumpParser.parse(ddl.linesIterator)
+    val t = dump.tables("t")
+    // plain and partial indexes parse exactly (partial predicate ignored,
+    // like the reference ignores IndexStmt.WhereClause)
+    assert(t.indexes.map(_.name) === Seq("plain_ix", "partial_ix"))
+    assert(t.indexes.head.keys === Seq(SrcKey("a", desc = true), SrcKey("name")))
+    assert(t.indexes(1).unique && t.indexes(1).keys === Seq(SrcKey("b")))
+    // the expression index is NOT silently mangled (the old single-level
+    // regex captured `lower(name` as a key) — it's skipped with a
+    // recorded condition, and the rest of the dump still round-trips
+    assert(dump.unparseable.exists(m =>
+      m.contains("expression index expr_ix") && m.contains("t")))
+  }
+
   test("conversion plan: name mangling, types, synthetic PK") {
     assert(plan.toSpannerTable("order log") === "order_log")
     assert(plan.toSpannerCols("order log")("order ref") === "order_ref")
