@@ -25,6 +25,19 @@ import org.apache.spark.sql.types.DataType
   *
   * The wrapped VALUE is fully deterministic (pure pass-through); only
   * the optimizer's view changes, so retries/speculative tasks are safe.
+  *
+  * SHARP EDGE — keep fences in Project/Filter position only: because
+  * the node reports nondeterministic, a fence expression in a join
+  * condition dies at analysis with
+  * INVALID_NON_DETERMINISTIC_EXPRESSIONS, and one used as an aggregate
+  * grouping key dies later with an INTERNAL_ERROR SparkException —
+  * both errors read wrong for a value that IS deterministic. The
+  * sanctioned pattern is the
+  * dump readers' quarantine flag: compute the fenced value as a
+  * Project alias, then consume the ATTRIBUTE downstream (filters,
+  * even joins on the alias, are fine — the nondeterminism stays in
+  * the Project, where Spark allows it). OptimizerBarrierSpec pins
+  * both sides; PlanShapeSpec pins the codegen shape it buys.
   */
 case class OptimizerBarrier(child: Expression) extends UnaryExpression {
   override def dataType: DataType = child.dataType

@@ -16,6 +16,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans === 1, s"expected one events scan, plan had $scans:\n$plan")
   }
 
+  test("pg dump cast stage: fence present, casts never inlined into a Filter, scan stage codegens") {
+    val m = graft.sources.pgdump.PgDumpReader.migrate(spark,
+      "src/test/resources/fixtures/sample.pgdump")
+    val (good, _) = m.tables("inventory")
+    val plan = good.queryExecution.executedPlan
+    val s = plan.toString
+    // 1. the OptimizerBarrier fence survives optimization — without it
+    //    PushDownPredicates inlines every cast chain into one filter
+    //    predicate whose generated method blows the JVM JIT's 8 KB limit
+    assert(s.contains("optimizer_barrier"), s)
+    // 2. no Filter carries the cast machinery: quarantine filtering is
+    //    on the fenced ATTRIBUTE only (the cast chains live in Project
+    //    position, each compiled as its own small JIT-able method)
+    val filters = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString }
+    assert(filters.nonEmpty, s)
+    filters.foreach { c =>
+      assert(!c.contains("copy_unescape") && !c.contains("RLIKE") &&
+        !c.contains("gettimestamp"),
+        s"cast chain leaked into a Filter predicate: $c")
+    }
+    // 3. the bulk scan stage (line split + copy_unescape + field
+    //    projection) is inside whole-stage codegen — the hot O(dump
+    //    bytes) path a Spark upgrade must not silently de-compile
+    val wsc = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString }
+    assert(wsc.exists(_.contains("copy_unescape")),
+      s"bulk unescape stage fell out of whole-stage codegen:\n$s")
+    m.release()
+  }
+
   test("q18 bucketed range join emits no duplicate pairs without a distinct") {
     val df = Relational.defs("q18_range_join").build(spark, dir)
     // no dedup operator in the plan...
