@@ -21,7 +21,7 @@ object Curation {
   import QueryDef.table
 
   /** Whitespace tokens, empties dropped (same tokenizer as Documents). */
-  private val toks = "filter(split(text, '\\\\s+'), t -> t != '')"
+  private val toks = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
 
   /** md5-derived 32-bit integer — the engine-agnostic hash used by q19's
     * CMS and d04's fingerprints: Spark conv(hex,16,10) and DuckDB
@@ -82,7 +82,7 @@ object Curation {
       oracle = Some("""
         WITH base AS (
           SELECT doc_id,
-                 list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+                 list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS tk
           FROM documents),
         tc AS (
           SELECT doc_id, tok, COUNT(*) AS c
@@ -278,7 +278,7 @@ object Curation {
           SELECT doc_id,
                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
                    AS BIGINT) % 16 AS shard,
-                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
                    t -> t <> '')) AS BIGINT) AS n_tok
           FROM documents),
         s AS (

@@ -14,16 +14,23 @@ import org.apache.spark.sql.functions._
   * |unique| not |rows|), fingerprinting is a deterministic per-row
   * expression, nothing collects to the driver.
   *
-  * Determinism/oracle notes: tokenization is `\s+` split with empty
-  * tokens dropped — identical in Spark and DuckDB; md5 hex is identical;
-  * ratios are integer permille (x*1000 div y), never floats.
+  * Determinism/oracle notes: tokenization splits on the EXPLICIT
+  * whitespace class `[ \t\n\r\f]+` with empty tokens dropped — spelled
+  * out because Java's `\s` (Spark) and RE2's `\s` (DuckDB) disagree on
+  * U+000B, so the metacharacter is only parity-safe on ASCII-space-only
+  * corpora while the explicit class is parity-safe everywhere; md5 hex
+  * is identical across engines; ratios are integer permille
+  * (x*1000 div y), never floats. Residual non-ASCII caveat: `lower()`
+  * still follows each engine's Unicode tables (e.g. 'İ'), so queries
+  * that lowercase before tokenizing keep an ASCII-letters assumption.
   */
 object Documents {
   import QueryDef.table
 
   /** Whitespace tokens, empties dropped (parity: DuckDB
-    * list_filter(string_split_regex(text,'\s+'), t -> t <> '')). */
-  private val toks = "filter(split(text, '\\\\s+'), t -> t != '')"
+    * list_filter(string_split_regex(text,'[ \t\n\r\f]+'), t -> t <> '')).
+    * Explicit class, not \s — see the object Scaladoc. */
+  private val toks = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
   private val stopArr = "array('the','a','of','to','and')"
   /** Bag-of-words content fingerprint: md5 over the sorted distinct token
     * set — catches reordered/duplicated-content documents that raw-text
@@ -71,9 +78,9 @@ object Documents {
       oracle = Some("""
         WITH t AS (
           SELECT lang,
-                 CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
                  CAST(length(text) AS BIGINT) AS n_chars,
-                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
                       t -> list_contains(['the','a','of','to','and'], t))) AS BIGINT) AS n_stop
           FROM documents)
         SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
@@ -112,8 +119,8 @@ object Documents {
       oracle = Some("""
         WITH t AS (
           SELECT lang,
-                 CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
-                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
                       t -> list_contains(['the','a','of','to','and'], t))) AS BIGINT) AS n_stop,
                  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
           FROM documents),
@@ -145,7 +152,7 @@ object Documents {
       },
       oracle = Some("""
         SELECT md5(array_to_string(list_sort(list_distinct(
-                 list_filter(string_split_regex(text, '\s+'), t -> t <> ''))), ' ')) AS fp,
+                 list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> ''))), ' ')) AS fp,
                MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
         FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""")),
 
@@ -232,7 +239,7 @@ object Documents {
       },
       oracle = Some("""
         WITH tot AS (
-          SELECT lang, CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+          SELECT lang, CAST(SUM(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
                  t -> t <> ''))) AS BIGINT) AS n_tok
           FROM documents GROUP BY lang),
         calc AS (
@@ -261,7 +268,7 @@ object Documents {
       build = (spark, dir) => {
         val docs = table(spark, dir, "documents")
         val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
-          "'[!-/:-@\\\\[-`{-~]', ' '), '\\\\s+', ' '))"
+          "'[!-/:-@\\\\[-`{-~]', ' '), '[ \\\\t\\\\n\\\\r\\\\f]+', ' '))"
         docs
           .select(col("lang"), col("text"), expr(norm).as("norm"))
           .groupBy("lang")
@@ -275,7 +282,7 @@ object Documents {
         WITH n AS (
           SELECT lang, text,
                  trim(regexp_replace(regexp_replace(lower(text),
-                   '[!-/:-@\[-`{-~]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+                   '[!-/:-@\[-`{-~]', ' ', 'g'), '[ \t\n\r\f]+', ' ', 'g')) AS norm
           FROM documents)
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(CASE WHEN text <> norm THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
@@ -297,7 +304,7 @@ object Documents {
         val docs = table(spark, dir, "documents")
         docs
           .select(col("lang"), explode(expr(
-            "filter(split(lower(text), '\\\\s+'), t -> t != '')")).as("token"))
+            "filter(split(lower(text), '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')")).as("token"))
           .groupBy("lang", "token").agg(count(lit(1)).as("c"))
           .withColumn("rk", row_number().over(
             Window.partitionBy("lang").orderBy(col("c").desc, col("token"))))
@@ -310,7 +317,7 @@ object Documents {
         WITH tf AS (
           SELECT lang, token, COUNT(*) AS c
           FROM (SELECT lang,
-                       unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                       unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
                          t -> t <> '')) AS token
                 FROM documents)
           GROUP BY lang, token),

@@ -29,7 +29,7 @@ object Similarity {
 
   /** Tokens → distinct word 3-gram shingles (docs under 3 tokens fall
     * back to their distinct token set). */
-  private val tk = "filter(split(text, '\\\\s+'), t -> t != '')"
+  private val tk = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
   private val shingles =
     s"""CASE WHEN size($tk) >= 3
           THEN array_distinct(transform(sequence(1, size($tk) - 2),
@@ -50,6 +50,17 @@ object Similarity {
   /** Shared shingle-set frame: doc_id, sh. */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents").select(col("doc_id"), expr(shingles).as("sh"))
+
+  /** (doc_id, bi, bh) band-bucket frame of the m01 LSH scheme — the
+    * candidate-generation key, SQL side. Exposed so the streaming
+    * operator's Scala re-implementation can be parity-pinned against it
+    * (StreamingMinHashSpec). */
+  private[graft] def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
+      .withColumn("mh", expr(s"array(${(0 until 6).map(mh).mkString(",")})"))
+      .select(col("doc_id"), posexplode(expr(
+        "array(md5(concat(mh[0], mh[1])), md5(concat(mh[2], mh[3])), md5(concat(mh[4], mh[5])))"))
+        .as(Seq("bi", "bh")))
 
   val defs: Map[String, QueryDef] = Map(
     // ---------------------------------------------------------------- m01
@@ -98,7 +109,7 @@ object Similarity {
       },
       oracle = Some("""
         WITH tkn AS (
-          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+          SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS tk
           FROM documents),
         shn AS (
           SELECT doc_id, CASE WHEN len(tk) >= 3
@@ -149,7 +160,7 @@ object Similarity {
       },
       oracle = Some("""
         WITH tkn AS (
-          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+          SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS tk
           FROM documents),
         shn AS (
           SELECT doc_id, CASE WHEN len(tk) >= 3
@@ -191,7 +202,7 @@ object Similarity {
       },
       oracle = Some("""
         WITH tkn AS (
-          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+          SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS tk
           FROM documents),
         shn AS (
           SELECT doc_id, CASE WHEN len(tk) >= 3

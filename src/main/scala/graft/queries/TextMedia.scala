@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object TextMedia {
   import QueryDef.table
 
-  private val toks = "filter(split(text, '\\\\s+'), t -> t != '')"
+  private val toks = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
 
   // ------------------------------------------------------------ SimHash
   // 32-bit SimHash from the low bit of each of md5's 32 hex digits:
@@ -90,7 +90,7 @@ object TextMedia {
   private val simhashCtes = s"""
         tok AS (
           SELECT doc_id, unnest(list_distinct(
-            list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS token
+            list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), t -> t <> ''))) AS token
           FROM documents),
         hs AS (SELECT doc_id, $hashWordDuck AS v
                FROM (SELECT doc_id, md5(token) AS h FROM tok)),
@@ -254,7 +254,7 @@ object TextMedia {
     "d06_langid_confusion" -> QueryDef(
       build = (spark, dir) => {
         val docs = table(spark, dir, "documents")
-        val lt = "filter(split(lower(text), '\\\\s+'), t -> t != '')"
+        val lt = "filter(split(lower(text), '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
         def score(words: String) =
           s"size(filter($lt, t -> array_contains(array($words), t)))"
         docs
@@ -276,7 +276,7 @@ object TextMedia {
       oracle = Some("""
         WITH t AS (
           SELECT lang,
-            list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS lt,
+            list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'), t -> t <> '') AS lt,
             regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
           FROM documents),
         s AS (
@@ -305,7 +305,7 @@ object TextMedia {
     "d07_bpe_token_stats" -> QueryDef(
       build = (spark, dir) => {
         val docs = table(spark, dir, "documents")
-        val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]"
+        val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\\\t\\\\n\\\\r\\\\f]"
         docs
           .select(col("lang"),
             expr(s"cast(size(regexp_extract_all(text, '$pat', 0)) as bigint)")
@@ -320,7 +320,7 @@ object TextMedia {
       oracle = Some("""
         WITH t AS (
           SELECT lang,
-                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]')) AS BIGINT) AS n_bpe
           FROM documents)
         SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_bpe) AS BIGINT) AS total_bpe,
                MAX(n_bpe) AS max_bpe, MIN(n_bpe) AS min_bpe

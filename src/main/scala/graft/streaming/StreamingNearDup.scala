@@ -41,7 +41,9 @@ object StreamingNearDup {
     * word; bit i votes +1 if set else −1; fp bit i = vote > 0. */
   def simhash32(text: String): Long = {
     val votes = new Array[Int](32)
-    text.split("\\s+").iterator.filter(_.nonEmpty).toSet[String].foreach { t =>
+    // explicit whitespace class, matching the SQL tokenizers (Java \s
+    // and RE2 \s disagree on U+000B — see Documents' Scaladoc)
+    text.split("[ \t\n\r\f]+").iterator.filter(_.nonEmpty).toSet[String].foreach { t =>
       val v = java.lang.Long.parseLong(md5hex(t).substring(0, 8), 16)
       var i = 0
       while (i < 32) {
