@@ -31,3 +31,32 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// ---------------------------------------------------------------------------
+// Optional external-client modules (modules/README.md). The default build
+// excludes them: their dependencies (Cloud Spanner client, AWS SDK v2) are
+// not in the zero-egress image, and everything above the client seams is
+// compiled + tested in the main tree against injectable fakes. Set the env
+// flag(s) on a machine with artifact access to compile the live glue and
+// its env-gated integration suites.
+val withSpanner = sys.env.contains("GRAFT_WITH_SPANNER")
+val withAwsDynamo = sys.env.contains("GRAFT_WITH_AWS_DYNAMO")
+Compile / unmanagedSourceDirectories ++=
+  (if (withSpanner)
+    Seq(baseDirectory.value / "modules" / "spanner" / "src" / "main" / "scala")
+  else Seq.empty) ++
+  (if (withAwsDynamo)
+    Seq(baseDirectory.value / "modules" / "dynamodb" / "src" / "main" / "scala")
+  else Seq.empty)
+Test / unmanagedSourceDirectories ++=
+  (if (withSpanner)
+    Seq(baseDirectory.value / "modules" / "spanner" / "src" / "test" / "scala")
+  else Seq.empty) ++
+  (if (withAwsDynamo)
+    Seq(baseDirectory.value / "modules" / "dynamodb" / "src" / "test" / "scala")
+  else Seq.empty)
+libraryDependencies ++=
+  (if (withSpanner) Seq("com.google.cloud" % "google-cloud-spanner" % "6.71.0")
+  else Seq.empty) ++
+  (if (withAwsDynamo) Seq("software.amazon.awssdk" % "dynamodb" % "2.25.60")
+  else Seq.empty)
