@@ -337,6 +337,95 @@ object Curation {
                     WHEN rk > 1 THEN 'dup_in_batch'
                     ELSE 'kept' END AS verdict
         FROM batch b LEFT JOIN base ON b.digest = base.digest
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- c11
+    // Exact substring dedup (the Lee et al. "Deduplicating Training Data"
+    // scheme, re-expressed relationally): a W-token window whose hash
+    // occurs more than once ANYWHERE in the corpus — across documents or
+    // repeated inside one — marks a duplicated span; overlapping
+    // duplicated windows merge into maximal spans per document
+    // (gaps-and-islands over window positions). Output per affected doc:
+    // number of maximal duplicated spans and total duplicated tokens —
+    // the numbers a pipeline uses to clip or drop boilerplate.
+    //
+    // Scale shape: windows are a per-row transform+explode — O(tokens)
+    // rows of (doc_id, pos, 16-byte hash), never window text; the global
+    // duplicate test is one count() OVER (PARTITION BY h) — a single
+    // hash-partitioned shuffle, no self-join; span merging is
+    // doc-partitioned window work. At 100 TB swap md5 for xxhash64
+    // (8-byte, codegen) — md5 here because the oracle must hash
+    // identically in both engines. The suffix-array original finds
+    // arbitrary-length duplicates; fixed-W windows find every duplicate
+    // of length ≥ W and report it clipped to window granularity — the
+    // approximation the paper itself ships for map-reduce settings.
+    "c11_substring_dedup" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val W = 20
+        val wins = table(spark, dir, "documents")
+          .select(col("doc_id"), expr(toks).as("tk"))
+          .filter(expr(s"size(tk) >= $W"))
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(1, size(tk) - $W + 1), i -> named_struct('pos', cast(i as bigint), 'h', md5(concat_ws(' ', slice(tk, i, $W)))))"))
+            .as("w"))
+          .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+        val dup = wins
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+          .filter(col("cnt") >= 2)
+          .select(col("doc_id"), col("pos"))
+        // gaps-and-islands: a window starts a new span iff it begins past
+        // everything the previous windows of this doc covered
+        val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+        val spans = dup
+          .withColumn("prev_end", max(col("pos") + (W - 1)).over(
+            byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_span",
+            when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+              .otherwise(0L))
+          .withColumn("span_id", sum("new_span").over(
+            byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("doc_id", "span_id")
+          .agg((max(col("pos")) + (W - 1) - min(col("pos")) + 1).as("span_tokens"))
+        spans.groupBy("doc_id")
+          .agg(count(lit(1)).as("dup_spans"),
+            sum("span_tokens").cast("long").as("dup_tokens"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), t -> t <> '') AS tk
+          FROM documents),
+        wins AS (
+          SELECT doc_id,
+                 unnest(range(1, len(tk) - 20 + 2)) AS pos,
+                 unnest(list_transform(range(1, len(tk) - 20 + 2),
+                   i -> md5(array_to_string(tk[i:i+19], ' ')))) AS h
+          FROM tk WHERE len(tk) >= 20),
+        dup AS (
+          SELECT doc_id, CAST(pos AS BIGINT) AS pos
+          FROM (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS cnt FROM wins)
+          WHERE cnt >= 2),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS new_span
+          FROM (SELECT doc_id, pos,
+                       MAX(pos + 19) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+                FROM dup)),
+        sp AS (
+          SELECT doc_id,
+                 SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id,
+                 pos
+          FROM isl),
+        agg AS (
+          SELECT doc_id, span_id,
+                 MAX(pos) + 19 - MIN(pos) + 1 AS span_tokens
+          FROM sp GROUP BY doc_id, span_id)
+        SELECT doc_id, COUNT(*) AS dup_spans,
+               CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+        FROM agg GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -192,6 +192,26 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       30L -> "dup_in_batch", 40L -> "kept"))
   }
 
+  test("c11: within-doc repeats split spans, cross-doc windows merge, short docs excluded") {
+    val a = (1 to 20).map(i => s"a$i").mkString(" ") // exactly W tokens
+    val b = (1 to 25).map(i => s"b$i").mkString(" ")
+    val dir = docsDir(Seq(
+      // the 20-token block repeats inside ONE doc around a filler token:
+      // dup windows at pos 1 and 22 are disjoint → two 20-token spans
+      (1L, s"$a filler $a", "en", "s"),
+      // docs 2 and 3 share a 25-token prefix: six overlapping dup
+      // windows (pos 1..6) merge into ONE maximal 25-token span each
+      (2L, s"$b xb1 xb2 xb3 xb4 xb5", "en", "s"),
+      (3L, s"$b yc1 yc2 yc3 yc4 yc5", "en", "s"),
+      // under W tokens: no windows, even though it duplicates nothing
+      (4L, (1 to 10).map(i => s"d$i").mkString(" "), "en", "s"),
+      // ≥ W tokens but nothing repeated: absent from the output
+      (5L, (1 to 30).map(i => s"e$i").mkString(" "), "en", "s")))
+    val out = Curation.defs("c11_substring_dedup").build(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(1L -> ((2L, 40L)), 2L -> ((1L, 25L)), 3L -> ((1L, 25L))))
+  }
+
   test("d09: top-k ranks by count with alphabetical tie-break") {
     val dir = docsDir(Seq(
       (0L, "a a a b b c", "en", "s"),
