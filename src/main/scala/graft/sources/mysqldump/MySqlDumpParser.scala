@@ -209,11 +209,11 @@ object MySqlDumpParser {
         pks = keyList(item)
       } else if (up.startsWith("UNIQUE KEY") || up.startsWith("UNIQUE INDEX") ||
                  up.startsWith("UNIQUE (")) {
-        indexes += SrcIndex(constraintName(item, "UNIQUE"), unique = true,
-          keyList(item))
+        addIndex(indexes, notes, name, item, constraintName(item, "UNIQUE"),
+          unique = true)
       } else if (up.startsWith("KEY") || up.startsWith("INDEX")) {
-        indexes += SrcIndex(constraintName(item, "KEY"), unique = false,
-          keyList(item))
+        addIndex(indexes, notes, name, item, constraintName(item, "KEY"),
+          unique = false)
       } else if (up.startsWith("CONSTRAINT") || up.startsWith("FOREIGN KEY")) {
         parseInlineFk(item) match {
           case Some(fk) => fks += fk
@@ -322,16 +322,45 @@ object MySqlDumpParser {
     }
   }
 
+  /** CREATE INDEX via a paren-depth scan (mirrors the pg parser): the
+    * old single-level regex stopped at the first `)`, mangling MySQL 8
+    * functional indexes `CREATE INDEX i ON t ((lower(name)))`. Plain
+    * columns (incl. prefix lengths and ASC/DESC) parse exactly; an
+    * index with a functional part is skipped with a recorded condition. */
   private def applyCreateIndex(stmt: String,
       tables: mutable.LinkedHashMap[String, SourceTable],
       bad: mutable.ArrayBuffer[String]): Unit = {
-    val re = """(?is)CREATE\s+(UNIQUE\s+)?INDEX\s+(\S+)\s+ON\s+(\S+)\s*\(([^)]*)\)\s*;?""".r
+    val head =
+      """(?is)^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(`(?:[^`]|``)*`|\S+)\s+ON\s+([\s\S]+)$""".r
     stmt match {
-      case re(uniq, name, tbl, cols) =>
-        update(tables, unquoteId(tbl), bad) { t =>
-          val keys = cols.split(",").map(c => SrcKey(unquoteId(c.trim.split("\\s+")(0)))).toSeq
-          t.copy(indexes = t.indexes :+ SrcIndex(unquoteId(name), uniq != null, keys))
+      case head(uniq, name, rest0) =>
+        // table identifier: up to the first unbacktick'd whitespace or '('
+        var i = 0; var inBt = false
+        while (i < rest0.length && (inBt ||
+            !(rest0.charAt(i).isWhitespace || rest0.charAt(i) == '('))) {
+          if (rest0.charAt(i) == '`') inBt = !inBt
+          i += 1
         }
+        val tbl = rest0.substring(0, i)
+        val rest = rest0.substring(i).dropWhile(_.isWhitespace)
+        val open = rest.indexOf('(')
+        val close = if (open == 0) matchingParen(rest, 0) else -1
+        if (close < 0) { bad += stmt.linesIterator.next(); return }
+        val parts = splitTopLevel(rest.substring(1, close))
+          .map(_.trim).filter(_.nonEmpty).map { c =>
+            if (c.startsWith("(")) None // functional key part
+            else {
+              val (id, _) = takeIdentifier(c)
+              Some(SrcKey(id.takeWhile(_ != '(')))
+            }
+          }
+        if (parts.forall(_.isDefined))
+          update(tables, unquoteId(tbl), bad) { t =>
+            t.copy(indexes = t.indexes :+
+              SrcIndex(unquoteId(name), uniq != null, parts.flatten))
+          }
+        else bad += s"functional index ${unquoteId(name)} on ${unquoteId(tbl)} " +
+          "skipped (Spanner indexes cannot contain expressions)"
       case _ => bad += stmt.linesIterator.next()
     }
   }
@@ -346,15 +375,41 @@ object MySqlDumpParser {
 
   // -------------------------------------------------------------- utils
 
-  /** Key list from `PRIMARY KEY (`a`,`b`)` / `KEY name (c(10), d)`. */
-  private def keyList(item: String): Seq[SrcKey] = {
+  /** Key parts of `PRIMARY KEY (`a`,`b`)` / `KEY name (c(10), d DESC)`.
+    * A functional key part — `(expr)`, the parenthesized form MySQL 8
+    * requires for expression indexes — has no plain column and maps to
+    * None, so index-building callers can skip the whole index with a
+    * recorded note instead of mangling the key (the pg parser's
+    * expression-index posture; Spanner cannot index expressions).
+    * Prefix lengths `col(10)` and trailing ASC/DESC are stripped. */
+  private def keyParts(item: String): Seq[Option[SrcKey]] = {
     val open = item.indexOf('(')
     val close = matchingParen(item, open)
     if (open < 0 || close < 0) return Nil
-    splitTopLevel(item.substring(open + 1, close)).map { c =>
-      // prefix-length keys `col(10)` → col
-      SrcKey(unquoteId(c.trim.takeWhile(_ != '(')))
-    }
+    splitTopLevel(item.substring(open + 1, close))
+      .map(_.trim).filter(_.nonEmpty).map { c =>
+        if (c.startsWith("(")) None // functional key part
+        else {
+          val (id, _) = takeIdentifier(c)
+          Some(SrcKey(id.takeWhile(_ != '(')))
+        }
+      }
+  }
+
+  /** Plain-column key list (PRIMARY KEY — expressions impossible). */
+  private def keyList(item: String): Seq[SrcKey] = keyParts(item).flatten
+
+  /** Append an inline KEY/UNIQUE KEY index, or record a note when it
+    * contains a functional key part. */
+  private def addIndex(indexes: mutable.ArrayBuffer[SrcIndex],
+      notes: mutable.ArrayBuffer[String], table: String, item: String,
+      ixName: String, unique: Boolean): Unit = {
+    val parts = keyParts(item)
+    if (parts.nonEmpty && parts.forall(_.isDefined))
+      indexes += SrcIndex(ixName, unique, parts.flatten)
+    else if (parts.nonEmpty)
+      notes += s"functional index $ixName in $table skipped " +
+        "(Spanner indexes cannot contain expressions)"
   }
 
   /** Name between the KEY/UNIQUE keyword and the paren, if any. */

@@ -40,6 +40,34 @@ class MySqlDumpSpec extends AnyFunSuite {
       Seq("spatial type point on column loc mapped via NoGoodType"))
   }
 
+  test("functional indexes: plain keys exact, expression keys skipped with note") {
+    val ddl =
+      """CREATE TABLE t (
+        |  a bigint,
+        |  name text,
+        |  b bigint,
+        |  KEY plain_ix (a, name(10) DESC),
+        |  UNIQUE KEY fn_ix ((lower(name))),
+        |  KEY mixed_ix (a, (a + b))
+        |);
+        |CREATE INDEX ext_plain ON t (`b`);
+        |CREATE INDEX ext_fn ON t ((lower(name)), a);
+        |""".stripMargin
+    val dump = MySqlDumpParser.parse(ddl.linesIterator)
+    val t = dump.tables("t")
+    // plain-column indexes parse exactly: prefix length and DESC
+    // stripped, backticks unquoted — never `name(10` or `a DESC` keys
+    assert(t.indexes.map(_.name) === Seq("plain_ix", "ext_plain"))
+    assert(t.indexes.head.keys === Seq(SrcKey("a"), SrcKey("name")))
+    assert(t.indexes(1).keys === Seq(SrcKey("b")))
+    // MySQL 8 functional key parts `(expr)` skip the index with a note
+    // (inline KEY, inline UNIQUE KEY, and CREATE INDEX forms alike)
+    Seq("fn_ix", "mixed_ix", "ext_fn").foreach { ix =>
+      assert(dump.unparseable.exists(m =>
+        m.contains(s"functional index $ix") && m.contains("t")), ix)
+    }
+  }
+
   test("type mapping: tinyint(1) bool, set array, enum/json string, spatial fallback") {
     val c = plan.spSchema("customers")
     assert(c.colDefs("active").t.render === "BOOL")
