@@ -42,7 +42,7 @@ object Curation {
     // hash-partitioned on doc_id, so the final join is co-located.
     "c06_repetition_signals" -> QueryDef(
       build = (spark, dir) => {
-        val base = table(spark, dir, "documents")
+        val base = QueryDef.spread(spark, dir, "documents")
           .select(col("doc_id"), expr(toks).as("tk"))
         val tokStats = base
           .select(col("doc_id"), explode(col("tk")).as("tok"))
@@ -139,7 +139,7 @@ object Curation {
         // engine, same semantics); RE2 has no lookbehind, so a
         // consumed guard group is the portable anchor.
         val phonePat = "(^|[^0-9-])([0-9]{1,3}-[0-9]{3}-[0-9]{4})"
-        val docs = table(spark, dir, "documents")
+        val docs = QueryDef.spread(spark, dir, "documents")
         docs
           .withColumn("aug", concat(col("text"),
             when(col("doc_id") % 7 === 0,
@@ -254,7 +254,7 @@ object Curation {
       build = (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
         val L = 512
-        val docs = table(spark, dir, "documents")
+        val docs = QueryDef.spread(spark, dir, "documents")
           .select(col("doc_id"),
             expr(s"${md5Int("cast(doc_id as string)")} % 16").as("shard"),
             expr(s"cast(size($toks) as bigint)").as("n_tok"))
@@ -363,7 +363,7 @@ object Curation {
       build = (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
         val W = 20
-        val wins = table(spark, dir, "documents")
+        val wins = QueryDef.spread(spark, dir, "documents")
           .select(col("doc_id"), expr(toks).as("tk"))
           .filter(expr(s"size(tk) >= $W"))
           .select(col("doc_id"), explode(expr(

@@ -60,7 +60,7 @@ object Documents {
     // Token statistics per language: docs, tokens, chars, stopword counts.
     "d02_token_stats" -> QueryDef(
       build = (spark, dir) => {
-        val docs = table(spark, dir, "documents")
+        val docs = QueryDef.spread(spark, dir, "documents")
         docs.select(col("lang"),
             expr(s"size($toks)").cast("bigint").as("n_tokens"),
             length(col("text")).cast("bigint").as("n_chars"),
@@ -94,7 +94,7 @@ object Documents {
     // integer arithmetic (x*1000 DIV y) so both engines agree bit-for-bit.
     "d03_quality_score" -> QueryDef(
       build = (spark, dir) => {
-        val docs = table(spark, dir, "documents")
+        val docs = QueryDef.spread(spark, dir, "documents")
         docs.select(col("lang"),
             expr(s"size($toks)").cast("bigint").as("n_tokens"),
             expr(s"size(filter($toks, t -> array_contains($stopArr, t)))")
@@ -144,7 +144,7 @@ object Documents {
     // vocabulary — the cheap first pass before MinHash near-dedup.
     "d04_fingerprint_dups" -> QueryDef(
       build = (spark, dir) => {
-        val docs = table(spark, dir, "documents")
+        val docs = QueryDef.spread(spark, dir, "documents")
         docs.groupBy(expr(fingerprint).as("fp"))
           .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
           .filter(col("n_docs") > 1)
@@ -215,7 +215,7 @@ object Documents {
       build = (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
         val budget = 1000000L
-        val docs = table(spark, dir, "documents")
+        val docs = QueryDef.spread(spark, dir, "documents")
         val tot = docs.groupBy("lang")
           .agg(sum(expr(s"size($toks)")).cast("long").as("n_tok"))
         val all = Window.partitionBy()
@@ -266,7 +266,7 @@ object Documents {
     // d06 on this corpus.
     "c05_normalize_stats" -> QueryDef(
       build = (spark, dir) => {
-        val docs = table(spark, dir, "documents")
+        val docs = QueryDef.spread(spark, dir, "documents")
         val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
           "'[!-/:-@\\\\[-`{-~]', ' '), '[ \\\\t\\\\n\\\\r\\\\f]+', ' '))"
         docs
@@ -301,7 +301,7 @@ object Documents {
     "d09_vocab_topk" -> QueryDef(
       build = (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = table(spark, dir, "documents")
+        val docs = QueryDef.spread(spark, dir, "documents")
         docs
           .select(col("lang"), explode(expr(
             "filter(split(lower(text), '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')")).as("token"))

@@ -52,6 +52,24 @@ object QueryDef {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Load a table whose consumers are compute-dense per row (text
+    * analysis, embedding math). Parquet assigns at most one task per
+    * row group, so a single-row-group file caps the ENTIRE downstream
+    * codegen stage at one core regardless of cluster size — measured
+    * 8.1 s → ~3 s on m01 at sf0.1, where tokenize+shingle+md5 ran on 1
+    * of 32 cores. When the scan plans fewer partitions than the
+    * session's parallelism, re-spread rows round-robin first: one
+    * shuffle of the (small, else it would have split) source bytes in
+    * exchange for full-width execution of the expensive projection
+    * above. At production scale the source is many files/row groups and
+    * this is a no-op — scan-bound queries (plain TPC-H aggs) should
+    * keep using [[table]], where a shuffle buys nothing. */
+  def spread(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = table(spark, sfDir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Load the events table with `ts` normalized to a microsecond
     * TimestampType. The parquet file stores TIMESTAMP(NANOS), which Spark 4
     * only reads with spark.sql.legacy.parquet.nanosAsLong=true (set in

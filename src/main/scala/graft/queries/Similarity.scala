@@ -49,7 +49,7 @@ object Similarity {
 
   /** Shared shingle-set frame: doc_id, sh. */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents").select(col("doc_id"), expr(shingles).as("sh"))
+    QueryDef.spread(spark, dir, "documents").select(col("doc_id"), expr(shingles).as("sh"))
 
   /** (doc_id, bi, bh) band-bucket frame of the m01 LSH scheme — the
     * candidate-generation key, SQL side. Exposed so the streaming
@@ -223,7 +223,7 @@ object Similarity {
     "e01_knn_dot" -> QueryDef(
       build = (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val emb = table(spark, dir, "embeddings")
+        val emb = QueryDef.spread(spark, dir, "embeddings")
           .select(col("vec_id"), expr(quant).as("qv"))
         val probes = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("query_id"), col("qv").as("pq"))
@@ -284,7 +284,7 @@ object Similarity {
     // sums per (label, dimension); a downstream consumer divides s/n.
     "e02_label_centroids" -> QueryDef(
       build = (spark, dir) => {
-        val emb = table(spark, dir, "embeddings")
+        val emb = QueryDef.spread(spark, dir, "embeddings")
           .select(col("label").cast("bigint").as("label"), expr(quant).as("qv"))
         emb.select(col("label"), posexplode(col("qv")).as(Seq("pos", "q")))
           .groupBy(col("label"), (col("pos") + 1).cast("bigint").as("dim"))

@@ -45,7 +45,7 @@ object TextMedia {
     * parity-pinned against the SQL scheme (StreamingNearDupSpec). */
   def simhashFingerprints(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val docs = table(spark, dir, "documents")
+    val docs = QueryDef.spread(spark, dir, "documents")
     docs
       .select(col("doc_id"),
         explode(expr(s"array_distinct($toks)")).as("token"))
@@ -227,7 +227,7 @@ object TextMedia {
     // recall/containment assertion over a seeded fixture.
     "e04_cosine_neardup" -> QueryDef(
       build = (spark, dir) =>
-        graft.operators.CosineNearDup.pairs(table(spark, dir, "embeddings")),
+        graft.operators.CosineNearDup.pairs(QueryDef.spread(spark, dir, "embeddings")),
       oracle = Some("""
         WITH q AS (
           SELECT vec_id,
@@ -253,7 +253,7 @@ object TextMedia {
     // is the confusion matrix against the labeled lang column.
     "d06_langid_confusion" -> QueryDef(
       build = (spark, dir) => {
-        val docs = table(spark, dir, "documents")
+        val docs = QueryDef.spread(spark, dir, "documents")
         val lt = "filter(split(lower(text), '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
         def score(words: String) =
           s"size(filter($lt, t -> array_contains(array($words), t)))"
@@ -304,7 +304,7 @@ object TextMedia {
     // to real tokenizer counts than whitespace splitting.
     "d07_bpe_token_stats" -> QueryDef(
       build = (spark, dir) => {
-        val docs = table(spark, dir, "documents")
+        val docs = QueryDef.spread(spark, dir, "documents")
         val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\\\t\\\\n\\\\r\\\\f]"
         docs
           .select(col("lang"),
@@ -338,7 +338,7 @@ object TextMedia {
     "d08_winnowing_fingerprints" -> QueryDef(
       build = (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = table(spark, dir, "documents")
+        val docs = QueryDef.spread(spark, dir, "documents")
         val grams = docs
           .select(col("doc_id"), col("text"),
             explode(expr("sequence(1, greatest(length(text) - 7, 1))")).as("i"))
