@@ -68,7 +68,13 @@ object TextMedia {
     * determines (fp_a, fp_b) and hence hamming. */
   private[graft] def simhashPairs(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
+    // both sides of the band self-join read the fingerprints — persist
+    // the (doc_id, fp) frame (8 bytes/doc of payload) or the whole
+    // tokenize→md5→vote pipeline runs twice; released by the harness
+    // after materialization (same pattern as m01's signature frame)
     val fps = simhashFingerprints(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    QueryDef.deferCleanup(() => { fps.unpersist(false); () })
     val bands = fps.select(col("doc_id"), col("fp"),
       posexplode(expr(
         "array(fp % 256, fp div 256 % 256, fp div 65536 % 256, fp div 16777216 % 256)"))
