@@ -9,7 +9,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * per file: partition order follows byte offsets). */
 object DumpLines {
   def indexed(spark: SparkSession, path: String): DataFrame = {
-    val rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    // one split per core, not Hadoop's size-based default (1-2 splits
+    // for a tens-of-MB dump): the whole scan→split→unescape→cast stage
+    // AND boundary discovery inherit this parallelism, and text input
+    // splits on line boundaries so zipWithIndex stays byte-ordered.
+    // At the 100 GB envelope the size-based split count exceeds the
+    // core count and the max() changes nothing.
+    val rdd = spark.sparkContext.textFile(path,
+        spark.sparkContext.defaultParallelism).zipWithIndex()
       .map { case (l, i) => Row(l, i) }
     spark.createDataFrame(rdd, StructType(Seq(
       StructField("line", StringType), StructField("idx", LongType))))
