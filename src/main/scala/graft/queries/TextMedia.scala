@@ -26,36 +26,43 @@ object TextMedia {
   private val SimHashBits = 32
 
   // Per-token hash word: the first 8 md5 hex digits as a 32-bit integer
-  // (one conversion per token), so each bit contribution is a
-  // shift/mask instead of a substring+scan — ~10× less per-row work
-  // than per-digit string ops, identical bits on both engines.
-  private val hashWordSpark = "cast(conv(substring(h, 1, 8), 16, 10) as bigint)"
-  private val hashWordDuck = "CAST('0x' || substring(h, 1, 8) AS BIGINT)"
+  // (one conversion per token), so each bit test is a shift/mask
+  // instead of a substring+scan — identical bits on both engines.
+  private val hashWordSpark = "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
+  private val hashWordDuck = "CAST('0x' || substring(md5(t), 1, 8) AS BIGINT)"
 
-  private def contribSpark(i: Int) =
-    s"sum(2 * ((v div ${1L << i}) % 2) - 1)"
-  private def contribDuck(i: Int) =
-    s"SUM(2 * ((v // ${1L << i}) % 2) - 1)"
-  private def fpExpr(s: Int => String) =
-    (0 until SimHashBits).map(i => s"(CASE WHEN ${s(i)} > 0 THEN ${1L << i} ELSE 0 END)")
-      .mkString(" + ")
+  // Bit i of the fingerprint = majority vote over the distinct-token
+  // hash words: votes(i) = |set| - |unset| > 0  ⟺  2|set| > n. Spelled
+  // as a per-row filter-count per bit so the WHOLE fingerprint is one
+  // expression over the hash-word array.
+  private def fpSpark(hw: String) =
+    (0 until SimHashBits).map(i =>
+      s"(CASE WHEN 2 * size(filter($hw, v -> (v div ${1L << i}) % 2 = 1)) > size($hw) THEN ${1L << i}L ELSE 0L END)")
+      .mkString("cast(", " + ", " as bigint)")
+  private def fpDuck(hw: String) =
+    (0 until SimHashBits).map(i =>
+      s"(CASE WHEN 2 * len(list_filter($hw, v -> (v // ${1L << i}) % 2 = 1)) > len($hw) THEN ${1L << i} ELSE 0 END)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
 
   /** Per-document 32-bit fingerprints (doc_id, fp) — the signature stage
     * of s01, exposed so the streaming operator's Scala-side hash can be
-    * parity-pinned against the SQL scheme (StreamingNearDupSpec). */
+    * parity-pinned against the SQL scheme (StreamingNearDupSpec).
+    *
+    * ONE per-row expression end-to-end (tokenize → distinct → hash
+    * words → 32 majority tests): no explode, no shuffle. The earlier
+    * explode → 32-column groupBy form shuffled O(doc × distinct-token)
+    * rows and ran 2× slower; per-row, fingerprinting is embarrassingly
+    * parallel and scale-free. Docs with zero tokens carry no
+    * fingerprint (size(hw) >= 1), matching the explode form's and the
+    * oracle's unnest semantics. */
   def simhashFingerprints(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val docs = QueryDef.spread(spark, dir, "documents")
     docs
-      .select(col("doc_id"),
-        explode(expr(s"array_distinct($toks)")).as("token"))
-      .withColumn("h", md5(col("token")))
-      .withColumn("v", expr(hashWordSpark))
-      .groupBy("doc_id")
-      .agg(expr(contribSpark(0)).as("s0"),
-        (1 until SimHashBits).map(i => expr(contribSpark(i)).as(s"s$i")): _*)
-      .select(col("doc_id"),
-        expr(s"cast(${fpExpr(i => s"s$i")} as bigint)").as("fp"))
+      .select(col("doc_id"), expr(
+        s"transform(array_distinct($toks), t -> $hashWordSpark)").as("hw"))
+      .filter(expr("size(hw) >= 1"))
+      .select(col("doc_id"), expr(fpSpark("hw")).as("fp"))
   }
 
   /** s01's pair pipeline up to (doc_a, doc_b, hamming), shared with the
@@ -94,17 +101,14 @@ object TextMedia {
   /** The matching DuckDB CTE chain ending in a `neardup(doc_a, doc_b,
     * hamming)` relation. */
   private val simhashCtes = s"""
-        tok AS (
-          SELECT doc_id, unnest(list_distinct(
-            list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), t -> t <> ''))) AS token
+        hws AS (
+          SELECT doc_id, list_transform(list_distinct(
+            list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), t -> t <> '')),
+            t -> $hashWordDuck) AS hw
           FROM documents),
-        hs AS (SELECT doc_id, $hashWordDuck AS v
-               FROM (SELECT doc_id, md5(token) AS h FROM tok)),
-        sums AS (
-          SELECT doc_id, ${(0 until SimHashBits).map(i => s"${contribDuck(i)} AS s$i").mkString(", ")}
-          FROM hs GROUP BY doc_id),
         fps AS (
-          SELECT doc_id, CAST(${fpExpr(i => s"s$i")} AS BIGINT) AS fp FROM sums),
+          SELECT doc_id, ${fpDuck("hw")} AS fp
+          FROM hws WHERE len(hw) >= 1),
         bands AS (
           SELECT doc_id, fp,
             unnest([0,1,2,3]) AS bi,
