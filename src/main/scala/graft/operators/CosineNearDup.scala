@@ -69,6 +69,49 @@ object CosineNearDup {
       pct)
   }
 
+  /** SemDeDup-style semantic dedup: per-vector keep/drop verdicts where
+    * candidates are confined to the vector's CLUSTER (the `label`
+    * column — in production the k-means assignment the SemDeDup recipe
+    * prescribes; IvfAnn.assign produces exactly this). A vector is
+    * dropped iff some same-label vector with a SMALLER id has cosine ≥
+    * pct/100 — the greedy keep-lowest-index rule, which is
+    * order-independent and needs no iteration: each pair (a < b)
+    * condemns b and never a, so verdicts are a single relational pass.
+    *
+    * Verification reuses the exact ×2^20-quantized integer cosine test
+    * (same algebra as [[pairs]]), so both engines agree bit-for-bit.
+    *
+    * 100 TB shape: the candidate join is a label equi-join carrying
+    * (id, qv, norm2) rows — within-cluster pairs only, never all-pairs;
+    * cluster populations are bounded by the k-means k chosen at index
+    * build (and a skewed hot cluster is AQE's skew-join case or a
+    * salting candidate). The verdict join back to ids is doc-keyed and
+    * broadcast-able when the dropped set is small.
+    */
+  def semanticDedup(emb: DataFrame, pct: Int = 40): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      expr(quant).as("qv"))
+      .withColumn("norm2", expr(
+        "aggregate(transform(qv, x -> x * x), 0L, (acc, v) -> acc + v)"))
+    val a = e.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+      col("norm2").as("na"), col("label"))
+    val b = e.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
+      col("norm2").as("nb"), col("label").as("label2"))
+    val dropped = a
+      .join(b, col("label") === col("label2") && col("vec_a") < col("vec_b"))
+      .select(col("vec_b"), expr(qdot).as("dot"), col("na"), col("nb"))
+      .filter(col("dot") > 0 &&
+        expr("cast(dot as decimal(14,0)) * cast(dot as decimal(14,0)) * 10000") >=
+        expr(s"cast(na as decimal(14,0)) * cast(nb as decimal(14,0)) * ${pct * pct}"))
+      .select(col("vec_b").as("vec_id"))
+      .distinct()
+    e.select(col("vec_id"), col("label"))
+      .join(dropped.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        col("dropped").isNull.cast("long").as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Exact all-pairs ground truth (O(n²) — spec/fixture scale only). */
   def bruteForce(emb: DataFrame, pct: Int = 90): DataFrame = {
     val e = prepared(emb, withBucket = false)

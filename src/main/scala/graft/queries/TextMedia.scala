@@ -123,6 +123,75 @@ object TextMedia {
           SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
           FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 2)"""
 
+  /** c01's materialized cluster frame (doc_id, cluster_id, keep), one row
+    * per doc that belongs to a near-dup cluster — shared by c01 and the
+    * c12 leakage-free split.
+    *
+    * The plan CONTRACTS IDENTICAL FINGERPRINTS FIRST: docs sharing a
+    * SimHash fp are hamming-0 duplicates by construction, so the doc
+    * graph's components equal the distinct-fp graph's components expanded
+    * back through the fp groups. That collapses the problem quadratically
+    * where it matters — at sf0.1, 5,000 docs / 777k doc pairs contract to
+    * 2,949 fps / ~15k fp edges (52×), and at 100 TB duplicate-heavy
+    * corpora it is the difference between a pair list that explodes in
+    * the largest cluster's size² and an edge set near-linear in distinct
+    * signatures. Each fp vertex is keyed by its group's min doc_id
+    * ("rep"), so the component's min rep IS the component's min doc_id
+    * and no relabeling pass is needed.
+    *
+    * Completeness of the 4×8-bit banding at hamming ≤ 2 is pigeonhole: 2
+    * differing bits touch ≤ 2 bands, so near-dup fps always share a band.
+    * The returned frame is persisted and already materialized; release is
+    * deferred to the harness (QueryDef.drainCleanups). */
+  private def dupClusters(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val fps = simhashFingerprints(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one row per distinct fingerprint, keyed by its min doc
+    val dfp = fps.groupBy("fp")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = dfp.select(col("fp"), col("rep"),
+      posexplode(expr(
+        "array(fp % 256, fp div 256 % 256, fp div 65536 % 256, fp div 16777216 % 256)"))
+        .as(Seq("bi", "bv")))
+    val fpEdges = bands
+      .select(col("fp").as("fp_a"), col("rep").as("rep_a"),
+        col("bi"), col("bv"))
+      .join(bands.select(col("fp").as("fp_b"), col("rep").as("rep_b"),
+        col("bi").as("bi2"), col("bv").as("bv2")),
+        col("bi") === col("bi2") && col("bv") === col("bv2") &&
+          col("fp_a") < col("fp_b"))
+      .filter(expr("bit_count(fp_a ^ fp_b)") <= 2)
+      .select(col("rep_a"), col("rep_b"))
+      .distinct()
+    val cc = graft.operators.ConnectedComponents.resolve(
+      fpEdges, "rep_a", "rep_b")
+    // fp participates if its group has ≥2 docs (hamming-0 pairs) or
+    // its rep appears in a cross-fp edge; cluster = CC label where
+    // present, else the group's own rep
+    val fpLabel = dfp
+      .join(cc.withColumnRenamed("v", "rep"), Seq("rep"), "left")
+      .filter(col("n") >= 2 || col("label").isNotNull)
+      .select(col("fp"), coalesce(col("label"), col("rep")).as("cluster_id"))
+    val out = fps.join(fpLabel, Seq("fp"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).cast("long").as("keep"))
+      .orderBy("doc_id")
+    // materialize before releasing the loop inputs: out is lazy over
+    // cc, which is lazy over the persisted label RDD
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .count()
+    fps.unpersist(false)
+    dfp.unpersist(false)
+    graft.operators.ConnectedComponents.releaseLabels(cc)
+    // out itself is released after the caller materializes it —
+    // without this the persisted result pinned storage for the
+    // session and pass N+1 of the bench re-read pass N's cache
+    QueryDef.deferCleanup(() => { out.unpersist(false); () })
+    out
+  }
+
   // ------------------------------------------------------------- defs
 
   val defs: Map[String, QueryDef] = Map(
@@ -140,76 +209,15 @@ object TextMedia {
     // Duplicate-cluster resolution: the step after pair generation in
     // every dedup pipeline — connected components over the near-dup
     // graph, cluster id = min doc_id, keep = 1 for the canonical
-    // survivor.
-    //
-    // The plan CONTRACTS IDENTICAL FINGERPRINTS FIRST: docs sharing a
-    // SimHash fp are hamming-0 duplicates by construction, so the doc
-    // graph's components equal the distinct-fp graph's components
-    // expanded back through the fp groups. That collapses the problem
-    // quadratically where it matters — at sf0.1, 5,000 docs / 777k doc
-    // pairs contract to 2,949 fps / ~15k fp edges (52×), and at 100 TB
-    // duplicate-heavy corpora it is the difference between a pair list
-    // that explodes in the largest cluster's size² and an edge set
-    // near-linear in distinct signatures. Each fp vertex is keyed by
-    // its group's min doc_id ("rep"), so the component's min rep IS the
-    // component's min doc_id and no relabeling pass is needed.
-    //
-    // Completeness of the 4×8-bit banding at hamming ≤ 2 is pigeonhole:
-    // 2 differing bits touch ≤ 2 bands, so near-dup fps always share a
-    // band. Spark side iterates distributed min-label propagation on
-    // the contracted graph (operators/ConnectedComponents); the oracle
-    // derives the same relation from first principles via a
-    // recursive-CTE transitive closure over the UNCONTRACTED doc-level
-    // pair graph — proving the contracted iterative plan computes the
-    // textbook definition, not mirroring the implementation.
+    // survivor. Plan (fp contraction → size-adaptive CC) documented on
+    // [[dupClusters]]; Spark side iterates distributed min-label
+    // propagation on the contracted graph (operators/ConnectedComponents)
+    // while the oracle derives the same relation from first principles
+    // via a recursive-CTE transitive closure over the UNCONTRACTED
+    // doc-level pair graph — proving the contracted iterative plan
+    // computes the textbook definition, not mirroring the implementation.
     "c01_dup_clusters" -> QueryDef(
-      build = (spark, dir) => {
-        val fps = simhashFingerprints(spark, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // one row per distinct fingerprint, keyed by its min doc
-        val dfp = fps.groupBy("fp")
-          .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val bands = dfp.select(col("fp"), col("rep"),
-          posexplode(expr(
-            "array(fp % 256, fp div 256 % 256, fp div 65536 % 256, fp div 16777216 % 256)"))
-            .as(Seq("bi", "bv")))
-        val fpEdges = bands
-          .select(col("fp").as("fp_a"), col("rep").as("rep_a"),
-            col("bi"), col("bv"))
-          .join(bands.select(col("fp").as("fp_b"), col("rep").as("rep_b"),
-            col("bi").as("bi2"), col("bv").as("bv2")),
-            col("bi") === col("bi2") && col("bv") === col("bv2") &&
-              col("fp_a") < col("fp_b"))
-          .filter(expr("bit_count(fp_a ^ fp_b)") <= 2)
-          .select(col("rep_a"), col("rep_b"))
-          .distinct()
-        val cc = graft.operators.ConnectedComponents.resolve(
-          fpEdges, "rep_a", "rep_b")
-        // fp participates if its group has ≥2 docs (hamming-0 pairs) or
-        // its rep appears in a cross-fp edge; cluster = CC label where
-        // present, else the group's own rep
-        val fpLabel = dfp
-          .join(cc.withColumnRenamed("v", "rep"), Seq("rep"), "left")
-          .filter(col("n") >= 2 || col("label").isNotNull)
-          .select(col("fp"), coalesce(col("label"), col("rep")).as("cluster_id"))
-        val out = fps.join(fpLabel, Seq("fp"))
-          .select(col("doc_id"), col("cluster_id"),
-            (col("doc_id") === col("cluster_id")).cast("long").as("keep"))
-          .orderBy("doc_id")
-        // materialize before releasing the loop inputs: out is lazy over
-        // cc, which is lazy over the persisted label RDD
-        out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          .count()
-        fps.unpersist(false)
-        dfp.unpersist(false)
-        graft.operators.ConnectedComponents.releaseLabels(cc)
-        // out itself is released after the caller materializes it —
-        // without this the persisted result pinned storage for the
-        // session and pass N+1 of the bench re-read pass N's cache
-        QueryDef.deferCleanup(() => { out.unpersist(false); () })
-        out
-      },
+      build = (spark, dir) => dupClusters(spark, dir),
       oracle = Some(s"""
         WITH RECURSIVE $simhashCtes,
         sym AS (
@@ -226,6 +234,55 @@ object TextMedia {
         ORDER BY doc_id"""),
       headline = true),
 
+    // ---------------------------------------------------------------- c12
+    // Leakage-free train/val/test split: assign every document to a
+    // split by hashing its DUP-CLUSTER id (c01's connected components),
+    // not its own doc_id — near-duplicate docs land in the same split
+    // by construction, so evaluation can't be contaminated by a
+    // train-set twin. Singleton docs (no near-dup) are their own
+    // cluster. Assignment is the first hex char of md5(cluster_id):
+    // 'f' → test (1/16), 'd'/'e' → val (2/16), else train (13/16) —
+    // pure string comparison, identical across engines, deterministic
+    // under re-runs and corpus growth (a cluster's split never depends
+    // on other clusters).
+    //
+    // 100 TB shape: reuses c01's contracted cluster pipeline; the only
+    // additions are one doc_id-keyed left join (labels ⊂ docs, so AQE
+    // broadcasts it when the cluster set is small) and a per-row md5 —
+    // no new shuffle beyond the join.
+    "c12_leakage_split" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents").select("doc_id")
+        val labels = dupClusters(spark, dir).select("doc_id", "cluster_id")
+        docs.join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+          .withColumn("split", expr("""
+            CASE WHEN substring(md5(cast(cluster_id as string)), 1, 1) = 'f' THEN 'test'
+                 WHEN substring(md5(cast(cluster_id as string)), 1, 1) IN ('d', 'e') THEN 'val'
+                 ELSE 'train' END"""))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $simhashCtes,
+        sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM neardup
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM neardup),
+        prop AS (
+          SELECT src AS v, src AS label FROM sym
+          UNION
+          SELECT s.dst AS v, p.label FROM prop p JOIN sym s ON s.src = p.v),
+        labels AS (SELECT v AS doc_id, MIN(label) AS cluster_id FROM prop GROUP BY v),
+        assigned AS (
+          SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+        SELECT doc_id, cluster_id,
+               CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1) = 'f' THEN 'test'
+                    WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1) IN ('d', 'e') THEN 'val'
+                    ELSE 'train' END AS split
+        FROM assigned
+        ORDER BY doc_id""")),
     // ---------------------------------------------------------------- e04
     // Embedding-cosine near-dup — operator in CosineNearDup (sign-bucket
     // candidates, exact-integer verify). The ORACLE is deliberately the
@@ -256,6 +313,43 @@ object TextMedia {
         FROM pairs
         WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(na AS HUGEINT) * nb * 8100
         ORDER BY vec_a, vec_b""")),
+
+    // ---------------------------------------------------------------- e07
+    // SemDeDup-style semantic dedup: within-CLUSTER cosine near-dup
+    // verdicts (the `label` column is the cluster assignment — the
+    // k-means step of the SemDeDup recipe), greedy keep-lowest-id rule.
+    // Operator in CosineNearDup.semanticDedup; the oracle restates the
+    // definition as within-label all-pairs + exact-integer cosine test.
+    // Threshold 0.40 is calibrated to the driver's near-random
+    // embeddings (max pairwise cos ≈ 0.51) so the check is NON-VACUOUS:
+    // at sf0.01 exactly 5 within-label pairs pass, producing real
+    // drops; CosineNearDupSpec adds a seeded fixture pinning the
+    // within- vs cross-label semantics.
+    "e07_semantic_dedup" -> QueryDef(
+      build = (spark, dir) =>
+        graft.operators.CosineNearDup.semanticDedup(
+          QueryDef.spread(spark, dir, "embeddings"), pct = 40),
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
+          FROM embeddings),
+        e AS (
+          SELECT vec_id, label, qv,
+                 CAST(list_sum([x * x for x in qv]) AS BIGINT) AS norm2
+          FROM q),
+        pr AS (
+          SELECT b.vec_id AS vb,
+                 CAST(list_sum([a.qv[i] * b.qv[i] for i in range(1, 65)]) AS BIGINT) AS dot,
+                 a.norm2 AS na, b.norm2 AS nb
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+        dropped AS (
+          SELECT DISTINCT vb AS vec_id FROM pr
+          WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(na AS HUGEINT) * nb * 1600)
+        SELECT e.vec_id, e.label,
+               CAST(d.vec_id IS NULL AS BIGINT) AS keep
+        FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+        ORDER BY e.vec_id""")),
 
     // ---------------------------------------------------------------- d06
     // Language-ID heuristic: marker-word counts per language + a CJK

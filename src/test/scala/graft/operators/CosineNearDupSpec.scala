@@ -56,4 +56,37 @@ class CosineNearDupSpec extends AnyFunSuite {
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")))
     assert(truth.isEmpty)
   }
+
+  test("semanticDedup: within-label dup drops the higher id; cross-label twin survives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val v0 = vec(); val v1 = vec(); val v2 = vec()
+    val rows = Seq(
+      // label 0: 10 and 11 are near-identical -> 11 dropped, 10 kept
+      (10L, v0, 0), (11L, v0.map(x => x + 0.01f), 0),
+      // labels 1 vs 2: 20 and 30 are near-identical but in DIFFERENT
+      // clusters -> both kept (SemDeDup only dedups within a cluster)
+      (20L, v1, 1), (30L, v1.map(x => x + 0.01f), 2),
+      // label 3: an unrelated singleton
+      (40L, v2, 3))
+    val out = CosineNearDup.semanticDedup(
+      rows.toDF("vec_id", "embedding", "label"), pct = 90)
+    val keep = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(keep === Map(10L -> 1L, 11L -> 0L, 20L -> 1L, 30L -> 1L, 40L -> 1L))
+  }
+
+  test("semanticDedup: greedy rule condemns every non-minimal member of a dup chain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    // three near-identical vectors in one label: only the min id survives
+    val rows = Seq((5L, base, 0),
+      (6L, base.map(x => x + 0.005f), 0),
+      (7L, base.map(x => x - 0.005f), 0))
+    val out = CosineNearDup.semanticDedup(
+      rows.toDF("vec_id", "embedding", "label"), pct = 90)
+    val keep = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(keep === Map(5L -> 1L, 6L -> 0L, 7L -> 0L))
+  }
 }

@@ -212,6 +212,36 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map(1L -> ((2L, 40L)), 2L -> ((1L, 25L)), 3L -> ((1L, 25L))))
   }
 
+  test("c12: leakage-free — no near-dup pair straddles splits, every doc assigned once") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = TextMedia.defs("c12_leakage_split").build(spark, dir)
+      .persist()
+    try {
+      // total assignment: one row per source doc, no dup, no orphan
+      assert(out.count() === docs.count())
+      assert(out.select("doc_id").distinct().count() === docs.count())
+      // split is a pure function of cluster_id
+      val multi = out.groupBy("cluster_id")
+        .agg(countDistinct("split").as("ns")).filter(col("ns") > 1).count()
+      assert(multi === 0L)
+      // THE leakage property: a near-dup pair never crosses a split
+      // boundary (pairs → same cluster → same split)
+      val pairs = TextMedia.simhashPairs(spark, dir)
+      val a = out.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
+      val b = out.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
+      val crossing = pairs.join(a, "doc_a").join(b, "doc_b")
+        .filter(col("split_a") =!= col("split_b")).count()
+      assert(crossing === 0L)
+      // the hash assignment really exercises all three splits at 500 docs
+      val splits = out.select("split").distinct().collect().map(_.getString(0)).toSet
+      assert(splits === Set("train", "val", "test"))
+    } finally {
+      out.unpersist(false)
+      QueryDef.drainCleanups()
+    }
+  }
+
   test("d09: top-k ranks by count with alphabetical tie-break") {
     val dir = docsDir(Seq(
       (0L, "a a a b b c", "en", "s"),
