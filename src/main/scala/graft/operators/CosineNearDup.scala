@@ -46,9 +46,18 @@ object CosineNearDup {
     else base
   }
 
+  /** Exact-integer cosine test above a candidate join. The dot fold is
+    * FENCED (graft.functions.OptimizerBarrier, its sanctioned
+    * Project-alias pattern): without the fence, PushDownPredicates
+    * inlines the aliased fold into the join condition where it appears
+    * three times (dot > 0, dot·dot), so every candidate pair pays the
+    * 64-element fold 3× — fenced, the join stays a pure equi-join +
+    * id inequality and the fold runs once in the projection above, in
+    * the same codegen stage (no extra materialization). */
   private def verified(cand: DataFrame, pct: Int): DataFrame =
     cand
-      .select(col("vec_a"), col("vec_b"), expr(qdot).as("dot"),
+      .select(col("vec_a"), col("vec_b"),
+        graft.functions.OptimizerBarrier.fence(expr(qdot)).as("dot"),
         col("na"), col("nb"))
       .filter(col("dot") > 0 &&
         expr(s"cast(dot as decimal(14,0)) * cast(dot as decimal(14,0)) * 10000") >=
@@ -99,7 +108,10 @@ object CosineNearDup {
       col("norm2").as("nb"), col("label").as("label2"))
     val dropped = a
       .join(b, col("label") === col("label2") && col("vec_a") < col("vec_b"))
-      .select(col("vec_b"), expr(qdot).as("dot"), col("na"), col("nb"))
+      // fenced for the same single-evaluation reason as [[verified]]
+      .select(col("vec_b"),
+        graft.functions.OptimizerBarrier.fence(expr(qdot)).as("dot"),
+        col("na"), col("nb"))
       .filter(col("dot") > 0 &&
         expr("cast(dot as decimal(14,0)) * cast(dot as decimal(14,0)) * 10000") >=
         expr(s"cast(na as decimal(14,0)) * cast(nb as decimal(14,0)) * ${pct * pct}"))

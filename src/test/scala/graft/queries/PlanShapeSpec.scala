@@ -47,6 +47,26 @@ class PlanShapeSpec extends AnyFunSuite {
     m.release()
   }
 
+  test("e04/e07 cosine verify: dot fold fenced out of the join condition") {
+    for (name <- Seq("e04_cosine_neardup", "e07_semantic_dedup")) {
+      val df = TextMedia.defs(name).build(spark, dir)
+      // string-level walk: SparkPlan.collect does not descend into an
+      // unexecuted AdaptiveSparkPlan wrapper, but every join operator
+      // prints its condition on its own plan line
+      val plan = df.queryExecution.executedPlan.toString
+      // the fence survives optimization...
+      assert(plan.contains("optimizer_barrier"), s"$name: $plan")
+      // ...and no join line carries the 64-element aggregate fold
+      // (unfenced, PushDownPredicates inlines it 3× per candidate pair)
+      val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+      assert(joinLines.nonEmpty, s"$name: no join in plan\n$plan")
+      joinLines.foreach { l =>
+        assert(!l.contains("aggregate("),
+          s"$name: dot fold leaked into a join condition: $l")
+      }
+    }
+  }
+
   test("q18 bucketed range join emits no duplicate pairs without a distinct") {
     val df = Relational.defs("q18_range_join").build(spark, dir)
     // no dedup operator in the plan...
