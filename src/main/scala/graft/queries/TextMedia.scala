@@ -143,7 +143,7 @@ object TextMedia {
     * differing bits touch ≤ 2 bands, so near-dup fps always share a band.
     * The returned frame is persisted and already materialized; release is
     * deferred to the harness (QueryDef.drainCleanups). */
-  private def dupClusters(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def dupClusters(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val fps = simhashFingerprints(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** End-to-end contract for the Curate pipeline driver on the sf0.001
+  * corpus: verdicts partition the corpus, artifacts agree with each
+  * other, and the packing manifest conserves the kept token stream. */
+class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = GraftSession.build("graft-test")
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val out = {
+    val p = Files.createTempDirectory("graft_curate_spec").toString
+    (p, Curate.run(spark, dir, p))
+  }
+
+  override def afterAll(): Unit = {
+    val p = java.nio.file.Paths.get(out._1)
+    Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      .forEach(q => Files.deleteIfExists(q))
+    super.afterAll()
+  }
+
+  test("verdicts partition the corpus and reconcile with every artifact") {
+    val (outDir, r) = out
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(r.counts.values.sum === total)
+    assert(r.counts.keySet.subsetOf(
+      Set("kept", "exact_dup", "near_dup", "low_quality")))
+    // artifacts agree with the returned counts
+    val verdicts = spark.read.parquet(s"$outDir/verdicts.parquet")
+    assert(verdicts.count() === total)
+    val curated = spark.read.parquet(s"$outDir/curated.parquet")
+    assert(curated.count() === r.counts("kept"))
+    assert(r.splits.values.sum === r.counts("kept"))
+    // summary.json parses as the same numbers
+    val js = Files.readString(java.nio.file.Paths.get(s"$outDir/summary.json"))
+    r.counts.foreach { case (k, v) => assert(js.contains(s""""$k":$v"""), js) }
+  }
+
+  test("curated corpus is exactly-deduped and split-closed") {
+    val (outDir, _) = out
+    val curated = spark.read.parquet(s"$outDir/curated.parquet")
+    // no two kept docs share text
+    assert(curated.select("text").distinct().count() === curated.count())
+    // kept docs' near-dup pairs never straddle splits: all pairs among
+    // kept docs must join to equal splits
+    val pairs = queries.TextMedia.simhashPairs(spark, dir)
+    val a = curated.select(col("doc_id").as("doc_a"), col("split").as("sa"))
+    val b = curated.select(col("doc_id").as("doc_b"), col("split").as("sb"))
+    val crossing = pairs.join(a, "doc_a").join(b, "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(crossing === 0L)
+    queries.QueryDef.drainCleanups()
+  }
+
+  test("crafted corpus: every verdict reason fires with the right precedence") {
+    import spark.implicits._
+    val dir2 = Files.createTempDirectory("graft_curate_crafted").toString
+    val long = (1 to 40).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (1L, long, "en", "s"),                 // kept (canonical of 1,2,3)
+      (2L, long, "en", "s"),                 // exact_dup of 1 (beats near_dup)
+      // same DISTINCT token set as doc 1 (repeated token), so the
+      // set-based SimHash is bit-identical -> guaranteed near_dup,
+      // while the text itself differs -> not an exact_dup
+      (3L, long + " tok1", "en", "s"),
+      (4L, "too short", "en", "s"),          // low_quality (2 < 5 tokens)
+      (5L, "a completely different document with many distinct words present", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    try {
+      val r = Curate.run(spark, dir2, s"$dir2/out")
+      assert(r.counts === Map(
+        "kept" -> 2L, "exact_dup" -> 1L, "near_dup" -> 1L, "low_quality" -> 1L))
+      val v = spark.read.parquet(s"$dir2/out/verdicts.parquet")
+        .collect().map(row => row.getLong(0) -> row.getString(1)).toMap
+      assert(v === Map(1L -> "kept", 2L -> "exact_dup", 3L -> "near_dup",
+        4L -> "low_quality", 5L -> "kept"))
+    } finally {
+      val p = java.nio.file.Paths.get(dir2)
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+    }
+  }
+
+  test("packing manifest conserves kept tokens at L=512") {
+    val (outDir, _) = out
+    val curated = spark.read.parquet(s"$outDir/curated.parquet")
+    val toks = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
+    val keptTokens = curated
+      .select(expr(s"cast(size($toks) as bigint)").as("n")).agg(sum("n"))
+      .collect()(0).getLong(0)
+    val packing = spark.read.parquet(s"$outDir/packing.parquet")
+    val packedTokens = packing.agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(packedTokens === keptTokens)
+    // every non-final sequence of a (split, shard) stream is full
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("split", "shard")
+    val nonFull = packing
+      .withColumn("mx", max("seq").over(w))
+      .filter(col("seq") =!= col("mx") && col("n_tokens") =!= 512).count()
+    assert(nonFull === 0L)
+  }
+}
