@@ -98,8 +98,16 @@ object Similarity {
         pairs
           .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
           .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          // `common` is FENCED (OptimizerBarrier's Project-alias
+          // pattern): unfenced, the jaccard filter collapses into the
+          // payload-join condition where array_intersect — the most
+          // expensive op of the whole pipeline — is evaluated twice,
+          // plus once more in the output projection. Fenced, the
+          // intersect runs exactly once per distinct pair and the
+          // filter tests the attribute in the same codegen stage.
           .select(col("doc_a"), col("doc_b"),
-            expr("size(array_intersect(sh_a, sh_b))").cast("bigint").as("common"),
+            graft.functions.OptimizerBarrier.fence(
+              expr("size(array_intersect(sh_a, sh_b))").cast("bigint")).as("common"),
             expr("size(sh_a)").cast("bigint").as("na"),
             expr("size(sh_b)").cast("bigint").as("nb"))
           .select(col("doc_a"), col("doc_b"),

@@ -67,6 +67,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("m01 verify: array_intersect fenced to exactly one evaluation per pair") {
+    val df = Similarity.defs("m01_minhash_lsh_neardup").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("optimizer_barrier"), plan)
+    // one occurrence total: in the fenced projection, never in a join
+    // condition (unfenced it appears 3x — twice in the jaccard filter
+    // pushed into the join, once in the output projection)
+    val n = "array_intersect".r.findAllIn(plan).size
+    assert(n === 1, s"expected exactly one array_intersect, got $n:\n$plan")
+    graft.queries.QueryDef.drainCleanups()
+  }
+
   test("q18 bucketed range join emits no duplicate pairs without a distinct") {
     val df = Relational.defs("q18_range_join").build(spark, dir)
     // no dedup operator in the plan...
