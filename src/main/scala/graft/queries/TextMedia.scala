@@ -56,14 +56,30 @@ object TextMedia {
     * fingerprint (size(hw) >= 1), matching the explode form's and the
     * oracle's unnest semantics. */
   def simhashFingerprints(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val docs = QueryDef.spread(spark, dir, "documents")
+      dir: String): org.apache.spark.sql.DataFrame =
+    simhashFingerprintsOf(QueryDef.spread(spark, dir, "documents"))
+
+  /** Fingerprints of an arbitrary (doc_id, text, ...) frame — the
+    * frame-parameterized form consumed by the incremental curation
+    * driver (Curate.runIncremental fingerprints only the NEW batch). */
+  private[graft] def simhashFingerprintsOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .select(col("doc_id"), expr(
         s"transform(array_distinct($toks), t -> $hashWordSpark)").as("hw"))
       .filter(expr("size(hw) >= 1"))
       .select(col("doc_id"), expr(fpSpark("hw")).as("fp"))
-  }
+
+  /** 4×8-bit band explosion of a (idCol, fp) frame: one row per (band
+    * index, band value) — the candidate-generation key of the SimHash
+    * scheme, shared by s01, the cluster pipeline, and incremental
+    * curation's batch-vs-base probe. */
+  private[graft] def fpBands(fps: org.apache.spark.sql.DataFrame,
+      idCol: String): org.apache.spark.sql.DataFrame =
+    fps.select(col(idCol), col("fp"),
+      posexplode(expr(
+        "array(fp % 256, fp div 256 % 256, fp div 65536 % 256, fp div 16777216 % 256)"))
+        .as(Seq("bi", "bv")))
 
   /** s01's pair pipeline up to (doc_a, doc_b, hamming), shared with the
     * c01 cluster-resolution query. Hamming-filter BEFORE the pair
@@ -82,10 +98,7 @@ object TextMedia {
     val fps = simhashFingerprints(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     QueryDef.deferCleanup(() => { fps.unpersist(false); () })
-    val bands = fps.select(col("doc_id"), col("fp"),
-      posexplode(expr(
-        "array(fp % 256, fp div 256 % 256, fp div 65536 % 256, fp div 16777216 % 256)"))
-        .as(Seq("bi", "bv")))
+    val bands = fpBands(fps, "doc_id")
     bands
       .select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("bi"), col("bv"))
       .join(bands.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
@@ -147,14 +160,25 @@ object TextMedia {
       dir: String): org.apache.spark.sql.DataFrame = {
     val fps = simhashFingerprints(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = dupClustersOf(fps)
+    // dupClustersOf materializes its result, so the fingerprint input
+    // can be released here (the caller owns only `out`)
+    fps.unpersist(false)
+    out
+  }
+
+  /** Frame-parameterized cluster resolution over a (doc_id, fp) frame —
+    * Curate.runIncremental clusters only the arriving batch. The input
+    * is consumed several times (groupBy + final join); the CALLER
+    * persists it and releases it after this returns (the result is
+    * materialized before returning, so release is safe immediately). */
+  private[graft] def dupClustersOf(
+      fps: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // one row per distinct fingerprint, keyed by its min doc
     val dfp = fps.groupBy("fp")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = dfp.select(col("fp"), col("rep"),
-      posexplode(expr(
-        "array(fp % 256, fp div 256 % 256, fp div 65536 % 256, fp div 16777216 % 256)"))
-        .as(Seq("bi", "bv")))
+    val bands = fpBands(dfp, "rep")
     val fpEdges = bands
       .select(col("fp").as("fp_a"), col("rep").as("rep_a"),
         col("bi"), col("bv"))
@@ -182,7 +206,6 @@ object TextMedia {
     // cc, which is lazy over the persisted label RDD
     out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .count()
-    fps.unpersist(false)
     dfp.unpersist(false)
     graft.operators.ConnectedComponents.releaseLabels(cc)
     // out itself is released after the caller materializes it —

@@ -87,6 +87,56 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental: base wins, batch-local rules apply, index accumulates") {
+    import spark.implicits._
+    def writeDocs(dir: String, rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, t) => (id, t, "en", "s") }
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val root = Files.createTempDirectory("graft_curate_incr").toString
+    val longA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val longB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val longC = (1 to 40).map(i => s"gamma$i").mkString(" ")
+    try {
+      // base corpus: two distinct docs, both kept
+      writeDocs(s"$root/base", Seq((1L, longA), (2L, longB)))
+      val base = Curate.run(spark, s"$root/base", s"$root/out0")
+      assert(base.counts === Map("kept" -> 2L))
+      // batch: identical to base (dup_of_base), near-dup of base via
+      // same distinct token set (near_dup_base), in-batch exact pair
+      // (first kept, second exact_dup), short doc (low_quality),
+      // fresh doc (kept)
+      writeDocs(s"$root/batch", Seq(
+        (10L, longA),               // dup_of_base (digest match on doc 1)
+        (11L, longB + " beta1"),    // near_dup_base (same distinct set as 2)
+        (12L, longC),               // kept (canonical of 12,13)
+        (13L, longC),               // exact_dup of 12
+        (14L, "too short")))        // low_quality
+      val r = Curate.runIncremental(
+        spark, s"$root/batch", s"$root/out0", s"$root/out1")
+      assert(r.counts === Map("dup_of_base" -> 1L, "near_dup_base" -> 1L,
+        "exact_dup" -> 1L, "low_quality" -> 1L, "kept" -> 1L))
+      // the new index carries base + the batch's kept doc
+      val idx = spark.read.parquet(s"$root/out1/index.parquet")
+      assert(idx.select("doc_id").collect().map(_.getLong(0)).toSet ===
+        Set(1L, 2L, 12L))
+      // a doc identical to base doc 1 AND duplicated in-batch is
+      // dup_of_base on BOTH copies (base precedence over batch rules)
+      writeDocs(s"$root/batch2", Seq((20L, longA), (21L, longA)))
+      val r2 = Curate.runIncremental(
+        spark, s"$root/batch2", s"$root/out1", s"$root/out2")
+      assert(r2.counts === Map("dup_of_base" -> 2L))
+      // chained index: nothing new kept, index unchanged in content
+      val idx2 = spark.read.parquet(s"$root/out2/index.parquet")
+      assert(idx2.count() === 3L)
+    } finally {
+      val p = java.nio.file.Paths.get(root)
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+    }
+  }
+
   test("packing manifest conserves kept tokens at L=512") {
     val (outDir, _) = out
     val curated = spark.read.parquet(s"$outDir/curated.parquet")
