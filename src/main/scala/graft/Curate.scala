@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * batch doc identical to (dup_of_base) or SimHash-near (near_dup_base)
   * any base doc is dropped before the batch-local rules run. The probe
   * joins only the batch's digests/fingerprints against the maintained
-  * `index.parquet` (doc_id, digest, fp, split of every kept doc) — the
+  * `index.parquet` (doc_id, digest, fp, split of every examined doc) — the
   * base corpus TEXT is never re-read, which is what makes daily
   * ingestion O(batch) instead of O(corpus).
   *
@@ -43,8 +43,12 @@ import org.apache.spark.sql.functions._
   *   verdicts.parquet  every doc's (doc_id, verdict, split)
   *   packing.parquet   per (split, shard, seq) L=512 packing manifest
   *                     over kept docs (c09 semantics, shard-local)
-  *   index.parquet     corpus index for future incremental runs —
-  *                     base index ∪ this run's kept docs
+  *   index.parquet     corpus index for future incremental runs — base
+  *                     index ∪ every doc this run EXAMINED (dropped
+  *                     docs too, with NULL split: their digests and
+  *                     fps must keep suppressing redelivered content,
+  *                     or a doc dropped as a near-dup would be
+  *                     re-admitted the next day)
   *   summary.json      one JSON object: totals per verdict + split
   *
   * doc_id is the corpus-wide identity: incremental batches must carry
@@ -62,7 +66,7 @@ object Curate {
 
   final case class Result(counts: Map[String, Long], splits: Map[String, Long])
 
-  private val toks = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
+  private def toks = queries.TextMedia.toks
 
   /** Fresh full-corpus curation. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
@@ -70,18 +74,40 @@ object Curate {
     curate(spark, queries.QueryDef.spread(spark, sfDir, "documents"),
       baseIndex = None, outDir, minTokens)
 
-  /** Incremental curation of a new batch against a prior run's outDir. */
+  /** Incremental curation of a new batch against a prior run's outDir.
+    * outDir must be a NEW directory (append-log style): writing into
+    * baseDir would overwrite index.parquet while it is still the lazy
+    * input of the index union — Spark's self-overwrite guard cannot see
+    * the conflict through the persisted base frame, so the only copy of
+    * the corpus index would be destroyed before the union reads it. */
   def runIncremental(spark: SparkSession, batchDir: String, baseDir: String,
-      outDir: String, minTokens: Int = 5): Result =
+      outDir: String, minTokens: Int = 5): Result = {
+    val basePath = java.nio.file.Paths.get(baseDir).toAbsolutePath.normalize
+    val outPath = java.nio.file.Paths.get(outDir).toAbsolutePath.normalize
+    require(basePath != outPath,
+      s"incremental outDir must differ from baseDir ($basePath): " +
+        "the run reads baseDir's index.parquet lazily and an in-place " +
+        "overwrite would destroy it")
     curate(spark, queries.QueryDef.spread(spark, batchDir, "documents"),
       baseIndex = Some(spark.read.parquet(s"$baseDir/index.parquet")),
       outDir, minTokens)
+  }
 
   private def curate(spark: SparkSession, docs: DataFrame,
       baseIndex: Option[DataFrame], outDir: String, minTokens: Int): Result = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // Curate owns its frames' lifecycle: releases collect HERE and run
+    // after the last write — never the process-global QueryDef queue,
+    // which belongs to the query harnesses and may hold cleanups of
+    // unrelated in-flight compositions
+    val cleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
+    // digest frame is consumed by the exact-dup self-join, the index
+    // artifact, and (incrementally) the base probe — persist the
+    // 16-byte rows once rather than re-hashing all text per consumer
     val digests = docs.select(col("doc_id"), md5(col("text")).as("digest"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cleanups += (() => { digests.unpersist(false); () })
 
     // exact-dup losers: every doc_id of a digest group except the min.
     // Shaped as digest-frame + groupBy + join back (16-byte shuffle
@@ -97,11 +123,16 @@ object Curate {
     // artifact, and (incrementally) the base probe — one persist
     val fps = queries.TextMedia.simhashFingerprintsOf(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cleanups += (() => { fps.unpersist(false); () })
 
     // base-corpus verdicts (incremental mode only): digest probe +
-    // banded fp probe against the index, priority to the exact match
+    // banded fp probe against the index, priority to the exact match.
+    // The index holds every doc the pipeline ever EXAMINED (kept and
+    // dropped), so redelivered content that was dropped before is
+    // suppressed as dup_of_base/near_dup_base instead of re-admitted.
     val baseVerdicts: Option[DataFrame] = baseIndex.map { base =>
       val b = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cleanups += (() => { b.unpersist(false); () })
       val dupOfBase = digests
         .join(b.select("digest").distinct(), Seq("digest"))
         .select(col("doc_id"), lit(0).as("pri"))
@@ -114,7 +145,6 @@ object Curate {
           col("bi") === col("bi2") && col("bv") === col("bv2") &&
             expr("bit_count(fp ^ fp_b)") <= 2)
         .select(col("doc_id"), lit(1).as("pri"))
-      queries.QueryDef.deferCleanup(() => { b.unpersist(false); () })
       dupOfBase.union(nearBase)
         .groupBy("doc_id").agg(min("pri").as("pri"))
         .select(col("doc_id"),
@@ -123,8 +153,8 @@ object Curate {
     }
 
     // near-dup cluster verdicts over THIS corpus (persisted +
-    // materialized inside dupClustersOf)
-    val clusters = queries.TextMedia.dupClustersOf(fps)
+    // materialized inside dupClustersOf; release collected locally)
+    val clusters = queries.TextMedia.dupClustersOf(fps, f => cleanups += f)
 
     val joined = docs
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -136,19 +166,22 @@ object Curate {
       .map(bv => joined.join(bv, Seq("doc_id"), "left"))
       .getOrElse(joined.withColumn("v_base", lit(null).cast("string")))
 
+    // NULL text is explicitly low_quality: md5/size/n_tok are all NULL
+    // for it, so every other CASE test would be unknown and fall
+    // through to 'kept' — quarantining nothing-to-train-on rows is the
+    // only verdict that reconciles
     val verdicts = withBase
       .withColumn("verdict", expr(s"""
         CASE WHEN v_base IS NOT NULL THEN v_base
              WHEN v_exact IS NOT NULL THEN 'exact_dup'
              WHEN keep = 0 THEN 'near_dup'
-             WHEN n_tok < $minTokens THEN 'low_quality'
+             WHEN text IS NULL OR n_tok < $minTokens THEN 'low_quality'
              ELSE 'kept' END"""))
       .withColumn("split_cluster", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("split", expr("""
-        CASE WHEN substring(md5(cast(split_cluster as string)), 1, 1) = 'f' THEN 'test'
-             WHEN substring(md5(cast(split_cluster as string)), 1, 1) IN ('d', 'e') THEN 'val'
-             ELSE 'train' END"""))
+      .withColumn("split", expr(
+        queries.TextMedia.splitAssignExpr("split_cluster")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cleanups += (() => { verdicts.unpersist(false); () })
 
     verdicts.select("doc_id", "verdict", "split")
       .write.mode("overwrite").parquet(s"$outDir/verdicts.parquet")
@@ -158,13 +191,19 @@ object Curate {
       .write.mode("overwrite").partitionBy("split")
       .parquet(s"$outDir/curated.parquet")
 
-    // corpus index for future incremental runs: base ∪ this run's kept
-    val keptIndex = kept.select(col("doc_id"), col("split"))
+    // corpus index for future incremental runs: base ∪ every doc this
+    // run examined. Dropped docs carry a NULL split — their digests and
+    // fingerprints still suppress redelivery, but they never influence
+    // split bookkeeping
+    val examinedIndex = verdicts
+      .select(col("doc_id"),
+        when(col("verdict") === "kept", col("split"))
+          .otherwise(lit(null).cast("string")).as("split"))
       .join(digests, Seq("doc_id"))
       .join(fps, Seq("doc_id"), "left")
       .select(col("doc_id"), col("digest"), col("fp"), col("split"))
-    baseIndex.map(b => b.select("doc_id", "digest", "fp", "split").union(keptIndex))
-      .getOrElse(keptIndex)
+    baseIndex.map(b => b.select("doc_id", "digest", "fp", "split").union(examinedIndex))
+      .getOrElse(examinedIndex)
       .write.mode("overwrite").parquet(s"$outDir/index.parquet")
 
     writePacking(kept, s"$outDir/packing.parquet")
@@ -173,9 +212,7 @@ object Curate {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val splits = kept.groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    verdicts.unpersist(false)
-    fps.unpersist(false)
-    queries.QueryDef.drainCleanups() // releases the cluster + base frames
+    cleanups.foreach(f => f())
 
     def obj(m: Map[String, Long]) =
       m.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -11,7 +11,20 @@ import org.apache.spark.sql.functions._
 object TextMedia {
   import QueryDef.table
 
-  private val toks = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
+  // shared with Curate (private[graft]) — the whitespace tokenizer and
+  // the split-assignment rule must stay bit-identical wherever the
+  // leakage-free-split/quality semantics are applied
+  private[graft] val toks =
+    "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
+
+  /** c12's split-assignment rule as a SQL CASE over a cluster-id
+    * column: first hex char of md5(cluster_id) — 'f' → test (1/16),
+    * 'd'/'e' → val (2/16), else train (13/16). The DuckDB oracle
+    * restates it verbatim (cross-engine duplication is inherent). */
+  private[graft] def splitAssignExpr(clusterCol: String): String = s"""
+        CASE WHEN substring(md5(cast($clusterCol as string)), 1, 1) = 'f' THEN 'test'
+             WHEN substring(md5(cast($clusterCol as string)), 1, 1) IN ('d', 'e') THEN 'val'
+             ELSE 'train' END"""
 
   // ------------------------------------------------------------ SimHash
   // 32-bit SimHash from the low bit of each of md5's 32 hex digits:
@@ -171,9 +184,17 @@ object TextMedia {
     * Curate.runIncremental clusters only the arriving batch. The input
     * is consumed several times (groupBy + final join); the CALLER
     * persists it and releases it after this returns (the result is
-    * materialized before returning, so release is safe immediately). */
+    * materialized before returning, so release is safe immediately).
+    *
+    * `defer` receives the release of the persisted RESULT frame. The
+    * query harnesses use the default (the global drain that Bench and
+    * Verify run between queries); a library caller like Curate passes
+    * its own collector so it never touches cleanups deferred by other
+    * in-flight compositions. */
   private[graft] def dupClustersOf(
-      fps: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      fps: org.apache.spark.sql.DataFrame,
+      defer: (() => Unit) => Unit = QueryDef.deferCleanup)
+      : org.apache.spark.sql.DataFrame = {
     // one row per distinct fingerprint, keyed by its min doc
     val dfp = fps.groupBy("fp")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
@@ -211,7 +232,7 @@ object TextMedia {
     // out itself is released after the caller materializes it —
     // without this the persisted result pinned storage for the
     // session and pass N+1 of the bench re-read pass N's cache
-    QueryDef.deferCleanup(() => { out.unpersist(false); () })
+    defer(() => { out.unpersist(false); () })
     out
   }
 
@@ -280,10 +301,7 @@ object TextMedia {
         docs.join(labels, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-          .withColumn("split", expr("""
-            CASE WHEN substring(md5(cast(cluster_id as string)), 1, 1) = 'f' THEN 'test'
-                 WHEN substring(md5(cast(cluster_id as string)), 1, 1) IN ('d', 'e') THEN 'val'
-                 ELSE 'train' END"""))
+          .withColumn("split", expr(splitAssignExpr("cluster_id")))
           .orderBy("doc_id")
       },
       oracle = Some(s"""

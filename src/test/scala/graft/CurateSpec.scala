@@ -68,18 +68,19 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       // while the text itself differs -> not an exact_dup
       (3L, long + " tok1", "en", "s"),
       (4L, "too short", "en", "s"),          // low_quality (2 < 5 tokens)
-      (5L, "a completely different document with many distinct words present", "en", "s"))
+      (5L, "a completely different document with many distinct words present", "en", "s"),
+      (6L, null.asInstanceOf[String], "en", "s")) // low_quality (NULL text quarantined)
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
     try {
       val r = Curate.run(spark, dir2, s"$dir2/out")
       assert(r.counts === Map(
-        "kept" -> 2L, "exact_dup" -> 1L, "near_dup" -> 1L, "low_quality" -> 1L))
+        "kept" -> 2L, "exact_dup" -> 1L, "near_dup" -> 1L, "low_quality" -> 2L))
       val v = spark.read.parquet(s"$dir2/out/verdicts.parquet")
         .collect().map(row => row.getLong(0) -> row.getString(1)).toMap
       assert(v === Map(1L -> "kept", 2L -> "exact_dup", 3L -> "near_dup",
-        4L -> "low_quality", 5L -> "kept"))
+        4L -> "low_quality", 5L -> "kept", 6L -> "low_quality"))
     } finally {
       val p = java.nio.file.Paths.get(dir2)
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
@@ -117,19 +118,34 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
         spark, s"$root/batch", s"$root/out0", s"$root/out1")
       assert(r.counts === Map("dup_of_base" -> 1L, "near_dup_base" -> 1L,
         "exact_dup" -> 1L, "low_quality" -> 1L, "kept" -> 1L))
-      // the new index carries base + the batch's kept doc
+      // the new index carries base + EVERY examined batch doc (dropped
+      // docs keep suppressing redelivered content); split is non-null
+      // exactly for kept docs
       val idx = spark.read.parquet(s"$root/out1/index.parquet")
       assert(idx.select("doc_id").collect().map(_.getLong(0)).toSet ===
+        Set(1L, 2L, 10L, 11L, 12L, 13L, 14L))
+      assert(idx.filter(col("split").isNotNull)
+        .select("doc_id").collect().map(_.getLong(0)).toSet ===
         Set(1L, 2L, 12L))
-      // a doc identical to base doc 1 AND duplicated in-batch is
-      // dup_of_base on BOTH copies (base precedence over batch rules)
-      writeDocs(s"$root/batch2", Seq((20L, longA), (21L, longA)))
+      // batch2: base-identical docs (dup_of_base on BOTH copies — base
+      // precedence over batch rules) + redelivery of text the pipeline
+      // DROPPED last run (13's exact-dup text) must not be re-admitted
+      writeDocs(s"$root/batch2", Seq(
+        (20L, longA), (21L, longA),
+        (22L, longC)))              // same digest as dropped doc 13
       val r2 = Curate.runIncremental(
         spark, s"$root/batch2", s"$root/out1", s"$root/out2")
-      assert(r2.counts === Map("dup_of_base" -> 2L))
-      // chained index: nothing new kept, index unchanged in content
+      assert(r2.counts === Map("dup_of_base" -> 3L))
+      // chained index: nothing new kept, but all examined ids appended
       val idx2 = spark.read.parquet(s"$root/out2/index.parquet")
-      assert(idx2.count() === 3L)
+      assert(idx2.count() === 10L)
+      assert(idx2.filter(col("split").isNotNull).count() === 3L)
+      // in-place incremental runs are refused (they would destroy the
+      // index while it is still a lazy input)
+      intercept[IllegalArgumentException] {
+        Curate.runIncremental(
+          spark, s"$root/batch2", s"$root/out2", s"$root/out2")
+      }
     } finally {
       val p = java.nio.file.Paths.get(root)
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
@@ -140,7 +156,7 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("packing manifest conserves kept tokens at L=512") {
     val (outDir, _) = out
     val curated = spark.read.parquet(s"$outDir/curated.parquet")
-    val toks = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
+    val toks = queries.TextMedia.toks
     val keptTokens = curated
       .select(expr(s"cast(size($toks) as bigint)").as("n")).agg(sum("n"))
       .collect()(0).getLong(0)
