@@ -324,6 +324,34 @@ object TextMedia {
                     ELSE 'train' END AS split
         FROM assigned
         ORDER BY doc_id""")),
+    // ---------------------------------------------------------------- d11
+    // Dup-cluster size histogram — the first diagnostic a dedup run
+    // reports: how many clusters of each size (power-law head = a
+    // boilerplate/template problem; a single giant cluster = a
+    // degenerate banding or a spam flood). Reuses the c01 cluster
+    // pipeline; the oracle re-derives sizes from the recursive-CTE
+    // closure, so the histogram is pinned to the textbook relation.
+    "d11_cluster_size_hist" -> QueryDef(
+      build = (spark, dir) =>
+        dupClusters(spark, dir)
+          .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("sz"),
+      oracle = Some(s"""
+        WITH RECURSIVE $simhashCtes,
+        sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM neardup
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM neardup),
+        prop AS (
+          SELECT src AS v, src AS label FROM sym
+          UNION
+          SELECT s.dst AS v, p.label FROM prop p JOIN sym s ON s.src = p.v),
+        labels AS (SELECT v, MIN(label) AS cluster_id FROM prop GROUP BY v),
+        sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY 1)
+        SELECT sz, COUNT(*) AS n_clusters
+        FROM sizes GROUP BY sz ORDER BY sz""")),
+
     // ---------------------------------------------------------------- e04
     // Embedding-cosine near-dup — operator in CosineNearDup (sign-bucket
     // candidates, exact-integer verify). The ORACLE is deliberately the
