@@ -186,6 +186,62 @@ object Similarity {
         WHERE common * 1000 // (len(x.sh) + len(y.sh) - common) >= 500
         ORDER BY doc_a, doc_b""")),
 
+    // ---------------------------------------------------------------- m03
+    // Asymmetric CONTAINMENT pairs (Broder's containment coefficient,
+    // |A∩B|/|A| per direction): catches subset-duplication — a doc
+    // quoted or embedded whole inside a larger one — which symmetric
+    // Jaccard misses (a 10-shingle doc inside a 200-shingle doc has
+    // containment 1.0 but Jaccard < 0.05). Same inverted-index shape
+    // as m02 (docs meet only through shared shingles; no all-pairs).
+    // On the driver's synthetic corpus near-dups are symmetric edits,
+    // so m03's relation coincides with m02's there — the oracle proves
+    // cross-engine parity, and SimilaritySpec's crafted contained-doc
+    // fixture pins the asymmetric semantics Jaccard can't see.
+    "m03_containment_pairs" -> QueryDef(
+      build = (spark, dir) => {
+        val sh = shingled(spark, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        QueryDef.deferCleanup(() => { sh.unpersist(false); () })
+        val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        val pairs = ex.as("x").join(ex.as("y"),
+            col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("common"))
+        pairs
+          .join(sh.select(col("doc_id").as("doc_a"),
+            expr("size(sh)").cast("bigint").as("na")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"),
+            expr("size(sh)").cast("bigint").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),
+            expr("common * 1000 div na").as("cont_a"),
+            expr("common * 1000 div nb").as("cont_b"))
+          .filter(greatest(col("cont_a"), col("cont_b")) >= 900)
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some("""
+        WITH tkn AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS tk
+          FROM documents),
+        shn AS (
+          SELECT doc_id, CASE WHEN len(tk) >= 3
+            THEN list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' ')))
+            ELSE list_distinct(tk) END AS sh
+          FROM tkn),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shn),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        sc AS (
+          SELECT doc_a, doc_b, common,
+                 CAST(len(x.sh) AS BIGINT) AS na, CAST(len(y.sh) AS BIGINT) AS nb,
+                 CAST(common * 1000 // len(x.sh) AS BIGINT) AS cont_a,
+                 CAST(common * 1000 // len(y.sh) AS BIGINT) AS cont_b
+          FROM pairs JOIN shn x ON x.doc_id = doc_a JOIN shn y ON y.doc_id = doc_b)
+        SELECT doc_a, doc_b, common, na, nb, cont_a, cont_b
+        FROM sc WHERE greatest(cont_a, cont_b) >= 900
+        ORDER BY doc_a, doc_b""")),
+
     // ---------------------------------------------------------------- c03
     // Benchmark-contamination check: which training docs share any word
     // 3-gram with the (stand-in) benchmark set — doc_id % 97 == 0 marks

@@ -23,6 +23,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall $recall (${lsh.size}/${truth.size})")
   }
 
+  test("m03 containment finds a subset-dup that symmetric jaccard misses") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_m03").toString
+    // doc 2 = doc 1's text embedded whole in a 10x larger document:
+    // every shingle of 1 appears in 2 (containment 1000‰) but the
+    // union is dominated by 2's extra shingles (jaccard ~100‰)
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")
+    val big = small + " " + (13 to 120).map(i => s"w$i").mkString(" ")
+    val other = (200 to 260).map(i => s"z$i").mkString(" ")
+    try {
+      Seq((1L, small, "en", "s"), (2L, big, "en", "s"), (3L, other, "en", "s"))
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val cont = Similarity.defs("m03_containment_pairs").build(spark, tmp)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(5), r.getLong(6)))).toMap
+      assert(cont.keySet === Set((1L, 2L)))
+      assert(cont((1L, 2L))._1 === 1000L, "A fully contained in B")
+      assert(cont((1L, 2L))._2 < 900L)
+      val jacc = Similarity.defs("m02_ngram_jaccard_pairs").build(spark, tmp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!jacc.contains((1L, 2L)),
+        "the containment pair must be invisible to symmetric jaccard")
+      QueryDef.drainCleanups()
+    } finally {
+      val p = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+    }
+  }
+
   test("LSH ANN top-10 recall ≥ 0.5 vs brute force") {
     val ann = AnnLsh.knn(spark, dir, col("vec_id") < 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
