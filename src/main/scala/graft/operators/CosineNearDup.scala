@@ -81,7 +81,8 @@ object CosineNearDup {
   /** SemDeDup-style semantic dedup: per-vector keep/drop verdicts where
     * candidates are confined to the vector's CLUSTER (the `label`
     * column — in production the k-means assignment the SemDeDup recipe
-    * prescribes; IvfAnn.assign produces exactly this). A vector is
+    * prescribes; [[graft.operators.IvfAnn.assign]] produces exactly
+    * this, and CosineNearDupSpec pins the composition). A vector is
     * dropped iff some same-label vector with a SMALLER id has cosine ≥
     * pct/100 — the greedy keep-lowest-index rule, which is
     * order-independent and needs no iteration: each pair (a < b)

@@ -81,6 +81,20 @@ object IvfAnn {
     cents
   }
 
+  /** Nearest-centroid cluster assignment: the input frame plus a
+    * `label` column (LongType). This is the k-means step of the
+    * SemDeDup recipe — its labels feed CosineNearDup.semanticDedup
+    * directly (IvfPqSpec-style composition pinned in
+    * CosineNearDupSpec). One narrow codegen pass; centroids are
+    * driver-held literals (k×dim doubles), so assignment needs no
+    * join and no shuffle. */
+  def assign(emb: DataFrame, cents: Seq[Array[Double]]): DataFrame =
+    emb
+      .withColumn("dists", distArray(cents))
+      .withColumn("label",
+        element_at(nearestClusters(cents.length, 1), 1).cast("long"))
+      .drop("dists")
+
   /** Top-k approximate neighbors for `probes` out of the embeddings
     * table via nprobe-list IVF search, re-ranked by exact quantized dot. */
   def knn(spark: SparkSession, dir: String, probePred: Column, topK: Int = 10,

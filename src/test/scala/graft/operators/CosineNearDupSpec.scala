@@ -76,6 +76,27 @@ class CosineNearDupSpec extends AnyFunSuite {
     assert(keep === Map(10L -> 1L, 11L -> 0L, 20L -> 1L, 30L -> 1L, 40L -> 1L))
   }
 
+  test("semanticDedup composes with IvfAnn.assign as the clustering step") {
+    // the full SemDeDup recipe: k-means (IvfAnn) -> within-cluster
+    // cosine dedup. Near-identical vectors share a nearest centroid, so
+    // planted dups co-cluster and the higher id of each pair drops.
+    val labeled = IvfAnn.assign(fixture, IvfAnn.trainCentroids(fixture, k = 4))
+    val out = CosineNearDup.semanticDedup(labeled, pct = 90)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val labels = labeled.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val planted = (0 until 25).map(i => (i.toLong, (100 + i).toLong))
+    val coClustered = planted.filter { case (a, b) => labels(a) == labels(b) }
+    assert(coClustered.size >= planted.size / 2,
+      s"expected most planted dup pairs to co-cluster, got ${coClustered.size}/25")
+    coClustered.foreach { case (a, b) =>
+      assert(out(b) === 0L, s"dup $b of $a should drop in cluster ${labels(a)}")
+    }
+    // a dup (higher id) can never condemn its base, and random bases
+    // are nowhere near cos 0.9 of each other -> every base keeps
+    planted.foreach { case (a, _) => assert(out(a) === 1L, s"base $a dropped") }
+  }
+
   test("semanticDedup: greedy rule condemns every non-minimal member of a dup chain") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
