@@ -82,8 +82,12 @@ object Curate {
     * the corpus index would be destroyed before the union reads it. */
   def runIncremental(spark: SparkSession, batchDir: String, baseDir: String,
       outDir: String, minTokens: Int = 5): Result = {
-    val basePath = java.nio.file.Paths.get(baseDir).toAbsolutePath.normalize
-    val outPath = java.nio.file.Paths.get(outDir).toAbsolutePath.normalize
+    // REAL paths, not just normalized ones: a symlinked outDir aliasing
+    // baseDir (a "latest" pointer) would pass a string compare and
+    // still destroy the index. outDir is created first so it resolves.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val basePath = java.nio.file.Paths.get(baseDir).toRealPath()
+    val outPath = java.nio.file.Paths.get(outDir).toRealPath()
     require(basePath != outPath,
       s"incremental outDir must differ from baseDir ($basePath): " +
         "the run reads baseDir's index.parquet lazily and an in-place " +
@@ -97,10 +101,21 @@ object Curate {
       baseIndex: Option[DataFrame], outDir: String, minTokens: Int): Result = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     // Curate owns its frames' lifecycle: releases collect HERE and run
-    // after the last write — never the process-global QueryDef queue,
-    // which belongs to the query harnesses and may hold cleanups of
-    // unrelated in-flight compositions
+    // in a finally (a failed write must not pin MEMORY_AND_DISK frames
+    // for the rest of the session) — never the process-global QueryDef
+    // queue, which belongs to the query harnesses and may hold cleanups
+    // of unrelated in-flight compositions
     val cleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    try curateInner(spark, docs, baseIndex, outDir, minTokens, cleanups)
+    finally cleanups.foreach { f =>
+      try f() catch { case e: Throwable =>
+        System.err.println(s"[curate] cleanup: ${e.getMessage}") }
+    }
+  }
+
+  private def curateInner(spark: SparkSession, docs: DataFrame,
+      baseIndex: Option[DataFrame], outDir: String, minTokens: Int,
+      cleanups: scala.collection.mutable.ArrayBuffer[() => Unit]): Result = {
 
     // digest frame is consumed by the exact-dup self-join, the index
     // artifact, and (incrementally) the base probe — persist the
@@ -136,10 +151,14 @@ object Curate {
       val dupOfBase = digests
         .join(b.select("digest").distinct(), Seq("digest"))
         .select(col("doc_id"), lit(0).as("pri"))
+      // distinct fps only (mirroring the digest probe's distinct): the
+      // every-examined-doc index accumulates duplicate fps across
+      // redeliveries, and the probe's fan-out must scale with distinct
+      // content, not docs-ever-examined
       val baseBands = queries.TextMedia
-        .fpBands(b.filter(col("fp").isNotNull)
-          .select(col("doc_id").as("base_id"), col("fp")), "base_id")
-        .select(col("fp").as("fp_b"), col("bi").as("bi2"), col("bv").as("bv2"))
+        .fpBands(b.filter(col("fp").isNotNull).select("fp").distinct()
+          .withColumn("fp_b", col("fp")), "fp_b")
+        .select(col("fp_b"), col("bi").as("bi2"), col("bv").as("bv2"))
       val nearBase = queries.TextMedia.fpBands(fps, "doc_id")
         .join(baseBands,
           col("bi") === col("bi2") && col("bv") === col("bv2") &&
@@ -212,7 +231,6 @@ object Curate {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val splits = kept.groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    cleanups.foreach(f => f())
 
     def obj(m: Map[String, Long]) =
       m.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -51,6 +51,27 @@ object Similarity {
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     QueryDef.spread(spark, dir, "documents").select(col("doc_id"), expr(shingles).as("sh"))
 
+  /** Candidate-pair stats (doc_a, doc_b, common, na, nb) over the shared
+    * shingle inverted index — the skeleton of both m02 (symmetric
+    * Jaccard) and m03 (asymmetric containment): docs meet only through
+    * a shared shingle, never an all-pairs product. The shingle frame is
+    * consumed three times (explode + both size joins) — persisted once,
+    * released by the harness. */
+  private def ngramPairStats(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    QueryDef.deferCleanup(() => { sh.unpersist(false); () })
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    ex.as("x").join(ex.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sh.select(col("doc_id").as("doc_a"),
+        expr("size(sh)").cast("bigint").as("na")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"),
+        expr("size(sh)").cast("bigint").as("nb")), "doc_b")
+  }
+
   /** (doc_id, bi, bh) band-bucket frame of the m01 LSH scheme — the
     * candidate-generation key, SQL side. Exposed so the streaming
     * operator's Scala re-implementation can be parity-pinned against it
@@ -151,21 +172,12 @@ object Similarity {
     // meet only through a shared shingle (no all-pairs). The LSH recall
     // spec (SimilaritySpec) checks m01 against this.
     "m02_ngram_jaccard_pairs" -> QueryDef(
-      build = (spark, dir) => {
-        val sh = shingled(spark, dir)
-        val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-        val pairs = ex.as("x").join(ex.as("y"),
-            col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("common"))
-        pairs
-          .join(sh.select(col("doc_id").as("doc_a"), expr("size(sh)").cast("bigint").as("na")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), expr("size(sh)").cast("bigint").as("nb")), "doc_b")
+      build = (spark, dir) =>
+        ngramPairStats(spark, dir)
           .select(col("doc_a"), col("doc_b"),
             expr("common * 1000 div (na + nb - common)").as("jaccard_permille"))
           .filter(col("jaccard_permille") >= 500)
-          .orderBy("doc_a", "doc_b")
-      },
+          .orderBy("doc_a", "doc_b"),
       oracle = Some("""
         WITH tkn AS (
           SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS tk
@@ -198,26 +210,13 @@ object Similarity {
     // cross-engine parity, and SimilaritySpec's crafted contained-doc
     // fixture pins the asymmetric semantics Jaccard can't see.
     "m03_containment_pairs" -> QueryDef(
-      build = (spark, dir) => {
-        val sh = shingled(spark, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        QueryDef.deferCleanup(() => { sh.unpersist(false); () })
-        val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-        val pairs = ex.as("x").join(ex.as("y"),
-            col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("common"))
-        pairs
-          .join(sh.select(col("doc_id").as("doc_a"),
-            expr("size(sh)").cast("bigint").as("na")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"),
-            expr("size(sh)").cast("bigint").as("nb")), "doc_b")
+      build = (spark, dir) =>
+        ngramPairStats(spark, dir)
           .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),
             expr("common * 1000 div na").as("cont_a"),
             expr("common * 1000 div nb").as("cont_b"))
           .filter(greatest(col("cont_a"), col("cont_b")) >= 900)
-          .orderBy("doc_a", "doc_b")
-      },
+          .orderBy("doc_a", "doc_b"),
       oracle = Some("""
         WITH tkn AS (
           SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS tk

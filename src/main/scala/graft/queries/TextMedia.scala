@@ -124,6 +124,20 @@ object TextMedia {
       .distinct()
   }
 
+  /** Recursive-CTE transitive closure over the `neardup` pair relation,
+    * ending in `prop(v, label)` — shared by the c01/c12/d11 oracles so
+    * the textbook cluster definition is maintained in ONE place. Must
+    * appear under a WITH RECURSIVE together with [[simhashCtes]]. */
+  private val closureCtes = """
+        sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM neardup
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM neardup),
+        prop AS (
+          SELECT src AS v, src AS label FROM sym
+          UNION
+          SELECT s.dst AS v, p.label FROM prop p JOIN sym s ON s.src = p.v)"""
+
   /** The matching DuckDB CTE chain ending in a `neardup(doc_a, doc_b,
     * hamming)` relation. */
   private val simhashCtes = s"""
@@ -263,15 +277,7 @@ object TextMedia {
     "c01_dup_clusters" -> QueryDef(
       build = (spark, dir) => dupClusters(spark, dir),
       oracle = Some(s"""
-        WITH RECURSIVE $simhashCtes,
-        sym AS (
-          SELECT doc_a AS src, doc_b AS dst FROM neardup
-          UNION
-          SELECT doc_b AS src, doc_a AS dst FROM neardup),
-        prop AS (
-          SELECT src AS v, src AS label FROM sym
-          UNION
-          SELECT s.dst AS v, p.label FROM prop p JOIN sym s ON s.src = p.v)
+        WITH RECURSIVE $simhashCtes, $closureCtes
         SELECT v AS doc_id, MIN(label) AS cluster_id,
                CAST(v = MIN(label) AS BIGINT) AS keep
         FROM prop GROUP BY v
@@ -305,15 +311,7 @@ object TextMedia {
           .orderBy("doc_id")
       },
       oracle = Some(s"""
-        WITH RECURSIVE $simhashCtes,
-        sym AS (
-          SELECT doc_a AS src, doc_b AS dst FROM neardup
-          UNION
-          SELECT doc_b AS src, doc_a AS dst FROM neardup),
-        prop AS (
-          SELECT src AS v, src AS label FROM sym
-          UNION
-          SELECT s.dst AS v, p.label FROM prop p JOIN sym s ON s.src = p.v),
+        WITH RECURSIVE $simhashCtes, $closureCtes,
         labels AS (SELECT v AS doc_id, MIN(label) AS cluster_id FROM prop GROUP BY v),
         assigned AS (
           SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
@@ -338,15 +336,7 @@ object TextMedia {
           .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
           .orderBy("sz"),
       oracle = Some(s"""
-        WITH RECURSIVE $simhashCtes,
-        sym AS (
-          SELECT doc_a AS src, doc_b AS dst FROM neardup
-          UNION
-          SELECT doc_b AS src, doc_a AS dst FROM neardup),
-        prop AS (
-          SELECT src AS v, src AS label FROM sym
-          UNION
-          SELECT s.dst AS v, p.label FROM prop p JOIN sym s ON s.src = p.v),
+        WITH RECURSIVE $simhashCtes, $closureCtes,
         labels AS (SELECT v, MIN(label) AS cluster_id FROM prop GROUP BY v),
         sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY 1)
         SELECT sz, COUNT(*) AS n_clusters
