@@ -95,6 +95,113 @@ object IvfAnn {
         element_at(nearestClusters(cents.length, 1), 1).cast("long"))
       .drop("dists")
 
+  /** Per-cluster pruning metadata: radius (max member distance to its
+    * centroid) and member count. k rows — driver-held like the centroids
+    * themselves (O(metadata), not data). */
+  final case class ClusterStats(radius: Array[Double], count: Array[Long])
+
+  private[operators] def clusterStats(emb: DataFrame,
+      cents: Seq[Array[Double]]): ClusterStats = {
+    val rows = emb
+      .withColumn("dists", distArray(cents))
+      .withColumn("cluster", element_at(nearestClusters(cents.length, 1), 1))
+      .select(col("cluster"),
+        sqrt(element_at(col("dists"), col("cluster") + 1)).as("d"))
+      .groupBy("cluster").agg(max("d").as("r"), org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect()
+    val radius = new Array[Double](cents.length)
+    val members = new Array[Long](cents.length)
+    rows.foreach { r =>
+      radius(r.getInt(0)) = r.getDouble(1); members(r.getInt(0)) = r.getLong(2)
+    }
+    ClusterStats(radius, members)
+  }
+
+  /** Double-fp slack on the pruning bound. Has to dominate two error
+    * sources: (a) double round-off in the distance/radius arithmetic
+    * (~1e-13 relative) and (b) the discrepancy between the double dot
+    * the bound reasons about and the quantized-integer dot the final
+    * ranking uses — floor(x·2^20) perturbs a unit-vector dot by at most
+    * (‖x‖₁+‖y‖₁)·2⁻²⁰ ≲ 3e-5, i.e. ≲ 6e-5 in squared-distance terms.
+    * 1e-3 dominates both with two orders of margin; the only cost of
+    * slack is a slightly wider candidate set. */
+  private[operators] val PruneEps = 1e-3
+
+  /** The adaptive probe list that makes IVF search EXACT (classic
+    * branch-and-bound cluster pruning): every corpus vector is within
+    * `radius(j)` of its centroid, so for a probe at centroid-distance
+    * d(j) all of cluster j lies in [d(j)-r(j), d(j)+r(j)]. Scanning
+    * clusters by (d+r) ascending until their member counts cover
+    * topK+1 rows yields an upper bound `ub` on the true (topK)-th
+    * neighbor distance (+1 absorbs the probe meeting itself); any
+    * cluster with d(j)-r(j) > ub provably contains no top-k member and
+    * is skipped. On unit-norm embeddings L2 order == dot order, so the
+    * pruned exact-L2 top-k IS the exact max-dot top-k — which is what
+    * lets e05/e06 hash-match the e01 brute-force oracle instead of
+    * sitting at `no_oracle` recall gates. Fixed-nprobe `knn` remains
+    * the recall/cost dial for corpora where the guarantee isn't worth
+    * the adaptive fan-out. */
+  private[operators] def exactClusterList(cents: Seq[Array[Double]],
+      stats: ClusterStats, topK: Int): Column = {
+    val k = cents.length
+    val meta = (0 until k).map { j =>
+      s"struct(sqrt(element_at(dists, ${j + 1})) as d, " +
+        s"${stats.radius(j)}D as r, ${stats.count(j)}L as n, $j as i)"
+    }.mkString("array(", ", ", ")")
+    // ub = (d+r) of the first prefix (by d+r ascending) covering topK+1
+    // members; null never survives because counts sum to the corpus size
+    val ub = s"""aggregate(
+      array_sort(transform($meta, x -> struct(x.d + x.r as ub, x.n as n))),
+      struct(0L as cum, cast(null as double) as ub),
+      (acc, x) -> if(acc.ub is not null, acc,
+        struct(acc.cum + x.n as cum,
+               if(acc.cum + x.n >= ${topK + 1}, x.ub, acc.ub) as ub)),
+      acc -> acc.ub)"""
+    expr(s"filter(transform($meta, x -> if(x.d - x.r <= $ub + $PruneEps, x.i, -1)), i -> i >= 0)")
+  }
+
+  /** EXACT top-k via IVF inverted lists with adaptive cluster pruning —
+    * same pipeline shape as [[knn]] (ids-only candidate join, one exact
+    * integer re-rank per candidate), but the probe list is derived from
+    * the triangle-inequality bound above, so the output provably equals
+    * the e01 brute force on any corpus. */
+  /** (query_id, cand_id) candidate pairs whose union provably contains
+    * every probe's true top-k (see [[exactClusterList]]) — ids only, the
+    * shared candidate generator of [[knnExact]] and [[IvfPq.knnExact]]. */
+  private[operators] def exactCandidatePairs(emb: DataFrame,
+      cents: Seq[Array[Double]], stats: ClusterStats, probePred: Column,
+      topK: Int): DataFrame = {
+    val withD = emb.withColumn("dists", distArray(cents))
+    val corpus = withD
+      .select(col("vec_id"), element_at(nearestClusters(cents.length, 1), 1).as("cluster"))
+    val probeClusters = withD.filter(probePred)
+      .select(col("vec_id").as("query_id"),
+        explode(exactClusterList(cents, stats, topK)).as("cluster"))
+    probeClusters.join(corpus,
+        probeClusters("cluster") === corpus("cluster") &&
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+      .distinct()
+  }
+
+  def knnExact(spark: SparkSession, dir: String, probePred: Column,
+      topK: Int = 10, k: Int = 16, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = trainCentroids(emb, k, iters)
+    val stats = clusterStats(emb, cents)
+    val pairs = exactCandidatePairs(emb, cents, stats, probePred, topK)
+    val qvs = emb.select(col("vec_id"), expr(quant).as("qv"))
+    val cands = pairs
+      .join(qvs.select(col("vec_id").as("query_id"), col("qv").as("pq")), "query_id")
+      .join(qvs.select(col("vec_id").as("cand_id"), col("qv")), "cand_id")
+      .select(col("query_id"), col("cand_id"), expr(qdot("pq", "qv")).as("dot"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("cand_id"))
+    cands.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= topK)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Top-k approximate neighbors for `probes` out of the embeddings
     * table via nprobe-list IVF search, re-ranked by exact quantized dot. */
   def knn(spark: SparkSession, dir: String, probePred: Column, topK: Int = 10,

@@ -86,6 +86,82 @@ object IvfPq {
     expr(s"aggregate(zip_with(codes, sequence(0, size(codes) - 1), " +
       s"(c, m) -> element_at(adc, m * $k + c + 1)), 0D, (a, v) -> a + v)")
 
+  /** Per-vector PQ reconstruction error ‖c − q(c)‖ (sqrt of the summed
+    * per-subspace min quantization distances) — computed once at encode
+    * time, stored beside the codes. Cauchy-Schwarz turns it into a hard
+    * ADC error bound: |dot(p,c) − dot(p,q(c))| ≤ ‖p‖·‖c−q(c)‖, which is
+    * what lets [[knnExact]] shortlist with a guarantee instead of a
+    * fixed factor. */
+  private def reconErrCol(cb: Codebooks): Column = {
+    val perSub = (0 until cb.m).map { mi =>
+      val sub = s"slice(cast(embedding as array<double>), ${mi * cb.subDim + 1}, ${cb.subDim})"
+      val dists = cb.books(mi).zipWithIndex.map { case (cw, ki) =>
+        val lits = cw.map(v => s"${v}D").mkString("array(", ", ", ")")
+        s"aggregate(zip_with($sub, $lits, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"
+      }.mkString("array(", ", ", ")")
+      s"array_min($dists)"
+    }
+    expr(s"sqrt(${perSub.mkString(" + ")})")
+  }
+
+  /** EXACT top-k: adaptive-pruned IVF candidates (IvfAnn.exactCandidatePairs,
+    * provably a superset of the true top-k) + PQ-ADC scoring with the
+    * Cauchy-Schwarz error bound above. A candidate is dropped only when
+    * its ADC upper bound (approx + ‖p‖·err) falls below the topK-th
+    * largest lower bound (approx − ‖p‖·err) of its probe — so the exact
+    * re-rank provably sees every true top-k member and the output equals
+    * the e01 brute force, while still moving only M-byte codes per
+    * candidate through the scoring join. [[knn]] keeps the fixed
+    * shortlistFactor dial for corpora where the guarantee isn't needed. */
+  def knnExact(spark: SparkSession, dir: String, probePred: Column,
+      topK: Int = 10, coarseK: Int = 16, m: Int = 8, pqK: Int = 16,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cb = trainCodebooks(emb, m, pqK, iters)
+    val cents = IvfAnn.trainCentroids(emb, coarseK, iters)
+    val stats = IvfAnn.clusterStats(emb, cents)
+    val pairs = IvfAnn.exactCandidatePairs(emb, cents, stats, probePred, topK)
+
+    val codes = emb.select(col("vec_id").as("cand_id"), codesCol(cb).as("codes"),
+      reconErrCol(cb).as("rerr"))
+    val probeTables = emb.filter(probePred)
+      .select(col("vec_id").as("query_id"), adcTableCol(cb).as("adc"),
+        expr("sqrt(aggregate(zip_with(cast(embedding as array<double>), cast(embedding as array<double>), (x, y) -> x * y), 0D, (a, v) -> a + v))")
+          .as("pnorm"))
+    // eps absorbs double round-off plus the double-vs-quantized-integer
+    // ranking discrepancy (see IvfAnn.PruneEps); slack only widens the
+    // shortlist, never loses a true neighbor
+    val eps = IvfAnn.PruneEps
+    val w = Window.partitionBy("query_id")
+    val bounded = pairs
+      .join(codes, "cand_id")
+      .join(broadcast(probeTables), "query_id") // probe set is bounded
+      .select(col("query_id"), col("cand_id"),
+        adcScore(cb.k).as("approx"), (col("pnorm") * col("rerr")).as("berr"))
+      .select(col("query_id"), col("cand_id"),
+        (col("approx") - col("berr") - eps).as("lo"),
+        (col("approx") + col("berr") + eps).as("hi"))
+    // topK-th largest lower bound per probe; probes with < topK
+    // candidates keep everything (null threshold)
+    val ranked = bounded.withColumn("lrk",
+      row_number().over(w.orderBy(col("lo").desc, col("cand_id"))))
+    val shortlist = ranked
+      .withColumn("thr", max(when(col("lrk") === topK, col("lo"))).over(w))
+      .filter(col("thr").isNull || col("hi") >= col("thr"))
+      .select("query_id", "cand_id")
+
+    val qvs = emb.select(col("vec_id"), expr(IvfAnn.quant).as("qv"))
+    val rer = shortlist
+      .join(qvs.select(col("vec_id").as("query_id"), col("qv").as("pq")), "query_id")
+      .join(qvs.select(col("vec_id").as("cand_id"), col("qv")), "cand_id")
+      .select(col("query_id"), col("cand_id"), expr(IvfAnn.qdot("pq", "qv")).as("dot"))
+    rer.withColumn("rnk", row_number().over(
+        w.orderBy(col("dot").desc, col("cand_id"))).cast("bigint"))
+      .filter(col("rnk") <= topK)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Top-k approximate neighbors via IVF lists + PQ-ADC scoring + exact
     * re-rank of the ADC top-(shortlistFactor·k). The shortlist factor is
     * the recall/IO dial: candidates are cheap to ADC-score (table
