@@ -3,29 +3,45 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Embedding-cosine near-duplicate pairs, sign-bucketed.
+/** Embedding-cosine near-duplicate pairs via a multi-band hyperplane-
+  * sign LSH union.
   *
-  * Candidate generation: vectors that share the 8-bit sign pattern of
-  * their first 8 dimensions meet in a bucket (near-identical vectors
-  * almost always do; a production variant unions several sign bands for
-  * recall). Verification is exact integer arithmetic on ×2^20-quantized
-  * components — power-of-two scaling is exact in double, so both engines
-  * and the spec's brute force agree bit-for-bit:
+  * Candidate generation: each vector gets `tables` independent bucket
+  * ids, one per band of `bits` seeded Gaussian hyperplane signs (the
+  * AnnLsh machinery — hyperplanes enter the plan as codegen'd array
+  * literals). Candidates are the UNION of within-band collisions,
+  * deduped to one row per distinct pair before verification. Missing a
+  * true cos≥0.9 pair requires ALL `tables` bands to split it: a pair at
+  * angle θ flips one sign bit with probability θ/π, so a band agrees
+  * with probability (1−θ/π)^bits and the miss rate is
+  * (1−(1−θ/π)^bits)^tables — at the defaults (16 bands × 10 bits) that
+  * is < 1e-14 for cos 0.999 (the fixture dups) and ≈ 2% even at the 0.90
+  * threshold edge. Verification is exact integer arithmetic on
+  * ×2^20-quantized components — power-of-two scaling is exact in double,
+  * so both engines and the spec's brute force agree bit-for-bit:
   *   cos ≥ pct/100  ⇔  dot > 0 ∧ 10000·dot² ≥ pct²·|a|²·|b|²
   * squared in DECIMAL so nothing overflows (|x|≤1 ⇒ dot ≤ 64·2^40 <
   * 10^14 ⇒ dot² < 10^28 ⇒ ·10^4 < 10^32, within DECIMAL(38)).
   *
-  * 100 TB shape: the join key is a single integer bucket and rows carry
-  * (id, qv, norm2) only; no all-pairs product anywhere. The bucket count
-  * (256) is small, so at real scale you'd widen to more sign bits or an
-  * LSH band union — the shape (bucket equi-join + exact verify) stays.
+  * 100 TB shape: the band join moves (id, band, bucket) rows only —
+  * ~20 bytes — and vectors join back once per DISTINCT surviving pair.
+  * Expected occupancy of one band's bucket is n/2^bits on near-random
+  * data, so within-band candidate volume is ~tables·n²/2^(bits+1):
+  * unlike the former fixed 256-bucket sign pattern, `bits` is a free
+  * dial (hyperplanes are generated per bits), so bucket count is kept
+  * proportional to n — bits ≈ log2(n/B) holds expected bucket size at a
+  * constant B as the corpus grows, with `tables` restoring recall.
+  * A pile of exact duplicates still lands in one bucket (necessarily —
+  * they must be compared), which is AQE's skew-join case on ids-only
+  * rows.
   *
   * Note on test data: the driver's synthetic embeddings are near-random
   * (max pairwise cosine ≈ 0.51 at every sf), so this operator correctly
   * returns 0 rows there; the DuckDB oracle is the NAIVE ALL-PAIRS cosine
   * (proving the bucketed plan loses nothing vs the relation), and
   * CosineNearDupSpec drives a seeded fixture with true near-dup pairs
-  * for a non-vacuous recall/containment check.
+  * for a non-vacuous recall/containment check — including a pair every
+  * single band splits that only the union catches.
   */
 object CosineNearDup {
 
@@ -34,17 +50,12 @@ object CosineNearDup {
   private val qdot =
     "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
 
-  /** Quantized vectors + squared norm (+ sign bucket when asked). */
-  private def prepared(emb: DataFrame, withBucket: Boolean): DataFrame = {
-    val base = emb
+  /** Quantized vectors + squared norm. */
+  private def prepared(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), expr(quant).as("qv"))
       .withColumn("norm2", expr(
         "aggregate(transform(qv, x -> x * x), 0L, (acc, v) -> acc + v)"))
-    if (withBucket) base.withColumn("bucket", expr(
-      (1 to 8).map(i => s"(case when qv[${i - 1}] >= 0 then ${1 << i} else 0 end)")
-        .mkString(" + ")))
-    else base
-  }
 
   /** Exact-integer cosine test above a candidate join. The dot fold is
     * FENCED (graft.functions.OptimizerBarrier, its sanctioned
@@ -65,16 +76,28 @@ object CosineNearDup {
       .select(col("vec_a"), col("vec_b"), col("dot"), col("na"), col("nb"))
       .orderBy("vec_a", "vec_b")
 
-  /** Sign-bucketed near-dup pairs with cosine ≥ pct/100 over a frame of
-    * (vec_id, embedding). */
-  def pairs(emb: DataFrame, pct: Int = 90): DataFrame = {
-    val e = prepared(emb, withBucket = true)
-    val a = e.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
-      col("norm2").as("na"), col("bucket"))
-    val b = e.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
-      col("norm2").as("nb"), col("bucket").as("bucket2"))
+  /** Multi-band LSH near-dup pairs with cosine ≥ pct/100 over a frame of
+    * (vec_id, embedding): union of within-band collisions (ids only),
+    * one exact-integer verify per distinct pair. */
+  def pairs(emb: DataFrame, pct: Int = 90, tables: Int = 16, bits: Int = 10,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val banded = AnnLsh.withBuckets(emb, tables, bits, dim, seed)
+      .select(col("vec_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val cand = banded
+      .select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
+      .join(banded.select(col("vec_id").as("vec_b"),
+          col("band").as("band2"), col("bucket").as("bucket2")),
+        col("band") === col("band2") && col("bucket") === col("bucket2") &&
+          col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    val e = prepared(emb)
     verified(
-      a.join(b, col("bucket") === col("bucket2") && col("vec_a") < col("vec_b")),
+      cand
+        .join(e.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+          col("norm2").as("na")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
+          col("norm2").as("nb")), "vec_b"),
       pct)
   }
 
@@ -127,7 +150,7 @@ object CosineNearDup {
 
   /** Exact all-pairs ground truth (O(n²) — spec/fixture scale only). */
   def bruteForce(emb: DataFrame, pct: Int = 90): DataFrame = {
-    val e = prepared(emb, withBucket = false)
+    val e = prepared(emb)
     val a = e.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
       col("norm2").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("qv").as("qb"),

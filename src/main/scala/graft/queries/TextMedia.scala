@@ -343,14 +343,17 @@ object TextMedia {
         FROM sizes GROUP BY sz ORDER BY sz""")),
 
     // ---------------------------------------------------------------- e04
-    // Embedding-cosine near-dup — operator in CosineNearDup (sign-bucket
-    // candidates, exact-integer verify). The ORACLE is deliberately the
+    // Embedding-cosine near-dup — operator in CosineNearDup (multi-band
+    // hyperplane-LSH candidate union, exact-integer verify; bits/tables
+    // are free dials so bucket count scales with n, unlike the former
+    // fixed 256-bucket sign pattern). The ORACLE is deliberately the
     // NAIVE ALL-PAIRS cosine, not a mirror of the bucketing: green means
-    // the bucketed plan computes the same relation as the O(n²)
+    // the banded plan computes the same relation as the O(n²)
     // definition (the q18 technique). The driver's embeddings are
     // near-random (no cos≥0.9 pairs at any sf — max ≈ 0.51), so both
     // sides are empty there; CosineNearDupSpec holds the non-vacuous
-    // recall/containment assertion over a seeded fixture.
+    // full-recall/containment assertion over a seeded fixture, including
+    // a borderline pair only the band union finds.
     "e04_cosine_neardup" -> QueryDef(
       build = (spark, dir) =>
         graft.operators.CosineNearDup.pairs(QueryDef.spread(spark, dir, "embeddings")),

@@ -4,17 +4,22 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import graft.GraftSession
 
-/** Non-vacuous verification for the sign-bucketed cosine near-dup
+/** Non-vacuous verification for the multi-band LSH cosine near-dup
   * operator. The driver's synthetic embeddings contain NO cos≥0.9 pairs
   * (max pairwise cosine ≈ 0.51 at every sf), so its oracle check passes
   * on 0==0; this spec seeds a fixture that DOES contain true near-dups
-  * (perturbed copies, cos ≈ 0.999) and asserts containment + recall
+  * (perturbed copies, cos ≈ 0.999, plus one borderline cos ≈ 0.91 pair
+  * that defeats single-band bucketing) and asserts containment + recall
   * against the exact all-pairs ground truth. */
 class CosineNearDupSpec extends AnyFunSuite {
   private lazy val spark = GraftSession.build("graft-test")
 
   /** 40 random base vectors + a perturbed near-copy of the first 25
-    * (±0.05 per component → cosine ≈ 0.999). Fixed seed: deterministic. */
+    * (±0.05 per component → cosine ≈ 0.999), plus one BORDERLINE pair
+    * (200, 201): a heavier ±0.45 perturbation lands just above the 0.90
+    * threshold, where sign bits flip often enough that a single band
+    * usually splits the pair — the union-of-bands regression case.
+    * Fixed seed: deterministic. */
   private lazy val fixture: DataFrame = {
     val rnd = new scala.util.Random(42)
     def vec() = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
@@ -23,22 +28,37 @@ class CosineNearDupSpec extends AnyFunSuite {
       val d = bases(i)._2.map(x => x + 0.05f * (rnd.nextFloat() * 2f - 1f))
       ((100 + i).toLong, d)
     }
+    val borderBase = vec()
+    val border = Seq(
+      (200L, borderBase),
+      (201L, borderBase.map(x => x + 0.45f * (rnd.nextFloat() * 2f - 1f))))
     import spark.implicits._
-    (bases ++ dups).toDF("vec_id", "embedding")
+    (bases ++ dups ++ border).toDF("vec_id", "embedding")
   }
 
   private def pairSet(df: DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("bucketed pairs ⊆ exact all-pairs truth, recall ≥ 0.75, truth non-empty") {
+  test("banded pairs ⊆ exact all-pairs truth, full recall, truth non-empty") {
     val got = pairSet(CosineNearDup.pairs(fixture))
     val truth = pairSet(CosineNearDup.bruteForce(fixture))
     assert(truth.size >= 20, s"seeded fixture must contain near-dup pairs, got ${truth.size}")
     assert(got.subsetOf(truth),
       s"verified pairs must be true cos≥0.9 pairs; extras: ${got -- truth}")
-    val recall = got.size.toDouble / truth.size
-    assert(recall >= 0.75,
-      s"sign-bucket recall $recall (${got.size}/${truth.size})")
+    // 16 bands × 10 bits: miss probability < 1e-14 at the fixture's
+    // cos ≈ 0.999 dups and ~2% at the 0.90 edge — on the fixed seed the
+    // union recovers the whole relation
+    assert(got === truth, s"missed: ${truth -- got}")
+  }
+
+  test("union catches a borderline pair that a single band splits") {
+    val truth = pairSet(CosineNearDup.bruteForce(fixture))
+    assert(truth.contains((200L, 201L)),
+      "borderline fixture pair must be a true cos>=0.9 pair; retune the perturbation")
+    val singleBand = pairSet(CosineNearDup.pairs(fixture, tables = 1))
+    assert(!singleBand.contains((200L, 201L)),
+      "borderline pair should defeat a single 10-bit band; reseed if this fails")
+    assert(pairSet(CosineNearDup.pairs(fixture)).contains((200L, 201L)))
   }
 
   test("scores agree exactly with brute force on shared pairs") {
