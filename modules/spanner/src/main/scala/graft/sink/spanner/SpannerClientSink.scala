@@ -67,17 +67,28 @@ object SpannerClientSink {
     case s: String               => Value.string(s)
     case l: Long                 => Value.int64(l)
     case i: Int                  => Value.int64(i.toLong)
+    case s: Short                => Value.int64(s.toLong)
+    case b: Byte                 => Value.int64(b.toLong)
     case d: Double               => Value.float64(d)
+    case f: Float                => Value.float64(f.toDouble)
     case b: Boolean              => Value.bool(b)
     case d: java.math.BigDecimal => Value.numeric(d)
     case d: BigDecimal           => Value.numeric(d.bigDecimal)
     case t: java.sql.Timestamp   => Value.timestamp(GTimestamp.of(t))
+    case i: java.time.Instant =>
+      Value.timestamp(GTimestamp.ofTimeSecondsAndNanos(i.getEpochSecond, i.getNano))
     case d: java.sql.Date =>
       val ld = d.toLocalDate
       Value.date(GDate.fromYearMonthDay(ld.getYear, ld.getMonthValue, ld.getDayOfMonth))
+    case ld: java.time.LocalDate =>
+      Value.date(GDate.fromYearMonthDay(ld.getYear, ld.getMonthValue, ld.getDayOfMonth))
     case b: Array[Byte]          => Value.bytes(ByteArray.copyFrom(b))
     case s: Seq[_]               => toArrayValue(s)
-    case other                   => Value.string(other.toString)
+    // no toString fallback: a type drifting outside the lattice would be
+    // written as a Spanner STRING and fail (or corrupt) at commit time,
+    // far from the cause — fail here, where the offending type is visible
+    case other => throw new IllegalArgumentException(
+      s"unsupported Spark value type for Spanner write: ${other.getClass.getName}")
   }
 
   /** Array column → typed Spanner array; element type from the first

@@ -29,9 +29,17 @@ import org.apache.spark.sql.functions._
   * Verdict rules (first applicable reason wins, so per-doc verdicts are
   * a partition and the summary's counts reconcile exactly):
   *   dup_of_base   batch doc's digest already in the base index
-  *   near_dup_base batch doc's fp within hamming 2 of a base fp
+  *   near_dup_base batch doc's fp within hamming ≤ cfg.baseHamming of a
+  *                 base fp
   *   exact_dup     not the min doc_id of its (batch) md5(text) group
-  *   near_dup      c01 cluster verdict keep=0 (non-canonical member)
+  *   near_dup      non-canonical member of a c01 dup cluster, where the
+  *                 canonical is the min doc_id among the cluster's
+  *                 QUALITY-PASSING members (text non-null, n_tok ≥
+  *                 minTokens) — so a cluster whose overall-min member is
+  *                 low-quality still keeps its best representative
+  *                 instead of losing every member; a cluster with no
+  *                 quality-passing member falls through to low_quality
+  *                 for all members
   *   low_quality   fewer than minTokens whitespace tokens (default 5)
   *   kept          everything else; assigned a split by md5 of its
   *                 dup-cluster id (c12 rule: near-dups never straddle
@@ -41,14 +49,21 @@ import org.apache.spark.sql.functions._
   *   curated.parquet   kept docs (doc_id, text, lang, source, split),
   *                     partitioned by split
   *   verdicts.parquet  every doc's (doc_id, verdict, split)
-  *   packing.parquet   per (split, shard, seq) L=512 packing manifest
-  *                     over kept docs (c09 semantics, shard-local)
+  *   packing.parquet   per (split, shard, seq) packing manifest over
+  *                     kept docs (c09 semantics, shard-local;
+  *                     L = cfg.packLen, shard count = cfg.packShards or
+  *                     derived from the kept-doc count)
   *   index.parquet     corpus index for future incremental runs — base
-  *                     index ∪ every doc this run EXAMINED (dropped
-  *                     docs too, with NULL split: their digests and
-  *                     fps must keep suppressing redelivered content,
-  *                     or a doc dropped as a near-dup would be
-  *                     re-admitted the next day)
+  *                     index ∪ every doc this run EXAMINED. Dropped
+  *                     docs ride along with NULL split (their digests
+  *                     and fps must keep suppressing redelivered
+  *                     content, or a doc dropped as a near-dup would be
+  *                     re-admitted the next day) but are COMPACTED to
+  *                     one exemplar per distinct (digest, fp) — pure
+  *                     redelivery (same content, fresh doc_ids every
+  *                     day) therefore cannot grow the index: it is
+  *                     bounded by distinct content, not docs-ever-
+  *                     examined
   *   summary.json      one JSON object: totals per verdict + split
   *
   * doc_id is the corpus-wide identity: incremental batches must carry
@@ -59,10 +74,50 @@ import org.apache.spark.sql.functions._
   * CC, the incremental probes are id+digest/fp joins against the index
   * (never corpus text), split assignment is a per-row md5 plus one
   * doc-keyed left join, and packing windows are (split, shard)-local so
-  * the corpus packs as thousands of independent sorts. Nothing collects
-  * to the driver but the summary counts.
+  * the corpus packs as thousands of independent sorts (the shard count
+  * scales with the kept corpus — see [[deriveShards]]). Nothing
+  * collects to the driver but the summary counts.
   */
 object Curate {
+
+  /** Tuning knobs of a curation run. Defaults reproduce the historical
+    * behavior (and the c09/c12 oracle semantics) exactly.
+    *
+    * @param minTokens      quality gate: docs under this many
+    *                       whitespace tokens are low_quality
+    * @param testSixteenths width of the test split in 16ths of the
+    *                       md5-hex space (c12 rule: top hex chars)
+    * @param valSixteenths  width of the val split, carved just below
+    *                       test
+    * @param baseHamming    incremental mode: batch fp within this
+    *                       Hamming distance of a base fp ⇒ near_dup_base
+    * @param packLen        packing sequence length (c09's L)
+    * @param packShards     packing shards per split; None derives from
+    *                       the kept-doc count ([[deriveShards]]) so
+    *                       packing parallelism scales with the corpus
+    *                       instead of capping at a constant */
+  final case class Config(
+      minTokens: Int = 5,
+      testSixteenths: Int = 1,
+      valSixteenths: Int = 2,
+      baseHamming: Int = 2,
+      packLen: Int = 512,
+      packShards: Option[Int] = None) {
+    require(minTokens >= 0, s"minTokens $minTokens")
+    require(testSixteenths >= 0 && valSixteenths >= 0 &&
+      testSixteenths + valSixteenths < 16,
+      s"splits must leave room for train: test=$testSixteenths val=$valSixteenths")
+    require(baseHamming >= 0 && baseHamming <= 32, s"baseHamming $baseHamming")
+    require(packLen > 0, s"packLen $packLen")
+    require(packShards.forall(_ > 0), s"packShards $packShards")
+  }
+
+  /** Default shard count: one packing window per ~64k kept docs with a
+    * floor of 16 — window sorts stay memory-bounded while packing
+    * parallelism grows linearly with the corpus (the former fixed 16
+    * capped the final stage at 16×splits tasks no matter the cluster). */
+  private[graft] def deriveShards(kept: Long): Int =
+    math.max(16L, math.min(1L << 20, (kept + 65535) / 65536)).toInt
 
   final case class Result(counts: Map[String, Long], splits: Map[String, Long])
 
@@ -70,18 +125,32 @@ object Curate {
 
   /** Fresh full-corpus curation. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      minTokens: Int = 5): Result =
+      cfg: Config = Config()): Result =
     curate(spark, queries.QueryDef.spread(spark, sfDir, "documents"),
-      baseIndex = None, outDir, minTokens)
+      baseIndex = None, outDir, cfg)
 
   /** Incremental curation of a new batch against a prior run's outDir.
     * outDir must be a NEW directory (append-log style): writing into
     * baseDir would overwrite index.parquet while it is still the lazy
     * input of the index union — Spark's self-overwrite guard cannot see
     * the conflict through the persisted base frame, so the only copy of
-    * the corpus index would be destroyed before the union reads it. */
+    * the corpus index would be destroyed before the union reads it.
+    *
+    * Approximation note (deliberate): batch docs are suppressed only by
+    * DIRECT digest/fp proximity to the base index. A transitive chain —
+    * batch doc X near-dup of batch sibling Y, Y near-dup of a base doc,
+    * X itself not within baseHamming of any base fp — is resolved by
+    * the batch-local cluster rules (X and Y cluster together, one of
+    * them survives base suppression only if neither is base-near), NOT
+    * merged into the base doc's cluster. Incremental verdicts are
+    * therefore an approximation of full re-curation of the combined
+    * corpus: the direct near-dup-pair split invariant holds, but
+    * chained near-dups can keep a representative a full re-run would
+    * have folded into a base cluster. Daily ingestion trades that for
+    * O(batch) cost; re-curate from scratch periodically if chain drift
+    * matters. */
   def runIncremental(spark: SparkSession, batchDir: String, baseDir: String,
-      outDir: String, minTokens: Int = 5): Result = {
+      outDir: String, cfg: Config = Config()): Result = {
     // REAL paths, not just normalized ones: a symlinked outDir aliasing
     // baseDir (a "latest" pointer) would pass a string compare and
     // still destroy the index. outDir is created first so it resolves.
@@ -94,11 +163,11 @@ object Curate {
         "overwrite would destroy it")
     curate(spark, queries.QueryDef.spread(spark, batchDir, "documents"),
       baseIndex = Some(spark.read.parquet(s"$baseDir/index.parquet")),
-      outDir, minTokens)
+      outDir, cfg)
   }
 
   private def curate(spark: SparkSession, docs: DataFrame,
-      baseIndex: Option[DataFrame], outDir: String, minTokens: Int): Result = {
+      baseIndex: Option[DataFrame], outDir: String, cfg: Config): Result = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     // Curate owns its frames' lifecycle: releases collect HERE and run
     // in a finally (a failed write must not pin MEMORY_AND_DISK frames
@@ -106,7 +175,7 @@ object Curate {
     // queue, which belongs to the query harnesses and may hold cleanups
     // of unrelated in-flight compositions
     val cleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
-    try curateInner(spark, docs, baseIndex, outDir, minTokens, cleanups)
+    try curateInner(spark, docs, baseIndex, outDir, cfg, cleanups)
     finally cleanups.foreach { f =>
       try f() catch { case e: Throwable =>
         System.err.println(s"[curate] cleanup: ${e.getMessage}") }
@@ -114,7 +183,7 @@ object Curate {
   }
 
   private def curateInner(spark: SparkSession, docs: DataFrame,
-      baseIndex: Option[DataFrame], outDir: String, minTokens: Int,
+      baseIndex: Option[DataFrame], outDir: String, cfg: Config,
       cleanups: scala.collection.mutable.ArrayBuffer[() => Unit]): Result = {
 
     // digest frame is consumed by the exact-dup self-join, the index
@@ -162,7 +231,7 @@ object Curate {
       val nearBase = queries.TextMedia.fpBands(fps, "doc_id")
         .join(baseBands,
           col("bi") === col("bi2") && col("bv") === col("bv2") &&
-            expr("bit_count(fp ^ fp_b)") <= 2)
+            expr("bit_count(fp ^ fp_b)") <= cfg.baseHamming)
         .select(col("doc_id"), lit(1).as("pri"))
       dupOfBase.union(nearBase)
         .groupBy("doc_id").agg(min("pri").as("pri"))
@@ -175,12 +244,24 @@ object Curate {
     // materialized inside dupClustersOf; release collected locally)
     val clusters = queries.TextMedia.dupClustersOf(fps, f => cleanups += f)
 
-    val joined = docs
+    val withCluster = docs
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         expr(s"cast(size($toks) as bigint)").as("n_tok"))
       .join(exactLosers, Seq("doc_id"), "left")
-      .join(clusters.select(col("doc_id"), col("cluster_id"), col("keep")),
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
         Seq("doc_id"), "left")
+    // canonical election per dup cluster: the min doc_id among QUALITY-
+    // PASSING members, so a cluster whose overall-min member flunks the
+    // quality gate still keeps its best representative (previously the
+    // whole cluster was lost: canonical → low_quality, everyone else →
+    // near_dup). One cluster-keyed aggregation over cluster members
+    // only, joined back on the cluster id — bounded by cluster count,
+    // never corpus-wide
+    val canons = withCluster
+      .filter(col("cluster_id").isNotNull && col("text").isNotNull &&
+        col("n_tok") >= cfg.minTokens)
+      .groupBy("cluster_id").agg(min("doc_id").as("canon"))
+    val joined = withCluster.join(canons, Seq("cluster_id"), "left")
     val withBase = baseVerdicts
       .map(bv => joined.join(bv, Seq("doc_id"), "left"))
       .getOrElse(joined.withColumn("v_base", lit(null).cast("string")))
@@ -188,17 +269,20 @@ object Curate {
     // NULL text is explicitly low_quality: md5/size/n_tok are all NULL
     // for it, so every other CASE test would be unknown and fall
     // through to 'kept' — quarantining nothing-to-train-on rows is the
-    // only verdict that reconciles
+    // only verdict that reconciles. A cluster with no quality-passing
+    // member has canon NULL: no member is near_dup, all fall through to
+    // low_quality
     val verdicts = withBase
       .withColumn("verdict", expr(s"""
         CASE WHEN v_base IS NOT NULL THEN v_base
              WHEN v_exact IS NOT NULL THEN 'exact_dup'
-             WHEN keep = 0 THEN 'near_dup'
-             WHEN text IS NULL OR n_tok < $minTokens THEN 'low_quality'
+             WHEN cluster_id IS NOT NULL AND canon IS NOT NULL
+                  AND doc_id != canon THEN 'near_dup'
+             WHEN text IS NULL OR n_tok < ${cfg.minTokens} THEN 'low_quality'
              ELSE 'kept' END"""))
       .withColumn("split_cluster", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("split", expr(
-        queries.TextMedia.splitAssignExpr("split_cluster")))
+      .withColumn("split", expr(queries.TextMedia.splitAssignExprN(
+        "split_cluster", cfg.testSixteenths, cfg.valSixteenths)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cleanups += (() => { verdicts.unpersist(false); () })
 
@@ -213,7 +297,13 @@ object Curate {
     // corpus index for future incremental runs: base ∪ every doc this
     // run examined. Dropped docs carry a NULL split — their digests and
     // fingerprints still suppress redelivery, but they never influence
-    // split bookkeeping
+    // split bookkeeping. The dropped portion is COMPACTED to one
+    // exemplar (min doc_id) per distinct (digest, fp): suppression only
+    // tests digest membership and fp proximity, so duplicate
+    // (digest, fp) rows add nothing, and without the compaction pure
+    // redelivery (same content, fresh doc_ids daily) would grow the
+    // index without bound. Kept rows stay un-compacted — split
+    // bookkeeping needs every kept doc_id
     val examinedIndex = verdicts
       .select(col("doc_id"),
         when(col("verdict") === "kept", col("split"))
@@ -221,32 +311,42 @@ object Curate {
       .join(digests, Seq("doc_id"))
       .join(fps, Seq("doc_id"), "left")
       .select(col("doc_id"), col("digest"), col("fp"), col("split"))
-    baseIndex.map(b => b.select("doc_id", "digest", "fp", "split").union(examinedIndex))
+    val fullIndex = baseIndex
+      .map(b => b.select("doc_id", "digest", "fp", "split").union(examinedIndex))
       .getOrElse(examinedIndex)
+    fullIndex.filter(col("split").isNotNull)
+      .unionByName(fullIndex.filter(col("split").isNull)
+        .groupBy("digest", "fp").agg(min("doc_id").as("doc_id"))
+        .select(col("doc_id"), col("digest"), col("fp"),
+          lit(null).cast("string").as("split")))
       .write.mode("overwrite").parquet(s"$outDir/index.parquet")
-
-    writePacking(kept, s"$outDir/packing.parquet")
 
     val counts = verdicts.groupBy("verdict").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val splits = kept.groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
+    val shards = cfg.packShards.getOrElse(
+      deriveShards(counts.getOrElse("kept", 0L)))
+    writePacking(kept, s"$outDir/packing.parquet", cfg.packLen, shards)
+
     def obj(m: Map[String, Long]) =
       m.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/summary.json"),
-      s"""{"verdicts":${obj(counts)},"splits":${obj(splits)},"min_tokens":$minTokens}\n""")
+      s"""{"verdicts":${obj(counts)},"splits":${obj(splits)},""" +
+        s""""min_tokens":${cfg.minTokens},"pack_len":${cfg.packLen},""" +
+        s""""pack_shards":$shards}\n""")
     Result(counts, splits)
   }
 
-  /** c09 packing per (split, shard): kept docs only, L=512. */
-  private def writePacking(kept: DataFrame, path: String): Unit = {
-    val L = 512
+  /** c09 packing per (split, shard): kept docs only. */
+  private def writePacking(kept: DataFrame, path: String, L: Int,
+      shards: Int): Unit = {
     val packed = kept
       .select(col("split"), col("doc_id"),
-        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 16")
-          .as("shard"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)" +
+          s" % $shards").as("shard"),
         col("n_tok"))
       .filter(col("n_tok") > 0)
     val w = Window.partitionBy("split", "shard").orderBy("doc_id")
@@ -269,8 +369,9 @@ object Curate {
     val minTokens = if (args.length > 2) args(2).toInt else 5
     val spark = GraftSession.build("graft-curate")
     val r =
-      if (args.length > 3) runIncremental(spark, sfDir, args(3), outDir, minTokens)
-      else run(spark, sfDir, outDir, minTokens)
+      if (args.length > 3)
+        runIncremental(spark, sfDir, args(3), outDir, Config(minTokens = minTokens))
+      else run(spark, sfDir, outDir, Config(minTokens = minTokens))
     println(s"[curate] verdicts=${r.counts} splits=${r.splits} -> $outDir")
     spark.stop()
   }

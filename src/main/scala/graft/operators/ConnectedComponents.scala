@@ -76,7 +76,14 @@ object ConnectedComponents {
     val chunks: Array[Array[Long]] = pairs.queryExecution.toRdd
       .mapPartitions { it =>
         val buf = new scala.collection.mutable.ArrayBuilder.ofLong
-        it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
+        it.foreach { r =>
+          // InternalRow.getLong on a NULL slot silently decodes as 0L —
+          // a malformed edge input would fabricate edges to vertex 0
+          // where the old Row.getLong collect threw. Fail loudly instead.
+          require(!r.isNullAt(0) && !r.isNullAt(1),
+            "connected-components edge input contains NULL vertex ids")
+          buf += r.getLong(0); buf += r.getLong(1)
+        }
         Iterator(buf.result())
       }.collect()
     val parent = new scala.collection.mutable.LongMap[Long]()

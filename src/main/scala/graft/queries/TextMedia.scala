@@ -21,10 +21,29 @@ object TextMedia {
     * column: first hex char of md5(cluster_id) — 'f' → test (1/16),
     * 'd'/'e' → val (2/16), else train (13/16). The DuckDB oracle
     * restates it verbatim (cross-engine duplication is inherent). */
-  private[graft] def splitAssignExpr(clusterCol: String): String = s"""
-        CASE WHEN substring(md5(cast($clusterCol as string)), 1, 1) = 'f' THEN 'test'
-             WHEN substring(md5(cast($clusterCol as string)), 1, 1) IN ('d', 'e') THEN 'val'
+  private[graft] def splitAssignExpr(clusterCol: String): String =
+    splitAssignExprN(clusterCol, 1, 2)
+
+  /** Generalized split widths in 16ths of the md5-hex space: the top
+    * `testN` hex chars → test, the next `valN` below → val, the rest →
+    * train. (1, 2) reproduces the c12 rule above verbatim. */
+  private[graft] def splitAssignExprN(clusterCol: String, testN: Int,
+      valN: Int): String = {
+    require(testN >= 0 && valN >= 0 && testN + valN < 16,
+      s"split sixteenths out of range: test=$testN val=$valN")
+    if (testN == 0 && valN == 0) return "'train'"
+    val hex = "0123456789abcdef"
+    def inList(cs: Seq[Char]) = cs.map(c => s"'$c'").mkString("(", ", ", ")")
+    val h = s"substring(md5(cast($clusterCol as string)), 1, 1)"
+    val testBranch = if (testN == 0) ""
+      else s"WHEN $h IN ${inList(hex.drop(16 - testN))} THEN 'test'"
+    val valBranch = if (valN == 0) ""
+      else s"WHEN $h IN ${inList(hex.slice(16 - testN - valN, 16 - testN))} THEN 'val'"
+    s"""
+        CASE $testBranch
+             $valBranch
              ELSE 'train' END"""
+  }
 
   // ------------------------------------------------------------ SimHash
   // 32-bit SimHash from the low bit of each of md5's 32 hex digits:

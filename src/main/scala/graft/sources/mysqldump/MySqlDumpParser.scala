@@ -354,7 +354,12 @@ object MySqlDumpParser {
               Some(SrcKey(id.takeWhile(_ != '(')))
             }
           }
-        if (parts.forall(_.isDefined))
+        // empty key list (degenerate `CREATE INDEX i ON t ()`) skips with
+        // a note, same as addIndex — never a zero-key SrcIndex
+        if (parts.isEmpty)
+          bad += s"index ${unquoteId(name)} on ${unquoteId(tbl)} " +
+            "skipped (empty key list)"
+        else if (parts.forall(_.isDefined))
           update(tables, unquoteId(tbl), bad) { t =>
             t.copy(indexes = t.indexes :+
               SrcIndex(unquoteId(name), uniq != null, parts.flatten))
@@ -400,14 +405,17 @@ object MySqlDumpParser {
   private def keyList(item: String): Seq[SrcKey] = keyParts(item).flatten
 
   /** Append an inline KEY/UNIQUE KEY index, or record a note when it
-    * contains a functional key part. */
+    * contains a functional key part — or when the key list is empty
+    * (degenerate input), so no skip is ever silent. */
   private def addIndex(indexes: mutable.ArrayBuffer[SrcIndex],
       notes: mutable.ArrayBuffer[String], table: String, item: String,
       ixName: String, unique: Boolean): Unit = {
     val parts = keyParts(item)
-    if (parts.nonEmpty && parts.forall(_.isDefined))
+    if (parts.isEmpty)
+      notes += s"index $ixName in $table skipped (empty key list)"
+    else if (parts.forall(_.isDefined))
       indexes += SrcIndex(ixName, unique, parts.flatten)
-    else if (parts.nonEmpty)
+    else
       notes += s"functional index $ixName in $table skipped " +
         "(Spanner indexes cannot contain expressions)"
   }

@@ -136,10 +136,24 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       val r2 = Curate.runIncremental(
         spark, s"$root/batch2", s"$root/out1", s"$root/out2")
       assert(r2.counts === Map("dup_of_base" -> 3L))
-      // chained index: nothing new kept, but all examined ids appended
+      // chained index: nothing new kept, and the dropped portion is
+      // COMPACTED per distinct (digest, fp) — batch2's three docs all
+      // redeliver content already indexed (longA kept as doc 1, longC
+      // dropped-exemplar'd as doc 13), so the index does NOT grow
       val idx2 = spark.read.parquet(s"$root/out2/index.parquet")
-      assert(idx2.count() === 10L)
+      assert(idx2.count() === idx.count(),
+        "pure redelivery must not grow the compacted index")
       assert(idx2.filter(col("split").isNotNull).count() === 3L)
+      // suppression is unchanged by compaction: a third redelivery of
+      // both previously-kept and previously-dropped content is still
+      // fully suppressed
+      writeDocs(s"$root/batch3", Seq((30L, longA), (31L, longC)))
+      val r3 = Curate.runIncremental(
+        spark, s"$root/batch3", s"$root/out2", s"$root/out3")
+      assert(r3.counts === Map("dup_of_base" -> 2L))
+      val idx3 = spark.read.parquet(s"$root/out3/index.parquet")
+      assert(idx3.count() === idx.count(),
+        "index row count stays flat under repeated redelivery")
       // in-place incremental runs are refused (they would destroy the
       // index while it is still a lazy input)
       intercept[IllegalArgumentException] {
@@ -151,6 +165,56 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(q => Files.deleteIfExists(q))
     }
+  }
+
+  test("canonical election skips low-quality members; non-default config applies") {
+    import spark.implicits._
+    val dir2 = Files.createTempDirectory("graft_curate_canon").toString
+    val long40 = (1 to 40).map(i => s"word$i").mkString(" ")
+    // doc 51 repeats word1, so its DISTINCT token set equals doc 50's
+    // (same SimHash fp -> same cluster) while its n_tok is 41. With
+    // minTokens=41, the cluster's overall-min member 50 FAILS quality:
+    // the old rule lost the whole cluster (50 low_quality, 51 near_dup);
+    // the election keeps 51 as the cluster's representative, and 50 is
+    // recorded as a near_dup of it (near_dup precedes low_quality: the
+    // content IS represented by the kept canonical).
+    val cfg = Curate.Config(minTokens = 41, packShards = Some(4),
+      testSixteenths = 2, valSixteenths = 3)
+    Seq(
+      (50L, long40, "en", "s"),
+      (51L, long40 + " word1", "en", "s"),
+      (60L, (1 to 41).map(i => s"other$i").mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    try {
+      val r = Curate.run(spark, dir2, s"$dir2/out", cfg)
+      val v = spark.read.parquet(s"$dir2/out/verdicts.parquet")
+        .collect().map(row => row.getLong(0) -> row.getString(1)).toMap
+      assert(v === Map(50L -> "near_dup", 51L -> "kept", 60L -> "kept"))
+      assert(r.counts === Map("kept" -> 2L, "near_dup" -> 1L))
+      // packing respects the configured shard count: every shard id is
+      // within [0, 4), and the summary records the config
+      val packing = spark.read.parquet(s"$dir2/out/packing.parquet")
+      val shardIds = packing.select("shard").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(shardIds.forall(s => s >= 0 && s < 4), shardIds.toString)
+      val js = Files.readString(java.nio.file.Paths.get(s"$dir2/out/summary.json"))
+      assert(js.contains(""""pack_shards":4"""), js)
+      assert(js.contains(""""min_tokens":41"""), js)
+    } finally {
+      val p = java.nio.file.Paths.get(dir2)
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+    }
+  }
+
+  test("derived packing shard count scales with the kept corpus") {
+    assert(Curate.deriveShards(0L) === 16)
+    assert(Curate.deriveShards(500L) === 16)
+    assert(Curate.deriveShards(1L << 20) === 16)
+    assert(Curate.deriveShards(10L << 20) === 160)   // linear growth
+    assert(Curate.deriveShards(1L << 40) === (1 << 20)) // capped
   }
 
   test("packing manifest conserves kept tokens at L=512") {
