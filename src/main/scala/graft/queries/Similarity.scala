@@ -30,7 +30,10 @@ object Similarity {
   /** Tokens → distinct word 3-gram shingles (docs under 3 tokens fall
     * back to their distinct token set). */
   private val tk = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
-  private val shingles =
+  /** Exposed to the streaming operators' batch-verify companions
+    * (StreamingMinHash.verifyCollisions), which must shingle with the
+    * exact m01 scheme. */
+  private[graft] val shingles =
     s"""CASE WHEN size($tk) >= 3
           THEN array_distinct(transform(sequence(1, size($tk) - 2),
                i -> concat_ws(' ', slice($tk, i, 3))))

@@ -12,21 +12,31 @@ import java.sql.Timestamp
   * m01 plan would emit over the same documents
   * (StreamingMinHashSpec pins the band hashes against the SQL frame).
   *
-  * State shape: keyed by (band index, band hash); each bucket holds the
-  * (docId, shingle set) entries whose signature landed there inside the
-  * dedup horizon. Unlike the SimHash variant — whose state is one 32-bit
-  * fingerprint per doc — verify-grade MinHash state carries the shingle
-  * SETS (true Jaccard needs them), i.e. roughly the document text per
-  * colliding band. That is the honest cost of online verified pairs; a
-  * 100 TB deployment that can tolerate async verification should instead
-  * emit UNVERIFIED band collisions from a signatures-only state and
-  * verify them in a periodic batch join against the document store (the
-  * exact split batch m01 uses: id-only candidate join, payload joined
-  * back once per distinct pair).
+  * Two modes:
+  *
+  *   - [[pairs]] (verify-grade): keyed by (band index, band hash); each
+  *     bucket holds the (docId, shingle set) entries whose signature
+  *     landed there inside the dedup horizon. Unlike the SimHash
+  *     variant — whose state is one 32-bit fingerprint per doc —
+  *     verify-grade MinHash state carries the shingle SETS (true
+  *     Jaccard needs them), i.e. roughly the document text per
+  *     colliding band. That is the honest cost of online verified
+  *     pairs.
+  *   - [[collisions]] (signatures-only, the 100 TB path): same banded
+  *     state machine, but a bucket entry is (docId, tsMs) ONLY — state
+  *     size is independent of document length — and the operator emits
+  *     UNVERIFIED band collisions. [[verifyCollisions]] is the batch
+  *     companion: a periodic join of the accumulated collisions against
+  *     the document store computes exact Jaccard once per distinct
+  *     pair (the exact split batch m01 uses — id-only candidates,
+  *     payload joined back once). Every pair [[pairs]] would verify is
+  *     among the collisions (same buckets, same horizon), so
+  *     collisions→verify loses nothing but immediacy.
   *
   * Pair contract matches [[StreamingNearDup]]: a pair colliding in
   * several bands emits once per band; downstream exact dedup (or the
-  * c01 clusterer) absorbs duplicates.
+  * c01 clusterer, or [[verifyCollisions]]'s distinct) absorbs
+  * duplicates.
   */
 object StreamingMinHash {
 
@@ -36,6 +46,12 @@ object StreamingMinHash {
   final case class Entry(docId: Long, tsMs: Long, sh: List[String])
   final case class BucketState(entries: List[Entry])
   final case class NearDup(docA: Long, docB: Long, jaccardPermille: Long)
+
+  // signatures-only mode: fixed-width state entries (no shingle sets)
+  final case class SigHit(bi: Int, bh: String, docId: Long, ts: Timestamp)
+  final case class SigEntry(docId: Long, tsMs: Long)
+  final case class SigBucketState(entries: List[SigEntry])
+  final case class Collision(docA: Long, docB: Long, bi: Int)
 
   /** Retention horizon per band bucket after the watermark. */
   val HorizonMs: Long = 24L * 3600 * 1000
@@ -133,5 +149,81 @@ object StreamingMinHash {
             out.result().iterator
           }
       }
+  }
+
+  /** Signatures-only mode: the same banded state machine as [[pairs]],
+    * but state entries are (docId, tsMs) — independent of document
+    * length — and output is every UNVERIFIED within-bucket collision.
+    * The emitted set is a superset of the pairs [[pairs]] verifies over
+    * the same stream (identical buckets and horizon; verification only
+    * filters). Feed the accumulated output to [[verifyCollisions]]. */
+  def collisions(events: Dataset[DocEvent]): Dataset[Collision] = {
+    implicit val hitEnc = Encoders.product[SigHit]
+    implicit val stEnc = Encoders.product[SigBucketState]
+    implicit val outEnc = Encoders.product[Collision]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+    events
+      .flatMap { e =>
+        minhashes(shingles(e.text)) match {
+          case Some(mh) =>
+            bandHashes(mh).map { case (bi, bh) => SigHit(bi, bh, e.docId, e.ts) }
+          case None => Nil
+        }
+      }
+      .withWatermark("ts", "1 hour")
+      .groupByKey(h => (h.bi, h.bh))
+      .flatMapGroupsWithState[SigBucketState, Collision](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, String), batch: Iterator[SigHit], state: GroupState[SigBucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val horizonFloor = state.getCurrentWatermarkMs() - HorizonMs
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+              .filter(_.tsMs >= horizonFloor)
+            val out = List.newBuilder[Collision]
+            var maxTs = 0L
+            batch.toSeq.sortBy(h => (h.ts.getTime, h.docId)).foreach { h =>
+              entries.foreach { e =>
+                if (e.docId != h.docId)
+                  out += Collision(math.min(e.docId, h.docId),
+                    math.max(e.docId, h.docId), key._1)
+              }
+              entries = SigEntry(h.docId, h.ts.getTime) :: entries
+              maxTs = math.max(maxTs, h.ts.getTime)
+            }
+            state.update(SigBucketState(entries))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTs) + HorizonMs)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Batch verify companion of [[collisions]]: exact integer Jaccard of
+    * each DISTINCT collision pair against the document store, m01's
+    * verify stage verbatim (same shingle SQL, same fenced single
+    * evaluation of array_intersect, same ≥500‰ threshold). `docs` is a
+    * (doc_id, text, …) frame; returns (doc_a, doc_b, jaccard_permille).
+    * Candidates arrive as ids only, so the document text is joined
+    * exactly once per distinct pair regardless of how many bands (or
+    * triggers) re-emitted the collision. */
+  def verifyCollisions(cands: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sh = docs.select(col("doc_id"),
+      expr(graft.queries.Similarity.shingles).as("sh"))
+    cands.select(col("docA").as("doc_a"), col("docB").as("doc_b")).distinct()
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.OptimizerBarrier.fence(
+          expr("size(array_intersect(sh_a, sh_b))").cast("bigint")).as("common"),
+        expr("size(sh_a)").cast("bigint").as("na"),
+        expr("size(sh_b)").cast("bigint").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("common * 1000 div (na + nb - common)").as("jaccard_permille"))
+      .filter(col("jaccard_permille") >= ThresholdPermille)
   }
 }

@@ -84,6 +84,52 @@ class StreamingMinHashSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("signatures-only collisions ⊇ verified pairs; batch verify recovers them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val nearA = base + "alpha"
+    val distinct = "completely different content about spark engines " * 8
+    val events = Seq(
+      DocEvent(ts(1), 1L, base), DocEvent(ts(2), 5L, distinct),
+      DocEvent(ts(3), 9L, nearA))
+
+    def run[T](mk: org.apache.spark.sql.Dataset[DocEvent] => org.apache.spark.sql.Dataset[T],
+        name: String): Unit = {
+      val in = MemoryStream[DocEvent]
+      val q = mk(in.toDS).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try { in.addData(events: _*); q.processAllAvailable() } finally q.stop()
+    }
+    run(StreamingMinHash.pairs, "mh_sig_pairs")
+    run(StreamingMinHash.collisions, "mh_sig_colls")
+
+    val verified = spark.sql("SELECT DISTINCT docA, docB FROM mh_sig_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val colls = spark.sql("SELECT DISTINCT docA, docB FROM mh_sig_colls")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified === Set((1L, 9L)))
+    // superset: every verified pair collided; unverified extras allowed
+    assert(verified.subsetOf(colls), s"colls $colls missing verified $verified")
+
+    // the batch verify companion over the collision log + document store
+    // recovers exactly the online-verified relation
+    val docs = Seq((1L, base), (5L, distinct), (9L, nearA)).toDF("doc_id", "text")
+    val rever = StreamingMinHash.verifyCollisions(
+        spark.table("mh_sig_colls"), docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rever === verified)
+  }
+
+  test("signatures-only state entries carry no document content") {
+    // the 100 TB claim is structural: a SigEntry is (docId, tsMs) — no
+    // String/List field can smuggle the text or shingle set into state,
+    // so per-bucket state size is independent of document length
+    val fieldTypes = classOf[StreamingMinHash.SigEntry]
+      .getDeclaredFields.map(_.getType).toSet
+    assert(fieldTypes === Set(java.lang.Long.TYPE))
+  }
+
   test("entries past the horizon are pruned even in hot buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
