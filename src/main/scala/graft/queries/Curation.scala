@@ -29,6 +29,57 @@ object Curation {
   private def md5Int(sqlExpr: String): String =
     s"cast(conv(substring(md5($sqlExpr), 1, 8), 16, 10) as bigint)"
 
+  /** The c11 exact-substring-dedup plan over an arbitrary (doc_id, text)
+    * frame, parameterized by the window hash: W-token windows →
+    * one count() OVER (PARTITION BY h) global duplicate test →
+    * doc-local gaps-and-islands span merge → per-doc (dup_spans,
+    * dup_tokens). `hashOf` wraps the window-text SQL in the hash —
+    * [[substringDedup]] passes xxhash64, the c11 oracle entry passes
+    * md5 (DuckDB must hash identically). */
+  private[graft] def substringSpans(docs: DataFrame, W: Int,
+      hashOf: String => String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .filter(expr(s"size(tk) >= $W"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(tk) - $W + 1), i -> named_struct(" +
+          s"'pos', cast(i as bigint), 'h', ${hashOf(s"concat_ws(' ', slice(tk, i, $W))")}))"))
+        .as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val dup = wins
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("cnt") >= 2)
+      .select(col("doc_id"), col("pos"))
+    // gaps-and-islands: a window starts a new span iff it begins past
+    // everything the previous windows of this doc covered
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dup
+      .withColumn("prev_end", max(col("pos") + (W - 1)).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum("new_span").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "span_id")
+      .agg((max(col("pos")) + (W - 1) - min(col("pos")) + 1).as("span_tokens"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_spans"),
+        sum("span_tokens").cast("long").as("dup_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** PRODUCTION entrypoint for exact substring dedup: the c11 plan with
+    * xxhash64 window hashes — 8-byte codegen'd integers instead of
+    * 32-char md5 hex, halving-plus shuffle bytes per window and skipping
+    * the digest-to-string formatting. Identical spans to the md5 oracle
+    * variant absent a 64-bit collision among duplicated windows
+    * (CurationSpec pins the parity on a real corpus); md5 stays on the
+    * c11 oracle entry because DuckDB must hash identically. */
+  def substringDedup(docs: DataFrame, W: Int = 20): DataFrame =
+    substringSpans(docs, W, s => s"xxhash64($s)")
+
   val defs: Map[String, QueryDef] = Map(
     // ---------------------------------------------------------------- c06
     // Repetition quality signals (the Gopher-rule family): per document,
@@ -353,45 +404,19 @@ object Curation {
     // rows of (doc_id, pos, 16-byte hash), never window text; the global
     // duplicate test is one count() OVER (PARTITION BY h) — a single
     // hash-partitioned shuffle, no self-join; span merging is
-    // doc-partitioned window work. At 100 TB swap md5 for xxhash64
-    // (8-byte, codegen) — md5 here because the oracle must hash
-    // identically in both engines. The suffix-array original finds
-    // arbitrary-length duplicates; fixed-W windows find every duplicate
-    // of length ≥ W and report it clipped to window granularity — the
-    // approximation the paper itself ships for map-reduce settings.
+    // doc-partitioned window work. The plan lives in [[substringSpans]],
+    // hash-parameterized: this oracle entry hashes with md5 (DuckDB must
+    // hash identically in both engines); [[substringDedup]] is the
+    // production entrypoint with 8-byte codegen xxhash64 windows,
+    // span-parity-pinned to this one by CurationSpec. The suffix-array
+    // original finds arbitrary-length duplicates; fixed-W windows find
+    // every duplicate of length ≥ W and report it clipped to window
+    // granularity — the approximation the paper itself ships for
+    // map-reduce settings.
     "c11_substring_dedup" -> QueryDef(
-      build = (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val W = 20
-        val wins = QueryDef.spread(spark, dir, "documents")
-          .select(col("doc_id"), expr(toks).as("tk"))
-          .filter(expr(s"size(tk) >= $W"))
-          .select(col("doc_id"), explode(expr(
-            s"transform(sequence(1, size(tk) - $W + 1), i -> named_struct('pos', cast(i as bigint), 'h', md5(concat_ws(' ', slice(tk, i, $W)))))"))
-            .as("w"))
-          .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
-        val dup = wins
-          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
-          .filter(col("cnt") >= 2)
-          .select(col("doc_id"), col("pos"))
-        // gaps-and-islands: a window starts a new span iff it begins past
-        // everything the previous windows of this doc covered
-        val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-        val spans = dup
-          .withColumn("prev_end", max(col("pos") + (W - 1)).over(
-            byDoc.rowsBetween(Window.unboundedPreceding, -1)))
-          .withColumn("new_span",
-            when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
-              .otherwise(0L))
-          .withColumn("span_id", sum("new_span").over(
-            byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-          .groupBy("doc_id", "span_id")
-          .agg((max(col("pos")) + (W - 1) - min(col("pos")) + 1).as("span_tokens"))
-        spans.groupBy("doc_id")
-          .agg(count(lit(1)).as("dup_spans"),
-            sum("span_tokens").cast("long").as("dup_tokens"))
-          .orderBy("doc_id")
-      },
+      build = (spark, dir) =>
+        substringSpans(QueryDef.spread(spark, dir, "documents"), W = 20,
+          hashOf = s => s"md5($s)"),
       oracle = Some(s"""
         WITH tk AS (
           SELECT doc_id,

@@ -117,6 +117,57 @@ class CosineNearDupSpec extends AnyFunSuite {
     planted.foreach { case (a, _) => assert(out(a) === 1L, s"base $a dropped") }
   }
 
+  test("semanticDedup under a dominant cluster: verdicts exact, join skew-splittable") {
+    // The Scaladoc's hot-cluster case: 90% of the corpus lands in ONE
+    // k-means label. Two assertions: (a) verdicts still equal the
+    // definition (driver-side within-label brute force over the
+    // fixture); (b) with broadcast disabled — the 100 TB regime, where
+    // neither side fits an executor — the label self-join plans as a
+    // shuffle join, the shape AQE's skew-join splitting applies to
+    // (GraftSession ships adaptive.enabled; skewJoin.enabled is its
+    // default-on companion), so the dominant label splits into bounded
+    // tasks instead of pinning one reducer.
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val hotBases = (0 until 90).map(i => (i.toLong, vec(), 0))
+    val hotDups = (0 until 15).map { i =>
+      ((100 + i).toLong, hotBases(i)._2.map(x => x + 0.01f), 0)
+    }
+    val cold = (0 until 10).map(i => ((200 + i).toLong, vec(), 1 + i % 3))
+    val rows = hotBases ++ hotDups ++ cold
+    assert(rows.count(_._3 == 0) * 10 >= rows.size * 9) // ≥90% in label 0
+
+    // driver-side definition: dropped iff a smaller-id same-label vector
+    // has exact-integer cos ≥ 0.9 (the operator's own algebra)
+    def qv(e: Array[Float]) = e.map(x => math.floor(x.toDouble * 1048576d).toLong)
+    def cosGe(a: Array[Float], b: Array[Float], pct: Int): Boolean = {
+      val (qa, qb) = (qv(a), qv(b))
+      val dot = qa.zip(qb).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      val na = qa.map(x => BigInt(x) * x).sum
+      val nb = qb.map(x => BigInt(x) * x).sum
+      dot > 0 && dot * dot * 10000 >= na * nb * pct * pct
+    }
+    val expected = rows.map { case (id, e, l) =>
+      id -> (if (rows.exists { case (id2, e2, l2) =>
+        l2 == l && id2 < id && cosGe(e2, e, 90) }) 0L else 1L)
+    }.toMap
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = CosineNearDup.semanticDedup(
+        rows.toSeq.toDF("vec_id", "embedding", "label"), pct = 90)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"label self-join must be a skew-splittable shuffle join:\n$plan")
+      assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled").toBoolean)
+      val got = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === expected)
+      assert(got.values.count(_ == 0L) >= 15) // the planted hot-label dups all drop
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("semanticDedup: greedy rule condemns every non-minimal member of a dup chain") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

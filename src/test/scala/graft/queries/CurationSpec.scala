@@ -212,6 +212,20 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map(1L -> ((2L, 40L)), 2L -> ((1L, 25L)), 3L -> ((1L, 25L))))
   }
 
+  test("c11: production xxhash64 variant reports identical spans to the md5 oracle plan") {
+    // a real corpus, not just the crafted fixture: every duplicated
+    // window at sf0.001 must land in the same maximal span under both
+    // hashes (they differ only if a 64-bit collision fabricates a dup)
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val md5Spans = Curation.defs("c11_substring_dedup").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val xxSpans = Curation.substringDedup(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(md5Spans.nonEmpty, "sf0.001 must contain duplicated windows")
+    assert(xxSpans === md5Spans)
+  }
+
   test("c12: leakage-free — no near-dup pair straddles splits, every doc assigned once") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
