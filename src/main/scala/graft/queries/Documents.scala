@@ -369,6 +369,67 @@ object Documents {
                MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN n_chars END) AS p50,
                MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN n_chars END) AS p90,
                MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS p99
-        FROM r GROUP BY lang ORDER BY lang"""))
+        FROM r GROUP BY lang ORDER BY lang""")),
+
+    // ---------------------------------------------------------------- d12
+    // Corpus-conditional bigram fluency — the language-model quality
+    // filter (CCNet's recipe: score documents by an n-gram LM trained on
+    // the corpus itself and drop the tail). Per document: the mean over
+    // its bigram OCCURRENCES of the corpus conditional probability
+    // p(w2|w1) = count(w1 w2) / count(w1 ·), each floored to permille so
+    // both engines agree exactly (no log-space floats — the 100 TB path
+    // would use log-prob doubles, losing cross-engine bit parity but
+    // nothing else in the plan). Boilerplate and template spam repeat
+    // corpus-frequent transitions → high score; character noise and
+    // wrong-language text → low.
+    //
+    // Scale shape: bigram explosion is O(tokens) rows; the LM "training"
+    // is two groupBys with map-side combine (bigram counts, prefix
+    // counts) joined once corpus-side to attach the conditional; doc
+    // bigrams then join that enriched LM table on the bigram key (both
+    // sides hash-partitioned on it) and re-aggregate per doc. No
+    // all-pairs, no driver-side model — the LM IS a DataFrame, which is
+    // what lets the same plan score 100 TB against a 100 TB-trained LM.
+    "d12_bigram_fluency" -> QueryDef(
+      build = (spark, dir) => {
+        val bigrams = QueryDef.spread(spark, dir, "documents")
+          .select(col("doc_id"), expr(toks).as("tk"))
+          .filter(expr("size(tk) >= 2"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> named_struct(" +
+              "'w1', element_at(tk, i), 'w2', element_at(tk, i + 1)))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val bigramCounts = bigrams.groupBy("w1", "w2")
+          .agg(count(lit(1)).as("cnt"))
+        val prefixCounts = bigrams.groupBy("w1")
+          .agg(count(lit(1)).as("pcnt"))
+        val lm = bigramCounts.join(prefixCounts, "w1")
+          .select(col("w1"), col("w2"),
+            expr("cnt * 1000 div pcnt").as("cond_permille"))
+        bigrams.join(lm, Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            expr("sum(cond_permille) div count(1)").as("fluency_permille"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS tk
+          FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+                 unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+          FROM tk WHERE len(tk) >= 2),
+        bc AS (SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+        pc AS (SELECT w1, COUNT(*) AS pcnt FROM bg GROUP BY 1),
+        lm AS (
+          SELECT bc.w1, bc.w2, CAST(cnt * 1000 // pcnt AS BIGINT) AS cond_permille
+          FROM bc JOIN pc ON bc.w1 = pc.w1)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(cond_permille) // COUNT(*) AS BIGINT) AS fluency_permille
+        FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

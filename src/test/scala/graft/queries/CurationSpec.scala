@@ -256,6 +256,21 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d12: bigram fluency is the exact per-occurrence conditional mean") {
+    // corpus: (a,b) occurs 4x, (b,a) 2x, (b,c) 1x; prefix a->4, b->3
+    //   cond(a,b) = 1000*4/4 = 1000; cond(b,a) = 666; cond(b,c) = 333
+    // doc 1 [a b a b a b]: occurrences (a,b)x3 + (b,a)x2 -> 4332/5 = 866
+    // doc 2 [a b c]: 1000 + 333 -> 1333/2 = 666
+    // doc 3 [z]: under 2 tokens, absent
+    val dir = docsDir(Seq(
+      (1L, "a b a b a b", "en", "s"),
+      (2L, "a b c", "en", "s"),
+      (3L, "z", "en", "s")))
+    val out = Documents.defs("d12_bigram_fluency").build(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(1L -> ((5L, 866L)), 2L -> ((2L, 666L))))
+  }
+
   test("d09: top-k ranks by count with alphabetical tie-break") {
     val dir = docsDir(Seq(
       (0L, "a a a b b c", "en", "s"),
