@@ -367,6 +367,49 @@ object Similarity {
         graft.operators.IvfPq.knnExact(spark, dir, col("vec_id") < 8),
       oracle = Some(knnOracle)),
 
+    // ---------------------------------------------------------------- e08
+    // Hard-negative mining for contrastive training: per probe, the
+    // top-5 HIGHEST-dot candidates with a DIFFERENT label — the
+    // near-boundary negatives a contrastive or reranker objective
+    // learns most from. Same bounded-probe-broadcast shape and exact
+    // quantized scoring as e01 with the label complement in the join
+    // predicate; at index scale the brute-force stream swaps for the
+    // ANN candidate generators (AnnLsh/IvfAnn) filtered by label, the
+    // ranking stays identical.
+    "e08_hard_negatives" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = QueryDef.spread(spark, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("bigint").as("label"),
+            expr(quant).as("qv"))
+        val probes = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("label").as("plabel"),
+            col("qv").as("pq"))
+        val dots = emb.join(broadcast(probes),
+            col("query_id") =!= col("vec_id") && col("plabel") =!= col("label"))
+          .select(col("query_id"), col("vec_id").as("cand_id"),
+            expr(qdot("pq", "qv")).as("dot"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("dot").desc, col("cand_id"))
+        dots.withColumn("rnk", row_number().over(w).cast("bigint"))
+          .filter(col("rnk") <= 5)
+          .orderBy("query_id", "rnk")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
+          FROM embeddings),
+        probes AS (SELECT vec_id AS query_id, label AS plabel, qv AS pq
+                   FROM q WHERE vec_id < 8),
+        dots AS (
+          SELECT query_id, c.vec_id AS cand_id,
+                 CAST(list_sum([pq[i] * c.qv[i] for i in range(1, len(pq)+1)]) AS BIGINT) AS dot
+          FROM probes p JOIN q c ON p.query_id <> c.vec_id AND p.plabel <> c.label)
+        SELECT query_id, cand_id, dot,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS rnk
+        FROM dots QUALIFY rnk <= 5 ORDER BY query_id, rnk""")),
+
     // ---------------------------------------------------------------- e02
     // Per-label centroid accumulation (the IVF build step): exact integer
     // sums per (label, dimension); a downstream consumer divides s/n.

@@ -74,4 +74,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(shared.nonEmpty)
     shared.foreach { k => assert(ann(k) === bf(k), s"dot mismatch at $k") }
   }
+
+  test("e08 hard negatives: full top-5 per probe, never a same-label candidate") {
+    val out = Similarity.defs("e08_hard_negatives").build(spark, dir).collect()
+    assert(out.length === 40, "8 probes × top-5")
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("label").longValue).toMap
+    out.foreach { r =>
+      val (q, c) = (r.getLong(0), r.getLong(1))
+      assert(labels(q) !== labels(c), s"same-label candidate $c for probe $q")
+    }
+    // scoring is e01's: any (probe, cand) pair present in both rankings
+    // carries the identical exact-integer dot
+    val bf = Similarity.defs("e01_knn_dot").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1)))
+        .foreach(d => assert(d === r.getLong(2)))
+    }
+  }
 }
