@@ -367,6 +367,30 @@ object Similarity {
         graft.operators.IvfPq.knnExact(spark, dir, col("vec_id") < 8),
       oracle = Some(knnOracle)),
 
+    // ---------------------------------------------------------------- e09
+    // Whole-corpus kNN GRAPH (every vector is a probe): the index-build
+    // op behind dedup graphs, SemDeDup candidate generation, and graph
+    // clustering. Runs IvfAnn.knnExact with the all-rows predicate —
+    // the inverted lists become a cluster-bucketed SELF-join (ids only)
+    // and the per-row adaptive pruning bound caps each vector's
+    // candidate fan-out, so the graph builds without an n² product;
+    // output is provably the exact top-5 graph (unit-norm corpus), so
+    // the DuckDB all-pairs oracle is a true check, not a recall hope.
+    "e09_knn_graph" -> QueryDef(
+      build = (spark, dir) =>
+        graft.operators.IvfAnn.knnExact(spark, dir, lit(true), topK = 5),
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
+          FROM embeddings),
+        dots AS (
+          SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+                 CAST(list_sum([p.qv[i] * c.qv[i] for i in range(1, len(p.qv)+1)]) AS BIGINT) AS dot
+          FROM q p JOIN q c ON p.vec_id <> c.vec_id)
+        SELECT query_id, cand_id, dot,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS rnk
+        FROM dots QUALIFY rnk <= 5 ORDER BY query_id, rnk""")),
+
     // ---------------------------------------------------------------- e08
     // Hard-negative mining for contrastive training: per probe, the
     // top-5 HIGHEST-dot candidates with a DIFFERENT label — the
