@@ -373,9 +373,15 @@ object Similarity {
     // clustering. Runs IvfAnn.knnExact with the all-rows predicate —
     // the inverted lists become a cluster-bucketed SELF-join (ids only)
     // and the per-row adaptive pruning bound caps each vector's
-    // candidate fan-out, so the graph builds without an n² product;
-    // output is provably the exact top-5 graph (unit-norm corpus), so
-    // the DuckDB all-pairs oracle is a true check, not a recall hope.
+    // candidate fan-out; output is provably the exact top-5 graph
+    // (unit-norm corpus), so the DuckDB all-pairs oracle is a true
+    // check, not a recall hope. Honest cost note: pruning effectiveness
+    // tracks how clustered the corpus is — tight real-world embedding
+    // clusters prune hard, while near-random vectors (this synthetic
+    // corpus) have wide cluster radii and degrade toward the inherent
+    // all-pairs cost of an EXACT graph; at 100 TB you either accept
+    // that for exactness or swap the probe list for fixed-nprobe knn /
+    // AnnLsh buckets and take the recall dial.
     "e09_knn_graph" -> QueryDef(
       build = (spark, dir) =>
         graft.operators.IvfAnn.knnExact(spark, dir, lit(true), topK = 5),
