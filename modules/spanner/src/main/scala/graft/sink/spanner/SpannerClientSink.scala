@@ -93,22 +93,51 @@ object SpannerClientSink {
 
   /** Array column → typed Spanner array; element type from the first
     * non-null element (empty / all-null arrays fall back to STRING,
-    * which Spanner accepts for any NULL-element-only array write). */
+    * which Spanner accepts for any NULL-element-only array write).
+    * Same fail-fast posture as [[toValue]]: an element type outside the
+    * lattice throws here, where the offending type is visible, instead
+    * of toString-corrupting at commit time. */
   private def toArrayValue(s: Seq[_]): Value = s.find(_ != null) match {
-    case Some(_: Long) | Some(_: Int) =>
+    case Some(_: Long) | Some(_: Int) | Some(_: Short) | Some(_: Byte) =>
       Value.int64Array(s.map(x => if (x == null) null
         else java.lang.Long.valueOf(x.asInstanceOf[Number].longValue)).asJava)
-    case Some(_: Double) =>
+    case Some(_: Double) | Some(_: Float) =>
       Value.float64Array(s.map(x => if (x == null) null
         else java.lang.Double.valueOf(x.asInstanceOf[Number].doubleValue)).asJava)
+    case Some(_: Boolean) =>
+      Value.boolArray(s.map(x => if (x == null) null
+        else java.lang.Boolean.valueOf(x.asInstanceOf[Boolean])).asJava)
     case Some(_: java.math.BigDecimal) =>
       Value.numericArray(s.map(x =>
         if (x == null) null else x.asInstanceOf[java.math.BigDecimal]).asJava)
+    case Some(_: BigDecimal) =>
+      Value.numericArray(s.map(x =>
+        if (x == null) null else x.asInstanceOf[BigDecimal].bigDecimal).asJava)
     case Some(_: Array[Byte]) =>
       Value.bytesArray(s.map(x => if (x == null) null
         else ByteArray.copyFrom(x.asInstanceOf[Array[Byte]])).asJava)
-    case _ =>
+    case Some(_: java.sql.Timestamp) =>
+      Value.timestampArray(s.map(x => if (x == null) null
+        else GTimestamp.of(x.asInstanceOf[java.sql.Timestamp])).asJava)
+    case Some(_: java.time.Instant) =>
+      Value.timestampArray(s.map(x => if (x == null) null else {
+        val i = x.asInstanceOf[java.time.Instant]
+        GTimestamp.ofTimeSecondsAndNanos(i.getEpochSecond, i.getNano)
+      }).asJava)
+    case Some(_: java.sql.Date) =>
+      Value.dateArray(s.map(x => if (x == null) null else {
+        val ld = x.asInstanceOf[java.sql.Date].toLocalDate
+        GDate.fromYearMonthDay(ld.getYear, ld.getMonthValue, ld.getDayOfMonth)
+      }).asJava)
+    case Some(_: java.time.LocalDate) =>
+      Value.dateArray(s.map(x => if (x == null) null else {
+        val ld = x.asInstanceOf[java.time.LocalDate]
+        GDate.fromYearMonthDay(ld.getYear, ld.getMonthValue, ld.getDayOfMonth)
+      }).asJava)
+    case Some(_: String) | None =>
       Value.stringArray(s.map(x => if (x == null) null else x.toString).asJava)
+    case Some(other) => throw new IllegalArgumentException(
+      s"unsupported Spark array element type for Spanner write: ${other.getClass.getName}")
   }
 
   /** K2: create the database with the no-FK schema batch; blocks until

@@ -90,7 +90,12 @@ object Curate {
     * @param valSixteenths  width of the val split, carved just below
     *                       test
     * @param baseHamming    incremental mode: batch fp within this
-    *                       Hamming distance of a base fp ⇒ near_dup_base
+    *                       Hamming distance of a base fp ⇒ near_dup_base.
+    *                       Capped at 3: the probe's candidate generation
+    *                       is the 4×8-bit band join, which guarantees a
+    *                       collision only while the differing bits can't
+    *                       cover all 4 bands (pigeonhole) — a radius of
+    *                       4+ would silently under-match
     * @param packLen        packing sequence length (c09's L)
     * @param packShards     packing shards per split; None derives from
     *                       the kept-doc count ([[deriveShards]]) so
@@ -107,7 +112,9 @@ object Curate {
     require(testSixteenths >= 0 && valSixteenths >= 0 &&
       testSixteenths + valSixteenths < 16,
       s"splits must leave room for train: test=$testSixteenths val=$valSixteenths")
-    require(baseHamming >= 0 && baseHamming <= 32, s"baseHamming $baseHamming")
+    require(baseHamming >= 0 && baseHamming <= 3,
+      s"baseHamming $baseHamming: the 4-band probe only guarantees " +
+        "candidate collisions for Hamming <= 3")
     require(packLen > 0, s"packLen $packLen")
     require(packShards.forall(_ > 0), s"packShards $packShards")
   }

@@ -141,24 +141,35 @@ object IvfAnn {
     * sitting at `no_oracle` recall gates. Fixed-nprobe `knn` remains
     * the recall/cost dial for corpora where the guarantee isn't worth
     * the adaptive fan-out. */
-  private[operators] def exactClusterList(cents: Seq[Array[Double]],
-      stats: ClusterStats, topK: Int): Column = {
-    val k = cents.length
-    val meta = (0 until k).map { j =>
+  private def metaSql(cents: Seq[Array[Double]], stats: ClusterStats): String =
+    cents.indices.map { j =>
       s"struct(sqrt(element_at(dists, ${j + 1})) as d, " +
         s"${stats.radius(j)}D as r, ${stats.count(j)}L as n, $j as i)"
     }.mkString("array(", ", ", ")")
-    // ub = (d+r) of the first prefix (by d+r ascending) covering topK+1
-    // members; null never survives because counts sum to the corpus size
-    val ub = s"""aggregate(
-      array_sort(transform($meta, x -> struct(x.d + x.r as ub, x.n as n))),
+
+  /** ub column: (d+r) of the first cluster prefix (by d+r ascending)
+    * whose member counts cover topK+1 rows (+1 absorbs the probe
+    * meeting itself). NULL when the whole corpus has ≤ topK vectors —
+    * the prune test treats that as "no bound", scanning every cluster,
+    * which is both correct and exactly what a ≤topK corpus needs.
+    * Computed ONCE per probe row as its own column; inlining it into
+    * the per-cluster lambda would re-sort the k-struct array k times
+    * per row. */
+  private[operators] def upperBound(cents: Seq[Array[Double]],
+      stats: ClusterStats, topK: Int): Column =
+    expr(s"""aggregate(
+      array_sort(transform(${metaSql(cents, stats)}, x -> struct(x.d + x.r as ub, x.n as n))),
       struct(0L as cum, cast(null as double) as ub),
       (acc, x) -> if(acc.ub is not null, acc,
         struct(acc.cum + x.n as cum,
                if(acc.cum + x.n >= ${topK + 1}, x.ub, acc.ub) as ub)),
-      acc -> acc.ub)"""
-    expr(s"filter(transform($meta, x -> if(x.d - x.r <= $ub + $PruneEps, x.i, -1)), i -> i >= 0)")
-  }
+      acc -> acc.ub)""")
+
+  /** Pruned probe list over a frame carrying `dists` and `ub`. */
+  private[operators] def exactClusterList(cents: Seq[Array[Double]],
+      stats: ClusterStats): Column =
+    expr(s"filter(transform(${metaSql(cents, stats)}, " +
+      s"x -> if(ub is null or x.d - x.r <= ub + $PruneEps, x.i, -1)), i -> i >= 0)")
 
   /** EXACT top-k via IVF inverted lists with adaptive cluster pruning —
     * same pipeline shape as [[knn]] (ids-only candidate join, one exact
@@ -175,8 +186,9 @@ object IvfAnn {
     val corpus = withD
       .select(col("vec_id"), element_at(nearestClusters(cents.length, 1), 1).as("cluster"))
     val probeClusters = withD.filter(probePred)
+      .withColumn("ub", upperBound(cents, stats, topK))
       .select(col("vec_id").as("query_id"),
-        explode(exactClusterList(cents, stats, topK)).as("cluster"))
+        explode(exactClusterList(cents, stats)).as("cluster"))
     probeClusters.join(corpus,
         probeClusters("cluster") === corpus("cluster") &&
           col("query_id") =!= col("vec_id"))

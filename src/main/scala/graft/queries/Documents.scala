@@ -384,14 +384,17 @@ object Documents {
     // wrong-language text → low.
     //
     // Scale shape: bigram explosion is O(tokens) rows; the LM "training"
-    // is two groupBys with map-side combine (bigram counts, prefix
-    // counts) joined once corpus-side to attach the conditional; doc
-    // bigrams then join that enriched LM table on the bigram key (both
-    // sides hash-partitioned on it) and re-aggregate per doc. No
+    // is ONE map-side-combined groupBy to distinct-bigram counts, with
+    // the prefix totals derived by a window sum OVER the already-reduced
+    // counts (pcnt = Σ cnt per w1 — re-aggregating the raw occurrence
+    // stream for them would be a second full corpus pass for identical
+    // numbers); doc bigrams then join the LM table on the bigram key
+    // (both sides hash-partitioned on it) and re-aggregate per doc. No
     // all-pairs, no driver-side model — the LM IS a DataFrame, which is
     // what lets the same plan score 100 TB against a 100 TB-trained LM.
     "d12_bigram_fluency" -> QueryDef(
       build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val bigrams = QueryDef.spread(spark, dir, "documents")
           .select(col("doc_id"), expr(toks).as("tk"))
           .filter(expr("size(tk) >= 2"))
@@ -399,11 +402,9 @@ object Documents {
             "transform(sequence(1, size(tk) - 1), i -> named_struct(" +
               "'w1', element_at(tk, i), 'w2', element_at(tk, i + 1)))")).as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        val bigramCounts = bigrams.groupBy("w1", "w2")
+        val lm = bigrams.groupBy("w1", "w2")
           .agg(count(lit(1)).as("cnt"))
-        val prefixCounts = bigrams.groupBy("w1")
-          .agg(count(lit(1)).as("pcnt"))
-        val lm = bigramCounts.join(prefixCounts, "w1")
+          .withColumn("pcnt", sum("cnt").over(Window.partitionBy("w1")))
           .select(col("w1"), col("w2"),
             expr("cnt * 1000 div pcnt").as("cond_permille"))
         bigrams.join(lm, Seq("w1", "w2"))

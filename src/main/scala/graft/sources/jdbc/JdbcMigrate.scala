@@ -61,13 +61,21 @@ object JdbcMigrate {
     graft.plan.SessionFile.write(plan, s"$outDir/session.json")
 
     // data pass: one distributed JDBC read per table, typed rows cast +
-    // renamed onto the Spanner schema, parquet per table
+    // renamed onto the Spanner schema, parquet per table. PG identifiers
+    // are double-quoted segment-by-segment (the catalog returns exact
+    // names, so "Order" or "user table" must not be re-folded by the
+    // server); the MySQL path backtick-quotes inside readMySqlTable.
+    // Caveat shared with TableId.qualified: a table name containing a
+    // literal '.' is indistinguishable from schema-qualification here.
+    def pgQuote(qualified: String): String =
+      qualified.split("\\.", 2)
+        .map(seg => "\"" + seg.replace("\"", "\"\"") + "\"").mkString(".")
     val counts = order.map { src =>
       val srcTable = tables(src)
       val df = driver match {
         case "mysql" => JdbcData.readMySqlTable(spark, url, props, srcTable,
           partitionHints.get(src), numPartitions)
-        case _ => JdbcData.readTable(spark, url, props, src,
+        case _ => JdbcData.readTable(spark, url, props, pgQuote(src),
           partitionHints.get(src), numPartitions)
       }
       val sp = plan.toSpannerTable(src)

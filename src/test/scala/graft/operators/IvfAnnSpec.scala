@@ -20,6 +20,28 @@ class IvfAnnSpec extends AnyFunSuite {
     assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("knnExact on a corpus smaller than topK returns every neighbor") {
+    // regression: the prune upper bound is NULL when cluster counts
+    // can't cover topK+1 rows — that must mean "scan everything", not
+    // "prune everything" (which silently returned zero rows)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_small").toString
+    try {
+      val rnd = new scala.util.Random(3)
+      (0 until 6).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val out = IvfAnn.knnExact(spark, tmp, col("vec_id") < 2, topK = 10, k = 4)
+        .collect()
+      // 2 probes × all 5 other vectors each
+      assert(out.length === 10, out.mkString("\n"))
+    } finally {
+      val p = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+    }
+  }
+
   test("recall@10 vs exact brute force") {
     val ivf = IvfAnn.knn(spark, dir, col("vec_id") < 8,
         topK = 10, k = 16, nprobe = 4)
