@@ -26,6 +26,47 @@ class AnnOracleParitySpec extends AnyFunSuite {
       r.getLong(r.fieldIndex("dot")),
       r.getLong(r.fieldIndex("rnk")))).toSeq
 
+  test("knnExact is exact on random unit-norm corpora (property, 3 seeds)") {
+    // the exactness argument is mathematical (triangle-inequality
+    // pruning + unit-norm L2≡dot order; PQ adds the Cauchy-Schwarz ADC
+    // bound) — exercise it beyond the fixed driver corpus on seeded
+    // random unit vectors, against a driver-side brute force
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val vecs = (0 until 48).map { i =>
+        val raw = Array.fill(64)(rnd.nextGaussian())
+        val n = math.sqrt(raw.map(x => x * x).sum)
+        (i.toLong, raw.map(x => (x / n).toFloat))
+      }
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_ann_prop").toString
+      try {
+        vecs.toDF("vec_id", "embedding")
+          .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+        // driver-side brute force with the operators' own quantization
+        def qv(e: Array[Float]) = e.map(x => math.floor(x.toDouble * 1048576d).toLong)
+        val expected = vecs.filter(_._1 < 4).flatMap { case (q, qe) =>
+          vecs.filter(_._1 != q)
+            .map { case (c, ce) =>
+              (c, qv(qe).zip(qv(ce)).map { case (a, b) => a * b }.sum) }
+            .sortBy { case (c, d) => (-d, c) }
+            .take(5).zipWithIndex
+            .map { case ((c, d), i) => (q, c, d, (i + 1).toLong) }
+        }.toSet
+        def got(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(got(IvfAnn.knnExact(spark, tmp, col("vec_id") < 4,
+          topK = 5, k = 6)) === expected, s"IVF seed $seed")
+        assert(got(IvfPq.knnExact(spark, tmp, col("vec_id") < 4,
+          topK = 5, coarseK = 6, m = 8, pqK = 8)) === expected, s"PQ seed $seed")
+      } finally {
+        val p = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      }
+    }
+  }
+
   for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
       "/root/testdata/sf0.1")) {
     lazy val exact = rows(graft.queries.Similarity.defs("e01_knn_dot").build(spark, dir))
