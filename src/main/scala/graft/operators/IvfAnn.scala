@@ -41,6 +41,19 @@ object IvfAnn {
   private[operators] def distArray(cents: Seq[Array[Double]]): Column =
     array(cents.map(dist2): _*)
 
+  /** Double dot product of the embedding column with a centroid literal. */
+  private def dotTo(centroid: Array[Double]): Column = {
+    val lits = array(centroid.map(lit(_)): _*)
+    aggregate(
+      zip_with(col("embedding").cast("array<double>"), lits, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** `cdots` array column: dot(embedding, μⱼ) over all centroids — the
+    * probe-side input of the MIPS pruning bound. */
+  private[operators] def dotArray(cents: Seq[Array[Double]]): Column =
+    array(cents.map(dotTo): _*)
+
   /** Cluster ids of the `nprobe` nearest centroids, nearest first
     * (struct sort on (distance, index) — deterministic ties). */
   private[operators] def nearestClusters(k: Int, nprobe: Int): Column =
@@ -96,9 +109,11 @@ object IvfAnn {
       .drop("dists")
 
   /** Per-cluster pruning metadata: radius (max member distance to its
-    * centroid) and member count. k rows — driver-held like the centroids
-    * themselves (O(metadata), not data). */
-  final case class ClusterStats(radius: Array[Double], count: Array[Long])
+    * centroid), member count, and the corpus-wide max member norm (the
+    * quantization-slack scale). k rows + one double — driver-held like
+    * the centroids themselves (O(metadata), not data). */
+  final case class ClusterStats(radius: Array[Double], count: Array[Long],
+      maxNorm: Double)
 
   private[operators] def clusterStats(emb: DataFrame,
       cents: Seq[Array[Double]]): ClusterStats = {
@@ -106,87 +121,95 @@ object IvfAnn {
       .withColumn("dists", distArray(cents))
       .withColumn("cluster", element_at(nearestClusters(cents.length, 1), 1))
       .select(col("cluster"),
-        sqrt(element_at(col("dists"), col("cluster") + 1)).as("d"))
-      .groupBy("cluster").agg(max("d").as("r"), org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        sqrt(element_at(col("dists"), col("cluster") + 1)).as("d"),
+        sqrt(aggregate(
+          zip_with(col("embedding").cast("array<double>"),
+            col("embedding").cast("array<double>"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v)).as("nrm"))
+      .groupBy("cluster").agg(max("d").as("r"), max("nrm").as("mx"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .collect()
     val radius = new Array[Double](cents.length)
     val members = new Array[Long](cents.length)
+    var maxNorm = 0.0
     rows.foreach { r =>
-      radius(r.getInt(0)) = r.getDouble(1); members(r.getInt(0)) = r.getLong(2)
+      radius(r.getInt(0)) = r.getDouble(1); members(r.getInt(0)) = r.getLong(3)
+      maxNorm = math.max(maxNorm, r.getDouble(2))
     }
-    ClusterStats(radius, members)
+    ClusterStats(radius, members, maxNorm)
   }
 
-  /** Double-fp slack on the pruning bound. Has to dominate two error
-    * sources: (a) double round-off in the distance/radius arithmetic
-    * (~1e-13 relative) and (b) the discrepancy between the double dot
-    * the bound reasons about and the quantized-integer dot the final
-    * ranking uses — floor(x·2^20) perturbs a unit-vector dot by at most
-    * (‖x‖₁+‖y‖₁)·2⁻²⁰ ≲ 3e-5, i.e. ≲ 6e-5 in squared-distance terms.
-    * 1e-3 dominates both with two orders of margin; the only cost of
-    * slack is a slightly wider candidate set. */
+  /** Base double-fp slack on the pruning bounds, scaled at use sites by
+    * (1 + ‖p‖ + maxNorm). Has to dominate two error sources: (a) double
+    * round-off in the dot/radius arithmetic (~1e-13 relative) and
+    * (b) the discrepancy between the double dots the bounds reason
+    * about and the quantized-integer dot the final ranking uses —
+    * floor(x·2^20) perturbs dot(x,y) by at most (‖x‖₁+‖y‖₁)·2⁻²⁰ ≤
+    * 8(‖x‖+‖y‖)·2⁻²⁰ in 64 dims, i.e. ≲ 8e-6 per unit of vector norm.
+    * The scaled 1e-3·(1+‖p‖+maxNorm) dominates both by two orders at
+    * any corpus magnitude; the only cost of slack is a slightly wider
+    * candidate set. */
   private[operators] val PruneEps = 1e-3
 
-  /** The adaptive probe list that makes IVF search EXACT (classic
-    * branch-and-bound cluster pruning): every corpus vector is within
-    * `radius(j)` of its centroid, so for a probe at centroid-distance
-    * d(j) all of cluster j lies in [d(j)-r(j), d(j)+r(j)]. Scanning
-    * clusters by (d+r) ascending until their member counts cover
-    * topK+1 rows yields an upper bound `ub` on the true (topK)-th
-    * neighbor distance (+1 absorbs the probe meeting itself); any
-    * cluster with d(j)-r(j) > ub provably contains no top-k member and
-    * is skipped. On unit-norm embeddings L2 order == dot order, so the
-    * pruned exact-L2 top-k IS the exact max-dot top-k — which is what
-    * lets e05/e06 hash-match the e01 brute-force oracle instead of
-    * sitting at `no_oracle` recall gates. Fixed-nprobe `knn` remains
-    * the recall/cost dial for corpora where the guarantee isn't worth
-    * the adaptive fan-out. */
+  /** The adaptive probe list that makes IVF search EXACT for maximum
+    * inner product on ANY corpus (no norm assumption): every member c
+    * of cluster j is within radius(j) of μⱼ, so by Cauchy-Schwarz
+    *   |dot(p,c) − dot(p,μⱼ)| ≤ ‖p‖·radius(j)
+    * and cluster j's dots all lie in [cdⱼ − ‖p‖rⱼ, cdⱼ + ‖p‖rⱼ] where
+    * cdⱼ = dot(p, μⱼ). Scanning clusters by their LOWER bound
+    * descending until member counts cover topK+1 rows yields a
+    * threshold `thr` that at least topK+1 candidates provably meet
+    * (+1 absorbs the probe meeting itself); any cluster whose UPPER
+    * bound falls below thr contains no top-k member and is skipped.
+    * This is what lets e05/e06/e09 hash-match the e01 brute-force
+    * oracle instead of sitting at `no_oracle` recall gates. Fixed-
+    * nprobe `knn` remains the recall/cost dial for corpora where the
+    * guarantee isn't worth the adaptive fan-out. */
   private def metaSql(cents: Seq[Array[Double]], stats: ClusterStats): String =
     cents.indices.map { j =>
-      s"struct(sqrt(element_at(dists, ${j + 1})) as d, " +
+      s"struct(element_at(cdots, ${j + 1}) as cd, " +
         s"${stats.radius(j)}D as r, ${stats.count(j)}L as n, $j as i)"
     }.mkString("array(", ", ", ")")
 
-  /** ub column: (d+r) of the first cluster prefix (by d+r ascending)
-    * whose member counts cover topK+1 rows (+1 absorbs the probe
-    * meeting itself). NULL when the whole corpus has ≤ topK vectors —
-    * the prune test treats that as "no bound", scanning every cluster,
-    * which is both correct and exactly what a ≤topK corpus needs.
-    * Computed ONCE per probe row as its own column; inlining it into
-    * the per-cluster lambda would re-sort the k-struct array k times
-    * per row. */
-  private[operators] def upperBound(cents: Seq[Array[Double]],
+  /** thr column: the guaranteed-met dot threshold (see above). NULL
+    * when the whole corpus has ≤ topK vectors — the prune test treats
+    * that as "no bound", scanning every cluster, which is both correct
+    * and exactly what a ≤topK corpus needs. Computed ONCE per probe row
+    * as its own column; inlining it into the per-cluster lambda would
+    * re-sort the k-struct array k times per row. */
+  private[operators] def pruneThreshold(cents: Seq[Array[Double]],
       stats: ClusterStats, topK: Int): Column =
     expr(s"""aggregate(
-      array_sort(transform(${metaSql(cents, stats)}, x -> struct(x.d + x.r as ub, x.n as n))),
-      struct(0L as cum, cast(null as double) as ub),
-      (acc, x) -> if(acc.ub is not null, acc,
+      array_sort(transform(${metaSql(cents, stats)},
+        x -> struct(-(x.cd - pnorm * x.r) as nlb, x.n as n))),
+      struct(0L as cum, cast(null as double) as thr),
+      (acc, x) -> if(acc.thr is not null, acc,
         struct(acc.cum + x.n as cum,
-               if(acc.cum + x.n >= ${topK + 1}, x.ub, acc.ub) as ub)),
-      acc -> acc.ub)""")
+               if(acc.cum + x.n >= ${topK + 1}, -x.nlb, acc.thr) as thr)),
+      acc -> acc.thr)""")
 
-  /** Pruned probe list over a frame carrying `dists` and `ub`. */
+  /** Pruned probe list over a frame carrying `cdots`, `pnorm`, `thr`. */
   private[operators] def exactClusterList(cents: Seq[Array[Double]],
       stats: ClusterStats): Column =
     expr(s"filter(transform(${metaSql(cents, stats)}, " +
-      s"x -> if(ub is null or x.d - x.r <= ub + $PruneEps, x.i, -1)), i -> i >= 0)")
+      s"x -> if(thr is null or x.cd + pnorm * x.r >= thr - " +
+      s"$PruneEps * (1D + pnorm + ${stats.maxNorm}D), x.i, -1)), i -> i >= 0)")
 
-  /** EXACT top-k via IVF inverted lists with adaptive cluster pruning —
-    * same pipeline shape as [[knn]] (ids-only candidate join, one exact
-    * integer re-rank per candidate), but the probe list is derived from
-    * the triangle-inequality bound above, so the output provably equals
-    * the e01 brute force on any corpus. */
   /** (query_id, cand_id) candidate pairs whose union provably contains
-    * every probe's true top-k (see [[exactClusterList]]) — ids only, the
+    * every probe's true top-k (see [[pruneThreshold]]) — ids only, the
     * shared candidate generator of [[knnExact]] and [[IvfPq.knnExact]]. */
   private[operators] def exactCandidatePairs(emb: DataFrame,
       cents: Seq[Array[Double]], stats: ClusterStats, probePred: Column,
       topK: Int): DataFrame = {
-    val withD = emb.withColumn("dists", distArray(cents))
-    val corpus = withD
+    val corpus = emb.withColumn("dists", distArray(cents))
       .select(col("vec_id"), element_at(nearestClusters(cents.length, 1), 1).as("cluster"))
-    val probeClusters = withD.filter(probePred)
-      .withColumn("ub", upperBound(cents, stats, topK))
+    val probeClusters = emb.filter(probePred)
+      .withColumn("cdots", dotArray(cents))
+      .withColumn("pnorm", sqrt(aggregate(
+        zip_with(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)))
+      .withColumn("thr", pruneThreshold(cents, stats, topK))
       .select(col("vec_id").as("query_id"),
         explode(exactClusterList(cents, stats)).as("cluster"))
     probeClusters.join(corpus,
@@ -196,6 +219,13 @@ object IvfAnn {
       .distinct()
   }
 
+  /** EXACT top-k by max inner product via IVF inverted lists with
+    * adaptive cluster pruning — same pipeline shape as [[knn]]
+    * (ids-only candidate join, one exact integer re-rank per
+    * candidate), but the probe list comes from the Cauchy-Schwarz
+    * bound above, so the output provably equals the e01 brute force on
+    * any corpus, any norms (AnnOracleParitySpec pins both the driver
+    * corpus and random seeded ones). */
   def knnExact(spark: SparkSession, dir: String, probePred: Column,
       topK: Int = 10, k: Int = 16, iters: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window

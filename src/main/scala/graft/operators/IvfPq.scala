@@ -130,18 +130,21 @@ object IvfPq {
         expr("sqrt(aggregate(zip_with(cast(embedding as array<double>), cast(embedding as array<double>), (x, y) -> x * y), 0D, (a, v) -> a + v))")
           .as("pnorm"))
     // eps absorbs double round-off plus the double-vs-quantized-integer
-    // ranking discrepancy (see IvfAnn.PruneEps); slack only widens the
-    // shortlist, never loses a true neighbor
-    val eps = IvfAnn.PruneEps
+    // ranking discrepancy, scaled by the vector magnitudes in play
+    // (see IvfAnn.PruneEps); slack only widens the shortlist, never
+    // loses a true neighbor
+    val eps = lit(IvfAnn.PruneEps) *
+      (lit(1.0) + col("pnorm") + lit(stats.maxNorm))
     val w = Window.partitionBy("query_id")
     val bounded = pairs
       .join(codes, "cand_id")
       .join(broadcast(probeTables), "query_id") // probe set is bounded
       .select(col("query_id"), col("cand_id"),
-        adcScore(cb.k).as("approx"), (col("pnorm") * col("rerr")).as("berr"))
+        adcScore(cb.k).as("approx"), (col("pnorm") * col("rerr")).as("berr"),
+        eps.as("eps"))
       .select(col("query_id"), col("cand_id"),
-        (col("approx") - col("berr") - eps).as("lo"),
-        (col("approx") + col("berr") + eps).as("hi"))
+        (col("approx") - col("berr") - col("eps")).as("lo"),
+        (col("approx") + col("berr") + col("eps")).as("hi"))
     // topK-th largest lower bound per probe; probes with < topK
     // candidates keep everything (null threshold)
     val ranked = bounded.withColumn("lrk",

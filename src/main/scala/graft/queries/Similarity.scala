@@ -341,9 +341,9 @@ object Similarity {
 
     // ---------------------------------------------------------------- e05
     // IVF ANN (see operators.IvfAnn). Oracle mode uses knnExact: the
-    // adaptive triangle-inequality cluster pruning makes the output
-    // PROVABLY equal to the e01 brute force on any corpus (unit-norm
-    // embeddings make L2 order = dot order), so the brute-force SQL is
+    // adaptive Cauchy-Schwarz cluster pruning (|dot(p,c) − dot(p,μ)| ≤
+    // ‖p‖·radius) makes the output PROVABLY equal to the e01 brute
+    // force on any corpus, any norms — so the brute-force SQL is
     // a true oracle, not a recall hope. Lloyd training itself is
     // deterministic (md5 init + exact averages) but not SQL-expressible;
     // it only shapes WHICH clusters get pruned, never the result.
@@ -373,8 +373,8 @@ object Similarity {
     // clustering. Runs IvfAnn.knnExact with the all-rows predicate —
     // the inverted lists become a cluster-bucketed SELF-join (ids only)
     // and the per-row adaptive pruning bound caps each vector's
-    // candidate fan-out; output is provably the exact top-5 graph
-    // (unit-norm corpus), so the DuckDB all-pairs oracle is a true
+    // candidate fan-out; output is provably the exact top-5 graph on
+    // any corpus, so the DuckDB all-pairs oracle is a true
     // check, not a recall hope. Honest cost note: pruning effectiveness
     // tracks how clustered the corpus is — tight real-world embedding
     // clusters prune hard, while near-random vectors (this synthetic

@@ -26,18 +26,19 @@ class AnnOracleParitySpec extends AnyFunSuite {
       r.getLong(r.fieldIndex("dot")),
       r.getLong(r.fieldIndex("rnk")))).toSeq
 
-  test("knnExact is exact on random unit-norm corpora (property, 3 seeds)") {
-    // the exactness argument is mathematical (triangle-inequality
-    // pruning + unit-norm L2≡dot order; PQ adds the Cauchy-Schwarz ADC
-    // bound) — exercise it beyond the fixed driver corpus on seeded
-    // random unit vectors, against a driver-side brute force
+  test("knnExact is exact on random corpora of arbitrary norms (property, 3 seeds)") {
+    // the exactness argument is mathematical (Cauchy-Schwarz cluster
+    // pruning for MIPS; PQ adds the reconstruction-error ADC bound) and
+    // makes NO norm assumption — exercise it beyond the fixed driver
+    // corpus on seeded raw Gaussian vectors, scaled per-vector by a
+    // random factor in [0.5, 4) so norms vary widely, against a
+    // driver-side brute force
     import spark.implicits._
     for (seed <- Seq(1, 7, 23)) {
       val rnd = new scala.util.Random(seed)
       val vecs = (0 until 48).map { i =>
-        val raw = Array.fill(64)(rnd.nextGaussian())
-        val n = math.sqrt(raw.map(x => x * x).sum)
-        (i.toLong, raw.map(x => (x / n).toFloat))
+        val scale = 0.5 + 3.5 * rnd.nextDouble()
+        (i.toLong, Array.fill(64)((rnd.nextGaussian() * scale).toFloat))
       }
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_ann_prop").toString
       try {
