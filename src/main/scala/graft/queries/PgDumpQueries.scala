@@ -76,6 +76,32 @@ object PgDumpQueries {
       },
       oracle = Some("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem"),
       headline = true),
+    // ---------------------------------------------------------------- p05
+    // The DataSource V2 pgdump table end-to-end: byte-range partitioned
+    // COPY scan → pruned string columns → relational agg, checked against
+    // DuckDB over the source parquet. Distinct from p03 on purpose — p03
+    // times the full migration pipeline (schema pass, casts, synth PKs),
+    // p05 times the V2 scan path a user gets from
+    // spark.read.format("pgdump"); the oracle checks VALUES (count + an
+    // exact decimal sum in minor units), so a dropped chunk, mis-aligned
+    // byte split, or broken unescape all surface as a hash mismatch.
+    "p05_pgdump_v2" -> QueryDef(
+      build = (spark, dir) => {
+        val path = bulkDump(spark, dir)
+        spark.read.format("pgdump").option("table", "lineitem").load(path)
+          .filter(!col("__ragged"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            (sum(col("l_quantity").cast("decimal(18,2)")) * 100)
+              .cast("bigint").as("qty_cents"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS qty_cents
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      headline = true),
     "p01_pgdump_inventory" -> QueryDef(
       build = (spark, _) => {
         val m = PgDumpReader.migrate(spark, fixture)

@@ -54,6 +54,12 @@ object PgDumpParser {
     line.regionMatches(true, 0, "INSERT INTO ", 0, 12) &&
       line.trim.endsWith(";") && PgTuples.header(line).isDefined
 
+  /** (unqualified table, column list when present) of a single-line COPY
+    * header — the V2 source's boundary classifier shares the scanner's
+    * header grammar. */
+  private[pgdump] def copyHeaderOf(stmt: String): Option[(String, Option[Seq[String]])] =
+    CopyHeader.unapply(stmt)
+
   /** The scanner over (line, ORIGINAL line number) pairs: the distributed
     * schema pass feeds a pruned stream (COPY payload + single-line INSERT
     * statements removed) whose indices still address the real file, so
