@@ -71,6 +71,28 @@ object MySqlDumpQueries {
       },
       oracle = Some("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem"),
       headline = true),
+    // ---------------------------------------------------------------- p06
+    // The DataSource V2 mysqldump table end-to-end: byte-chunked scan →
+    // per-reader tuple lexing → pruned string columns → relational agg,
+    // checked against DuckDB over the source parquet (p05's sibling —
+    // p04 times the full migration, p06 the format("mysqldump") scan).
+    "p06_mysqldump_v2" -> QueryDef(
+      build = (spark, dir) => {
+        val path = bulkDump(spark, dir)
+        spark.read.format("mysqldump").option("table", "lineitem").load(path)
+          .filter(!col("__ragged"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            (sum(col("l_quantity").cast("decimal(18,2)")) * 100)
+              .cast("bigint").as("qty_cents"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS qty_cents
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      headline = true),
     "p02_mysqldump_customers" -> QueryDef(
       build = (spark, _) => {
         val m = MySqlDumpReader.migrate(spark, fixture)
