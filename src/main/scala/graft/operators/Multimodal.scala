@@ -125,6 +125,70 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** Deterministic box-filter downscale of the decoded luminance plane —
+    * the multimodal "resize" op. Output pixel (ox,oy) = floor(mean) of
+    * its source box; integer accumulation only, so results are
+    * bit-identical across JVMs (no float rounding drift between
+    * executors). Targets larger than the source degrade to
+    * nearest-neighbor (every box is clamped to at least one source
+    * pixel). Non-image or undecodable rows are dropped — quarantine
+    * them upstream via [[extractFeatures]]'s decode_ok flag. Same
+    * mapPartitions shape as the other ops: media bytes never shuffle,
+    * and the output is a fixed outW*outH bytes per row regardless of
+    * source size. */
+  def resize(df: DataFrame, idCol: String, mediaCol: String,
+      outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, "target dimensions must be positive")
+    val spark = df.sparkSession
+    val idIdx = df.columns.indexOf(idCol)
+    val mIdx = df.columns.indexOf(mediaCol)
+    require(idIdx >= 0 && mIdx >= 0, s"missing $idCol/$mediaCol")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixels", BinaryType)))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx)
+        decode(bytes) match {
+          case Some(d) if d.kind == "IMG" && d.width > 0 && d.height > 0 &&
+              d.payload.length == d.width * d.height =>
+            val out = new Array[Byte](outW * outH)
+            var oy = 0
+            while (oy < outH) {
+              val y0 = oy * d.height / outH
+              val y1 = math.max(y0 + 1, (oy + 1) * d.height / outH)
+              var ox = 0
+              while (ox < outW) {
+                val x0 = ox * d.width / outW
+                val x1 = math.max(x0 + 1, (ox + 1) * d.width / outW)
+                var sum = 0L
+                var n = 0
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    sum += (d.payload(y * d.width + x) & 0xff)
+                    n += 1
+                    x += 1
+                  }
+                  y += 1
+                }
+                out(oy * outW + ox) = (sum / n).toByte
+                ox += 1
+              }
+              oy += 1
+            }
+            Some(Row(id, outW, outH, out))
+          case _ => None
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Frame-sample stand-in: pick every k-th byte of the payload as the
     * "frames" of a video column — the real version samples decoded
     * frames; the partition/batch shape is identical. */

@@ -575,6 +575,36 @@ object TextMedia {
       oracle = Some("""
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                lower(hex(encode(substring(text, 1, 4)))) AS head_hex
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- b02
+    // Frame sampling over opaque video containers (operators.Multimodal
+    // .frameSample, the mapPartitions decode path MultimodalSpec pins).
+    // Containers carry an ascii-safe md5-hex payload so the byte-level
+    // sampling IS DuckDB-expressible: every=5 over the 32-byte payload →
+    // 7 frames whose head bytes sit at payload offsets 0,5,...,30 — a
+    // dropped frame, wrong chunk boundary, or shuffled media bytes all
+    // break the checksum.
+    "b02_frame_sample" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        val media = docs.select(col("doc_id"),
+          concat(lit("VID|16|2|"), md5(col("text").cast("binary")))
+            .cast("binary").as("media"))
+        graft.operators.Multimodal.frameSample(media, "doc_id", "media", every = 5)
+          .select(col("media_id").as("doc_id"),
+            ascii(col("frame").cast("string")).cast("bigint").as("b"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(col("b")).as("head_checksum"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT doc_id, ord(substring(md5(text), CAST(1 + 5 * i AS INT), 1)) AS b
+          FROM documents, LATERAL unnest(range(0, 7)) AS t(i))
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(b) AS BIGINT) AS head_checksum
+        FROM f GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

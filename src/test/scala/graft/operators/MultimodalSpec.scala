@@ -87,6 +87,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(11L).getString(1) === "AUD") // stub path intact
   }
 
+  test("resize: exact box-filter values on a 4x4 gradient PNG") {
+    import spark.implicits._
+    val bytes = png(4, 4)((x, y) => x * 10 + y)
+    val df2 = Seq((20L, bytes)).toDF("media_id", "media")
+    val r = Multimodal.resize(df2, "media_id", "media", 2, 2).collect()
+    assert(r.length === 1)
+    assert(r.head.getInt(1) === 2 && r.head.getInt(2) === 2)
+    val px = r.head.getAs[Array[Byte]](3).map(_ & 0xff).toSeq
+    // each output pixel = floor(mean of its 2x2 box): box(0,0) =
+    // {0,10,1,11} → 5, box(1,0) = {20,30,21,31} → 25, box(0,1) =
+    // {2,12,3,13} → 7, box(1,1) = {22,32,23,33} → 27
+    assert(px === Seq(5, 25, 7, 27))
+  }
+
+  test("resize: upscale degrades to nearest-neighbor; non-images dropped") {
+    import spark.implicits._
+    val one = png(1, 1)((_, _) => 42)
+    val mixed = Seq(
+      (30L, one),
+      (31L, media("AUD|1|16000|xyz")),
+      (32L, media("garbage"))).toDF("media_id", "media")
+    val r = Multimodal.resize(mixed, "media_id", "media", 3, 2).collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(30L)) // images only
+    assert(r.head.getAs[Array[Byte]](3).map(_ & 0xff).toSeq ===
+      Seq.fill(6)(42))
+  }
+
   test("frame sampling: every k-th chunk, empty payload yields no frames") {
     val frames = Multimodal.frameSample(df, "media_id", "media", every = 2)
     val byId = frames.collect().groupBy(_.getLong(0))
