@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -76,11 +76,26 @@ private[mysqldump] final class MySqlDumpScanBuilder(path: String,
 
 private[mysqldump] final class MySqlDumpScan(path: String,
     table: Option[String], full: StructType, required: StructType,
-    chunkBytes: Option[Long]) extends Scan with Batch {
+    chunkBytes: Option[Long]) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"mysqldump $path${table.fold("")("#" + _)} ReadSchema: ${required.catalogString}"
+
+  /** Whole-file byte size as a conservative upper bound (INSERT lines
+    * aren't range-indexed per table) — still finite, so a small dump can
+    * win an auto-broadcast join instead of sizing as
+    * defaultSizeInBytes like a stats-less V2 relation. */
+  override def estimateStatistics(): Statistics = {
+    val len = MySqlDumpV2.discover(path).fileLen
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(len)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -95,11 +95,26 @@ private[pgdump] final class PgDumpScanBuilder(path: String, table: Option[String
 
 private[pgdump] final class PgDumpScan(path: String, table: Option[String],
     full: StructType, required: StructType, chunkBytes: Option[Long])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"pgdump $path${table.fold("")("#" + _)} ReadSchema: ${required.catalogString}"
+
+  /** Payload byte size of this table's COPY regions — without it a V2
+    * relation sizes as defaultSizeInBytes (effectively infinite) and a
+    * KB-sized dimension table read from a dump could never win an
+    * auto-broadcast join against a fact table. */
+  override def estimateStatistics(): Statistics = {
+    val regions = PgDumpV2.regionsFor(PgDumpV2.discover(path), table)
+    val bytes = regions.map(r => r.termStart - r.headerStart).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -260,14 +275,23 @@ private[pgdump] object PgDumpV2 {
     spark.sparkContext.newAPIHadoopFile(path, classOf[TextInputFormat],
       classOf[LongWritable], classOf[Text], conf)
 
-  private val headerRe = "(?is)^COPY\\s+.+\\s+FROM\\s+stdin\\s*;\\s*$"
+  // precompiled: the classifier runs per LINE of the dump, and
+  // String.matches would re-compile the pattern every call; the cheap
+  // "COPY<ws>" prefix gate keeps the 100 GB payload off the regex path
+  // entirely (payload lines are data, not headers)
+  private val headerPat = java.util.regex.Pattern.compile(
+    "(?is)^COPY\\s+.+\\s+FROM\\s+stdin\\s*;\\s*$")
+
+  private def isCopyHeader(l: String): Boolean =
+    l.length >= 5 && l.regionMatches(true, 0, "COPY", 0, 4) &&
+      Character.isWhitespace(l.charAt(4)) && headerPat.matcher(l).matches()
 
   private def runDiscovery(spark: SparkSession, path: String,
       conf: Configuration): Discovery = {
     val cands = lineOffsets(spark, path, conf)
       .flatMap { case (k, v) => // extract before collect: Writables are reused
         val l = v.toString
-        if (l == "\\." || l.matches(headerRe)) Some((k.get, l)) else None
+        if (l == "\\." || isCopyHeader(l)) Some((k.get, l)) else None
       }
       .collect().sortBy(_._1)
 

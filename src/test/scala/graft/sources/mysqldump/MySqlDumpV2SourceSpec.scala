@@ -70,4 +70,10 @@ class MySqlDumpV2SourceSpec extends AnyFunSuite {
     val e = intercept[Exception] { v2("nope").collect() }
     assert(e.getMessage.contains("customers"))
   }
+
+  test("scan reports file-sized statistics (broadcast eligibility)") {
+    val fileLen = new java.io.File(fixture).length()
+    val stats = v2("customers").queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes == BigInt(fileLen))
+  }
 }

@@ -89,4 +89,12 @@ class PgDumpV2SourceSpec extends AnyFunSuite {
     val e = intercept[Exception] { v2("nope").collect() }
     assert(e.getMessage.contains("inventory"))
   }
+
+  test("scan reports payload-sized statistics (broadcast eligibility)") {
+    // without SupportsReportStatistics a V2 relation sizes as
+    // defaultSizeInBytes (effectively infinite) and could never win an
+    // auto-broadcast join; the fixture payload is a few hundred bytes
+    val stats = v2("inventory").queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 10000)
+  }
 }
