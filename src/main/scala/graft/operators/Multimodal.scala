@@ -139,6 +139,10 @@ object Multimodal {
   def resize(df: DataFrame, idCol: String, mediaCol: String,
       outW: Int, outH: Int): DataFrame = {
     require(outW > 0 && outH > 0, "target dimensions must be positive")
+    // Int-overflow guard: outW*outH sizes a byte array, and box indices
+    // multiply target by source dims — 46341² already wraps negative
+    require(outW.toLong * outH <= Int.MaxValue / 4,
+      s"target $outW x $outH exceeds the supported pixel count")
     val spark = df.sparkSession
     val idIdx = df.columns.indexOf(idCol)
     val mIdx = df.columns.indexOf(mediaCol)
@@ -158,12 +162,14 @@ object Multimodal {
             val out = new Array[Byte](outW * outH)
             var oy = 0
             while (oy < outH) {
-              val y0 = oy * d.height / outH
-              val y1 = math.max(y0 + 1, (oy + 1) * d.height / outH)
+              // Long box arithmetic: oy*height can exceed Int for tall
+              // targets over tall sources even when both fit individually
+              val y0 = (oy.toLong * d.height / outH).toInt
+              val y1 = math.max(y0 + 1, ((oy + 1).toLong * d.height / outH).toInt)
               var ox = 0
               while (ox < outW) {
-                val x0 = ox * d.width / outW
-                val x1 = math.max(x0 + 1, (ox + 1) * d.width / outW)
+                val x0 = (ox.toLong * d.width / outW).toInt
+                val x1 = math.max(x0 + 1, ((ox + 1).toLong * d.width / outW).toInt)
                 var sum = 0L
                 var n = 0
                 var y = y0

@@ -7,6 +7,23 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * schema pass (boundary discovery) and every table's data read. The
   * index is the global 0-based line number (zipWithIndex is deterministic
   * per file: partition order follows byte offsets). */
+/** Byte-chunk sizing shared by the dump V2 sources: one split per core
+  * for small inputs (the downstream stage inherits scan parallelism —
+  * DumpLines' rationale), capped by the session's
+  * `spark.sql.files.maxPartitionBytes` at real scale, floored at 64 KB;
+  * an explicit `chunkBytes` option overrides (tests use tiny chunks to
+  * force many partitions). */
+object DumpChunks {
+  def step(totalBytes: Long, chunkBytes: Option[Long],
+      spark: SparkSession): Long =
+    chunkBytes.getOrElse {
+      val perCore =
+        totalBytes / math.max(1, spark.sparkContext.defaultParallelism) + 1
+      math.max(64L * 1024,
+        math.min(spark.sessionState.conf.filesMaxPartitionBytes, perCore))
+    }
+}
+
 object DumpLines {
   def indexed(spark: SparkSession, path: String): DataFrame = {
     // one split per core, not Hadoop's size-based default (1-2 splits

@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructT
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sources.pgdump.SerializableHadoopConf
+import org.apache.spark.util.SerializableConfiguration
 
 /** `spark.read.format("mysqldump")` — one table's extended-INSERT rows in
   * a mysqldump file as a DataSource V2 table; the pgdump source's sibling
@@ -28,13 +28,15 @@ import graft.sources.pgdump.SerializableHadoopConf
   * The partitioning story is simpler than pgdump's: mysqldump data is one
   * self-identifying `INSERT INTO t ... VALUES (...),(...);` statement per
   * line (bounded by max-allowed-packet ~24 MB, mysql/mysqldump.go:84-87),
-  * so the scan plans plain byte chunks over the whole file and each
-  * reader classifies the lines in its chunk — no payload-range metadata
-  * needed. Discovery still runs one pass to (a) resolve DELIMITER-block
-  * byte ranges, so procedure-body INSERTs are excluded exactly like the
-  * migration path, and (b) record each table's column list from the first
-  * INSERT header, falling back to CREATE TABLE order for column-less
-  * INSERTs. Tuple lexing inside the reader is the same quote-aware
+  * so the scan plans plain byte chunks — bounded to the TARGET table's
+  * [first INSERT, last INSERT] extent, so reading a 1 GB table out of a
+  * 100 GB dump never scans the other tables' data — and each reader
+  * classifies the lines in its chunk. Discovery runs two bounded jobs:
+  * (a) resolve DELIMITER-block byte ranges, so procedure-body INSERTs
+  * are excluded exactly like the migration path, and (b) aggregate
+  * INSERT headers per table on the executors (column list of the first
+  * header, min/max offsets; CREATE TABLE order backs column-less
+  * INSERTs). Tuple lexing inside the reader is the same quote-aware
   * [[MySqlDumpReader.Tuples]] the migration path uses, so raw-row parity
   * is by construction (and pinned by MySqlDumpV2SourceSpec).
   */
@@ -83,15 +85,16 @@ private[mysqldump] final class MySqlDumpScan(path: String,
   override def description(): String =
     s"mysqldump $path${table.fold("")("#" + _)} ReadSchema: ${required.catalogString}"
 
-  /** Whole-file byte size as a conservative upper bound (INSERT lines
-    * aren't range-indexed per table) — still finite, so a small dump can
-    * win an auto-broadcast join instead of sizing as
-    * defaultSizeInBytes like a stats-less V2 relation. */
+  /** Exact INSERT-line byte total of the target table (aggregated
+    * during discovery) — without it a V2 relation sizes as
+    * defaultSizeInBytes (effectively infinite) and a KB-sized dimension
+    * table read from a dump could never win an auto-broadcast join. */
   override def estimateStatistics(): Statistics = {
-    val len = MySqlDumpV2.discover(path).fileLen
+    val d = MySqlDumpV2.discover(path)
+    val bytes = d.insertBytes(MySqlDumpV2.resolveTable(d, table))
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(len)
+        java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.empty()
     }
@@ -100,14 +103,20 @@ private[mysqldump] final class MySqlDumpScan(path: String,
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val d = MySqlDumpV2.discover(path)
-    val perCore = d.fileLen / math.max(1, spark.sparkContext.defaultParallelism) + 1
-    val step = chunkBytes.getOrElse(
-      math.max(64L * 1024, math.min(
-        spark.sessionState.conf.filesMaxPartitionBytes, perCore)))
+    val tbl = MySqlDumpV2.resolveTable(d, table)
+    // chunk only the byte extent [first INSERT line, last INSERT line] of
+    // the TARGET table — reading table A out of a dump that is 99% table
+    // B must not scan B's data. Starting one byte before the first line
+    // start makes the reader's discard-first-(partial)-line rule land
+    // exactly on the first INSERT (it consumes the preceding newline).
+    val (minOff, maxOff) = d.extents(tbl)
+    val lo = if (minOff == 0) 0L else minOff - 1
+    val hi = maxOff + 1
+    val step = graft.sources.DumpChunks.step(hi - lo, chunkBytes, spark)
     val parts = Array.newBuilder[InputPartition]
-    var s = 0L
-    while (s < d.fileLen) {
-      val e = math.min(s + step, d.fileLen)
+    var s = lo
+    while (s < hi) {
+      val e = math.min(s + step, hi)
       parts += MySqlChunkPartition(s, e)
       s = e
     }
@@ -122,7 +131,7 @@ private[mysqldump] final class MySqlDumpScan(path: String,
       if (f.name == MySqlDumpV2.RaggedCol) -1 else cols.indexOf(f.name)
     }
     new MySqlInsertReaderFactory(path,
-      new SerializableHadoopConf(
+      new SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()),
       tbl, d.delimiterBlocks.toArray, cols.length, proj)
   }
@@ -132,7 +141,7 @@ private[mysqldump] final case class MySqlChunkPartition(start: Long, end: Long)
     extends InputPartition
 
 private[mysqldump] final class MySqlInsertReaderFactory(path: String,
-    conf: SerializableHadoopConf, table: String,
+    conf: SerializableConfiguration, table: String,
     blocks: Array[(Long, Long)], nCols: Int, proj: Array[Int])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -148,7 +157,7 @@ private[mysqldump] final class MySqlInsertReaderFactory(path: String,
   * whole. INSERT lines inside DELIMITER blocks (procedure bodies) are
   * skipped, matching the migration path. */
 private[mysqldump] final class MySqlInsertReader(path: String,
-    conf: SerializableHadoopConf, start: Long, end: Long, table: String,
+    conf: SerializableConfiguration, start: Long, end: Long, table: String,
     blocks: Array[(Long, Long)], nCols: Int, proj: Array[Int])
     extends PartitionReader[InternalRow] {
   private val in = {
@@ -213,11 +222,20 @@ private[mysqldump] object MySqlDumpV2 {
       /** table → column list from its first INSERT header (None =
         * column-less INSERT, resolve via CREATE TABLE). */
       insertCols: Map[String, Option[Seq[String]]],
+      /** table → (min, max) byte offsets of its INSERT line starts —
+        * bounds the scan to the table's extent in the file. */
+      extents: Map[String, (Long, Long)],
+      /** table → total byte length of its INSERT lines (exact scan-size
+        * statistic, aggregated on the executors). */
+      insertBytes: Map[String, Long],
       /** CREATE TABLE column order, resolved lazily. */
       ddlCols: () => Map[String, Seq[String]])
 
+  // one live entry per path (mtime stored alongside): regenerating and
+  // re-reading the same file replaces its entry instead of accumulating
+  // stale ones that pin collected arrays for the session's lifetime
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Discovery]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Discovery)]()
 
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -230,18 +248,23 @@ private[mysqldump] object MySqlDumpV2 {
   def tableOf(options: CaseInsensitiveStringMap): Option[String] =
     Option(options.get("table"))
 
-  /** One distributed pass collects DELIMITER lines and INSERT headers
-    * with byte offsets (both O(statements), never row data — an INSERT
-    * header is one tuple-free prefix per ~24 MB line); blocks are
-    * resolved with the sequential scanner's rules and headers inside
-    * them are dropped. Cached per (path, mtime). */
+  /** Two bounded distributed jobs: (1) collect DELIMITER lines (~2 per
+    * trigger/routine) and resolve block ranges with the sequential
+    * scanner's rules; (2) aggregate INSERT headers outside those blocks
+    * PER (table, column-list) ON THE EXECUTORS — min/max offsets only —
+    * so the driver collect is O(distinct tables), not O(statements).
+    * A --skip-extended-insert dump (one INSERT per row) has row-count
+    * many headers; collecting them raw would OOM the driver exactly
+    * where the migration path's groupByKey schema pass survives. */
   def discover(path: String): Discovery = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val st = p.getFileSystem(conf).getFileStatus(p)
-    cache.computeIfAbsent((path, st.getModificationTime),
-      _ => runDiscovery(spark, path, conf, st.getLen))
+    val mtime = st.getModificationTime
+    cache.compute(path, (_, prev) =>
+      if (prev != null && prev._1 == mtime) prev
+      else (mtime, runDiscovery(spark, path, conf, st.getLen)))._2
   }
 
   private def lineOffsets(spark: SparkSession, path: String,
@@ -253,44 +276,62 @@ private[mysqldump] object MySqlDumpV2 {
 
   private def runDiscovery(spark: SparkSession, path: String,
       conf: Configuration, fileLen: Long): Discovery = {
-    val cands = lineOffsets(spark, path, conf)
+    // job 1: DELIMITER block boundaries (tiny collect)
+    val dcands = lineOffsets(spark, path, conf)
       .flatMap { case (k, v) => // extract before collect: Writables are reused
         val l = v.toString
         if (l.trim.regionMatches(true, 0, "DELIMITER", 0, 9))
-          Some((k.get, "d", l.trim.split("\\s+").lift(1).getOrElse(";"), null: String))
-        else if (MySqlDumpReader.prunableInsert(l))
-          MySqlDumpParser.InsertHeader.unapply(l).map { case (tbl, colsOpt) =>
-            (k.get, "i", tbl, colsOpt.map(_.mkString(SEP)).orNull)
-          }
+          Some((k.get, l.trim.split("\\s+").lift(1).getOrElse(";")))
         else None
       }
       .collect().sortBy(_._1)
 
     val rb = Seq.newBuilder[(Long, Long)]
     var open = -1L
-    cands.foreach {
-      case (off, "d", arg, _) =>
-        if (open < 0) { if (arg != ";") open = off }
-        else if (arg == ";") { rb += ((open, off)); open = -1L }
-      case _ =>
+    dcands.foreach { case (off, arg) =>
+      if (open < 0) { if (arg != ";") open = off }
+      else if (arg == ";") { rb += ((open, off)); open = -1L }
     }
     if (open >= 0) rb += ((open, Long.MaxValue)) // unterminated block
     val blocks = rb.result()
 
+    // job 2: INSERT headers outside blocks, aggregated per (table, cols)
+    // on the executors — only (minOff, maxOff, byteLen) per key reaches
+    // the driver
+    val headers = lineOffsets(spark, path, conf)
+      .flatMap { case (k, v) =>
+        val off = k.get
+        val len = v.getLength.toLong
+        val l = v.toString
+        if (blocks.exists(b => off > b._1 && off < b._2)) None
+        else if (!MySqlDumpReader.prunableInsert(l)) None
+        else MySqlDumpParser.InsertHeader.unapply(l).map { case (tbl, colsOpt) =>
+          ((tbl, colsOpt.map(_.mkString(SEP)).orNull), (off, off, len))
+        }
+      }
+      .reduceByKey((a, b) =>
+        (math.min(a._1, b._1), math.max(a._2, b._2), a._3 + b._3))
+      .collect()
+
     val insertCols = scala.collection.mutable.LinkedHashMap.empty[String, Option[Seq[String]]]
-    cands.foreach {
-      case (off, "i", tbl, cols)
-          if !blocks.exists(b => off > b._1 && off < b._2) =>
-        if (!insertCols.contains(tbl))
-          insertCols(tbl) = Option(cols).map(_.split(SEP, -1).toSeq)
-      case _ =>
+    val extents = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    val insertBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    headers.sortBy(_._2._1).foreach { case ((tbl, cols), (lo, hi, bytes)) =>
+      if (!insertCols.contains(tbl)) // first header (by offset) wins
+        insertCols(tbl) = Option(cols).map(_.split(SEP, -1).toSeq)
+      val prev = extents.getOrElse(tbl, (Long.MaxValue, Long.MinValue))
+      extents(tbl) = (math.min(prev._1, lo), math.max(prev._2, hi))
+      insertBytes(tbl) = insertBytes.getOrElse(tbl, 0L) + bytes
     }
 
-    Discovery(fileLen, blocks, insertCols.toMap, () => {
-      // second pass, only for column-less INSERTs: collect the DDL stream
-      // (INSERT data pruned, DELIMITER-block contents kept — the
-      // sequential scanner skips those itself)
-      val stmts = lineOffsets(spark, path, conf)
+    Discovery(fileLen, blocks, insertCols.toMap, extents.toMap,
+        insertBytes.toMap, () => {
+      // third (lazy) job, only for column-less INSERTs: collect the DDL
+      // stream (INSERT data pruned, DELIMITER-block contents kept — the
+      // sequential scanner skips those itself). SparkSession resolved at
+      // call time so the cached closure never pins a stopped session.
+      val s2 = SparkSession.active
+      val stmts = lineOffsets(s2, path, s2.sessionState.newHadoopConf())
         .flatMap { case (k, v) =>
           val off = k.get
           val l = v.toString

@@ -17,6 +17,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.functions.CopyUnescape
 
@@ -121,13 +122,7 @@ private[pgdump] final class PgDumpScan(path: String, table: Option[String],
     val d = PgDumpV2.discover(path)
     val regions = PgDumpV2.regionsFor(d, table)
     val total = regions.map(r => r.termStart - r.headerStart).sum
-    // one split per core even for small payloads (same rationale as
-    // DumpLines.indexed: the downstream stage inherits scan parallelism),
-    // capped by the session's files.maxPartitionBytes at real scale
-    val perCore = total / math.max(1, spark.sparkContext.defaultParallelism) + 1
-    val step = chunkBytes.getOrElse(
-      math.max(64L * 1024, math.min(
-        spark.sessionState.conf.filesMaxPartitionBytes, perCore)))
+    val step = graft.sources.DumpChunks.step(total, chunkBytes, spark)
     val parts = Array.newBuilder[InputPartition]
     regions.foreach { r =>
       var s = r.headerStart
@@ -149,7 +144,7 @@ private[pgdump] final class PgDumpScan(path: String, table: Option[String],
       if (f.name == PgDumpV2.RaggedCol) -1 else cols.indexOf(f.name)
     }
     new PgCopyReaderFactory(path,
-      new SerializableHadoopConf(
+      new SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()),
       cols.length, proj)
   }
@@ -159,7 +154,7 @@ private[pgdump] final case class PgCopyPartition(start: Long, end: Long)
     extends InputPartition
 
 private[pgdump] final class PgCopyReaderFactory(path: String,
-    conf: SerializableHadoopConf, nCols: Int, proj: Array[Int])
+    conf: SerializableConfiguration, nCols: Int, proj: Array[Int])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val c = p.asInstanceOf[PgCopyPartition]
@@ -174,7 +169,7 @@ private[pgdump] final class PgCopyReaderFactory(path: String,
   * here and discarded as the partial first line of the next chunk, so
   * every payload line lands in exactly one partition. */
 private[pgdump] final class PgCopyReader(path: String,
-    conf: SerializableHadoopConf, start: Long, end: Long, nCols: Int,
+    conf: SerializableConfiguration, start: Long, end: Long, nCols: Int,
     proj: Array[Int]) extends PartitionReader[InternalRow] {
   private val in = {
     val p = new Path(path)
@@ -215,20 +210,6 @@ private[pgdump] final class PgCopyReader(path: String,
   override def close(): Unit = { lines.close(); in.close() }
 }
 
-/** Hadoop Configuration is not Serializable; ship it to executors via
-  * its own Writable form. */
-private[sources] final class SerializableHadoopConf(
-    @transient var value: Configuration) extends Serializable {
-  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    out.defaultWriteObject(); value.write(out)
-  }
-  private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    value = new Configuration(false)
-    value.readFields(in)
-  }
-}
-
 private[pgdump] object PgDumpV2 {
   val RaggedCol = "__ragged"
 
@@ -242,8 +223,11 @@ private[pgdump] object PgDumpV2 {
         * headers without an explicit column list. */
       ddlCols: () => Map[String, Seq[String]])
 
+  // one live entry per path (mtime stored alongside): regenerating and
+  // re-reading the same file replaces its entry instead of accumulating
+  // stale ones that pin collected arrays for the session's lifetime
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Discovery]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Discovery)]()
 
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -267,7 +251,9 @@ private[pgdump] object PgDumpV2 {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val mtime = p.getFileSystem(conf).getFileStatus(p).getModificationTime
-    cache.computeIfAbsent((path, mtime), _ => runDiscovery(spark, path, conf))
+    cache.compute(path, (_, prev) =>
+      if (prev != null && prev._1 == mtime) prev
+      else (mtime, runDiscovery(spark, path, conf)))._2
   }
 
   private def lineOffsets(spark: SparkSession, path: String,
@@ -318,11 +304,13 @@ private[pgdump] object PgDumpV2 {
     val regions = rb.result()
 
     Discovery(regions, () => {
-      // second pass, only for column-less headers: the DDL stream is
-      // every line outside all payload regions that isn't a prunable
-      // INSERT — KBs even for a 100 GB dump
+      // second (lazy) pass, only for column-less headers: the DDL stream
+      // is every line outside all payload regions that isn't a prunable
+      // INSERT — KBs even for a 100 GB dump. SparkSession resolved at
+      // call time so the cached closure never pins a stopped session.
       val ranges = regions.map(r => (r.headerStart, r.termStart))
-      val stmts = lineOffsets(spark, path, conf)
+      val s2 = SparkSession.active
+      val stmts = lineOffsets(s2, path, s2.sessionState.newHadoopConf())
         .flatMap { case (k, v) =>
           val off = k.get
           val inside = ranges.exists(r => off >= r._1 && off <= r._2)

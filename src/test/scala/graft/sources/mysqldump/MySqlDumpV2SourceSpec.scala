@@ -43,10 +43,26 @@ class MySqlDumpV2SourceSpec extends AnyFunSuite {
     assert(canon(v2("order log")) == canon(rawVia("order log")))
   }
 
-  test("tiny chunkBytes: many byte chunks, identical rows") {
-    val df = v2("customers", "chunkBytes" -> "64")
-    assert(df.rdd.getNumPartitions > 8)
-    assert(canon(df) == canon(v2("customers")))
+  test("tiny chunkBytes: many byte chunks over a multi-statement table") {
+    // the fixture tables are single-statement (extent spans one line →
+    // one chunk, asserted below); multi-partition splitting needs a dump
+    // with many INSERT lines
+    assert(v2("customers", "chunkBytes" -> "64").rdd.getNumPartitions == 1)
+    val tmp = java.nio.file.Files.createTempFile("graft_v2_many", ".mysqldump")
+    java.nio.file.Files.writeString(tmp,
+      "CREATE TABLE t (\n  a bigint,\n  b varchar(10)\n);\n" +
+        (0 until 20).map(i =>
+          s"INSERT INTO `t` VALUES ($i,'v$i'),(${i + 100},'w$i');")
+          .mkString("\n") + "\n")
+    try {
+      val df = spark.read.format("mysqldump").option("table", "t")
+        .option("chunkBytes", "64").load(tmp.toString)
+      assert(df.rdd.getNumPartitions > 8)
+      assert(df.count() == 40)
+      val whole = spark.read.format("mysqldump").option("table", "t")
+        .load(tmp.toString)
+      assert(canon(df) == canon(whole))
+    } finally java.nio.file.Files.delete(tmp)
   }
 
   test("column pruning reaches the scan") {
@@ -71,9 +87,11 @@ class MySqlDumpV2SourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("customers"))
   }
 
-  test("scan reports file-sized statistics (broadcast eligibility)") {
+  test("scan reports per-table INSERT-byte statistics (broadcast eligibility)") {
+    // exact byte length of the table's INSERT lines — strictly smaller
+    // than the file (which also carries DDL and other tables), nonzero
     val fileLen = new java.io.File(fixture).length()
     val stats = v2("customers").queryExecution.optimizedPlan.stats
-    assert(stats.sizeInBytes == BigInt(fileLen))
+    assert(stats.sizeInBytes > 100 && stats.sizeInBytes < BigInt(fileLen))
   }
 }
