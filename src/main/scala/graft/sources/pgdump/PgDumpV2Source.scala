@@ -55,10 +55,13 @@ import graft.functions.CopyUnescape
   * distributed pass collects COPY headers and `\.` terminators (~2 rows
   * per table) with their byte offsets; headers without a column list
   * fall back to a second pass that collects the (KB-sized) DDL stream
-  * and reads the column order from CREATE TABLE. Limitations, shared
-  * with the line-ranged reader: single-line COPY headers, uncompressed
-  * input (byte seeks), INSERT-carried rows not served (use
-  * [[PgDumpReader.migrate]] for --inserts dumps).
+  * and reads the column order from CREATE TABLE. INSERT-carried rows
+  * (--inserts dumps, or mixed dumps like the fixture's `unkeyed` table)
+  * are served too: a second discovery pass aggregates INSERT headers
+  * per table on the executors and the scan adds extent-bounded chunks
+  * whose readers lex tuples with the migration path's lexer.
+  * Limitations, shared with the line-ranged reader: single-line COPY
+  * headers and INSERT statements, uncompressed input (byte seeks).
   */
 final class PgDumpTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "pgdump"
@@ -102,13 +105,16 @@ private[pgdump] final class PgDumpScan(path: String, table: Option[String],
   override def description(): String =
     s"pgdump $path${table.fold("")("#" + _)} ReadSchema: ${required.catalogString}"
 
-  /** Payload byte size of this table's COPY regions — without it a V2
-    * relation sizes as defaultSizeInBytes (effectively infinite) and a
-    * KB-sized dimension table read from a dump could never win an
-    * auto-broadcast join against a fact table. */
+  /** Payload byte size of this table's COPY regions plus its INSERT
+    * lines — without it a V2 relation sizes as defaultSizeInBytes
+    * (effectively infinite) and a KB-sized dimension table read from a
+    * dump could never win an auto-broadcast join against a fact table. */
   override def estimateStatistics(): Statistics = {
-    val regions = PgDumpV2.regionsFor(PgDumpV2.discover(path), table)
-    val bytes = regions.map(r => r.termStart - r.headerStart).sum
+    val d = PgDumpV2.discover(path)
+    val tbl = PgDumpV2.resolveTable(d, table)
+    val bytes = d.regions.filter(_.table == tbl)
+      .map(r => r.termStart - r.headerStart).sum +
+      d.insertBytes.getOrElse(tbl, 0L)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -120,8 +126,11 @@ private[pgdump] final class PgDumpScan(path: String, table: Option[String],
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val d = PgDumpV2.discover(path)
-    val regions = PgDumpV2.regionsFor(d, table)
-    val total = regions.map(r => r.termStart - r.headerStart).sum
+    val tbl = PgDumpV2.resolveTable(d, table)
+    val regions = d.regions.filter(_.table == tbl)
+    val insExt = d.insertExtents.get(tbl)
+    val total = regions.map(r => r.termStart - r.headerStart).sum +
+      insExt.map { case (lo, hi) => hi - lo + 1 }.getOrElse(0L)
     val step = graft.sources.DumpChunks.step(total, chunkBytes, spark)
     val parts = Array.newBuilder[InputPartition]
     regions.foreach { r =>
@@ -131,7 +140,19 @@ private[pgdump] final class PgDumpScan(path: String, table: Option[String],
         // the region-final chunk must not consume the `\.` terminator
         // line that starts exactly at termStart (readers emit lines
         // whose start offset is <= end)
-        parts += PgCopyPartition(s, if (e == r.termStart) e - 1 else e)
+        parts += PgDumpChunk(s, if (e == r.termStart) e - 1 else e, insert = false)
+        s = e
+      }
+    }
+    // INSERT-carried rows: chunk the table's [first INSERT, last INSERT]
+    // byte extent; starting one byte early makes the reader's
+    // discard-first-line rule land exactly on the first INSERT line
+    insExt.foreach { case (minOff, maxOff) =>
+      var s = if (minOff == 0) 0L else minOff - 1
+      val hi = maxOff + 1
+      while (s < hi) {
+        val e = math.min(s + step, hi)
+        parts += PgDumpChunk(s, e, insert = true)
         s = e
       }
     }
@@ -139,27 +160,79 @@ private[pgdump] final class PgDumpScan(path: String, table: Option[String],
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    val d = PgDumpV2.discover(path)
+    val tbl = PgDumpV2.resolveTable(d, table)
     val cols = PgDumpV2.colsFor(path, table)
     val proj = required.fields.map { f =>
       if (f.name == PgDumpV2.RaggedCol) -1 else cols.indexOf(f.name)
     }
-    new PgCopyReaderFactory(path,
+    new PgDumpReaderFactory(path,
       new SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()),
-      cols.length, proj)
+      tbl, cols.length, proj)
   }
 }
 
-private[pgdump] final case class PgCopyPartition(start: Long, end: Long)
-    extends InputPartition
+private[pgdump] final case class PgDumpChunk(start: Long, end: Long,
+    insert: Boolean) extends InputPartition
 
-private[pgdump] final class PgCopyReaderFactory(path: String,
-    conf: SerializableConfiguration, nCols: Int, proj: Array[Int])
-    extends PartitionReaderFactory {
+private[pgdump] final class PgDumpReaderFactory(path: String,
+    conf: SerializableConfiguration, table: String, nCols: Int,
+    proj: Array[Int]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val c = p.asInstanceOf[PgCopyPartition]
-    new PgCopyReader(path, conf, c.start, c.end, nCols, proj)
+    val c = p.asInstanceOf[PgDumpChunk]
+    if (c.insert) new PgInsertReader(path, conf, c.start, c.end, table, nCols, proj)
+    else new PgCopyReader(path, conf, c.start, c.end, nCols, proj)
   }
+}
+
+/** Scans one byte chunk for the target table's single-line INSERT
+  * statements and streams their tuples (same split semantics as
+  * [[PgCopyReader]]; same tuple lexer as the migration path's
+  * readInsertRaw, so raw-row parity is by construction). */
+private[pgdump] final class PgInsertReader(path: String,
+    conf: SerializableConfiguration, start: Long, end: Long, table: String,
+    nCols: Int, proj: Array[Int]) extends PartitionReader[InternalRow] {
+  private val in = {
+    val p = new Path(path)
+    val stream = p.getFileSystem(conf.value).open(p)
+    stream.seek(start)
+    stream
+  }
+  private val lines = new LineReader(in)
+  private val text = new Text()
+  private var pos =
+    if (start == 0) 0L else start + lines.readLine(text) // discard partial
+  private var tuples: Iterator[Seq[String]] = Iterator.empty
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    while (!tuples.hasNext) {
+      if (pos > end) return false
+      val consumed = lines.readLine(text)
+      if (consumed == 0) return false
+      pos += consumed
+      val line = text.toString
+      if (line.regionMatches(true, 0, "INSERT INTO ", 0, 12))
+        tuples = PgDumpParser.PgTuples.rowsFor(line, table).iterator
+    }
+    val t = tuples.next()
+    val vals = new Array[Any](proj.length)
+    var j = 0
+    while (j < proj.length) {
+      val k = proj(j)
+      vals(j) =
+        if (k < 0) t.length != nCols // __ragged
+        else if (k >= t.length || t(k) == null) null
+        else UTF8String.fromString(t(k))
+      j += 1
+    }
+    row = new GenericInternalRow(vals)
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = { lines.close(); in.close() }
 }
 
 /** Streams the payload lines of one byte chunk. Hadoop split semantics:
@@ -219,6 +292,13 @@ private[pgdump] object PgDumpV2 {
       headerStart: Long, termStart: Long)
 
   final case class Discovery(regions: Seq[Region],
+      /** table → column list of its first single-line INSERT header
+        * (None = column-less INSERT, resolve via CREATE TABLE). */
+      insertCols: Map[String, Option[Seq[String]]],
+      /** table → (min, max) byte offsets of its INSERT line starts. */
+      insertExtents: Map[String, (Long, Long)],
+      /** table → total byte length of its INSERT lines. */
+      insertBytes: Map[String, Long],
       /** CREATE TABLE column order, resolved lazily — only consulted for
         * headers without an explicit column list. */
       ddlCols: () => Map[String, Seq[String]])
@@ -240,12 +320,16 @@ private[pgdump] object PgDumpV2 {
   def tableOf(options: CaseInsensitiveStringMap): Option[String] =
     Option(options.get("table"))
 
-  /** Boundary discovery, cached per (path, mtime): one distributed pass
-    * over the dump collects COPY headers and `\.` terminators with byte
+  /** Boundary discovery, cached per path (replaced on mtime change):
+    * pass 1 collects COPY headers and `\.` terminators with byte
     * offsets (~2 rows per table — O(metadata), the payload never leaves
     * the executors) and resolves them with the sequential scanner's
     * state rules (the first `\.` after a header closes it; header
-    * lookalikes inside an open payload are data). */
+    * lookalikes inside an open payload are data); pass 2 aggregates
+    * single-line INSERT headers OUTSIDE those payload regions per
+    * (table, column-list) on the executors — min/max offsets and byte
+    * totals only, so a --inserts dump with row-count many statements
+    * still collects O(distinct tables). */
   def discover(path: String): Discovery = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
@@ -302,8 +386,38 @@ private[pgdump] object PgDumpV2 {
         .foreach { case (tbl, cols) => rb += Region(tbl, cols, hs, len) }
     }
     val regions = rb.result()
+    val payload = regions.map(r => (r.headerStart, r.termStart))
 
-    Discovery(regions, () => {
+    // pass 2: INSERT headers outside COPY payloads, aggregated per
+    // (table, cols) on the executors — (minOff, maxOff, byteLen) per key
+    val SEP = ""
+    val headers = lineOffsets(spark, path, conf)
+      .flatMap { case (k, v) =>
+        val off = k.get
+        val len = v.getLength.toLong
+        val l = v.toString
+        if (payload.exists(r => off > r._1 && off < r._2)) None
+        else if (!PgDumpParser.prunableInsert(l)) None
+        else PgDumpParser.PgTuples.header(l).map { case (tbl, colsOpt) =>
+          ((tbl, colsOpt.map(_.mkString(SEP)).orNull), (off, off, len))
+        }
+      }
+      .reduceByKey((a, b) =>
+        (math.min(a._1, b._1), math.max(a._2, b._2), a._3 + b._3))
+      .collect()
+
+    val insertCols = scala.collection.mutable.LinkedHashMap.empty[String, Option[Seq[String]]]
+    val extents = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    val insertBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    headers.sortBy(_._2._1).foreach { case ((tbl, cols), (lo, hi, bytes)) =>
+      if (!insertCols.contains(tbl)) // first header (by offset) wins
+        insertCols(tbl) = Option(cols).map(_.split(SEP, -1).toSeq)
+      val prev = extents.getOrElse(tbl, (Long.MaxValue, Long.MinValue))
+      extents(tbl) = (math.min(prev._1, lo), math.max(prev._2, hi))
+      insertBytes(tbl) = insertBytes.getOrElse(tbl, 0L) + bytes
+    }
+
+    Discovery(regions, insertCols.toMap, extents.toMap, insertBytes.toMap, () => {
       // second (lazy) pass, only for column-less headers: the DDL stream
       // is every line outside all payload regions that isn't a prunable
       // INSERT — KBs even for a 100 GB dump. SparkSession resolved at
@@ -324,33 +438,38 @@ private[pgdump] object PgDumpV2 {
     })
   }
 
-  def regionsFor(d: Discovery, table: Option[String]): Seq[Region] = {
-    val names = d.regions.map(_.table).distinct
+  def resolveTable(d: Discovery, table: Option[String]): String = {
+    val names = (d.regions.map(_.table) ++ d.insertCols.keys).distinct
     val chosen = table.getOrElse {
       require(names.size == 1,
         s"dump has ${names.size} tables (${names.mkString(", ")}); " +
           "pick one with .option(\"table\", ...)")
       names.head
     }
-    val rs = d.regions.filter(_.table == chosen)
-    require(rs.nonEmpty,
-      s"no COPY payload for table '$chosen' (tables with COPY data: " +
-        s"${names.mkString(", ")}; INSERT-carried rows need PgDumpReader.migrate)")
-    rs
+    require(names.contains(chosen),
+      s"no COPY or INSERT data for table '$chosen' (tables with data: " +
+        s"${names.mkString(", ")})")
+    chosen
   }
 
-  /** The COPY column order for the table — header list, or CREATE TABLE
-    * order for a column-less `COPY t FROM stdin;`. Multiple COPY blocks
-    * must agree (same assumption as readCopyRaw). */
+  /** The column order for the table — COPY header list (or CREATE TABLE
+    * order for a column-less `COPY t FROM stdin;`), with the INSERT
+    * header list backing INSERT-only tables. Multiple COPY blocks — and
+    * a table carrying both COPY and INSERT data — must agree on one
+    * column list (same assumption as readCopyRaw; migrate()'s
+    * unionByName handles the mixed case). */
   def colsFor(path: String, table: Option[String]): Seq[String] = {
     val d = discover(path)
-    val rs = regionsFor(d, table)
-    val lists = rs.map(r =>
-      r.cols.getOrElse(d.ddlCols().getOrElse(r.table,
-        throw new IllegalArgumentException(
-          s"COPY for '${r.table}' names no columns and no CREATE TABLE found"))))
+    val tbl = resolveTable(d, table)
+    def fromDdl = d.ddlCols().getOrElse(tbl,
+      throw new IllegalArgumentException(
+        s"data for '$tbl' names no columns and no CREATE TABLE found"))
+    val lists =
+      d.regions.filter(_.table == tbl).map(_.cols.getOrElse(fromDdl)) ++
+        d.insertCols.get(tbl).map(_.getOrElse(fromDdl)).toSeq
     require(lists.distinct.size == 1,
-      s"COPY blocks for '${rs.head.table}' disagree on column lists")
+      s"COPY/INSERT statements for '$tbl' disagree on column lists " +
+        "(use PgDumpReader.migrate, which unions by name)")
     lists.head
   }
 

@@ -90,6 +90,39 @@ class PgDumpV2SourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("inventory"))
   }
 
+  test("INSERT-carried rows: parity with readInsertRaw (INSERT-only table)") {
+    // the fixture's `unkeyed` table has no COPY block — only multi-tuple
+    // INSERT statements with '' escapes and a NULL
+    val (dump, _) = PgDumpReader.schemaPass(fixture)
+    val lines = PgDumpReader.indexedLines(spark, fixture)
+    val cols = dump.insertCols("unkeyed").getOrElse(dump.tables("unkeyed").colNames)
+    val raw = PgDumpReader.readInsertRaw(lines, "unkeyed", cols)
+    assert(canon(v2("unkeyed")) == canon(raw))
+    assert(v2("unkeyed").count() == 3)
+  }
+
+  test("mixed COPY + INSERT table: rows union across both carriers") {
+    val tmp = java.nio.file.Files.createTempFile("graft_v2_mixed", ".pgdump")
+    java.nio.file.Files.writeString(tmp,
+      """CREATE TABLE mixed (
+        |    a text,
+        |    b bigint
+        |);
+        |COPY mixed (a, b) FROM stdin;
+        |c1	1
+        |c2	2
+        |\.
+        |INSERT INTO mixed (a, b) VALUES ('i3', 3), ('i4', NULL);
+        |""".stripMargin)
+    try {
+      val df = spark.read.format("pgdump").load(tmp.toString)
+      val rows = df.collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(rows == Set(("c1", Some("1")), ("c2", Some("2")),
+        ("i3", Some("3")), ("i4", None)))
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
   test("scan reports payload-sized statistics (broadcast eligibility)") {
     // without SupportsReportStatistics a V2 relation sizes as
     // defaultSizeInBytes (effectively infinite) and could never win an
