@@ -12,8 +12,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -68,17 +68,31 @@ private[mysqldump] final class MySqlDumpV2Table(path: String,
 
 private[mysqldump] final class MySqlDumpScanBuilder(path: String,
     table: Option[String], full: StructType, chunkBytes: Option[Long])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var compiled: Array[graft.sources.DumpFilters.Pushed] = Array.empty
+  private var accepted: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  // best-effort pushdown (see DumpFilters): readers skip non-matching
+  // tuples early, and every filter is ALSO returned as residual so Spark
+  // re-applies it — correctness never rests on the reader's evaluation
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (c, a) = graft.sources.DumpFilters.compile(
+      filters, MySqlDumpV2.colsFor(path, table))
+    compiled = c; accepted = a
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
   override def build(): Scan =
-    new MySqlDumpScan(path, table, full, required, chunkBytes)
+    new MySqlDumpScan(path, table, full, required, chunkBytes, compiled)
 }
 
 private[mysqldump] final class MySqlDumpScan(path: String,
     table: Option[String], full: StructType, required: StructType,
-    chunkBytes: Option[Long]) extends Scan with Batch
+    chunkBytes: Option[Long],
+    pushed: Array[graft.sources.DumpFilters.Pushed]) extends Scan with Batch
     with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -133,7 +147,7 @@ private[mysqldump] final class MySqlDumpScan(path: String,
     new MySqlInsertReaderFactory(path,
       new SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()),
-      tbl, d.delimiterBlocks.toArray, cols.length, proj)
+      tbl, d.delimiterBlocks.toArray, cols.length, proj, pushed)
   }
 }
 
@@ -142,11 +156,13 @@ private[mysqldump] final case class MySqlChunkPartition(start: Long, end: Long)
 
 private[mysqldump] final class MySqlInsertReaderFactory(path: String,
     conf: SerializableConfiguration, table: String,
-    blocks: Array[(Long, Long)], nCols: Int, proj: Array[Int])
+    blocks: Array[(Long, Long)], nCols: Int, proj: Array[Int],
+    pushed: Array[graft.sources.DumpFilters.Pushed])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val c = p.asInstanceOf[MySqlChunkPartition]
-    new MySqlInsertReader(path, conf, c.start, c.end, table, blocks, nCols, proj)
+    new MySqlInsertReader(path, conf, c.start, c.end, table, blocks, nCols,
+      proj, pushed)
   }
 }
 
@@ -158,7 +174,8 @@ private[mysqldump] final class MySqlInsertReaderFactory(path: String,
   * skipped, matching the migration path. */
 private[mysqldump] final class MySqlInsertReader(path: String,
     conf: SerializableConfiguration, start: Long, end: Long, table: String,
-    blocks: Array[(Long, Long)], nCols: Int, proj: Array[Int])
+    blocks: Array[(Long, Long)], nCols: Int, proj: Array[Int],
+    pushed: Array[graft.sources.DumpFilters.Pushed])
     extends PartitionReader[InternalRow] {
   private val in = {
     val p = new Path(path)
@@ -183,29 +200,35 @@ private[mysqldump] final class MySqlInsertReader(path: String,
   }
 
   override def next(): Boolean = {
-    while (!tuples.hasNext) {
-      if (pos > end) return false
-      val lineStart = pos
-      val consumed = lines.readLine(text)
-      if (consumed == 0) return false
-      pos += consumed
-      val line = text.toString
-      if (!inBlock(lineStart) && MySqlDumpReader.isInsertFor(line, table))
-        tuples = MySqlDumpReader.Tuples.parseLine(line).iterator
+    while (true) {
+      while (!tuples.hasNext) {
+        if (pos > end) return false
+        val lineStart = pos
+        val consumed = lines.readLine(text)
+        if (consumed == 0) return false
+        pos += consumed
+        val line = text.toString
+        if (!inBlock(lineStart) && MySqlDumpReader.isInsertFor(line, table))
+          tuples = MySqlDumpReader.Tuples.parseLine(line).iterator
+      }
+      val t = tuples.next()
+      if (graft.sources.DumpFilters.matches(pushed,
+          idx => if (idx >= t.length) null else t(idx))) {
+        val vals = new Array[Any](proj.length)
+        var j = 0
+        while (j < proj.length) {
+          val k = proj(j)
+          vals(j) =
+            if (k < 0) t.length != nCols // __ragged
+            else if (k >= t.length || t(k) == null) null
+            else UTF8String.fromString(t(k))
+          j += 1
+        }
+        row = new GenericInternalRow(vals)
+        return true
+      }
     }
-    val t = tuples.next()
-    val vals = new Array[Any](proj.length)
-    var j = 0
-    while (j < proj.length) {
-      val k = proj(j)
-      vals(j) =
-        if (k < 0) t.length != nCols // __ragged
-        else if (k >= t.length || t(k) == null) null
-        else UTF8String.fromString(t(k))
-      j += 1
-    }
-    row = new GenericInternalRow(vals)
-    true
+    false
   }
 
   override def get(): InternalRow = row

@@ -12,8 +12,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -89,16 +89,30 @@ private[pgdump] final class PgDumpV2Table(path: String, table: Option[String],
 
 private[pgdump] final class PgDumpScanBuilder(path: String, table: Option[String],
     full: StructType, chunkBytes: Option[Long])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var compiled: Array[graft.sources.DumpFilters.Pushed] = Array.empty
+  private var accepted: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  // best-effort pushdown (see DumpFilters): readers skip non-matching
+  // rows early, and every filter is ALSO returned as residual so Spark
+  // re-applies it — correctness never rests on the reader's evaluation
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (c, a) = graft.sources.DumpFilters.compile(
+      filters, PgDumpV2.colsFor(path, table))
+    compiled = c; accepted = a
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
   override def build(): Scan =
-    new PgDumpScan(path, table, full, required, chunkBytes)
+    new PgDumpScan(path, table, full, required, chunkBytes, compiled)
 }
 
 private[pgdump] final class PgDumpScan(path: String, table: Option[String],
-    full: StructType, required: StructType, chunkBytes: Option[Long])
+    full: StructType, required: StructType, chunkBytes: Option[Long],
+    pushed: Array[graft.sources.DumpFilters.Pushed])
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -169,7 +183,7 @@ private[pgdump] final class PgDumpScan(path: String, table: Option[String],
     new PgDumpReaderFactory(path,
       new SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()),
-      tbl, cols.length, proj)
+      tbl, cols.length, proj, pushed)
   }
 }
 
@@ -178,11 +192,13 @@ private[pgdump] final case class PgDumpChunk(start: Long, end: Long,
 
 private[pgdump] final class PgDumpReaderFactory(path: String,
     conf: SerializableConfiguration, table: String, nCols: Int,
-    proj: Array[Int]) extends PartitionReaderFactory {
+    proj: Array[Int], pushed: Array[graft.sources.DumpFilters.Pushed])
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val c = p.asInstanceOf[PgDumpChunk]
-    if (c.insert) new PgInsertReader(path, conf, c.start, c.end, table, nCols, proj)
-    else new PgCopyReader(path, conf, c.start, c.end, nCols, proj)
+    if (c.insert)
+      new PgInsertReader(path, conf, c.start, c.end, table, nCols, proj, pushed)
+    else new PgCopyReader(path, conf, c.start, c.end, nCols, proj, pushed)
   }
 }
 
@@ -192,7 +208,9 @@ private[pgdump] final class PgDumpReaderFactory(path: String,
   * readInsertRaw, so raw-row parity is by construction). */
 private[pgdump] final class PgInsertReader(path: String,
     conf: SerializableConfiguration, start: Long, end: Long, table: String,
-    nCols: Int, proj: Array[Int]) extends PartitionReader[InternalRow] {
+    nCols: Int, proj: Array[Int],
+    pushed: Array[graft.sources.DumpFilters.Pushed])
+    extends PartitionReader[InternalRow] {
   private val in = {
     val p = new Path(path)
     val stream = p.getFileSystem(conf.value).open(p)
@@ -207,28 +225,34 @@ private[pgdump] final class PgInsertReader(path: String,
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    while (!tuples.hasNext) {
-      if (pos > end) return false
-      val consumed = lines.readLine(text)
-      if (consumed == 0) return false
-      pos += consumed
-      val line = text.toString
-      if (line.regionMatches(true, 0, "INSERT INTO ", 0, 12))
-        tuples = PgDumpParser.PgTuples.rowsFor(line, table).iterator
+    while (true) {
+      while (!tuples.hasNext) {
+        if (pos > end) return false
+        val consumed = lines.readLine(text)
+        if (consumed == 0) return false
+        pos += consumed
+        val line = text.toString
+        if (line.regionMatches(true, 0, "INSERT INTO ", 0, 12))
+          tuples = PgDumpParser.PgTuples.rowsFor(line, table).iterator
+      }
+      val t = tuples.next()
+      if (graft.sources.DumpFilters.matches(pushed,
+          idx => if (idx >= t.length) null else t(idx))) {
+        val vals = new Array[Any](proj.length)
+        var j = 0
+        while (j < proj.length) {
+          val k = proj(j)
+          vals(j) =
+            if (k < 0) t.length != nCols // __ragged
+            else if (k >= t.length || t(k) == null) null
+            else UTF8String.fromString(t(k))
+          j += 1
+        }
+        row = new GenericInternalRow(vals)
+        return true
+      }
     }
-    val t = tuples.next()
-    val vals = new Array[Any](proj.length)
-    var j = 0
-    while (j < proj.length) {
-      val k = proj(j)
-      vals(j) =
-        if (k < 0) t.length != nCols // __ragged
-        else if (k >= t.length || t(k) == null) null
-        else UTF8String.fromString(t(k))
-      j += 1
-    }
-    row = new GenericInternalRow(vals)
-    true
+    false
   }
 
   override def get(): InternalRow = row
@@ -243,7 +267,8 @@ private[pgdump] final class PgInsertReader(path: String,
   * every payload line lands in exactly one partition. */
 private[pgdump] final class PgCopyReader(path: String,
     conf: SerializableConfiguration, start: Long, end: Long, nCols: Int,
-    proj: Array[Int]) extends PartitionReader[InternalRow] {
+    proj: Array[Int], pushed: Array[graft.sources.DumpFilters.Pushed])
+    extends PartitionReader[InternalRow] {
   private val in = {
     val p = new Path(path)
     val stream = p.getFileSystem(conf.value).open(p)
@@ -256,16 +281,26 @@ private[pgdump] final class PgCopyReader(path: String,
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    if (pos > end) return false
-    val consumed = lines.readLine(text)
-    if (consumed == 0) return false
-    pos += consumed
-    row = parse(text.toString)
-    true
+    while (true) {
+      if (pos > end) return false
+      val consumed = lines.readLine(text)
+      if (consumed == 0) return false
+      pos += consumed
+      val parts = text.toString.split("\t", -1)
+      if (graft.sources.DumpFilters.matches(pushed,
+          idx => fieldOrNull(parts, idx))) {
+        row = build(parts)
+        return true
+      }
+    }
+    false
   }
 
-  private def parse(line: String): InternalRow = {
-    val parts = line.split("\t", -1)
+  private def fieldOrNull(parts: Array[String], k: Int): String =
+    if (k >= parts.length || parts(k) == "\\N") null
+    else CopyUnescape.unescape(UTF8String.fromString(parts(k))).toString
+
+  private def build(parts: Array[String]): InternalRow = {
     val vals = new Array[Any](proj.length)
     var j = 0
     while (j < proj.length) {

@@ -87,6 +87,13 @@ class MySqlDumpV2SourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("customers"))
   }
 
+  test("filter pushdown: readers skip non-matching tuples") {
+    val df = v2("customers").filter(col("name") === "Bob's shop")
+    assert(df.collect().map(_.getAs[String]("name")).toSeq == Seq("Bob's shop"))
+    assert(v2("customers").filter(col("balance").isNull).count() == 1)
+    assert(v2("customers").filter(col("balance").isNotNull).count() == 1)
+  }
+
   test("scan reports per-table INSERT-byte statistics (broadcast eligibility)") {
     // exact byte length of the table's INSERT lines — strictly smaller
     // than the file (which also carries DDL and other tables), nonzero

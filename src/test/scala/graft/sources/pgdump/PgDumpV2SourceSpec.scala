@@ -123,6 +123,23 @@ class PgDumpV2SourceSpec extends AnyFunSuite {
     } finally java.nio.file.Files.delete(tmp)
   }
 
+  test("filter pushdown: readers skip non-matching rows, plan shows it") {
+    val df = v2("inventory").filter(col("sku") === "widget-1")
+    // the pushed filter appears in the scan (reported by pushedFilters);
+    // the unescaped comparand means escaped fields still match correctly
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(df.collect().map(_.getAs[String]("sku")).toSeq == Seq("widget-1"))
+    // escaped value: the raw field is "tab\\tsep", the data value has a TAB
+    val esc = v2("inventory").filter(col("sku") === "tab\tsep")
+    assert(esc.count() == 1)
+    // IsNull / IsNotNull
+    assert(v2("inventory").filter(col("qty").isNull).count() == 1)
+    assert(v2("inventory").filter(col("qty").isNotNull).count() == 2)
+  }
+
   test("scan reports payload-sized statistics (broadcast eligibility)") {
     // without SupportsReportStatistics a V2 relation sizes as
     // defaultSizeInBytes (effectively infinite) and could never win an
