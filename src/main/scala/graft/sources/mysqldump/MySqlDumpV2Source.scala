@@ -105,7 +105,7 @@ private[mysqldump] final class MySqlDumpScan(path: String,
     * table read from a dump could never win an auto-broadcast join. */
   override def estimateStatistics(): Statistics = {
     val d = MySqlDumpV2.discover(path)
-    val bytes = d.insertBytes(MySqlDumpV2.resolveTable(d, table))
+    val bytes = d.inserts.bytes(MySqlDumpV2.resolveTable(d, table))
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -123,7 +123,7 @@ private[mysqldump] final class MySqlDumpScan(path: String,
     // B must not scan B's data. Starting one byte before the first line
     // start makes the reader's discard-first-(partial)-line rule land
     // exactly on the first INSERT (it consumes the preceding newline).
-    val (minOff, maxOff) = d.extents(tbl)
+    val (minOff, maxOff) = d.inserts.extents(tbl)
     val lo = if (minOff == 0) 0L else minOff - 1
     val hi = maxOff + 1
     val step = graft.sources.DumpChunks.step(hi - lo, chunkBytes, spark)
@@ -161,78 +161,19 @@ private[mysqldump] final class MySqlInsertReaderFactory(path: String,
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val c = p.asInstanceOf[MySqlChunkPartition]
-    new MySqlInsertReader(path, conf, c.start, c.end, table, blocks, nCols,
-      proj, pushed)
+    // the same classifier discovery indexed (prunableInsert + table
+    // match), the same lexer the migration path uses — extent/stats and
+    // served rows stay consistent; DELIMITER-block bodies are excluded
+    // so procedure-body INSERTs never become rows
+    val tbl = table
+    new graft.sources.DumpInserts.TupleReader(path, conf, c.start, c.end,
+      blocks, nCols, proj, pushed,
+      line =>
+        if (MySqlDumpReader.prunableInsert(line) &&
+            MySqlDumpReader.isInsertFor(line, tbl))
+          MySqlDumpReader.Tuples.parseLine(line).iterator
+        else Iterator.empty)
   }
-}
-
-/** Scans one byte chunk for the target table's extended-INSERT lines and
-  * streams their tuples. Hadoop split semantics: lines whose start offset
-  * is in [start, end] belong here, the first (possibly partial) line is
-  * discarded unless start == 0, and a line straddling `end` is consumed
-  * whole. INSERT lines inside DELIMITER blocks (procedure bodies) are
-  * skipped, matching the migration path. */
-private[mysqldump] final class MySqlInsertReader(path: String,
-    conf: SerializableConfiguration, start: Long, end: Long, table: String,
-    blocks: Array[(Long, Long)], nCols: Int, proj: Array[Int],
-    pushed: Array[graft.sources.DumpFilters.Pushed])
-    extends PartitionReader[InternalRow] {
-  private val in = {
-    val p = new Path(path)
-    val stream = p.getFileSystem(conf.value).open(p)
-    stream.seek(start)
-    stream
-  }
-  private val lines = new LineReader(in)
-  private val text = new Text()
-  private var pos =
-    if (start == 0) 0L else start + lines.readLine(text) // discard partial
-  private var tuples: Iterator[Seq[String]] = Iterator.empty
-  private var row: InternalRow = _
-
-  private def inBlock(off: Long): Boolean = {
-    var i = 0
-    while (i < blocks.length) {
-      if (off > blocks(i)._1 && off < blocks(i)._2) return true
-      i += 1
-    }
-    false
-  }
-
-  override def next(): Boolean = {
-    while (true) {
-      while (!tuples.hasNext) {
-        if (pos > end) return false
-        val lineStart = pos
-        val consumed = lines.readLine(text)
-        if (consumed == 0) return false
-        pos += consumed
-        val line = text.toString
-        if (!inBlock(lineStart) && MySqlDumpReader.isInsertFor(line, table))
-          tuples = MySqlDumpReader.Tuples.parseLine(line).iterator
-      }
-      val t = tuples.next()
-      if (graft.sources.DumpFilters.matches(pushed,
-          idx => if (idx >= t.length) null else t(idx))) {
-        val vals = new Array[Any](proj.length)
-        var j = 0
-        while (j < proj.length) {
-          val k = proj(j)
-          vals(j) =
-            if (k < 0) t.length != nCols // __ragged
-            else if (k >= t.length || t(k) == null) null
-            else UTF8String.fromString(t(k))
-          j += 1
-        }
-        row = new GenericInternalRow(vals)
-        return true
-      }
-    }
-    false
-  }
-
-  override def get(): InternalRow = row
-  override def close(): Unit = { lines.close(); in.close() }
 }
 
 private[mysqldump] object MySqlDumpV2 {
@@ -242,16 +183,10 @@ private[mysqldump] object MySqlDumpV2 {
       fileLen: Long,
       /** [openLineStart, closeLineStart] byte ranges of DELIMITER blocks. */
       delimiterBlocks: Seq[(Long, Long)],
-      /** table → column list from its first INSERT header (None =
-        * column-less INSERT, resolve via CREATE TABLE). */
-      insertCols: Map[String, Option[Seq[String]]],
-      /** table → (min, max) byte offsets of its INSERT line starts —
-        * bounds the scan to the table's extent in the file. */
-      extents: Map[String, (Long, Long)],
-      /** table → total byte length of its INSERT lines (exact scan-size
-        * statistic, aggregated on the executors). */
-      insertBytes: Map[String, Long],
-      /** CREATE TABLE column order, resolved lazily. */
+      /** Per-table INSERT metadata (column-list variants, extents,
+        * byte totals — aggregated on the executors). */
+      inserts: graft.sources.DumpInserts.Index,
+      /** CREATE TABLE column order, memoized. */
       ddlCols: () => Map[String, Seq[String]])
 
   // one live entry per path (mtime stored alongside): regenerating and
@@ -295,7 +230,6 @@ private[mysqldump] object MySqlDumpV2 {
     spark.sparkContext.newAPIHadoopFile(path, classOf[TextInputFormat],
       classOf[LongWritable], classOf[Text], conf)
 
-  private val SEP = ""
 
   private def runDiscovery(spark: SparkSession, path: String,
       conf: Configuration, fileLen: Long): Discovery = {
@@ -329,28 +263,18 @@ private[mysqldump] object MySqlDumpV2 {
         if (blocks.exists(b => off > b._1 && off < b._2)) None
         else if (!MySqlDumpReader.prunableInsert(l)) None
         else MySqlDumpParser.InsertHeader.unapply(l).map { case (tbl, colsOpt) =>
-          ((tbl, colsOpt.map(_.mkString(SEP)).orNull), (off, off, len))
+          ((tbl, colsOpt.map(_.mkString(graft.sources.DumpInserts.SEP)).orNull),
+            (off, off, len))
         }
       }
       .reduceByKey((a, b) =>
         (math.min(a._1, b._1), math.max(a._2, b._2), a._3 + b._3))
       .collect()
+    val inserts = graft.sources.DumpInserts.fold(headers)
 
-    val insertCols = scala.collection.mutable.LinkedHashMap.empty[String, Option[Seq[String]]]
-    val extents = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
-    val insertBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    headers.sortBy(_._2._1).foreach { case ((tbl, cols), (lo, hi, bytes)) =>
-      if (!insertCols.contains(tbl)) // first header (by offset) wins
-        insertCols(tbl) = Option(cols).map(_.split(SEP, -1).toSeq)
-      val prev = extents.getOrElse(tbl, (Long.MaxValue, Long.MinValue))
-      extents(tbl) = (math.min(prev._1, lo), math.max(prev._2, hi))
-      insertBytes(tbl) = insertBytes.getOrElse(tbl, 0L) + bytes
-    }
-
-    Discovery(fileLen, blocks, insertCols.toMap, extents.toMap,
-        insertBytes.toMap, () => {
-      // third (lazy) job, only for column-less INSERTs: collect the DDL
-      // stream (INSERT data pruned, DELIMITER-block contents kept — the
+    lazy val ddl = { // memoized: one job total, not one per colsFor call
+      // lazy job, only for column-less INSERTs: collect the DDL stream
+      // (INSERT data pruned, DELIMITER-block contents kept — the
       // sequential scanner skips those itself). SparkSession resolved at
       // call time so the cached closure never pins a stopped session.
       val s2 = SparkSession.active
@@ -365,29 +289,38 @@ private[mysqldump] object MySqlDumpV2 {
         .collect().sortBy(_._1)
       MySqlDumpParser.parse(stmts.iterator.map(_._2)).tables
         .map { case (name, t) => name -> t.colNames }
-    })
+    }
+    Discovery(fileLen, blocks, inserts, () => ddl)
   }
 
   def resolveTable(d: Discovery, table: Option[String]): String = {
-    val names = d.insertCols.keys.toSeq
+    val names = d.inserts.colVariants.keys.toSeq
     val chosen = table.getOrElse {
       require(names.size == 1,
         s"dump has ${names.size} tables with INSERT data " +
           s"(${names.mkString(", ")}); pick one with .option(\"table\", ...)")
       names.head
     }
-    require(d.insertCols.contains(chosen),
+    require(d.inserts.colVariants.contains(chosen),
       s"no INSERT data for table '$chosen' (tables with data: " +
         s"${names.mkString(", ")})")
     chosen
   }
 
+  /** EVERY INSERT column-list variant must agree on one list —
+    * disagreeing variants would be positionally mis-mapped, so the
+    * source refuses instead (the migration path unions by name). */
   def colsFor(path: String, table: Option[String]): Seq[String] = {
     val d = discover(path)
     val tbl = resolveTable(d, table)
-    d.insertCols(tbl).getOrElse(d.ddlCols().getOrElse(tbl,
+    def fromDdl = d.ddlCols().getOrElse(tbl,
       throw new IllegalArgumentException(
-        s"column-less INSERT for '$tbl' and no CREATE TABLE found")))
+        s"column-less INSERT for '$tbl' and no CREATE TABLE found"))
+    val lists = d.inserts.colVariants(tbl).map(_.getOrElse(fromDdl))
+    require(lists.distinct.size == 1,
+      s"INSERT statements for '$tbl' disagree on column lists " +
+        "(use MySqlDumpReader.migrate, which unions by name)")
+    lists.head
   }
 
   def schemaFor(path: String, table: Option[String]): StructType =

@@ -20,6 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
 import graft.functions.CopyUnescape
+import graft.sources.{DumpChunks, DumpFilters, DumpInserts}
 
 /** `spark.read.format("pgdump")` — the COPY payload of one table in a
   * pg_dump file as a first-class DataSource V2 table.
@@ -46,22 +47,25 @@ import graft.functions.CopyUnescape
   * reader seeks, aligns to the next line boundary (standard Hadoop split
   * semantics: skip the first partial line unless at the payload head,
   * read one line past the end boundary), and streams its slice. Column
-  * pruning is pushed into the reader: unprojected fields are never
-  * unescaped or allocated (`ReadSchema` in `.explain` shows the pruned
-  * list).
+  * pruning and EqualTo/IsNull/IsNotNull filters are pushed into the
+  * reader (`ReadSchema` / `PushedFilters` in `.explain`).
   *
   * Boundary discovery runs once per (path, mtime) and is the same
   * degradation-free classifier as [[PgDumpReader.schemaPass]]: one
   * distributed pass collects COPY headers and `\.` terminators (~2 rows
   * per table) with their byte offsets; headers without a column list
-  * fall back to a second pass that collects the (KB-sized) DDL stream
+  * fall back to a memoized pass that collects the (KB-sized) DDL stream
   * and reads the column order from CREATE TABLE. INSERT-carried rows
   * (--inserts dumps, or mixed dumps like the fixture's `unkeyed` table)
   * are served too: a second discovery pass aggregates INSERT headers
   * per table on the executors and the scan adds extent-bounded chunks
-  * whose readers lex tuples with the migration path's lexer.
-  * Limitations, shared with the line-ranged reader: single-line COPY
-  * headers and INSERT statements, uncompressed input (byte seeks).
+  * (COPY payload regions SUBTRACTED — a payload data line that
+  * textually looks like an INSERT is data, never a row source, and
+  * another table's payload bytes are never rescanned) whose readers
+  * lex tuples with the migration path's lexer. Limitations, shared
+  * with the line-ranged reader: single-line COPY headers and
+  * (semicolon-terminated) single-line INSERT statements, uncompressed
+  * input (byte seeks).
   */
 final class PgDumpTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "pgdump"
@@ -92,7 +96,7 @@ private[pgdump] final class PgDumpScanBuilder(path: String, table: Option[String
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = full
-  private var compiled: Array[graft.sources.DumpFilters.Pushed] = Array.empty
+  private var compiled: Array[DumpFilters.Pushed] = Array.empty
   private var accepted: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -100,8 +104,7 @@ private[pgdump] final class PgDumpScanBuilder(path: String, table: Option[String
   // rows early, and every filter is ALSO returned as residual so Spark
   // re-applies it — correctness never rests on the reader's evaluation
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (c, a) = graft.sources.DumpFilters.compile(
-      filters, PgDumpV2.colsFor(path, table))
+    val (c, a) = DumpFilters.compile(filters, PgDumpV2.colsFor(path, table))
     compiled = c; accepted = a
     filters
   }
@@ -112,7 +115,7 @@ private[pgdump] final class PgDumpScanBuilder(path: String, table: Option[String
 
 private[pgdump] final class PgDumpScan(path: String, table: Option[String],
     full: StructType, required: StructType, chunkBytes: Option[Long],
-    pushed: Array[graft.sources.DumpFilters.Pushed])
+    pushed: Array[DumpFilters.Pushed])
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -128,7 +131,7 @@ private[pgdump] final class PgDumpScan(path: String, table: Option[String],
     val tbl = PgDumpV2.resolveTable(d, table)
     val bytes = d.regions.filter(_.table == tbl)
       .map(r => r.termStart - r.headerStart).sum +
-      d.insertBytes.getOrElse(tbl, 0L)
+      d.inserts.bytes.getOrElse(tbl, 0L)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -142,10 +145,10 @@ private[pgdump] final class PgDumpScan(path: String, table: Option[String],
     val d = PgDumpV2.discover(path)
     val tbl = PgDumpV2.resolveTable(d, table)
     val regions = d.regions.filter(_.table == tbl)
-    val insExt = d.insertExtents.get(tbl)
+    val insExt = d.inserts.extents.get(tbl)
     val total = regions.map(r => r.termStart - r.headerStart).sum +
       insExt.map { case (lo, hi) => hi - lo + 1 }.getOrElse(0L)
-    val step = graft.sources.DumpChunks.step(total, chunkBytes, spark)
+    val step = DumpChunks.step(total, chunkBytes, spark)
     val parts = Array.newBuilder[InputPartition]
     regions.foreach { r =>
       var s = r.headerStart
@@ -159,16 +162,15 @@ private[pgdump] final class PgDumpScan(path: String, table: Option[String],
       }
     }
     // INSERT-carried rows: chunk the table's [first INSERT, last INSERT]
-    // byte extent; starting one byte early makes the reader's
-    // discard-first-line rule land exactly on the first INSERT line
+    // byte extent MINUS every COPY payload region — a payload line that
+    // textually looks like an INSERT is data, and another table's
+    // payload must not be rescanned. Starting one byte early makes the
+    // reader's discard-first-line rule land exactly on the first INSERT.
     insExt.foreach { case (minOff, maxOff) =>
-      var s = if (minOff == 0) 0L else minOff - 1
-      val hi = maxOff + 1
-      while (s < hi) {
-        val e = math.min(s + step, hi)
-        parts += PgDumpChunk(s, e, insert = true)
-        s = e
-      }
+      val lo = if (minOff == 0) 0L else minOff - 1
+      DumpInserts.chunkRanges(lo, maxOff + 1,
+          d.regions.map(r => (r.headerStart, r.termStart)), step)
+        .foreach { case (s, e) => parts += PgDumpChunk(s, e, insert = true) }
     }
     parts.result()
   }
@@ -183,7 +185,8 @@ private[pgdump] final class PgDumpScan(path: String, table: Option[String],
     new PgDumpReaderFactory(path,
       new SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()),
-      tbl, cols.length, proj, pushed)
+      tbl, d.regions.map(r => (r.headerStart, r.termStart)).toArray,
+      cols.length, proj, pushed)
   }
 }
 
@@ -191,72 +194,25 @@ private[pgdump] final case class PgDumpChunk(start: Long, end: Long,
     insert: Boolean) extends InputPartition
 
 private[pgdump] final class PgDumpReaderFactory(path: String,
-    conf: SerializableConfiguration, table: String, nCols: Int,
-    proj: Array[Int], pushed: Array[graft.sources.DumpFilters.Pushed])
-    extends PartitionReaderFactory {
+    conf: SerializableConfiguration, table: String,
+    payloadRanges: Array[(Long, Long)], nCols: Int, proj: Array[Int],
+    pushed: Array[DumpFilters.Pushed]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val c = p.asInstanceOf[PgDumpChunk]
-    if (c.insert)
-      new PgInsertReader(path, conf, c.start, c.end, table, nCols, proj, pushed)
-    else new PgCopyReader(path, conf, c.start, c.end, nCols, proj, pushed)
+    if (c.insert) {
+      // the same classifier discovery indexed (prunableInsert), the same
+      // lexer the migration path uses — extent/stats and served rows
+      // stay consistent, and payload ranges are excluded belt-and-braces
+      // on top of the chunk-plan subtraction
+      val tbl = table
+      new DumpInserts.TupleReader(path, conf, c.start, c.end, payloadRanges,
+        nCols, proj, pushed,
+        line =>
+          if (PgDumpParser.prunableInsert(line))
+            PgDumpParser.PgTuples.rowsFor(line, tbl).iterator
+          else Iterator.empty)
+    } else new PgCopyReader(path, conf, c.start, c.end, nCols, proj, pushed)
   }
-}
-
-/** Scans one byte chunk for the target table's single-line INSERT
-  * statements and streams their tuples (same split semantics as
-  * [[PgCopyReader]]; same tuple lexer as the migration path's
-  * readInsertRaw, so raw-row parity is by construction). */
-private[pgdump] final class PgInsertReader(path: String,
-    conf: SerializableConfiguration, start: Long, end: Long, table: String,
-    nCols: Int, proj: Array[Int],
-    pushed: Array[graft.sources.DumpFilters.Pushed])
-    extends PartitionReader[InternalRow] {
-  private val in = {
-    val p = new Path(path)
-    val stream = p.getFileSystem(conf.value).open(p)
-    stream.seek(start)
-    stream
-  }
-  private val lines = new LineReader(in)
-  private val text = new Text()
-  private var pos =
-    if (start == 0) 0L else start + lines.readLine(text) // discard partial
-  private var tuples: Iterator[Seq[String]] = Iterator.empty
-  private var row: InternalRow = _
-
-  override def next(): Boolean = {
-    while (true) {
-      while (!tuples.hasNext) {
-        if (pos > end) return false
-        val consumed = lines.readLine(text)
-        if (consumed == 0) return false
-        pos += consumed
-        val line = text.toString
-        if (line.regionMatches(true, 0, "INSERT INTO ", 0, 12))
-          tuples = PgDumpParser.PgTuples.rowsFor(line, table).iterator
-      }
-      val t = tuples.next()
-      if (graft.sources.DumpFilters.matches(pushed,
-          idx => if (idx >= t.length) null else t(idx))) {
-        val vals = new Array[Any](proj.length)
-        var j = 0
-        while (j < proj.length) {
-          val k = proj(j)
-          vals(j) =
-            if (k < 0) t.length != nCols // __ragged
-            else if (k >= t.length || t(k) == null) null
-            else UTF8String.fromString(t(k))
-          j += 1
-        }
-        row = new GenericInternalRow(vals)
-        return true
-      }
-    }
-    false
-  }
-
-  override def get(): InternalRow = row
-  override def close(): Unit = { lines.close(); in.close() }
 }
 
 /** Streams the payload lines of one byte chunk. Hadoop split semantics:
@@ -264,10 +220,13 @@ private[pgdump] final class PgInsertReader(path: String,
   * head that discard IS the COPY header — then emit every line whose
   * start offset is <= `end`. A line straddling `end` is consumed whole
   * here and discarded as the partial first line of the next chunk, so
-  * every payload line lands in exactly one partition. */
+  * every payload line lands in exactly one partition. Pushed filters
+  * compare UTF8String values against precomputed comparands; each
+  * field is unescaped at most once per line (shared between filter
+  * evaluation and row construction). */
 private[pgdump] final class PgCopyReader(path: String,
     conf: SerializableConfiguration, start: Long, end: Long, nCols: Int,
-    proj: Array[Int], pushed: Array[graft.sources.DumpFilters.Pushed])
+    proj: Array[Int], pushed: Array[DumpFilters.Pushed])
     extends PartitionReader[InternalRow] {
   private val in = {
     val p = new Path(path)
@@ -279,6 +238,39 @@ private[pgdump] final class PgCopyReader(path: String,
   private val text = new Text()
   private var pos = start + lines.readLine(text) // discard header/partial
   private var row: InternalRow = _
+  // comparands as UTF8String, converted once per task not per line
+  private val pushedU: Array[(Int, Int, UTF8String)] = pushed.map(p =>
+    (p.colIdx, p.op, if (p.value == null) null else UTF8String.fromString(p.value)))
+
+  // per-line unescape cache, shared by filter eval and row construction
+  private var parts: Array[String] = _
+  private var cache: Array[UTF8String] = _
+  private var cached: Array[Boolean] = _
+
+  private def field(k: Int): UTF8String = {
+    if (k >= parts.length || parts(k) == "\\N") return null
+    if (!cached(k)) {
+      cache(k) = CopyUnescape.unescape(UTF8String.fromString(parts(k)))
+      cached(k) = true
+    }
+    cache(k)
+  }
+
+  private def filtersPass(): Boolean = {
+    var i = 0
+    while (i < pushedU.length) {
+      val (k, op, v) = pushedU(i)
+      val f = field(k)
+      val ok = op match {
+        case 0 => f != null && f == v
+        case 1 => f != null
+        case _ => f == null
+      }
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
 
   override def next(): Boolean = {
     while (true) {
@@ -286,32 +278,24 @@ private[pgdump] final class PgCopyReader(path: String,
       val consumed = lines.readLine(text)
       if (consumed == 0) return false
       pos += consumed
-      val parts = text.toString.split("\t", -1)
-      if (graft.sources.DumpFilters.matches(pushed,
-          idx => fieldOrNull(parts, idx))) {
-        row = build(parts)
+      parts = text.toString.split("\t", -1)
+      cache = new Array[UTF8String](parts.length)
+      cached = new Array[Boolean](parts.length)
+      if (filtersPass()) {
+        val vals = new Array[Any](proj.length)
+        var j = 0
+        while (j < proj.length) {
+          val k = proj(j)
+          vals(j) =
+            if (k < 0) parts.length != nCols // __ragged
+            else field(k)
+          j += 1
+        }
+        row = new GenericInternalRow(vals)
         return true
       }
     }
     false
-  }
-
-  private def fieldOrNull(parts: Array[String], k: Int): String =
-    if (k >= parts.length || parts(k) == "\\N") null
-    else CopyUnescape.unescape(UTF8String.fromString(parts(k))).toString
-
-  private def build(parts: Array[String]): InternalRow = {
-    val vals = new Array[Any](proj.length)
-    var j = 0
-    while (j < proj.length) {
-      val k = proj(j)
-      vals(j) =
-        if (k < 0) parts.length != nCols // __ragged
-        else if (k >= parts.length || parts(k) == "\\N") null
-        else CopyUnescape.unescape(UTF8String.fromString(parts(k)))
-      j += 1
-    }
-    new GenericInternalRow(vals)
   }
 
   override def get(): InternalRow = row
@@ -327,15 +311,11 @@ private[pgdump] object PgDumpV2 {
       headerStart: Long, termStart: Long)
 
   final case class Discovery(regions: Seq[Region],
-      /** table → column list of its first single-line INSERT header
-        * (None = column-less INSERT, resolve via CREATE TABLE). */
-      insertCols: Map[String, Option[Seq[String]]],
-      /** table → (min, max) byte offsets of its INSERT line starts. */
-      insertExtents: Map[String, (Long, Long)],
-      /** table → total byte length of its INSERT lines. */
-      insertBytes: Map[String, Long],
-      /** CREATE TABLE column order, resolved lazily — only consulted for
-        * headers without an explicit column list. */
+      /** Per-table INSERT metadata (column-list variants, extents,
+        * byte totals). */
+      inserts: DumpInserts.Index,
+      /** CREATE TABLE column order, memoized — only consulted for
+        * statements without an explicit column list. */
       ddlCols: () => Map[String, Seq[String]])
 
   // one live entry per path (mtime stored alongside): regenerating and
@@ -425,7 +405,6 @@ private[pgdump] object PgDumpV2 {
 
     // pass 2: INSERT headers outside COPY payloads, aggregated per
     // (table, cols) on the executors — (minOff, maxOff, byteLen) per key
-    val SEP = ""
     val headers = lineOffsets(spark, path, conf)
       .flatMap { case (k, v) =>
         val off = k.get
@@ -434,27 +413,17 @@ private[pgdump] object PgDumpV2 {
         if (payload.exists(r => off > r._1 && off < r._2)) None
         else if (!PgDumpParser.prunableInsert(l)) None
         else PgDumpParser.PgTuples.header(l).map { case (tbl, colsOpt) =>
-          ((tbl, colsOpt.map(_.mkString(SEP)).orNull), (off, off, len))
+          ((tbl, colsOpt.map(_.mkString(DumpInserts.SEP)).orNull), (off, off, len))
         }
       }
       .reduceByKey((a, b) =>
         (math.min(a._1, b._1), math.max(a._2, b._2), a._3 + b._3))
       .collect()
+    val inserts = DumpInserts.fold(headers)
 
-    val insertCols = scala.collection.mutable.LinkedHashMap.empty[String, Option[Seq[String]]]
-    val extents = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
-    val insertBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    headers.sortBy(_._2._1).foreach { case ((tbl, cols), (lo, hi, bytes)) =>
-      if (!insertCols.contains(tbl)) // first header (by offset) wins
-        insertCols(tbl) = Option(cols).map(_.split(SEP, -1).toSeq)
-      val prev = extents.getOrElse(tbl, (Long.MaxValue, Long.MinValue))
-      extents(tbl) = (math.min(prev._1, lo), math.max(prev._2, hi))
-      insertBytes(tbl) = insertBytes.getOrElse(tbl, 0L) + bytes
-    }
-
-    Discovery(regions, insertCols.toMap, extents.toMap, insertBytes.toMap, () => {
-      // second (lazy) pass, only for column-less headers: the DDL stream
-      // is every line outside all payload regions that isn't a prunable
+    lazy val ddl = { // memoized: one job total, not one per colsFor call
+      // lazy pass, only for column-less statements: the DDL stream is
+      // every line outside all payload regions that isn't a prunable
       // INSERT — KBs even for a 100 GB dump. SparkSession resolved at
       // call time so the cached closure never pins a stopped session.
       val ranges = regions.map(r => (r.headerStart, r.termStart))
@@ -470,11 +439,12 @@ private[pgdump] object PgDumpV2 {
         .collect().sortBy(_._1)
       PgDumpParser.parse(stmts.iterator.map(_._2)).tables
         .map { case (name, t) => name -> t.colNames }
-    })
+    }
+    Discovery(regions, inserts, () => ddl)
   }
 
   def resolveTable(d: Discovery, table: Option[String]): String = {
-    val names = (d.regions.map(_.table) ++ d.insertCols.keys).distinct
+    val names = (d.regions.map(_.table) ++ d.inserts.colVariants.keys).distinct
     val chosen = table.getOrElse {
       require(names.size == 1,
         s"dump has ${names.size} tables (${names.mkString(", ")}); " +
@@ -488,11 +458,12 @@ private[pgdump] object PgDumpV2 {
   }
 
   /** The column order for the table — COPY header list (or CREATE TABLE
-    * order for a column-less `COPY t FROM stdin;`), with the INSERT
-    * header list backing INSERT-only tables. Multiple COPY blocks — and
-    * a table carrying both COPY and INSERT data — must agree on one
-    * column list (same assumption as readCopyRaw; migrate()'s
-    * unionByName handles the mixed case). */
+    * order for a column-less statement), with the INSERT header list
+    * backing INSERT-only tables. EVERY statement variant — multiple
+    * COPY blocks, every distinct INSERT column list, and COPY-vs-INSERT
+    * — must agree on one list: disagreeing variants would be
+    * positionally mis-mapped, so the source refuses instead (migrate()
+    * unions by name and handles them). */
   def colsFor(path: String, table: Option[String]): Seq[String] = {
     val d = discover(path)
     val tbl = resolveTable(d, table)
@@ -501,7 +472,7 @@ private[pgdump] object PgDumpV2 {
         s"data for '$tbl' names no columns and no CREATE TABLE found"))
     val lists =
       d.regions.filter(_.table == tbl).map(_.cols.getOrElse(fromDdl)) ++
-        d.insertCols.get(tbl).map(_.getOrElse(fromDdl)).toSeq
+        d.inserts.colVariants.getOrElse(tbl, Nil).map(_.getOrElse(fromDdl))
     require(lists.distinct.size == 1,
       s"COPY/INSERT statements for '$tbl' disagree on column lists " +
         "(use PgDumpReader.migrate, which unions by name)")

@@ -87,6 +87,21 @@ class MySqlDumpV2SourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("customers"))
   }
 
+  test("disagreeing INSERT column lists refuse instead of mis-mapping") {
+    val tmp = java.nio.file.Files.createTempFile("graft_v2_disagree", ".mysqldump")
+    java.nio.file.Files.writeString(tmp,
+      "CREATE TABLE t (\n  a text,\n  b text\n);\n" +
+        "INSERT INTO `t` (`a`, `b`) VALUES ('1', '2');\n" +
+        "INSERT INTO `t` (`b`, `a`) VALUES ('3', '4');\n")
+    try {
+      val e = intercept[Exception] {
+        spark.read.format("mysqldump").option("table", "t")
+          .load(tmp.toString).collect()
+      }
+      assert(e.getMessage.contains("disagree"))
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
   test("filter pushdown: readers skip non-matching tuples") {
     val df = v2("customers").filter(col("name") === "Bob's shop")
     assert(df.collect().map(_.getAs[String]("name")).toSeq == Seq("Bob's shop"))

@@ -123,6 +123,55 @@ class PgDumpV2SourceSpec extends AnyFunSuite {
     } finally java.nio.file.Files.delete(tmp)
   }
 
+  test("INSERT lookalike inside another table's COPY payload is data, not rows") {
+    // t's INSERT extent brackets other's COPY payload, and that payload
+    // contains a line that textually parses as an INSERT into t — it
+    // must never be served as a row (payload regions are subtracted
+    // from the INSERT chunk plan and excluded in the reader)
+    val tmp = java.nio.file.Files.createTempFile("graft_v2_lookalike", ".pgdump")
+    java.nio.file.Files.writeString(tmp,
+      """CREATE TABLE t (
+        |    a text
+        |);
+        |CREATE TABLE other (
+        |    payload text
+        |);
+        |INSERT INTO t (a) VALUES ('real-1');
+        |COPY other (payload) FROM stdin;
+        |INSERT INTO t (a) VALUES ('phantom');
+        |\.
+        |INSERT INTO t (a) VALUES ('real-2');
+        |""".stripMargin)
+    try {
+      val rows = spark.read.format("pgdump").option("table", "t")
+        .load(tmp.toString).collect().map(_.getString(0)).toSet
+      assert(rows == Set("real-1", "real-2"))
+      // and the payload itself still reads intact as `other`
+      val other = spark.read.format("pgdump").option("table", "other")
+        .load(tmp.toString).collect().map(_.getString(0)).toSeq
+      assert(other == Seq("INSERT INTO t (a) VALUES ('phantom');"))
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
+  test("disagreeing INSERT column lists refuse instead of mis-mapping") {
+    val tmp = java.nio.file.Files.createTempFile("graft_v2_disagree", ".pgdump")
+    java.nio.file.Files.writeString(tmp,
+      """CREATE TABLE t (
+        |    a text,
+        |    b text
+        |);
+        |INSERT INTO t (a, b) VALUES ('1', '2');
+        |INSERT INTO t (b, a) VALUES ('3', '4');
+        |""".stripMargin)
+    try {
+      val e = intercept[Exception] {
+        spark.read.format("pgdump").option("table", "t")
+          .load(tmp.toString).collect()
+      }
+      assert(e.getMessage.contains("disagree"))
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
   test("filter pushdown: readers skip non-matching rows, plan shows it") {
     val df = v2("inventory").filter(col("sku") === "widget-1")
     // the pushed filter appears in the scan (reported by pushedFilters);
