@@ -127,14 +127,13 @@ private[mysqldump] final class MySqlDumpScan(path: String,
     val lo = if (minOff == 0) 0L else minOff - 1
     val hi = maxOff + 1
     val step = graft.sources.DumpChunks.step(hi - lo, chunkBytes, spark)
-    val parts = Array.newBuilder[InputPartition]
-    var s = lo
-    while (s < hi) {
-      val e = math.min(s + step, hi)
-      parts += MySqlChunkPartition(s, e)
-      s = e
-    }
-    parts.result()
+    // DELIMITER-block bodies subtracted at plan time (readers exclude
+    // them per line too) — a large procedure body inside the extent is
+    // never scanned
+    graft.sources.DumpInserts
+      .chunkRanges(lo, hi, d.delimiterBlocks, step)
+      .map { case (s, e) => MySqlChunkPartition(s, e): InputPartition }
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
