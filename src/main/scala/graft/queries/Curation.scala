@@ -22,6 +22,8 @@ object Curation {
 
   /** Whitespace tokens, empties dropped (same tokenizer as Documents). */
   private val toks = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
+  /** Stopword list shared with d03 (Documents.stopArr). */
+  private val stopSql = "array('the','a','of','to','and')"
 
   /** md5-derived 32-bit integer — the engine-agnostic hash used by q19's
     * CMS and d04's fingerprints: Spark conv(hex,16,10) and DuckDB
@@ -451,6 +453,66 @@ object Curation {
           FROM sp GROUP BY doc_id, span_id)
         SELECT doc_id, COUNT(*) AS dup_spans,
                CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
-        FROM agg GROUP BY doc_id ORDER BY doc_id"""))
+        FROM agg GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- c13
+    // Gopher-style quality-rule ensemble with per-rule attribution
+    // (Rae et al. 2021 §A1.1 repetition/length heuristics, re-expressed
+    // as one codegen scan): per doc compute token count, mean word
+    // length (permille), distinct-token ratio (permille), and stopword
+    // presence, then apply a fixed rule cascade — first failing rule
+    // names the verdict, so verdicts partition the corpus and a
+    // downstream filter is one predicate. All signals are per-row
+    // expressions over the token array (no explode, no shuffle until
+    // the final tiny histogram); thresholds are data-calibrated so
+    // every rule fires on the test corpus (non-vacuous oracle).
+    // Output: per-doc verdict rows — the frame a curation pipeline
+    // joins on — plus the signals themselves for auditability.
+    "c13_quality_rules" -> QueryDef(
+      build = (spark, dir) => {
+        QueryDef.spread(spark, dir, "documents")
+          .select(col("doc_id"), expr(toks).as("tk"))
+          .select(col("doc_id"),
+            expr("size(tk)").cast("bigint").as("n_tok"),
+            expr("aggregate(tk, 0L, (a, t) -> a + length(t)) * 1000")
+              .as("len_sum_k"),
+            expr("size(array_distinct(tk))").cast("bigint").as("n_distinct"),
+            expr(s"size(filter(tk, t -> array_contains($stopSql, t)))")
+              .cast("bigint").as("n_stop"))
+          .select(col("doc_id"), col("n_tok"),
+            when(col("n_tok") > 0, expr("len_sum_k div n_tok"))
+              .otherwise(lit(0L)).as("mean_len_pm"),
+            when(col("n_tok") > 0, expr("n_distinct * 1000 div n_tok"))
+              .otherwise(lit(0L)).as("distinct_pm"),
+            col("n_stop"))
+          .withColumn("verdict",
+            when(col("n_tok") < 20, "too_short")
+              .when(col("distinct_pm") < 350, "repetitive")
+              .when(!col("mean_len_pm").between(3900, 5100), "word_len")
+              .when(col("n_stop") === 0, "no_stopword")
+              .otherwise("keep"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tkn AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS tk
+          FROM documents),
+        st AS (
+          SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+                 CASE WHEN len(tk) > 0
+                   THEN CAST(list_sum(list_transform(tk, t -> length(t))) * 1000 // len(tk) AS BIGINT)
+                   ELSE 0 END AS mean_len_pm,
+                 CASE WHEN len(tk) > 0
+                   THEN CAST(len(list_distinct(tk)) * 1000 // len(tk) AS BIGINT)
+                   ELSE 0 END AS distinct_pm,
+                 CAST(len(list_filter(tk, t -> list_contains(['the','a','of','to','and'], t))) AS BIGINT) AS n_stop
+          FROM tkn)
+        SELECT doc_id, n_tok, mean_len_pm, distinct_pm, n_stop,
+               CASE WHEN n_tok < 20 THEN 'too_short'
+                    WHEN distinct_pm < 350 THEN 'repetitive'
+                    WHEN mean_len_pm NOT BETWEEN 3900 AND 5100 THEN 'word_len'
+                    WHEN n_stop = 0 THEN 'no_stopword'
+                    ELSE 'keep' END AS verdict
+        FROM st ORDER BY doc_id"""))
   )
 }

@@ -431,6 +431,47 @@ object Documents {
         SELECT doc_id, COUNT(*) AS n_bigrams,
                CAST(SUM(cond_permille) // COUNT(*) AS BIGINT) AS fluency_permille
         FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- d13
+    // Inverse-df keyword extraction: each document's top-3 most
+    // distinctive terms by weight = tf · (10^6 div df) — term frequency
+    // in the doc discounted by corpus document frequency, the log-free
+    // integer cousin of TF-IDF (exact cross-engine where log(N/df)
+    // doubles are not). Shapes like the real thing at 100 TB: tf is a
+    // map-side-combined groupBy over exploded tokens, df is a second
+    // aggregate over the SAME exploded frame (distinct doc per term =
+    // count of tf rows, no second explode), and the tf⋈df equi-join on
+    // term hash-partitions both sides — vocabulary-bounded, never
+    // corpus-bounded. Ties break toward the lexicographically smaller
+    // term so top-3 is deterministic.
+    "d13_tfidf_terms" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = QueryDef.spread(spark, dir, "documents")
+          .select(col("doc_id"), explode(expr(toks)).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("weight").desc, col("term"))
+        tf.join(df, Seq("term"))
+          .withColumn("weight", expr("tf * (1000000 div df)"))
+          .withColumn("rnk", row_number().over(w).cast("bigint"))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+            col("df"), col("weight"))
+          .orderBy("doc_id", "rnk")
+      },
+      oracle = Some("""
+        WITH tkn AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tkn GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf * (1000000 // df) DESC, term) AS BIGINT) AS rnk,
+               term, tf, df, CAST(tf * (1000000 // df) AS BIGINT) AS weight
+        FROM tf JOIN df USING (term)
+        QUALIFY rnk <= 3 ORDER BY doc_id, rnk"""))
   )
 }

@@ -531,6 +531,70 @@ object Relational {
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
-        ORDER BY rf, ls"""))
+        ORDER BY rf, ls""")),
+
+    // ---------------------------------------------------------------- q21
+    // Ordered conversion funnel signup → view → click → purchase: a user
+    // reaches stage k when their FIRST stage-k event lands strictly
+    // after their first stage-(k-1) event. One scan → per-(user, type)
+    // min-timestamp aggregate (map-side combined) → per-user stage
+    // predicate → 4-row histogram; no self-joins, no window over the
+    // raw stream, so the whole thing is two tiny shuffles regardless of
+    // event volume. Stages emit as 's1_signup'… strings so the rows
+    // sort deterministically in both engines.
+    "q21_funnel" -> QueryDef(
+      build = (spark, dir) => {
+        val ev = QueryDef.events(spark, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val firsts = ev.groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "signup", col("us"))).as("t1"),
+            min(when(col("event_type") === "view", col("us"))).as("t2"),
+            min(when(col("event_type") === "click", col("us"))).as("t3"),
+            min(when(col("event_type") === "purchase", col("us"))).as("t4"))
+        val stages = firsts.select(
+          when(col("t1").isNotNull, 1L).otherwise(0L).as("r1"),
+          when(col("t1").isNotNull && col("t2") > col("t1"), 1L)
+            .otherwise(0L).as("r2"),
+          when(col("t1").isNotNull && col("t2") > col("t1") &&
+               col("t3") > col("t2"), 1L).otherwise(0L).as("r3"),
+          when(col("t1").isNotNull && col("t2") > col("t1") &&
+               col("t3") > col("t2") && col("t4") > col("t3"), 1L)
+            .otherwise(0L).as("r4"))
+        stages.agg(sum("r1").as("s1"), sum("r2").as("s2"),
+            sum("r3").as("s3"), sum("r4").as("s4"))
+          .select(explode(expr(
+            """array(named_struct('stage', 's1_signup',   'n_users', s1),
+                     named_struct('stage', 's2_view',     'n_users', s2),
+                     named_struct('stage', 's3_click',    'n_users', s3),
+                     named_struct('stage', 's4_purchase', 'n_users', s4))"""))
+            .as("x"))
+          .select(col("x.stage").as("stage"), col("x.n_users").as("n_users"))
+          .orderBy("stage")
+      },
+      oracle = Some("""
+        WITH firsts AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'signup'   THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t1,
+                 MIN(CASE WHEN event_type = 'view'     THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t2,
+                 MIN(CASE WHEN event_type = 'click'    THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t3,
+                 MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t4
+          FROM events GROUP BY user_id),
+        stages AS (
+          SELECT CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS r1,
+                 CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END AS r2,
+                 CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END AS r3,
+                 CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 AND t4 > t3 THEN 1 ELSE 0 END AS r4
+          FROM firsts),
+        tot AS (
+          SELECT CAST(SUM(r1) AS BIGINT) AS s1, CAST(SUM(r2) AS BIGINT) AS s2,
+                 CAST(SUM(r3) AS BIGINT) AS s3, CAST(SUM(r4) AS BIGINT) AS s4
+          FROM stages)
+        SELECT 's1_signup' AS stage, s1 AS n_users FROM tot
+        UNION ALL SELECT 's2_view', s2 FROM tot
+        UNION ALL SELECT 's3_click', s3 FROM tot
+        UNION ALL SELECT 's4_purchase', s4 FROM tot
+        ORDER BY stage"""))
   )
 }

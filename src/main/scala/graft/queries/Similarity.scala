@@ -459,6 +459,118 @@ object Similarity {
           FROM embeddings)
         SELECT label, CAST(i AS BIGINT) AS dim, CAST(SUM(qv[i]) AS BIGINT) AS s, COUNT(*) AS n
         FROM q, range(1, 65) r(i)
-        GROUP BY label, i ORDER BY label, dim"""))
+        GROUP BY label, i ORDER BY label, dim""")),
+
+    // ---------------------------------------------------------------- e10
+    // KNN majority-vote classification: each probe is labeled by the
+    // majority label among its 10 nearest neighbors (exact quantized
+    // dot, self excluded), ties broken toward the smaller label id —
+    // the eval loop of every embedding-quality report. Same bounded
+    // broadcast-probe shape as e01; the vote is a tiny per-probe
+    // aggregate over the top-k frame, so the only material cost is the
+    // neighbor search itself (swap in AnnLsh/IvfAnn at index scale).
+    "e10_knn_classify" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = QueryDef.spread(spark, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("bigint").as("label"),
+            expr(quant).as("qv"))
+        val probes = emb.filter(col("vec_id") < 32)
+          .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+            col("qv").as("pq"))
+        val dots = emb.join(broadcast(probes), col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("true_label"),
+            col("label").as("cand_label"), col("vec_id").as("cand_id"),
+            expr(qdot("pq", "qv")).as("dot"))
+        val wTop = Window.partitionBy("query_id")
+          .orderBy(col("dot").desc, col("cand_id"))
+        val votes = dots.withColumn("rnk", row_number().over(wTop))
+          .filter(col("rnk") <= 10)
+          .groupBy("query_id", "true_label", "cand_label")
+          .agg(count(lit(1)).as("votes"))
+        val wVote = Window.partitionBy("query_id")
+          .orderBy(col("votes").desc, col("cand_label"))
+        votes.withColumn("vr", row_number().over(wVote))
+          .filter(col("vr") === 1)
+          .select(col("query_id"), col("true_label"),
+            col("cand_label").as("pred_label"), col("votes"),
+            when(col("true_label") === col("cand_label"), 1L).otherwise(0L)
+              .as("correct"))
+          .orderBy("query_id")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
+          FROM embeddings),
+        probes AS (SELECT vec_id AS query_id, label AS true_label, qv AS pq
+                   FROM q WHERE vec_id < 32),
+        dots AS (
+          SELECT query_id, true_label, c.label AS cand_label, c.vec_id AS cand_id,
+                 CAST(list_sum([pq[i] * c.qv[i] for i in range(1, len(pq)+1)]) AS BIGINT) AS dot
+          FROM probes p JOIN q c ON p.query_id <> c.vec_id),
+        topk AS (
+          SELECT query_id, true_label, cand_label,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS rnk
+          FROM dots QUALIFY rnk <= 10),
+        votes AS (
+          SELECT query_id, true_label, cand_label, COUNT(*) AS votes
+          FROM topk GROUP BY 1, 2, 3)
+        SELECT query_id, true_label, cand_label AS pred_label, votes,
+               CASE WHEN true_label = cand_label THEN 1 ELSE 0 END AS correct
+        FROM votes
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, cand_label) = 1
+        ORDER BY query_id""")),
+
+    // ---------------------------------------------------------------- e11
+    // Int8 scalar-quantized KNN — the memory/bandwidth scale dial ANN
+    // indexes actually ship (FAISS SQ8, reference-free): per-vector
+    // symmetric quantization code[i] = round(x[i]·127/maxabs), dots in
+    // pure int arithmetic over 1-byte codes (4× smaller than float32,
+    // 8× smaller than the 2^20 fixed-point frame — at 100 TB the codes
+    // fit where vectors don't). Determinism note: maxabs, the ·127
+    // product, and the division are each single correctly-rounded IEEE
+    // double ops, so both engines compute bit-identical doubles, and
+    // round() is half-away-from-zero in both (Spark HALF_UP on the
+    // exact binary expansion = DuckDB std::round). Top-10 per probe by
+    // integer code dot, rank ties toward the smaller cand_id.
+    "e11_int8_knn" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val maxabs = "array_max(transform(embedding, x -> abs(cast(x as double))))"
+        val codes = s"""CASE WHEN $maxabs = 0D THEN transform(embedding, x -> 0L)
+          ELSE transform(embedding,
+            x -> cast(round(cast(x as double) * 127D / $maxabs, 0) as bigint)) END"""
+        val emb = QueryDef.spread(spark, dir, "embeddings")
+          .select(col("vec_id"), expr(codes).as("code"))
+        val probes = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("code").as("pc"))
+        val dots = emb.join(broadcast(probes), col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("cand_id"),
+            expr(qdot("pc", "code")).as("dot8"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("dot8").desc, col("cand_id"))
+        dots.withColumn("rnk", row_number().over(w).cast("bigint"))
+          .filter(col("rnk") <= 10)
+          .orderBy("query_id", "rnk")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT vec_id, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+          FROM embeddings),
+        q AS (
+          SELECT e.vec_id,
+                 CASE WHEN maxabs = 0 THEN [CAST(0 AS BIGINT) for x in embedding]
+                 ELSE [CAST(round(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT) for x in embedding]
+                 END AS code
+          FROM embeddings e JOIN m ON e.vec_id = m.vec_id),
+        probes AS (SELECT vec_id AS query_id, code AS pc FROM q WHERE vec_id < 8),
+        dots AS (
+          SELECT query_id, c.vec_id AS cand_id,
+                 CAST(list_sum([pc[i] * c.code[i] for i in range(1, len(pc)+1)]) AS BIGINT) AS dot8
+          FROM probes p JOIN q c ON p.query_id <> c.vec_id)
+        SELECT query_id, cand_id, dot8,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot8 DESC, cand_id) AS BIGINT) AS rnk
+        FROM dots QUALIFY rnk <= 10 ORDER BY query_id, rnk"""))
   )
 }

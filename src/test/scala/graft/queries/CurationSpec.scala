@@ -290,4 +290,46 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
       ((10L, 5L, 9L, 10L)))
   }
+
+  test("d13: inverse-df term weights with deterministic rank ties") {
+    // df: apple 1, banana 2, cherry 1, the 2
+    // doc 1 weights: apple 2*1000000, banana 1*500000, the 1*500000
+    //   (banana/the tie at 500000 → banana first alphabetically)
+    // doc 2 weights: cherry 1*1000000, the 2*500000 = 1000000, banana 500000
+    //   (cherry/the tie at 1000000 → cherry first)
+    val dir = docsDir(Seq(
+      (1L, "apple apple banana the", "en", "s"),
+      (2L, "banana cherry the the", "en", "s")))
+    val out = Documents.defs("d13_tfidf_terms").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, "apple", 2L, 1L, 2000000L),
+      (1L, 2L, "banana", 1L, 2L, 500000L),
+      (1L, 3L, "the", 1L, 2L, 500000L),
+      (2L, 1L, "cherry", 1L, 1L, 1000000L),
+      (2L, 2L, "the", 2L, 2L, 1000000L),
+      (2L, 3L, "banana", 1L, 2L, 500000L)))
+  }
+
+  test("c13: each quality rule fires, in cascade order") {
+    val five = "alpha bravo chill delta ebony fghij klmno pqrst uvwxy zabcd " +
+      "aaron blunt crane dwarf eagle fjord gnome haste igloo jolly " +
+      "knave lemon mango" // 23 distinct 5-char words → mean 5000‰
+    val dir = docsDir(Seq(
+      (1L, "one two three", "en", "s"), // 3 tokens → too_short
+      // 30 identical tokens: distinct 33‰ → repetitive (and it has no
+      // stopword — repetitive must win the cascade)
+      (2L, Seq.fill(30)("spam").mkString(" "), "en", "s"),
+      // 25 distinct 12-char words: mean 12000‰ → word_len
+      (3L, (1 to 25).map(i => f"longword$i%04d").mkString(" "), "en", "s"),
+      // healthy lengths/diversity but zero stopwords → no_stopword
+      (4L, five + " extra words here", "en", "s"),
+      // same plus a stopword → keep
+      (5L, five + " and extra words", "en", "s")))
+    val out = Curation.defs("c13_quality_rules").build(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(out === Map(1L -> "too_short", 2L -> "repetitive",
+      3L -> "word_len", 4L -> "no_stopword", 5L -> "keep"))
+  }
 }

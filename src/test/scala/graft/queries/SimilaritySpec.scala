@@ -94,4 +94,59 @@ class SimilaritySpec extends AnyFunSuite {
         .foreach(d => assert(d === r.getLong(2)))
     }
   }
+
+  test("e10 knn-classify: majority label of the exact top-10, deterministic ties") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576d).toLong).toArray,
+        r.getAs[Number]("label").longValue))
+    def predict(q: (Long, Array[Long], Long)): (Long, Long) = {
+      val top = emb.filter(_._1 != q._1)
+        .map(c => (c._3, c._1,
+          c._2.zip(q._2).map { case (a, b) => a * b }.sum))
+        .sortBy { case (_, id, d) => (-d, id) }.take(10)
+      val votes = top.groupBy(_._1).view.mapValues(_.size).toSeq
+        .sortBy { case (l, v) => (-v, l) }
+      (votes.head._1, votes.head._2.toLong)
+    }
+    val out = Similarity.defs("e10_knn_classify").build(spark, dir).collect()
+    assert(out.length === 32, "one verdict per probe")
+    out.foreach { r =>
+      val q = emb.find(_._1 == r.getLong(0)).get
+      val (pl, v) = predict(q)
+      assert(r.getLong(1) === q._3, s"true_label of probe ${q._1}")
+      assert(r.getLong(2) === pl, s"pred_label of probe ${q._1}")
+      assert(r.getLong(3) === v, s"votes of probe ${q._1}")
+      assert(r.getLong(4) === (if (pl == q._3) 1L else 0L))
+    }
+  }
+
+  test("e11 int8 knn equals a re-derived int8 brute force; codes bounded") {
+    // mirror of the query's quantization: maxabs / ·127 / division are
+    // single correctly-rounded IEEE double ops, rounding is HALF_UP on
+    // the exact binary expansion (Spark Round semantics)
+    val codes = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val xs = r.getSeq[Float](1).map(_.toDouble).toArray
+        val m = xs.map(math.abs).max
+        r.getLong(0) -> (if (m == 0d) xs.map(_ => 0L)
+          else xs.map(x => new java.math.BigDecimal(x * 127d / m)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact))
+      }
+    codes.foreach { case (id, cs) =>
+      assert(cs.forall(c => c >= -127L && c <= 127L), s"codes of $id in int8 range")
+    }
+    val expected = codes.filter(_._1 < 8).flatMap { case (q, pc) =>
+      codes.filter(_._1 != q)
+        .map { case (c, cc) =>
+          (q, c, pc.zip(cc).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (_, id, d) => (-d, id) }.take(10)
+        .zipWithIndex.map { case ((_, c, d), i) => (q, c, d, i + 1L) }
+    }.toSet
+    val got = Similarity.defs("e11_int8_knn").build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+  }
 }
