@@ -71,17 +71,25 @@ object QueryDef {
   }
 
   /** Load the events table with `ts` normalized to a microsecond
-    * TimestampType. The parquet file stores TIMESTAMP(NANOS), which Spark 4
-    * only reads with spark.sql.legacy.parquet.nanosAsLong=true (set in
-    * Verify/Bench sessions) — in that mode ts arrives as Long nanoseconds.
-    * Integer `DIV` (not `/`): epoch-ns ≈ 1.7e18 exceeds the 2^53 exact
-    * range of a double, so float division would corrupt low-order digits. */
+    * TimestampType, whatever physical type the generator chose:
+    *   - TIMESTAMP(NANOS) (earlier testdata): readable only with
+    *     spark.sql.legacy.parquet.nanosAsLong=true (set by
+    *     GraftSession), arriving as Long nanoseconds. Integer `DIV`
+    *     (not `/`): epoch-ns ≈ 1.7e18 exceeds the 2^53 exact range of
+    *     a double, so float division would corrupt low-order digits.
+    *   - timestamp[us] without UTC adjustment (current testdata):
+    *     arrives as TIMESTAMP_NTZ, which unix_micros & co. reject.
+    *     The session timezone is pinned to UTC, so the NTZ→LTZ cast
+    *     reinterprets the same wall clock as the same instant DuckDB's
+    *     naive TIMESTAMP sees — oracle parity preserved. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
