@@ -244,6 +244,111 @@ object IvfAnn {
       .orderBy("query_id", "rnk")
   }
 
+  /** Whole-corpus APPROXIMATE kNN graph — the fixed-nprobe scale dial
+    * the [[knnExact]] Scaladoc promises for corpora where the adaptive
+    * exact pruning degrades toward all-pairs (near-random vectors, wide
+    * cluster radii). Same output schema as the exact graph; recall is a
+    * dial, not a guarantee — KnnGraphApproxSpec pins ≥ 0.95 at the
+    * default (k=32, nprobe=24) against [[knnExact]] on the driver's
+    * unclustered sf0.01 corpus, the adversarial case (real embedding
+    * corpora cluster tighter, which only helps).
+    *
+    * Plan shape, deliberately different from [[knn]]'s literal-array
+    * expressions: [[distArray]] inlines k centroids × dim literals into
+    * ONE expression, which blows past the JIT/codegen comfort zone
+    * right when the graph case wants bigger k (measured: k=32 turns a
+    * seconds-scale sf0.01 graph into ~25 s of mostly plan/codegen).
+    * Here centroids are a BROADCAST k-row frame: corpus × centroids is
+    * a broadcast nested-loop producing n·k (id, cid, d²) rows with one
+    * fixed-size codegen fold, cluster assignment is a map-side-partial
+    * min_by aggregation, probe lists are one window pass, and the
+    * candidate join needs NO distinct (each candidate lives in exactly
+    * one inverted list, so a pair can only arise once). One shuffle for
+    * the n·k ranking, one for the per-query top-k — at 1000 executors
+    * the broadcast is k·dim doubles and everything else partitions by
+    * vec_id/query_id. */
+  def knnGraph(spark: SparkSession, dir: String, topK: Int = 5, k: Int = 32,
+      nprobe: Int = 24, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = trainCentroidsJoin(spark, emb, k, iters)
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val scored = e.crossJoin(broadcast(centFrame(spark, cents)))
+      .select(col("vec_id"), col("cid"), centDist2.as("d2"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    val ranked = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= math.max(1, nprobe))
+    val corpus = ranked.filter(col("rnk") === 1)
+      .select(col("vec_id").as("cand_id"), col("cid"))
+    val probes = ranked.select(col("vec_id").as("query_id"), col("cid"))
+    val pairs = probes.join(corpus,
+        probes("cid") === corpus("cid") && col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"))
+    val qvs = emb.select(col("vec_id"), expr(quant).as("qv"))
+    val cands = pairs
+      .join(qvs.select(col("vec_id").as("query_id"), col("qv").as("pq")), "query_id")
+      .join(qvs.select(col("vec_id").as("cand_id"), col("qv")), "cand_id")
+      .select(col("query_id"), col("cand_id"), expr(qdot("pq", "qv")).as("dot"))
+    val wk = Window.partitionBy("query_id").orderBy(col("dot").desc, col("cand_id"))
+    cands.withColumn("rnk", row_number().over(wk).cast("bigint"))
+      .filter(col("rnk") <= topK)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Centroids as a k-row broadcastable frame. */
+  private def centFrame(spark: SparkSession,
+      cents: Seq[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toDF("cid", "cvec")
+  }
+
+  /** Squared L2 distance between the `e` and `cvec` array columns —
+    * identical arithmetic (and thus identical assignments/ties) to
+    * [[dist2]]'s literal form. */
+  private def centDist2: Column =
+    aggregate(zip_with(col("e"), col("cvec"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Lloyd training with the broadcast-join assignment ([[knnGraph]]'s
+    * rationale): same deterministic init (k smallest md5(vec_id)) and
+    * the same double arithmetic as [[trainCentroids]], so results match
+    * bit-for-bit; assignment is a min_by aggregation instead of a
+    * k×dim-literal expression, so big k stays codegen-friendly. */
+  private[operators] def trainCentroidsJoin(spark: SparkSession,
+      emb: DataFrame, k: Int, iters: Int): Seq[Array[Double]] = {
+    val dim = emb.selectExpr("size(embedding)").head.getInt(0)
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    var cents: Seq[Array[Double]] = e
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(k)
+      .collect().map(_.getSeq[Double](1).toArray).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = e.crossJoin(broadcast(centFrame(spark, cents)))
+        .select(col("vec_id"), col("e"), col("cid"), centDist2.as("d2"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cid"))).as("m"),
+          first(col("e")).as("e"))
+        .select(col("m.cid").as("cluster"), col("e"))
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos").agg(avg("v").as("m"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        byCluster.get(ci) match {
+          case Some(rows) =>
+            val a = new Array[Double](dim)
+            rows.foreach(r => a(r.getInt(1)) = r.getDouble(2))
+            a
+          case None => old // empty cluster
+        }
+      }
+    }
+    cents
+  }
+
   /** Top-k approximate neighbors for `probes` out of the embeddings
     * table via nprobe-list IVF search, re-ranked by exact quantized dot. */
   def knn(spark: SparkSession, dir: String, probePred: Column, topK: Int = 10,

@@ -382,6 +382,23 @@ object Similarity {
     // all-pairs cost of an EXACT graph; at 100 TB you either accept
     // that for exactness or swap the probe list for fixed-nprobe knn /
     // AnnLsh buckets and take the recall dial.
+    // ---------------------------------------------------------------- e12
+    // The same whole-corpus kNN graph via FIXED-NPROBE IVF — the 100 TB
+    // scale dial e09's cost note names: on unclustered corpora the exact
+    // graph degrades toward all-pairs, so the production build trades a
+    // recall contract (≥ 0.95 at the default dials, pinned by
+    // KnnGraphApproxSpec against e09's exact output on the driver's
+    // near-random corpus — the adversarial case) for a bounded
+    // nprobe/k·n² candidate volume. Broadcast centroid join + min_by
+    // assignment (no k×dim literal expressions), candidate join needs no
+    // distinct (one inverted list per candidate). Not SQL-oracle-able
+    // (approximate by design) → rows-only driver check + the spec gate.
+    "e12_knn_graph_approx" -> QueryDef(
+      build = (spark, dir) =>
+        graft.operators.IvfAnn.knnGraph(spark, dir, topK = 5),
+      oracle = None,
+      headline = true),
+
     "e09_knn_graph" -> QueryDef(
       build = (spark, dir) =>
         graft.operators.IvfAnn.knnExact(spark, dir, lit(true), topK = 5),

@@ -395,6 +395,45 @@ object TextMedia {
         WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(na AS HUGEINT) * nb * 8100
         ORDER BY vec_a, vec_b""")),
 
+    // ---------------------------------------------------------------- e04b
+    // Same operator, DATA-CALIBRATED threshold: the driver's embeddings
+    // top out at cos ≈ 0.51/0.60 (sf0.01/0.1), so the canonical 0.90
+    // entry above is vacuously empty there and its green row only
+    // proves the empty relation. This entry drops the threshold to
+    // 0.40 — 59 real pairs at sf0.01 — so the DuckDB all-pairs oracle
+    // verifies actual banded-join output. Low-cosine recall needs an
+    // oracle-mode dial (e03's posture): at cos 0.40 a hyperplane bit
+    // agrees w.p. 1 − acos(0.4)/π ≈ 0.631, so a 3-bit band agrees w.p.
+    // 0.251 and 64 bands miss a threshold-edge pair w.p. (1−0.251)^64 ≈
+    // 9e-9 — and the hyperplanes are seeded, so on this fixed corpus
+    // coverage is proven by execution (hash-green below + the
+    // CosineNearDupSpec brute-force parity at sf0.001). Production
+    // keeps the 0.90 defaults; this dial exists to make the oracle
+    // exercise real rows.
+    "e04b_cosine_neardup_cal" -> QueryDef(
+      build = (spark, dir) =>
+        graft.operators.CosineNearDup.pairs(
+          QueryDef.spread(spark, dir, "embeddings"),
+          pct = 40, tables = 64, bits = 3),
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id,
+                 [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
+          FROM embeddings),
+        e AS (
+          SELECT vec_id, qv,
+                 CAST(list_sum([x * x for x in qv]) AS BIGINT) AS norm2
+          FROM q),
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 CAST(list_sum([a.qv[i] * b.qv[i] for i in range(1, 65)]) AS BIGINT) AS dot,
+                 a.norm2 AS na, b.norm2 AS nb
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, dot, na, nb
+        FROM pairs
+        WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(na AS HUGEINT) * nb * 1600
+        ORDER BY vec_a, vec_b""")),
+
     // ---------------------------------------------------------------- e07
     // SemDeDup-style semantic dedup: within-CLUSTER cosine near-dup
     // verdicts (the `label` column is the cluster assignment — the

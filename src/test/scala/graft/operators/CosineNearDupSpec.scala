@@ -71,6 +71,20 @@ class CosineNearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("e04b oracle-mode dial recovers the full cos>=0.40 relation on driver data") {
+    // The data-calibrated query entry (TextMedia e04b): threshold 0.40,
+    // tables=64 x bits=3 — miss probability ~9e-9 per threshold-edge
+    // pair, and the seeded hyperplanes make it deterministic. Pin full
+    // parity with the all-pairs definition on the real sf0.001 corpus,
+    // where the relation is non-empty (66 pairs) — the non-vacuous
+    // counterpart of the driver's sf0.01 oracle row.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = pairSet(CosineNearDup.pairs(emb, pct = 40, tables = 64, bits = 3))
+    val truth = pairSet(CosineNearDup.bruteForce(emb, pct = 40))
+    assert(truth.nonEmpty, "calibrated threshold must yield real pairs")
+    assert(got === truth, s"missed: ${truth -- got}; extras: ${got -- truth}")
+  }
+
   test("driver testdata really has no true pairs (documents the 0-row oracle)") {
     val truth = pairSet(CosineNearDup.bruteForce(
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")))
