@@ -74,17 +74,68 @@ object DumpInserts {
     out.result()
   }
 
+  /** Quote-aware statement-completion scanner: feed lines one at a
+    * time; `feed` returns true when a top-level `;` (outside quotes)
+    * terminates the statement — possibly lines after it started. Each
+    * factory mirrors its dialect's SEQUENTIAL parser's assembly rules
+    * EXACTLY (same quote chars, same escape handling), so the V2
+    * readers and the driver-side scanner agree on where every
+    * statement ends:
+    *   - pg   — single quotes only ('' doubling = two toggles),
+    *            PgDumpParser.parseIndexed's char scan;
+    *   - mysql — single quotes with backslash escapes + backtick
+    *            identifiers, MySqlDumpParser.parse's char scan. */
+  final class StmtScanner private (trackBacktick: Boolean,
+      backslashInSingle: Boolean) {
+    private var inQ = false
+    private var inBt = false
+    def feed(line: String): Boolean = {
+      var i = 0
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (c == '\\' && backslashInSingle && inQ) i += 1
+        else if (c == '\'' && !inBt) inQ = !inQ
+        else if (c == '`' && trackBacktick && !inQ) inBt = !inBt
+        else if (c == ';' && !inQ && !inBt) return true
+        i += 1
+      }
+      false
+    }
+  }
+  object StmtScanner {
+    def pg(): StmtScanner = new StmtScanner(false, false)
+    def mysql(): StmtScanner = new StmtScanner(true, true)
+  }
+
   /** Streams one byte chunk's INSERT tuples. Hadoop split semantics
     * (seek, discard the first possibly-partial line unless at offset 0,
     * emit lines whose start is <= end); `excluded` ranges are skipped
-    * strictly-inside (boundary lines are never statements); `lex` is
-    * the source dialect's classifier + tuple lexer — it must accept
-    * EXACTLY the statements discovery indexed, or extent/stats and
-    * served rows drift apart. Pushed filters are evaluated on the raw
-    * tuple values before row construction. */
+    * strictly-inside (boundary lines are never statements).
+    *
+    * Statements may SPAN LINES (`--column-inserts`-style wrapped
+    * tuples, string values with embedded newlines — the reference's
+    * chunked parser handles these, mysql/mysqldump.go:80-125): a line
+    * `isStart` accepts opens a statement, continuation lines are
+    * appended until `newScanner()`'s quote-state scan sees the
+    * terminating top-level `;`, and the JOINED statement goes to `lex`.
+    * Exactly-once across chunks follows the same rule as straddling
+    * lines: the chunk containing the START consumes the whole statement
+    * (even past `end`); a reader seeking into the middle discards its
+    * first partial line and then skips continuation lines because they
+    * don't satisfy `isStart`. (The unavoidable residual ambiguity — a
+    * quoted string value containing a newline followed by text that
+    * mimics an INSERT header at line start — is shared with every
+    * line-resynced chunk parser, the reference's included.)
+    *
+    * `isStart`/`lex` must accept EXACTLY the statements discovery
+    * indexed, or extent/stats and served rows drift apart. Pushed
+    * filters are evaluated on the raw tuple values before row
+    * construction. */
   final class TupleReader(path: String, conf: SerializableConfiguration,
       start: Long, end: Long, excluded: Array[(Long, Long)], nCols: Int,
       proj: Array[Int], pushed: Array[DumpFilters.Pushed],
+      isStart: String => Boolean,
+      newScanner: () => StmtScanner,
       lex: String => Iterator[Seq[String]])
       extends PartitionReader[InternalRow] {
     private val in = {
@@ -117,7 +168,28 @@ object DumpInserts {
           val consumed = lines.readLine(text)
           if (consumed == 0) return false
           pos += consumed
-          if (!inExcluded(lineStart)) tuples = lex(text.toString)
+          if (!inExcluded(lineStart)) {
+            val first = text.toString
+            if (isStart(first)) {
+              val sc = newScanner()
+              if (sc.feed(first)) tuples = lex(first)
+              else {
+                // multi-line statement: consume continuation lines (past
+                // `end` if need be — the start-owning chunk serves the
+                // whole statement) until the top-level ';' or EOF
+                val sb = new java.lang.StringBuilder(first)
+                var more = lines.readLine(text)
+                var done = more == 0
+                while (!done) {
+                  pos += more
+                  sb.append('\n').append(text.toString)
+                  done = sc.feed(text.toString)
+                  if (!done) { more = lines.readLine(text); done = more == 0 }
+                }
+                tuples = lex(sb.toString)
+              }
+            }
+          }
         }
         val t = tuples.next()
         if (DumpFilters.matches(pushed,

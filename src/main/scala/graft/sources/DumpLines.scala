@@ -25,7 +25,11 @@ object DumpChunks {
 }
 
 object DumpLines {
-  def indexed(spark: SparkSession, path: String): DataFrame = {
+  def indexed(spark: SparkSession, rawPath: String): DataFrame = {
+    // gzip'd dumps inflate to scratch first (DumpCodec): Hadoop would
+    // read the .gz correctly but as ONE unsplittable partition,
+    // silently serializing the whole downstream codegen stage
+    val path = DumpCodec.materialize(spark, rawPath)
     // one split per core, not Hadoop's size-based default (1-2 splits
     // for a tens-of-MB dump): the whole scan→split→unescape→cast stage
     // AND boundary discovery inherit this parallelism, and text input

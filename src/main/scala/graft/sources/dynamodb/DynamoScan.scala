@@ -9,10 +9,12 @@ import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
   * dynamodb/data.go:64-91 — the Spark shape puts one segment per task).
   *
   * The client seam is serializable so each executor task opens its own
-  * connection state; the AWS implementation is one `scanPage` away
-  * (SDK v2 `ScanRequest` with segment/totalSegments/exclusiveStartKey —
-  * same posture as modules/dynamodb's AwsDynamoControlPlane, live only
-  * where the SDK resolves). Items cross the seam as DynamoDB-JSON
+  * connection state; the LIVE implementation is
+  * modules/dynamodb's AwsDynamoScanClient (SDK v2 `ScanRequest` with
+  * Segment/TotalSegments/ExclusiveStartKey, config-shipping +
+  * lazy-per-JVM client, DynamoDB-JSON cursors — compiled only with
+  * GRAFT_WITH_AWS_DYNAMO=1, env-gated spec against dynamodb-local).
+  * Items cross the seam as DynamoDB-JSON
   * strings, the same wire form [[DynamoInfer]] consumes, so the
   * segment scan drops into schema inference and migration unchanged.
   *

@@ -169,14 +169,34 @@ object MySqlDumpParser {
 
   /** `INSERT INTO `t` [(cols)] VALUES ...` header (data parsed distributed). */
   private[mysqldump] object InsertHeader {
+    // \b, not \s, after VALUES: accepts `VALUES(1)` (hand-written
+    // dumps) and a first line ENDING at `VALUES` (wrapped statements);
+    // (?s) makes it equally valid on a joined multi-line statement
     private val re =
-      """(?is)^INSERT\s+INTO\s+(`(?:[^`]|``)+`|\S+?)\s*(?:\(([^)]*)\))?\s+VALUES\s.*$""".r
+      """(?is)^INSERT\s+INTO\s+(`(?:[^`]|``)+`|\S+?)\s*(?:\(([^)]*)\))?\s+VALUES\b.*$""".r
+    // a wrapped statement's first line may stop BEFORE the VALUES
+    // keyword (mysqldump itself never wraps — bounded by
+    // max-allowed-packet per line — but hand-edited dumps do)
+    private val startNoValuesRe =
+      """(?is)^INSERT\s+INTO\s+(`(?:[^`]|``)+`|[^\s(`]+)\s*(?:\(([^)]*)\))?\s*$""".r
     def unapply(stmt: String): Option[(String, Option[Seq[String]])] = stmt match {
       case re(tbl, cols) =>
         Some((unquoteId(tbl),
           Option(cols).map(_.split(",").map(unquoteId).toSeq)))
       case _ => None
     }
+
+    /** First-line classifier for INSERT statements that may span lines
+      * (see the pg twin, PgTuples.startHeader): [[unapply]] or a
+      * header-only first line; a column list itself spanning lines is
+      * the one unsupported wrapping. */
+    def startHeader(line: String): Option[(String, Option[Seq[String]])] =
+      unapply(line).orElse(line match {
+        case startNoValuesRe(tbl, cols) =>
+          Some((unquoteId(tbl),
+            Option(cols).map(_.split(",").map(unquoteId).toSeq)))
+        case _ => None
+      })
   }
 
   // ------------------------------------------------------- CREATE TABLE

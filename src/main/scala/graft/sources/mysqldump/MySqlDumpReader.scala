@@ -39,7 +39,7 @@ object MySqlDumpReader {
   /** Sequential driver-side schema pass — for spark-less callers. The
     * migration path uses the distributed overload. */
   def schemaPass(path: String): (MySqlDumpParser.DumpSchema, SchemaConverter.ConversionPlan) = {
-    val src = scala.io.Source.fromFile(path)
+    val src = graft.sources.DumpCodec.openText(path)
     val dump = try MySqlDumpParser.parse(src.getLines()) finally src.close()
     (dump, planOf(dump))
   }
@@ -55,6 +55,16 @@ object MySqlDumpReader {
   private[mysqldump] def prunableInsert(line: String): Boolean =
     line.regionMatches(true, 0, "INSERT INTO ", 0, 12) &&
       line.trim.endsWith(";") && MySqlDumpParser.InsertHeader.unapply(line).isDefined
+
+  /** True for a line that STARTS an INSERT statement, terminated on this
+    * line or not — the V2 discovery/reader classifier (wrapped
+    * statements assemble in the reader). [[prunableInsert]] stays the
+    * schema-pass pruning predicate: pruning just the first line of a
+    * wrapped statement would orphan its continuation lines in the
+    * driver's statement stream. */
+  private[mysqldump] def insertStart(line: String): Boolean =
+    line.regionMatches(true, 0, "INSERT INTO ", 0, 12) &&
+      MySqlDumpParser.InsertHeader.startHeader(line).isDefined
 
   /** Distributed schema pass: mysqldump data is one extended-INSERT per
     * line, so the executors prune + aggregate those while the driver
@@ -317,19 +327,43 @@ object MySqlDumpReader {
   }
 
   /** Full pipeline: parse, read + convert every table's INSERT data.
-    * `planOverride` (session-file plan) supports -data-only runs. */
+    * `planOverride` (session-file plan) supports -data-only runs.
+    *
+    * Data pass: V2 byte-range source (`format("mysqldump")`) per table
+    * by default — extent-bounded chunks instead of the shared full-file
+    * line scan, and the path that handles wrapped multi-line INSERT
+    * statements; the line-ranged read stays as the per-table fallback
+    * for statements that disagree on column lists (see the pgdump
+    * twin). When no table needed the fallback the shared line cache is
+    * released before returning. */
   def migrate(spark: SparkSession, path: String,
-      planOverride: Option[SchemaConverter.ConversionPlan] = None): Migration = {
-    // one cached scan serves boundary discovery AND every table's read
-    val lines = graft.sources.DumpLines.indexed(spark, path).cache()
+      planOverride: Option[SchemaConverter.ConversionPlan] = None,
+      dataViaV2: Boolean = true): Migration = {
+    val real = graft.sources.DumpCodec.materialize(spark, path)
+    // one cached scan serves boundary discovery AND any line-ranged read
+    val lines = graft.sources.DumpLines.indexed(spark, real).cache()
     val (dump, freshPlan, blocks) = schemaPass(spark, lines)
     val plan = planOverride.getOrElse(freshPlan)
+    var lineRangedUsed = false
     val tables = plan.srcSchema.keys.map { srcTable =>
       val spName = plan.toSpannerTable(srcTable)
       val frames = dump.insertCols.get(srcTable) match {
         case Some(colsOpt) =>
-          val cols = colsOpt.getOrElse(dump.tables(srcTable).colNames)
-          val raw = readInsertRaw(lines, srcTable, cols, blocks)
+          val raw =
+            if (dataViaV2)
+              try spark.read.format("mysqldump").option("table", srcTable).load(real)
+              catch { case _: IllegalArgumentException =>
+                // disagreeing column lists: the V2 source refuses,
+                // positional mapping over the schema list copes
+                lineRangedUsed = true
+                val cols = colsOpt.getOrElse(dump.tables(srcTable).colNames)
+                readInsertRaw(lines, srcTable, cols, blocks)
+              }
+            else {
+              lineRangedUsed = true
+              val cols = colsOpt.getOrElse(dump.tables(srcTable).colNames)
+              readInsertRaw(lines, srcTable, cols, blocks)
+            }
           convertTable(spark, plan, srcTable, raw)
         case None => // schema-only table
           val sp = plan.spSchema(spName)
@@ -340,6 +374,7 @@ object MySqlDumpReader {
       }
       spName -> frames
     }.toMap
+    if (!lineRangedUsed) lines.unpersist(blocking = false)
     Migration(plan, dump, tables, () => { lines.unpersist(blocking = false); () })
   }
 }

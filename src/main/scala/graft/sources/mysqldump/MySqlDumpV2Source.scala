@@ -43,14 +43,17 @@ import org.apache.spark.util.SerializableConfiguration
 final class MySqlDumpTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "mysqldump"
 
+  // gzip'd dumps inflate once to scratch (DumpCodec) — byte-range
+  // partitioning needs seekable uncompressed bytes; everything below
+  // (discovery, stats, readers) operates on the inflated path
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    MySqlDumpV2.schemaFor(MySqlDumpV2.pathOf(options),
+    MySqlDumpV2.schemaFor(MySqlDumpV2.realPathOf(options),
       MySqlDumpV2.tableOf(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new MySqlDumpV2Table(MySqlDumpV2.pathOf(opts), MySqlDumpV2.tableOf(opts),
+    new MySqlDumpV2Table(MySqlDumpV2.realPathOf(opts), MySqlDumpV2.tableOf(opts),
       schema, Option(opts.get("chunkBytes")).map(_.toLong))
   }
 }
@@ -167,10 +170,11 @@ private[mysqldump] final class MySqlInsertReaderFactory(path: String,
     val tbl = table
     new graft.sources.DumpInserts.TupleReader(path, conf, c.start, c.end,
       blocks, nCols, proj, pushed,
-      line =>
-        if (MySqlDumpReader.prunableInsert(line) &&
-            MySqlDumpReader.isInsertFor(line, tbl))
-          MySqlDumpReader.Tuples.parseLine(line).iterator
+      isStart = MySqlDumpReader.insertStart,
+      newScanner = graft.sources.DumpInserts.StmtScanner.mysql _,
+      lex = stmt =>
+        if (MySqlDumpReader.isInsertFor(stmt, tbl))
+          MySqlDumpReader.Tuples.parseLine(stmt).iterator
         else Iterator.empty)
   }
 }
@@ -204,6 +208,10 @@ private[mysqldump] object MySqlDumpV2 {
 
   def tableOf(options: CaseInsensitiveStringMap): Option[String] =
     Option(options.get("table"))
+
+  /** [[pathOf]] with compressed input materialized (DumpCodec). */
+  def realPathOf(options: CaseInsensitiveStringMap): String =
+    graft.sources.DumpCodec.materialize(SparkSession.active, pathOf(options))
 
   /** Two bounded distributed jobs: (1) collect DELIMITER lines (~2 per
     * trigger/routine) and resolve block ranges with the sequential
@@ -259,9 +267,14 @@ private[mysqldump] object MySqlDumpV2 {
         val off = k.get
         val len = v.getLength.toLong
         val l = v.toString
+        // statement STARTS, terminated on their line or not (wrapped
+        // statements assemble in the reader); `len` counts the first
+        // line only for a wrapped statement — the size statistic
+        // undercounts, which can only make broadcast planning more
+        // conservative
         if (blocks.exists(b => off > b._1 && off < b._2)) None
-        else if (!MySqlDumpReader.prunableInsert(l)) None
-        else MySqlDumpParser.InsertHeader.unapply(l).map { case (tbl, colsOpt) =>
+        else if (!MySqlDumpReader.insertStart(l)) None
+        else MySqlDumpParser.InsertHeader.startHeader(l).map { case (tbl, colsOpt) =>
           ((tbl, colsOpt.map(_.mkString(graft.sources.DumpInserts.SEP)).orNull),
             (off, off, len))
         }

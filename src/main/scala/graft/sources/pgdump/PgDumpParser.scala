@@ -54,6 +54,16 @@ object PgDumpParser {
     line.regionMatches(true, 0, "INSERT INTO ", 0, 12) &&
       line.trim.endsWith(";") && PgTuples.header(line).isDefined
 
+  /** True for a line that STARTS an INSERT statement, terminated on this
+    * line or not — the V2 discovery/reader classifier, which assembles
+    * wrapped statements itself. [[prunableInsert]] (complete single-line
+    * statements only) stays the schema-pass pruning predicate: pruning
+    * just the first line of a wrapped statement would orphan its
+    * continuation lines in the driver's statement stream. */
+  private[pgdump] def insertStart(line: String): Boolean =
+    line.regionMatches(true, 0, "INSERT INTO ", 0, 12) &&
+      PgTuples.startHeader(line).isDefined
+
   /** (unqualified table, column list when present) of a single-line COPY
     * header — the V2 source's boundary classifier shares the scanner's
     * header grammar. */
@@ -401,8 +411,18 @@ object PgDumpParser {
     * standard_conforming_strings: '' is the only quote escape; E'...'
     * strings additionally unescape backslash sequences. */
   private[pgdump] object PgTuples {
+    // \b, not \s, after VALUES: accepts `VALUES(1)` (hand-written
+    // dumps) and a first line ENDING at `VALUES` (wrapped statements);
+    // (?s) makes it equally valid on a joined multi-line statement
     private val headerRe =
-      """(?is)^INSERT\s+INTO\s+(.+?)\s*(?:\(([^)]*)\))?\s+VALUES\s.*$""".r
+      """(?is)^INSERT\s+INTO\s+(.+?)\s*(?:\(([^)]*)\))?\s+VALUES\b.*$""".r
+    // a wrapped statement's first line may stop BEFORE the VALUES
+    // keyword: `INSERT INTO t (a, b)` or `INSERT INTO t` alone. The
+    // identifier here is deliberately simple (no spaces) — pg_dump
+    // itself always puts VALUES on the header line, so this form only
+    // appears in hand-pretty-printed dumps
+    private val startNoValuesRe =
+      """(?is)^INSERT\s+INTO\s+("[^"]+"|[^\s("]+)\s*(?:\(([^)]*)\))?\s*$""".r
 
     /** (unqualified table, column list when present). */
     def header(stmt: String): Option[(String, Option[Seq[String]])] = stmt match {
@@ -410,6 +430,21 @@ object PgDumpParser {
         Some((unqualify(tbl), Option(cols).map(_.split(",").map(unquoteId).toSeq)))
       case _ => None
     }
+
+    /** First-line classifier for INSERT statements that may span lines:
+      * [[header]] (VALUES on the first line, terminated or not) or a
+      * header-only first line. The column list is complete on the first
+      * line in both forms, so discovery's per-(table, cols) aggregation
+      * stays exact; a column list ITSELF spanning lines is the one
+      * unsupported wrapping (falls to the sequential parser's stream —
+      * degradation, not data loss, for the schema pass; the V2 source
+      * doesn't index it). */
+    def startHeader(line: String): Option[(String, Option[Seq[String]])] =
+      header(line).orElse(line match {
+        case startNoValuesRe(tbl, cols) =>
+          Some((unqualify(tbl), Option(cols).map(_.split(",").map(unquoteId).toSeq)))
+        case _ => None
+      })
 
     /** All raw-string tuples of one INSERT line, when it targets `table`. */
     def rowsFor(line: String, table: String): Seq[Seq[String]] =

@@ -70,13 +70,16 @@ import graft.sources.{DumpChunks, DumpFilters, DumpInserts}
 final class PgDumpTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "pgdump"
 
+  // gzip'd dumps inflate once to scratch (DumpCodec) — byte-range
+  // partitioning needs seekable uncompressed bytes; everything below
+  // (discovery, stats, readers) operates on the inflated path
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    PgDumpV2.schemaFor(PgDumpV2.pathOf(options), PgDumpV2.tableOf(options))
+    PgDumpV2.schemaFor(PgDumpV2.realPathOf(options), PgDumpV2.tableOf(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new PgDumpV2Table(PgDumpV2.pathOf(opts), PgDumpV2.tableOf(opts), schema,
+    new PgDumpV2Table(PgDumpV2.realPathOf(opts), PgDumpV2.tableOf(opts), schema,
       Option(opts.get("chunkBytes")).map(_.toLong))
   }
 }
@@ -207,10 +210,9 @@ private[pgdump] final class PgDumpReaderFactory(path: String,
       val tbl = table
       new DumpInserts.TupleReader(path, conf, c.start, c.end, payloadRanges,
         nCols, proj, pushed,
-        line =>
-          if (PgDumpParser.prunableInsert(line))
-            PgDumpParser.PgTuples.rowsFor(line, tbl).iterator
-          else Iterator.empty)
+        isStart = PgDumpParser.insertStart,
+        newScanner = DumpInserts.StmtScanner.pg _,
+        lex = stmt => PgDumpParser.PgTuples.rowsFor(stmt, tbl).iterator)
     } else new PgCopyReader(path, conf, c.start, c.end, nCols, proj, pushed)
   }
 }
@@ -335,6 +337,10 @@ private[pgdump] object PgDumpV2 {
   def tableOf(options: CaseInsensitiveStringMap): Option[String] =
     Option(options.get("table"))
 
+  /** [[pathOf]] with compressed input materialized (DumpCodec). */
+  def realPathOf(options: CaseInsensitiveStringMap): String =
+    graft.sources.DumpCodec.materialize(SparkSession.active, pathOf(options))
+
   /** Boundary discovery, cached per path (replaced on mtime change):
     * pass 1 collects COPY headers and `\.` terminators with byte
     * offsets (~2 rows per table — O(metadata), the payload never leaves
@@ -410,9 +416,14 @@ private[pgdump] object PgDumpV2 {
         val off = k.get
         val len = v.getLength.toLong
         val l = v.toString
+        // statement STARTS, terminated on their line or not (wrapped
+        // statements assemble in the reader); `len` counts the first
+        // line only for a wrapped statement — the size statistic
+        // undercounts, which can only make broadcast planning more
+        // conservative
         if (payload.exists(r => off > r._1 && off < r._2)) None
-        else if (!PgDumpParser.prunableInsert(l)) None
-        else PgDumpParser.PgTuples.header(l).map { case (tbl, colsOpt) =>
+        else if (!PgDumpParser.insertStart(l)) None
+        else PgDumpParser.PgTuples.startHeader(l).map { case (tbl, colsOpt) =>
           ((tbl, colsOpt.map(_.mkString(DumpInserts.SEP)).orNull), (off, off, len))
         }
       }

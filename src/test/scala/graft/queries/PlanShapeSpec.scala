@@ -16,19 +16,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans === 1, s"expected one events scan, plan had $scans:\n$plan")
   }
 
-  test("pg dump cast stage: fence present, casts never inlined into a Filter, scan stage codegens") {
-    val m = graft.sources.pgdump.PgDumpReader.migrate(spark,
-      "src/test/resources/fixtures/sample.pgdump")
-    val (good, _) = m.tables("inventory")
+  /** Shared fence/filter-hygiene assertions for both migrate data
+    * paths: the OptimizerBarrier must survive optimization (without it
+    * PushDownPredicates inlines every cast chain into one filter
+    * predicate whose generated method blows the JVM JIT's 8 KB limit),
+    * and no Filter may carry the cast machinery — quarantine filtering
+    * is on the fenced ATTRIBUTE only. */
+  private def assertCastStageHygiene(
+      good: org.apache.spark.sql.DataFrame): String = {
     val plan = good.queryExecution.executedPlan
     val s = plan.toString
-    // 1. the OptimizerBarrier fence survives optimization — without it
-    //    PushDownPredicates inlines every cast chain into one filter
-    //    predicate whose generated method blows the JVM JIT's 8 KB limit
     assert(s.contains("optimizer_barrier"), s)
-    // 2. no Filter carries the cast machinery: quarantine filtering is
-    //    on the fenced ATTRIBUTE only (the cast chains live in Project
-    //    position, each compiled as its own small JIT-able method)
     val filters = plan.collect {
       case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString }
     assert(filters.nonEmpty, s)
@@ -37,10 +35,31 @@ class PlanShapeSpec extends AnyFunSuite {
         !c.contains("gettimestamp"),
         s"cast chain leaked into a Filter predicate: $c")
     }
-    // 3. the bulk scan stage (line split + copy_unescape + field
-    //    projection) is inside whole-stage codegen — the hot O(dump
-    //    bytes) path a Spark upgrade must not silently de-compile
-    val wsc = plan.collect {
+    s
+  }
+
+  test("pg dump cast stage (V2 default): fence present, byte-range scan, no cast in Filter") {
+    val m = graft.sources.pgdump.PgDumpReader.migrate(spark,
+      "src/test/resources/fixtures/sample.pgdump")
+    val (good, _) = m.tables("inventory")
+    val s = assertCastStageHygiene(good)
+    // the default data path reads through the V2 byte-range source:
+    // unescape runs inside the PartitionReader (single-pass, shared
+    // between filter eval and row construction), so the plan shows a
+    // pgdump BatchScan, not a text scan + expression chain
+    assert(s.contains("BatchScan pgdump"), s)
+    m.release()
+  }
+
+  test("pg dump cast stage (line-ranged fallback): fence present, scan stage codegens") {
+    val m = graft.sources.pgdump.PgDumpReader.migrate(spark,
+      "src/test/resources/fixtures/sample.pgdump", dataViaV2 = false)
+    val (good, _) = m.tables("inventory")
+    val s = assertCastStageHygiene(good)
+    // the fallback's bulk scan stage (line split + copy_unescape +
+    // field projection) must stay inside whole-stage codegen — the hot
+    // O(dump bytes) path a Spark upgrade must not silently de-compile
+    val wsc = good.queryExecution.executedPlan.collect {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString }
     assert(wsc.exists(_.contains("copy_unescape")),
       s"bulk unescape stage fell out of whole-stage codegen:\n$s")
