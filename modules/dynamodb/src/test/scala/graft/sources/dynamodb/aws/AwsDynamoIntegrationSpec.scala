@@ -75,4 +75,67 @@ class AwsDynamoIntegrationSpec extends AnyFunSuite {
     } finally client.deleteTable(
       DeleteTableRequest.builder().tableName(table).build())
   }
+
+  test("S12 data plane: segment scan drains a live table exactly-once") {
+    gate()
+    val endpoint = sys.env("GRAFT_DYNAMO_ENDPOINT")
+    val client = DynamoDbClient.builder()
+      .endpointOverride(java.net.URI.create(endpoint))
+      .region(Region.US_EAST_1)
+      .credentialsProvider(StaticCredentialsProvider.create(
+        AwsBasicCredentials.create("local", "local")))
+      .build()
+    val table = s"graft_scan_${System.currentTimeMillis() % 1000000}"
+    client.createTable(CreateTableRequest.builder()
+      .tableName(table)
+      .attributeDefinitions(
+        AttributeDefinition.builder().attributeName("pk").attributeType(ScalarAttributeType.S).build())
+      .keySchema(
+        KeySchemaElement.builder().attributeName("pk").keyType(KeyType.HASH).build())
+      .provisionedThroughput(ProvisionedThroughput.builder()
+        .readCapacityUnits(5L).writeCapacityUnits(5L).build())
+      .build())
+    try {
+      (1 to 25).foreach { i =>
+        client.putItem(PutItemRequest.builder().tableName(table)
+          .item(Map(
+            "pk" -> AttributeValue.builder().s(s"k$i").build(),
+            "v" -> AttributeValue.builder().n(i.toString).build()).asJava)
+          .build())
+      }
+      val spark = graft.GraftSession.build("graft-dynamo-it")
+      // pageLimit=2 forces ExclusiveStartKey pagination inside every
+      // segment; 4 segments exercise the parallel-Scan partitioning
+      val scan = new AwsDynamoScanClient(endpoint = Some(endpoint),
+        staticTestCreds = true, pageLimit = Some(2))
+      val items = graft.sources.dynamodb.DynamoScan
+        .items(spark, scan, table, totalSegments = 4)
+        .collect()
+      assert(items.length === 25, "every item exactly once across segments")
+      val pks = items.map { j =>
+        val m = """"pk":\{"S":"([^"]+)"\}""".r
+        m.findFirstMatchIn(j).map(_.group(1)).getOrElse(sys.error(s"no pk in $j"))
+      }
+      assert(pks.toSet === (1 to 25).map(i => s"k$i").toSet)
+    } finally client.deleteTable(
+      DeleteTableRequest.builder().tableName(table).build())
+  }
+
+  test("cursor round-trip: itemJson → parseKey preserves scalar keys") {
+    // no endpoint needed — pure serialization contract of the seam
+    val key = Map(
+      "pk" -> AttributeValue.builder().s("a\"b\\c\nd").build(),
+      "sk" -> AttributeValue.builder().n("42").build(),
+      "bk" -> AttributeValue.builder().b(
+        software.amazon.awssdk.core.SdkBytes.fromByteArray(
+          Array[Byte](1, 2, 0xFF.toByte))).build())
+    val json = AwsDynamoControlPlane.itemJson(key.asJava)
+    val back = AwsDynamoScanClient.parseKey(json)
+    assert(back("pk").s() === "a\"b\\c\nd")
+    assert(back("sk").n() === "42")
+    assert(back("bk").b().asByteArray().toSeq === Seq[Byte](1, 2, 0xFF.toByte))
+    intercept[IllegalArgumentException] {
+      AwsDynamoScanClient.parseKey("""{"x":{"SS":["a"]}}""")
+    }
+  }
 }

@@ -513,6 +513,36 @@ object Curation {
                     WHEN mean_len_pm NOT BETWEEN 3900 AND 5100 THEN 'word_len'
                     WHEN n_stop = 0 THEN 'no_stopword'
                     ELSE 'keep' END AS verdict
-        FROM st ORDER BY doc_id"""))
+        FROM st ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- c14
+    // The flagship Curate CLI end-to-end, as a benchable query: exact
+    // dedup + SimHash near-dup clustering + quality gates + leakage-safe
+    // splits + shard export + packing, all WRITTEN to a scratch dir
+    // (the honest cost — the pipeline's own parquet sinks included),
+    // returning the verdict histogram. Every stage is an operator
+    // already oracle-checked individually (d01/c01/c12/c08/c09...);
+    // this entry exists to time their composition, which is what a real
+    // curation run pays. No SQL oracle — the composition's outputs are
+    // directories, not one relation; CurateSpec pins semantics and the
+    // driver's rows-only check guards the histogram shape.
+    "c14_curate_e2e" -> QueryDef(
+      build = (spark, dir) => {
+        import spark.implicits._
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_curate_bench_").toString
+        QueryDef.deferCleanup(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(out))
+        })
+        val res = graft.Curate.run(spark, dir, out)
+        (res.counts.toSeq.map { case (k, v) => (s"count:$k", v) } ++
+          res.splits.toSeq.map { case (k, v) => (s"split:$k", v) })
+          .toDF("bucket", "n_docs").orderBy("bucket")
+      },
+      oracle = None,
+      headline = true)
   )
 }
