@@ -46,10 +46,26 @@ object Bench {
         // measures the same cold-cache plan as pass N instead of warming
         // up against N's leftover block-manager storage
         graft.queries.QueryDef.drainCleanups()
+        // r10 bisect: with 32 executor threads in one 8g JVM, query N's
+        // surviving garbage (codegen classes, shuffle buffers, freed
+        // cache blocks) lands as GC pauses inside query N+1's timing —
+        // measured c01 3.34 s isolated vs 4.73 s in-set on the same box.
+        // Collect between queries so each number charges a query for its
+        // OWN allocation, not its predecessor's. Harness-only hygiene:
+        // production pipelines don't interleave 17 unrelated queries in
+        // a fixed order inside one driver JVM.
+        System.gc()
       }
     }
 
-    val names = SparkEntry.headlines
+    // SPARK_GRAFT_BENCH_QUERIES: comma-separated subset filter, for
+    // isolating one query's cost in a fresh JVM (bench-drift bisects)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+      case Some(filter) =>
+        val want = filter.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.headlines.filter(want)
+      case None => SparkEntry.headlines
+    }
     // one warm-up pass at sf-independent cost amortization (JIT, codegen
     // cache, parquet footer cache), then PASSES measured passes
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption).getOrElse(3)

@@ -43,9 +43,14 @@ object CopyUnescape {
   /** Register `copy_unescape(s)` as a SQL function on this session
     * (idempotent), so the expression is reachable from the Column API
     * via `call_function` without private Column constructors. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "copy_unescape", exprs => CopyUnescape(exprs.head), "built-in")
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    // guard: re-registering on every read logs a "replaced a previously
+    // registered function" WARN per call — pure churn in long sessions
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("copy_unescape")))
+      reg.createOrReplaceTempFunction(
+        "copy_unescape", exprs => CopyUnescape(exprs.head), "built-in")
+  }
 
   /** Single-pass COPY unescape. `\\`→`\`, `\t`→TAB, `\n`→LF, `\r`→CR,
     * `\b`→BS, `\f`→FF, `\v`→VT; an unrecognized escape (or a trailing

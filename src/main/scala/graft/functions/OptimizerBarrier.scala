@@ -61,9 +61,13 @@ case class OptimizerBarrier(child: Expression) extends UnaryExpression {
 }
 
 object OptimizerBarrier {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "optimizer_barrier", exprs => OptimizerBarrier(exprs.head), "built-in")
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    // idempotent for the same no-WARN-churn reason as CopyUnescape
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("optimizer_barrier")))
+      reg.createOrReplaceTempFunction(
+        "optimizer_barrier", exprs => OptimizerBarrier(exprs.head), "built-in")
+  }
 
   /** Column-API entry point. */
   def fence(c: Column): Column = {

@@ -24,8 +24,8 @@ object AnnLsh {
   private val quant =
     "transform(embedding, x -> cast(floor(cast(x as double) * 1048576D) as bigint))"
 
-  private def qdot(a: String, b: String) =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+  private def qdot(a: String, b: String): Column =
+    graft.functions.ArrayMath.dot(col(a), col(b))
 
   /** Deterministic Gaussian hyperplanes: `tables` hash tables × `bits`
     * planes × `dim` components, from a fixed seed. */
@@ -38,9 +38,8 @@ object AnnLsh {
   /** dot(embedding, hyperplane-literal) ≥ 0 — one signature bit. */
   private def signBit(h: Array[Double]): Column = {
     val lits = array(h.map(lit(_)): _*)
-    when(aggregate(
-      zip_with(col("embedding").cast("array<double>"), lits, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v) >= 0, 1L).otherwise(0L)
+    when(graft.functions.ArrayMath.dot(
+      col("embedding").cast("array<double>"), lits) >= 0, 1L).otherwise(0L)
   }
 
   /** Attach `tables` bucket ids to each row of an embeddings frame. */
@@ -80,7 +79,7 @@ object AnnLsh {
     val cands = pairs
       .join(qvs.select(col("vec_id").as("query_id"), col("qv").as("pq")), "query_id")
       .join(qvs.select(col("vec_id").as("cand_id"), col("qv")), "cand_id")
-      .select(col("query_id"), col("cand_id"), expr(qdot("pq", "qv")).as("dot"))
+      .select(col("query_id"), col("cand_id"), qdot("pq", "qv").as("dot"))
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("cand_id"))
     cands.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)

@@ -47,15 +47,15 @@ object CosineNearDup {
 
   private val quant =
     "transform(embedding, x -> cast(floor(cast(x as double) * 1048576D) as bigint))"
-  private val qdot =
-    "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+  private def qdot: org.apache.spark.sql.Column =
+    graft.functions.ArrayMath.dot(col("qa"), col("qb"))
 
   /** Quantized vectors + squared norm. */
   private def prepared(emb: DataFrame): DataFrame =
     emb
       .select(col("vec_id"), expr(quant).as("qv"))
-      .withColumn("norm2", expr(
-        "aggregate(transform(qv, x -> x * x), 0L, (acc, v) -> acc + v)"))
+      .withColumn("norm2",
+        graft.functions.ArrayMath.dot(col("qv"), col("qv")))
 
   /** Exact-integer cosine test above a candidate join. The dot fold is
     * FENCED (graft.functions.OptimizerBarrier, its sanctioned
@@ -68,7 +68,7 @@ object CosineNearDup {
   private def verified(cand: DataFrame, pct: Int): DataFrame =
     cand
       .select(col("vec_a"), col("vec_b"),
-        graft.functions.OptimizerBarrier.fence(expr(qdot)).as("dot"),
+        graft.functions.OptimizerBarrier.fence(qdot).as("dot"),
         col("na"), col("nb"))
       .filter(col("dot") > 0 &&
         expr(s"cast(dot as decimal(14,0)) * cast(dot as decimal(14,0)) * 10000") >=
@@ -124,8 +124,8 @@ object CosineNearDup {
   def semanticDedup(emb: DataFrame, pct: Int = 40): DataFrame = {
     val e = emb.select(col("vec_id"), col("label").cast("long").as("label"),
       expr(quant).as("qv"))
-      .withColumn("norm2", expr(
-        "aggregate(transform(qv, x -> x * x), 0L, (acc, v) -> acc + v)"))
+      .withColumn("norm2",
+        graft.functions.ArrayMath.dot(col("qv"), col("qv")))
     val a = e.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
       col("norm2").as("na"), col("label"))
     val b = e.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
@@ -134,7 +134,7 @@ object CosineNearDup {
       .join(b, col("label") === col("label2") && col("vec_a") < col("vec_b"))
       // fenced for the same single-evaluation reason as [[verified]]
       .select(col("vec_b"),
-        graft.functions.OptimizerBarrier.fence(expr(qdot)).as("dot"),
+        graft.functions.OptimizerBarrier.fence(qdot).as("dot"),
         col("na"), col("nb"))
       .filter(col("dot") > 0 &&
         expr("cast(dot as decimal(14,0)) * cast(dot as decimal(14,0)) * 10000") >=

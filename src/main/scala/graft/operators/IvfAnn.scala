@@ -24,17 +24,15 @@ object IvfAnn {
     * breaks the cross-operator recall comparisons. */
   private[operators] val quant =
     "transform(embedding, x -> cast(floor(cast(x as double) * 1048576D) as bigint))"
-  private[operators] def qdot(a: String, b: String) =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+  private[operators] def qdot(a: String, b: String): Column =
+    graft.functions.ArrayMath.dot(col(a), col(b))
 
   /** Squared L2 distance from the embedding column to a centroid literal
     * (codegen-friendly; no UDF). */
   private def dist2(centroid: Array[Double]): Column = {
     val lits = array(centroid.map(lit(_)): _*)
-    aggregate(
-      zip_with(col("embedding").cast("array<double>"), lits,
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.ArrayMath.l2sq(
+      col("embedding").cast("array<double>"), lits)
   }
 
   /** `dists` array column over all centroids. */
@@ -44,9 +42,8 @@ object IvfAnn {
   /** Double dot product of the embedding column with a centroid literal. */
   private def dotTo(centroid: Array[Double]): Column = {
     val lits = array(centroid.map(lit(_)): _*)
-    aggregate(
-      zip_with(col("embedding").cast("array<double>"), lits, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.ArrayMath.dot(
+      col("embedding").cast("array<double>"), lits)
   }
 
   /** `cdots` array column: dot(embedding, μⱼ) over all centroids — the
@@ -122,10 +119,9 @@ object IvfAnn {
       .withColumn("cluster", element_at(nearestClusters(cents.length, 1), 1))
       .select(col("cluster"),
         sqrt(element_at(col("dists"), col("cluster") + 1)).as("d"),
-        sqrt(aggregate(
-          zip_with(col("embedding").cast("array<double>"),
-            col("embedding").cast("array<double>"), (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v)).as("nrm"))
+        sqrt(graft.functions.ArrayMath.dot(
+          col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"))).as("nrm"))
       .groupBy("cluster").agg(max("d").as("r"), max("nrm").as("mx"),
         org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .collect()
@@ -205,10 +201,9 @@ object IvfAnn {
       .select(col("vec_id"), element_at(nearestClusters(cents.length, 1), 1).as("cluster"))
     val probeClusters = emb.filter(probePred)
       .withColumn("cdots", dotArray(cents))
-      .withColumn("pnorm", sqrt(aggregate(
-        zip_with(col("embedding").cast("array<double>"),
-          col("embedding").cast("array<double>"), (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)))
+      .withColumn("pnorm", sqrt(graft.functions.ArrayMath.dot(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>"))))
       .withColumn("thr", pruneThreshold(cents, stats, topK))
       .select(col("vec_id").as("query_id"),
         explode(exactClusterList(cents, stats)).as("cluster"))
@@ -237,7 +232,7 @@ object IvfAnn {
     val cands = pairs
       .join(qvs.select(col("vec_id").as("query_id"), col("qv").as("pq")), "query_id")
       .join(qvs.select(col("vec_id").as("cand_id"), col("qv")), "cand_id")
-      .select(col("query_id"), col("cand_id"), expr(qdot("pq", "qv")).as("dot"))
+      .select(col("query_id"), col("cand_id"), qdot("pq", "qv").as("dot"))
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("cand_id"))
     cands.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= topK)
@@ -289,7 +284,7 @@ object IvfAnn {
     val cands = pairs
       .join(qvs.select(col("vec_id").as("query_id"), col("qv").as("pq")), "query_id")
       .join(qvs.select(col("vec_id").as("cand_id"), col("qv")), "cand_id")
-      .select(col("query_id"), col("cand_id"), expr(qdot("pq", "qv")).as("dot"))
+      .select(col("query_id"), col("cand_id"), qdot("pq", "qv").as("dot"))
     val wk = Window.partitionBy("query_id").orderBy(col("dot").desc, col("cand_id"))
     cands.withColumn("rnk", row_number().over(wk).cast("bigint"))
       .filter(col("rnk") <= topK)
@@ -307,8 +302,7 @@ object IvfAnn {
     * identical arithmetic (and thus identical assignments/ties) to
     * [[dist2]]'s literal form. */
   private def centDist2: Column =
-    aggregate(zip_with(col("e"), col("cvec"),
-      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    graft.functions.ArrayMath.l2sq(col("e"), col("cvec"))
 
   /** Lloyd training with the broadcast-join assignment ([[knnGraph]]'s
     * rationale): same deterministic init (k smallest md5(vec_id)) and
@@ -373,7 +367,7 @@ object IvfAnn {
     val cands = pairs
       .join(qvs.select(col("vec_id").as("query_id"), col("qv").as("pq")), "query_id")
       .join(qvs.select(col("vec_id").as("cand_id"), col("qv")), "cand_id")
-      .select(col("query_id"), col("cand_id"), expr(qdot("pq", "qv")).as("dot"))
+      .select(col("query_id"), col("cand_id"), qdot("pq", "qv").as("dot"))
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("cand_id"))
     cands.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= topK)

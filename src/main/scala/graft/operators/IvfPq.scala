@@ -59,7 +59,7 @@ object IvfPq {
       val sub = s"slice(cast(embedding as array<double>), ${mi * cb.subDim + 1}, ${cb.subDim})"
       val dists = cb.books(mi).zipWithIndex.map { case (cw, ki) =>
         val lits = cw.map(v => s"${v}D").mkString("array(", ", ", ")")
-        s"struct(aggregate(zip_with($sub, $lits, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v) as d, $ki as i)"
+        s"struct(array_l2sq($sub, $lits) as d, $ki as i)"
       }.mkString("array(", ", ", ")")
       s"element_at(transform(array_sort($dists), x -> x.i), 1)"
     }
@@ -75,7 +75,7 @@ object IvfPq {
     } yield {
       val sub = s"slice(cast(embedding as array<double>), ${mi * cb.subDim + 1}, ${cb.subDim})"
       val lits = cb.books(mi)(ki).map(v => s"${v}D").mkString("array(", ", ", ")")
-      s"aggregate(zip_with($sub, $lits, (x, y) -> x * y), 0D, (a, v) -> a + v)"
+      s"array_dot($sub, $lits)"
     }
     expr(entries.mkString("array(", ", ", ")"))
   }
@@ -97,7 +97,7 @@ object IvfPq {
       val sub = s"slice(cast(embedding as array<double>), ${mi * cb.subDim + 1}, ${cb.subDim})"
       val dists = cb.books(mi).zipWithIndex.map { case (cw, ki) =>
         val lits = cw.map(v => s"${v}D").mkString("array(", ", ", ")")
-        s"aggregate(zip_with($sub, $lits, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"
+        s"array_l2sq($sub, $lits)"
       }.mkString("array(", ", ", ")")
       s"array_min($dists)"
     }
@@ -117,6 +117,7 @@ object IvfPq {
       topK: Int = 10, coarseK: Int = 16, m: Int = 8, pqK: Int = 16,
       iters: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.ArrayMath.register(spark)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cb = trainCodebooks(emb, m, pqK, iters)
     val cents = IvfAnn.trainCentroids(emb, coarseK, iters)
@@ -127,7 +128,7 @@ object IvfPq {
       reconErrCol(cb).as("rerr"))
     val probeTables = emb.filter(probePred)
       .select(col("vec_id").as("query_id"), adcTableCol(cb).as("adc"),
-        expr("sqrt(aggregate(zip_with(cast(embedding as array<double>), cast(embedding as array<double>), (x, y) -> x * y), 0D, (a, v) -> a + v))")
+        expr("sqrt(array_dot(cast(embedding as array<double>), cast(embedding as array<double>)))")
           .as("pnorm"))
     // eps absorbs double round-off plus the double-vs-quantized-integer
     // ranking discrepancy, scaled by the vector magnitudes in play
@@ -158,7 +159,7 @@ object IvfPq {
     val rer = shortlist
       .join(qvs.select(col("vec_id").as("query_id"), col("qv").as("pq")), "query_id")
       .join(qvs.select(col("vec_id").as("cand_id"), col("qv")), "cand_id")
-      .select(col("query_id"), col("cand_id"), expr(IvfAnn.qdot("pq", "qv")).as("dot"))
+      .select(col("query_id"), col("cand_id"), IvfAnn.qdot("pq", "qv").as("dot"))
     rer.withColumn("rnk", row_number().over(
         w.orderBy(col("dot").desc, col("cand_id"))).cast("bigint"))
       .filter(col("rnk") <= topK)
@@ -173,6 +174,7 @@ object IvfPq {
       coarseK: Int = 16, nprobe: Int = 4, m: Int = 8, pqK: Int = 16,
       iters: Int = 2, shortlistFactor: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.ArrayMath.register(spark)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cb = trainCodebooks(emb, m, pqK, iters)
 
@@ -209,7 +211,7 @@ object IvfPq {
     val rer = shortlist
       .join(qvs.select(col("vec_id").as("query_id"), col("qv").as("pq")), "query_id")
       .join(qvs.select(col("vec_id").as("cand_id"), col("qv")), "cand_id")
-      .select(col("query_id"), col("cand_id"), expr(IvfAnn.qdot("pq", "qv")).as("dot"))
+      .select(col("query_id"), col("cand_id"), IvfAnn.qdot("pq", "qv").as("dot"))
     rer.withColumn("rnk", row_number().over(
         w.orderBy(col("dot").desc, col("cand_id"))).cast("bigint"))
       .filter(col("rnk") <= topK)

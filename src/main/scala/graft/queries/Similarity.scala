@@ -47,8 +47,8 @@ object Similarity {
   private val quant =
     "transform(embedding, x -> cast(floor(cast(x as double) * 1048576D) as bigint))"
   /** Exact integer dot product of two quantized vectors. */
-  private def qdot(a: String, b: String) =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+  private def qdot(a: String, b: String): org.apache.spark.sql.Column =
+    graft.functions.ArrayMath.dot(col(a), col(b))
 
   /** Brute-force top-10-by-quantized-dot for the 8 fixed probes — the
     * shared DuckDB oracle of e01 and of the exact-mode ANN paths
@@ -80,7 +80,7 @@ object Similarity {
   private def ngramPairStats(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    QueryDef.deferCleanup(() => { sh.unpersist(false); () })
+    QueryDef.deferCleanup(() => { sh.unpersist(blocking = true); () })
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     ex.as("x").join(ex.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -124,7 +124,7 @@ object Similarity {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // the returned plan is lazy over sh, so the release has to wait
         // for the caller's materialization — harness-drained cleanup
-        QueryDef.deferCleanup(() => { sh.unpersist(false); () })
+        QueryDef.deferCleanup(() => { sh.unpersist(blocking = true); () })
         val bands = sh
           .withColumn("mh", expr(s"array(${(0 until 6).map(mh).mkString(",")})"))
           .select(col("doc_id"), posexplode(expr(
@@ -312,7 +312,7 @@ object Similarity {
           .select(col("vec_id").as("query_id"), col("qv").as("pq"))
         val dots = emb.join(broadcast(probes), col("query_id") =!= col("vec_id"))
           .select(col("query_id"), col("vec_id").as("cand_id"),
-            expr(qdot("pq", "qv")).as("dot"))
+            qdot("pq", "qv").as("dot"))
         val w = Window.partitionBy("query_id")
           .orderBy(col("dot").desc, col("cand_id"))
         dots.withColumn("rnk", row_number().over(w).cast("bigint"))
@@ -435,7 +435,7 @@ object Similarity {
         val dots = emb.join(broadcast(probes),
             col("query_id") =!= col("vec_id") && col("plabel") =!= col("label"))
           .select(col("query_id"), col("vec_id").as("cand_id"),
-            expr(qdot("pq", "qv")).as("dot"))
+            qdot("pq", "qv").as("dot"))
         val w = Window.partitionBy("query_id")
           .orderBy(col("dot").desc, col("cand_id"))
         dots.withColumn("rnk", row_number().over(w).cast("bigint"))
@@ -498,7 +498,7 @@ object Similarity {
         val dots = emb.join(broadcast(probes), col("query_id") =!= col("vec_id"))
           .select(col("query_id"), col("true_label"),
             col("label").as("cand_label"), col("vec_id").as("cand_id"),
-            expr(qdot("pq", "qv")).as("dot"))
+            qdot("pq", "qv").as("dot"))
         val wTop = Window.partitionBy("query_id")
           .orderBy(col("dot").desc, col("cand_id"))
         val votes = dots.withColumn("rnk", row_number().over(wTop))
@@ -564,7 +564,7 @@ object Similarity {
           .select(col("vec_id").as("query_id"), col("code").as("pc"))
         val dots = emb.join(broadcast(probes), col("query_id") =!= col("vec_id"))
           .select(col("query_id"), col("vec_id").as("cand_id"),
-            expr(qdot("pc", "code")).as("dot8"))
+            qdot("pc", "code").as("dot8"))
         val w = Window.partitionBy("query_id")
           .orderBy(col("dot8").desc, col("cand_id"))
         dots.withColumn("rnk", row_number().over(w).cast("bigint"))

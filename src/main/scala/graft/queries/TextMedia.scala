@@ -129,7 +129,7 @@ object TextMedia {
     // after materialization (same pattern as m01's signature frame)
     val fps = simhashFingerprints(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    QueryDef.deferCleanup(() => { fps.unpersist(false); () })
+    QueryDef.deferCleanup(() => { fps.unpersist(blocking = true); () })
     val bands = fpBands(fps, "doc_id")
     bands
       .select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("bi"), col("bv"))
@@ -265,7 +265,7 @@ object TextMedia {
     // out itself is released after the caller materializes it —
     // without this the persisted result pinned storage for the
     // session and pass N+1 of the bench re-read pass N's cache
-    defer(() => { out.unpersist(false); () })
+    defer(() => { out.unpersist(blocking = true); () })
     out
   }
 
