@@ -100,6 +100,7 @@ object WebApi {
     ctx("/report")(reportFile)            // GET ?dir= → writes report file
     ctx("/connect")(connectDb)            // POST {driver,host,port,database,user,password}
     ctx("/convert/infoschema")(convertInfoSchema) // GET
+    ctx("/")(staticPage)                  // GET → the bundled assistant UI
   }
 
   final case class ConnectConfig(driver: String, host: String, port: String,
@@ -114,6 +115,25 @@ object WebApi {
         "Please retry converting the database to Spanner."))
 
   // ------------------------------------------------------------ handlers
+
+  /** GET / — the bundled single-page assistant UI (frontend/ in the
+    * reference is a full Angular app; this is the dependency-free
+    * equivalent over the same JSON routes: load a dump or session,
+    * inspect DDL/report/ratings/typemap, apply edits, persist).
+    * The "/" context is also the server's catch-all, so anything that
+    * is not the page (or a registered route) 404s here instead of
+    * silently serving HTML to an API typo. */
+  private def staticPage(ex: HttpExchange, s: WebSession): Unit = {
+    val path = ex.getRequestURI.getPath
+    if (path != "/" && path != "/index.html") fail(404, s"no route $path")
+    val in = getClass.getResourceAsStream("/graft/web/index.html")
+    if (in == null) fail(500, "ui resource missing from classpath")
+    val bytes = try in.readAllBytes() finally in.close()
+    ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+    ex.sendResponseHeaders(200, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
 
   /** POST /convert/dump (web.go:152-181): spark-less schema pass over a
     * dump file; resets the session. */

@@ -47,6 +47,21 @@ class WebApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(code === 200)
   }
 
+  test("GET / serves the assistant UI; an unroutable path 404s") {
+    val conn = URI.create(base + "/").toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    assert(conn.getResponseCode === 200)
+    assert(conn.getContentType.startsWith("text/html"))
+    val html = new String(conn.getInputStream.readAllBytes(), UTF_8)
+    // the page drives the real routes — pin the load + edit + persist hooks
+    assert(html.contains("graft schema assistant"))
+    Seq("/convert/dump", "/session/resume", "/typemap/global", "/setparent",
+      "/conversion", "/ddl").foreach(r => assert(html.contains(r), r))
+    // "/" is the catch-all context: junk paths must 404, not serve HTML
+    val (code404, _) = http("GET", "/no/such/route")
+    assert(code404 === 404)
+  }
+
   test("endpoints require a converted schema") {
     session.synchronized { session.plan = None }
     val (code, _) = http("GET", "/ddl")
