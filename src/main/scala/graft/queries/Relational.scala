@@ -595,6 +595,103 @@ object Relational {
         UNION ALL SELECT 's2_view', s2 FROM tot
         UNION ALL SELECT 's3_click', s3 FROM tot
         UNION ALL SELECT 's4_purchase', s4 FROM tot
-        ORDER BY stage"""))
+        ORDER BY stage""")),
+
+    // ---------------------------------------------------------------- q22
+    // TPC-H Q22 shape: dormant prospects — customers whose balance
+    // beats the positive-balance average but who placed no order since
+    // 2000-01-01, grouped by nation (every synthetic customer has SOME
+    // order, so the classic never-ordered form is vacuous here; the
+    // date-bounded anti join keeps the shape and yields real rows —
+    // 55 across 23 nations at sf0.01).
+    // The threshold comparison is EXACT on both engines: instead of
+    // comparing against an average (Spark decimal avg vs DuckDB double
+    // avg can disagree by 1 ulp at the boundary), multiply through by
+    // the count — c_minor · n > total — all BIGINT arithmetic. Plan:
+    // the 1-row (total, n) aggregate broadcast-joins under every
+    // customer (q09's scalar-subquery shape), the no-orders test is a
+    // LEFT ANTI join on the orders key, and the nation rollup is one
+    // partial-agg shuffle. At 100×, orders-side anti join shuffles by
+    // custkey and AQE broadcasts the filtered prospect side.
+    "q22_prospects" -> QueryDef(
+      build = (spark, dir) => {
+        val cust = table(spark, dir, "customer")
+        val ord = table(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey"))
+        val thr = cust.filter(col("c_acctbal") > 0)
+          .agg(sumMinor(col("c_acctbal"), 2).as("tot"), count(lit(1)).as("n"))
+        val rich = cust
+          .withColumn("c_minor",
+            (dec(col("c_acctbal"), 2) * lit(100)).cast("bigint"))
+          .crossJoin(broadcast(thr)) // 1-row scalar aggregate
+          .filter(col("c_minor") * col("n") > col("tot"))
+        rich.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_cust"), sum(col("c_minor")).as("total_bal"))
+          .orderBy("c_nationkey")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS tot,
+                 COUNT(*) AS n
+          FROM customer WHERE c_acctbal > 0),
+        rich AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS c_minor
+          FROM customer, t
+          WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * t.n > t.tot),
+        p AS (
+          SELECT * FROM rich r
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'))
+        SELECT c_nationkey, COUNT(*) AS n_cust, CAST(SUM(c_minor) AS BIGINT) AS total_bal
+        FROM p GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // ---------------------------------------------------------------- q23
+    // TPC-H Q2 shape: the cheapest supplier per small part (lineitem
+    // stands in for partsupp: a supplier's cost for a part = its summed
+    // extended price, exact minor units). Spark side is the SCALABLE
+    // argmin — row_number over (cost, suppkey) per part, which the
+    // optimizer executes as partial WindowGroupLimit before the
+    // shuffle, so 100× more (part, supplier) rows shuffle only their
+    // per-part top-1 survivors; the small filtered part set broadcasts
+    // under lineitem BEFORE aggregation (no wasted agg over excluded
+    // parts). The oracle derives the same relation from first
+    // principles — MIN(cost) then MIN(suppkey) among cost-ties — with
+    // no window, so the plan and the definition stay independent.
+    "q23_min_cost_supplier" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = table(spark, dir, "lineitem")
+        val parts = table(spark, dir, "part")
+          .filter(col("p_size") <= 5).select("p_partkey")
+        val sup = table(spark, dir, "supplier").select("s_suppkey", "s_name")
+        val cost = li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(sumMinor(col("l_extendedprice"), 2).as("cost"))
+        val w = Window.partitionBy("l_partkey")
+          .orderBy(col("cost"), col("l_suppkey"))
+        cost.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey").as("p_partkey"),
+            col("s_suppkey"), col("s_name"), col("cost").as("best_cost"))
+          .orderBy("p_partkey")
+      },
+      oracle = Some("""
+        WITH ps AS (
+          SELECT l_partkey AS pk, l_suppkey AS sk,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cost
+          FROM lineitem JOIN part ON l_partkey = p_partkey AND p_size <= 5
+          GROUP BY 1, 2),
+        best AS (SELECT pk, MIN(cost) AS mc FROM ps GROUP BY pk),
+        tie AS (
+          SELECT ps.pk, ps.cost, MIN(ps.sk) AS msk
+          FROM ps JOIN best ON ps.pk = best.pk AND ps.cost = best.mc
+          GROUP BY ps.pk, ps.cost)
+        SELECT t.pk AS p_partkey, t.msk AS s_suppkey, s.s_name, t.cost AS best_cost
+        FROM tie t JOIN supplier s ON s.s_suppkey = t.msk
+        ORDER BY p_partkey"""))
   )
 }

@@ -98,6 +98,24 @@ class PlanShapeSpec extends AnyFunSuite {
     graft.queries.QueryDef.drainCleanups()
   }
 
+  test("e12 graph build: codegen dot kernel, partial top-k, no cartesian") {
+    val df = Similarity.defs("e12_knn_graph_approx").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the r11 regression class this guards: the rerank dot as an
+    // interpreted HOF fold priced the sf0.1 graph at 55 s; the native
+    // kernel runs it inside codegen at ~2 s
+    assert(plan.contains("array_dot"), plan)
+    assert(!plan.contains("zip_with"), s"interpreted HOF fold in the hot path:\n$plan")
+    // top-k must shrink BEFORE the per-query shuffle (WindowGroupLimit
+    // partial mode), or 100× the corpus shuffles 100× the pairs
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the only unconstrained join allowed is corpus × broadcast k-row
+    // centroid frame; a CartesianProduct means the candidate join
+    // degenerated to all-pairs
+    assert(!plan.contains("CartesianProduct"), plan)
+    graft.queries.QueryDef.drainCleanups()
+  }
+
   test("q18 bucketed range join emits no duplicate pairs without a distinct") {
     val df = Relational.defs("q18_range_join").build(spark, dir)
     // no dedup operator in the plan...
