@@ -322,6 +322,33 @@ object Similarity {
       oracle = Some(knnOracle),
       headline = true),
 
+    // ---------------------------------------------------------------- e13
+    // Persisted IVF index layout + partition-pruned exact search
+    // (operators.IvfIndex): write the corpus cluster-PARTITIONED with
+    // centroid/radius metadata (the one shuffle you persist at 100 TB),
+    // then search by turning IvfAnn's exact Cauchy-Schwarz cluster
+    // bound into a literal parquet PartitionFilter — skipped clusters'
+    // files are never opened. The entry times the honest end-to-end
+    // (index build + write + search, c14's posture) and the output is
+    // provably the e01 brute force, so the same SQL oracle applies.
+    // IvfIndexSpec pins bit-exact meta round-trip, parity with the
+    // in-memory exact search, and strict pruning on a clustered corpus.
+    "e13_ivf_index_search" -> QueryDef(
+      build = (spark, dir) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_ivfindex_bench_").toString
+        QueryDef.deferCleanup(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(out))
+        })
+        graft.operators.IvfIndex.write(spark, dir, out)
+        graft.operators.IvfIndex.searchExact(spark, out, col("vec_id") < 8)
+      },
+      oracle = Some(knnOracle),
+      headline = true),
+
     // ---------------------------------------------------------------- e03
     // LSH-bucketed ANN (see operators.AnnLsh). The hyperplane scheme is
     // inherently probabilistic, so the oracle-mode parameterization runs

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+
+/** IvfIndex: the persisted cluster-partitioned layout must (a) answer
+  * exactly — searchExact over the written index equals the in-memory
+  * exact search (and hence the e01 brute force) — and (b) actually
+  * prune: the corpus scan carries a cluster partition filter, and on a
+  * clustered corpus the needed-cluster union is a strict subset of the
+  * lists, which is the entire point of paying the layout write. */
+class IvfIndexSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.build("graft-test")
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfindex_").toString
+    d
+  }
+
+  private def rm(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(go)); f.delete(); ()
+    }
+    go(new java.io.File(path))
+  }
+
+  test("searchExact over the written index equals the in-memory exact search") {
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir()
+    try {
+      IvfIndex.write(spark, dir, out)
+      val fromIndex = IvfIndex.searchExact(spark, out, col("vec_id") < 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val inMemory = IvfAnn.knnExact(spark, dir, col("vec_id") < 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(fromIndex.nonEmpty)
+      assert(fromIndex.toSeq === inMemory.toSeq)
+    } finally rm(out)
+  }
+
+  test("meta.json round-trips centroids and pruning stats bit-exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir()
+    try {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val cents = IvfAnn.trainCentroids(emb)
+      val stats = IvfAnn.clusterStats(emb, cents)
+      IvfIndex.write(spark, dir, out)
+      val meta = IvfIndex.readMeta(out)
+      assert(meta.centroids.map(_.toSeq) === cents.map(_.toSeq))
+      assert(meta.radius.toSeq === stats.radius.toSeq)
+      assert(meta.counts.toSeq === stats.count.toSeq)
+      assert(meta.maxNorm === stats.maxNorm)
+    } finally rm(out)
+  }
+
+  test("corpus scan is partition-pruned; clustered corpora prune strictly") {
+    // seeded clustered fixture: 4 tight blobs far apart — the adaptive
+    // bound needs only the probe's own blob (plus ties), so the needed
+    // union must be a strict subset of the k=8 lists
+    val rnd = new scala.util.Random(7)
+    import spark.implicits._
+    val blobs = for {
+      b <- 0 until 4
+      i <- 0 until 50
+    } yield {
+      val base = Array.tabulate(64)(d => if (d % 4 == b) 10f else 0f)
+      ((b * 50 + i).toLong,
+        base.map(x => x + 0.01f * (rnd.nextFloat() * 2f - 1f)))
+    }
+    val src = tmpDir()
+    val out = tmpDir()
+    try {
+      blobs.toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$src/embeddings.parquet")
+      IvfIndex.write(spark, src, out, k = 8)
+      val res = IvfIndex.searchExact(spark, out, col("vec_id") < 3, topK = 5)
+      val plan = res.queryExecution.executedPlan.toString
+      // the literal IN filter must reach the partition level of the scan
+      assert(plan.contains("PartitionFilters"), plan)
+      assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).isDefined, plan)
+      // exactness on the fixture: equals brute force
+      val brute = {
+        val e = spark.read.parquet(s"$src/embeddings.parquet")
+          .select(col("vec_id"), expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 1048576D) as bigint))").as("qv"))
+        val p = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("qv").as("pq"))
+        val dots = e.crossJoin(p).filter(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("cand_id"),
+            graft.functions.ArrayMath.dot(col("pq"), col("qv")).as("dot"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("cand_id"))
+        dots.withColumn("rnk", row_number().over(w).cast("bigint"))
+          .filter(col("rnk") <= 5).orderBy("query_id", "rnk")
+      }
+      assert(res.collect().toSeq.map(_.toSeq) === brute.collect().toSeq.map(_.toSeq))
+      // strict pruning: probes in blob 0 must not need every list
+      val meta = IvfIndex.readMeta(out)
+      val listed = new java.io.File(s"$out/data").listFiles()
+        .count(_.getName.startsWith("cluster="))
+      assert(listed === meta.counts.count(_ > 0))
+      val scannedParts = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).get
+      val inList = "\\(([0-9, ]+)\\)".r.findFirstIn(scannedParts)
+      inList.foreach { l =>
+        val n = l.count(_ == ',') + 1
+        assert(n < listed, s"no pruning: needed $n of $listed lists\n$scannedParts")
+      }
+    } finally { rm(src); rm(out) }
+  }
+}
