@@ -472,6 +472,77 @@ object Documents {
                CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf * (1000000 // df) DESC, term) AS BIGINT) AS rnk,
                term, tf, df, CAST(tf * (1000000 // df) AS BIGINT) AS weight
         FROM tf JOIN df USING (term)
-        QUALIFY rnk <= 3 ORDER BY doc_id, rnk"""))
+        QUALIFY rnk <= 3 ORDER BY doc_id, rnk""")),
+
+    // ---------------------------------------------------------------- d14
+    // Content-defined chunking + cross-document chunk reuse — the
+    // storage-dedup primitive (LBFS/FastCDC family) at token
+    // granularity: a chunk boundary falls AFTER token i whenever
+    // md5(token_i) starts with hex '0' (p = 1/16 → mean chunk ≈ 16
+    // tokens). Unlike fixed windows (c11) the boundaries move WITH the
+    // content, so an insertion early in a document re-chunks only the
+    // chunk it lands in and every following chunk hash still matches —
+    // which is what makes chunk-hash dedup robust to edits. Per doc:
+    // chunk count and how many of its chunks also occur in ANOTHER doc
+    // (shared chunk-hash with > 1 distinct doc).
+    //
+    // 100 TB shape: chunking is one per-row expression (no explode
+    // until the chunk list exists, fan-out ≈ n_tok/16), the reuse test
+    // is a chunk-hash groupBy (map-side combined) joined back by hash —
+    // vocabulary-of-chunks bounded, and the per-doc rollup partitions
+    // by doc_id. Boundary-rule parity rides on the md5-over-token
+    // contract d04/d08 already pin cross-engine.
+    "d14_cdc_chunks" -> QueryDef(
+      build = (spark, dir) => {
+        val chunked = QueryDef.spread(spark, dir, "documents")
+          .select(col("doc_id"), expr(toks).as("tk"))
+          .filter(expr("size(tk) >= 1"))
+          // cut positions (tokens after which a boundary falls), then
+          // chunk ranges: ends = cuts (+ the doc end if not already a
+          // cut), starts = 1 and each previous end + 1 — equal-length
+          // by construction, every s <= e
+          .withColumn("b", expr(
+            "filter(sequence(1, size(tk)), i -> substring(md5(element_at(tk, i)), 1, 1) = '0')"))
+          .withColumn("ends", expr(
+            "if(size(b) > 0 and element_at(b, -1) = size(tk), b, concat(b, array(size(tk))))"))
+          .withColumn("starts", expr(
+            "concat(array(1), transform(slice(ends, 1, size(ends) - 1), x -> x + 1))"))
+          .select(col("doc_id"), col("tk"),
+            explode(expr("zip_with(starts, ends, (s, e) -> struct(s as s, e as e))")).as("c"))
+          .select(col("doc_id"),
+            expr("md5(array_join(slice(tk, c.s, c.e - c.s + 1), ' '))").as("h"))
+        val reuse = chunked.groupBy("h")
+          .agg(countDistinct("doc_id").as("nd"))
+        chunked.join(reuse, Seq("h"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tkn AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS tk
+          FROM documents),
+        bounds AS (
+          SELECT doc_id, tk,
+                 list_filter(range(1, len(tk) + 1), i -> substring(md5(tk[i]), 1, 1) = '0') AS b
+          FROM tkn WHERE len(tk) >= 1),
+        ranges AS (
+          SELECT doc_id, tk,
+                 CASE WHEN len(b) > 0 AND b[-1] = len(tk) THEN b
+                      ELSE list_concat(b, [len(tk)]) END AS ends
+          FROM bounds),
+        ranges2 AS (
+          SELECT doc_id, tk, ends,
+                 list_concat([1], list_transform(ends[1:len(ends)-1], x -> x + 1)) AS starts
+          FROM ranges),
+        chunks AS (
+          SELECT doc_id, md5(array_to_string(tk[starts[j]:ends[j]], ' ')) AS h
+          FROM ranges2, LATERAL unnest(range(1, len(ends) + 1)) AS t(j)),
+        reuse AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY h)
+        SELECT doc_id, COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        FROM chunks JOIN reuse USING (h)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
