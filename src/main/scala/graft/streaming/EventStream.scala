@@ -44,6 +44,25 @@ object EventStream {
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("n_events"))
 
+  /** Stream-static enrichment: the streaming q05 shape — each event
+    * joins a static user dimension (user_id → segment) and rolls up
+    * value per (hour, segment). The static side BROADCASTS under every
+    * micro-batch (stream-static joins keep no join state — the
+    * watermark bounds only the window aggregation), which is exactly
+    * the dimension-join posture at 100 TB/day: the stream shuffles
+    * once for the windowed aggregate, the dimension never shuffles.
+    * Output shapes match the batch minor-unit conventions. */
+  def enrichedHourlyBySegment(events: DataFrame, userDim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(userDim), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("segment"), col("n"),
+        (col("sum_value") * 1000000).cast("bigint").as("total_value"))
+
   /** File-source entry: stream the events table as if it were arriving
     * (one real deployment shape: parquet drops in a landing dir). */
   def fromParquetDir(spark: SparkSession, dir: String,

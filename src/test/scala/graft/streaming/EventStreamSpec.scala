@@ -81,4 +81,31 @@ class EventStreamSpec extends AnyFunSuite {
       assert(rows.toSeq === Seq(("click", 1L, 1000000L)))
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins the dimension without join state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "free"), (2L, "pro"), (3L, "pro"))
+      .toDF("user_id", "segment")
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val df = in.toDF.toDF("ts", "user_id", "value")
+    val q = EventStream.enrichedHourlyBySegment(df, dim).writeStream
+      .format("memory").queryName("enriched").outputMode("complete").start()
+    try {
+      in.addData((ts(5), 1L, 1.0), (ts(10), 2L, 2.0), (ts(20), 3L, 0.5),
+        (ts(30), 9L, 100.0)) // user 9 not in the dimension → dropped (inner)
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT segment, n, total_value FROM enriched ORDER BY segment")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq === Seq(("free", 1L, 1000000L), ("pro", 2L, 2500000L)))
+      // a later micro-batch enriches against the same static snapshot
+      in.addData((ts(40), 1L, 4.0))
+      q.processAllAvailable()
+      val free = spark.sql(
+        "SELECT n, total_value FROM enriched WHERE segment = 'free'")
+        .collect().head
+      assert((free.getLong(0), free.getLong(1)) === ((2L, 5000000L)))
+    } finally q.stop()
+  }
 }
