@@ -48,16 +48,8 @@ object IvfIndex {
       .select(col("vec_id"), col("embedding"), col("label").cast("int").as("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$indexDir/data")
-    val root = mapper.createObjectNode()
-    root.put("k", k)
-    root.put("dim", cents.head.length)
-    root.put("maxNorm", stats.maxNorm)
-    val cn = root.putArray("centroids")
-    cents.foreach { c => val a = cn.addArray(); c.foreach(a.add) }
-    val rn = root.putArray("radius"); stats.radius.foreach(rn.add)
-    val mn = root.putArray("counts"); stats.count.foreach(mn.add)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$indexDir/meta.json"), mapper.writeValueAsString(root))
+    writeMeta(indexDir, Meta(k, cents.head.length, stats.maxNorm, cents,
+      stats.radius, stats.count))
   }
 
   def readMeta(indexDir: String): Meta = {
@@ -72,6 +64,103 @@ object IvfIndex {
         .map(row => row.elements().asScala.map(_.asDouble()).toArray).toSeq,
       radius = node.get("radius").elements().asScala.map(_.asDouble()).toArray,
       counts = node.get("counts").elements().asScala.map(_.asLong()).toArray)
+  }
+
+  /** Append a batch of new vectors to an existing index WITHOUT
+    * retraining — the daily-ingest operation. New vectors are assigned
+    * to the frozen centroids (so partition layout stays stable and no
+    * existing file is rewritten — parquet append adds files inside the
+    * matching cluster directories), and the pruning metadata is updated
+    * EXACTLY, not conservatively: per-cluster radius is the max of the
+    * old radius and the appended members' distances, counts add, and
+    * maxNorm takes the batch max — so [[searchExact]]'s bound stays a
+    * proof over the grown corpus. Centroid drift is the deliberate
+    * trade (same as every production IVF index): assignment quality
+    * decays as the distribution shifts, which is a re-train decision,
+    * not a correctness one — exactness never depends on WHICH cluster
+    * a vector sits in, only on that cluster's radius covering it. */
+  def append(spark: SparkSession, batchDir: String, indexDir: String): Unit = {
+    val meta = readMeta(indexDir)
+    val batch = spark.read.parquet(s"$batchDir/embeddings.parquet")
+    val assigned = IvfAnn.assign(batch, meta.centroids)
+      .select(col("vec_id"), col("embedding"), col("label").cast("int").as("cluster"))
+    assigned.write.mode("append").partitionBy("cluster")
+      .parquet(s"$indexDir/data")
+    // exact metadata update from the batch side only (O(batch) scan)
+    val upd = IvfAnn.assign(batch, meta.centroids)
+      .select(col("label").cast("int").as("cluster"),
+        sqrt(graft.functions.ArrayMath.l2sq(
+          col("embedding").cast("array<double>"),
+          centLit(meta.centroids))).as("d"),
+        sqrt(graft.functions.ArrayMath.dot(
+          col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"))).as("nrm"))
+      .groupBy("cluster").agg(max("d").as("r"), max("nrm").as("mx"),
+        count(lit(1)).as("n"))
+      .collect()
+    val radius = meta.radius.clone()
+    val counts = meta.counts.clone()
+    var maxNorm = meta.maxNorm
+    upd.foreach { r =>
+      val c = r.getInt(0)
+      radius(c) = math.max(radius(c), r.getDouble(1))
+      counts(c) += r.getLong(3)
+      maxNorm = math.max(maxNorm, r.getDouble(2))
+    }
+    writeMeta(indexDir, meta.copy(radius = radius, counts = counts,
+      maxNorm = maxNorm))
+  }
+
+  /** The assigned cluster's centroid as a per-row array column:
+    * element_at over a literal array-of-arrays indexed by `label`. */
+  private def centLit(cents: Seq[Array[Double]]): Column =
+    element_at(array(cents.map(c => array(c.map(lit(_)): _*)): _*),
+      col("label").cast("int") + 1)
+
+  private def writeMeta(indexDir: String, meta: Meta): Unit = {
+    val root = mapper.createObjectNode()
+    root.put("k", meta.k)
+    root.put("dim", meta.dim)
+    root.put("maxNorm", meta.maxNorm)
+    val cn = root.putArray("centroids")
+    meta.centroids.foreach { c => val a = cn.addArray(); c.foreach(a.add) }
+    val rn = root.putArray("radius"); meta.radius.foreach(rn.add)
+    val mn = root.putArray("counts"); meta.counts.foreach(mn.add)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$indexDir/meta.json"), mapper.writeValueAsString(root))
+  }
+
+  /** Fixed-nprobe APPROXIMATE search over the written index — the
+    * recall/cost dial when the exact bound's fan-out isn't worth it
+    * (e12's rationale applied to the persisted layout). Same literal
+    * partition pruning; recall is a dial — IvfIndexSpec pins the same
+    * ≥ 0.5 floor as IvfAnnSpec on the near-random driver corpus (the
+    * adversarial case) and that nprobe = k reproduces [[searchExact]]
+    * exactly. */
+  def searchApprox(spark: SparkSession, indexDir: String, probePred: Column,
+      topK: Int = 10, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val meta = readMeta(indexDir)
+    val data = spark.read.parquet(s"$indexDir/data")
+    val probeClusters = data.filter(probePred)
+      .withColumn("dists", IvfAnn.distArray(meta.centroids))
+      .select(col("vec_id").as("query_id"), expr(IvfAnn.quant).as("pq"),
+        explode(IvfAnn.nearestClusters(meta.centroids.length, nprobe)).as("cluster"))
+    val needed = probeClusters.select("cluster").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpus = data
+      .filter(col("cluster").isin(needed.map(Integer.valueOf).toIndexedSeq: _*))
+      .select(col("vec_id").as("cand_id"), expr(IvfAnn.quant).as("qv"),
+        col("cluster"))
+    val cands = probeClusters.join(corpus,
+        probeClusters("cluster") === corpus("cluster") &&
+          col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        IvfAnn.qdot("pq", "qv").as("dot"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("cand_id"))
+    cands.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= topK)
+      .orderBy("query_id", "rnk")
   }
 
   /** EXACT top-k max-inner-product search over a written index. The

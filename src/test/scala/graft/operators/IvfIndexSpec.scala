@@ -55,6 +55,56 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally rm(out)
   }
 
+  test("append grows the index exactly: search over the union stays exact") {
+    // split the corpus: build from the even vec_ids, append the odds —
+    // searchExact over the appended index must equal brute force over
+    // the FULL corpus (the updated radii keep the bound a proof)
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir()
+    val evenSrc = tmpDir()
+    val oddSrc = tmpDir()
+    try {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      emb.filter(col("vec_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$evenSrc/embeddings.parquet")
+      emb.filter(col("vec_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$oddSrc/embeddings.parquet")
+      IvfIndex.write(spark, evenSrc, out)
+      val before = IvfIndex.readMeta(out)
+      IvfIndex.append(spark, oddSrc, out)
+      val after = IvfIndex.readMeta(out)
+      assert(after.counts.sum === before.counts.sum + emb.filter(col("vec_id") % 2 === 1).count())
+      assert(after.radius.zip(before.radius).forall { case (a, b) => a >= b })
+      // exactness over the grown corpus vs in-memory exact over ALL rows
+      val fromIndex = IvfIndex.searchExact(spark, out, col("vec_id") < 8)
+        .collect().map(_.toSeq)
+      val inMemory = IvfAnn.knnExact(spark, dir, col("vec_id") < 8)
+        .collect().map(_.toSeq)
+      assert(fromIndex.toSeq === inMemory.toSeq)
+    } finally { rm(out); rm(evenSrc); rm(oddSrc) }
+  }
+
+  test("searchApprox: recall dial — IvfAnnSpec's floor at the default, exact at nprobe=k") {
+    val dir = "/root/testdata/sf0.01"
+    val out = tmpDir()
+    try {
+      IvfIndex.write(spark, dir, out)
+      val exact = IvfIndex.searchExact(spark, out, col("vec_id") < 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // default nprobe=4 of k=16 searches ~25% of a NEAR-RANDOM corpus
+      // (the adversarial case) — same ≥0.5 floor IvfAnnSpec pins for
+      // the in-memory dial; real clustered corpora sit far higher
+      val approx = IvfIndex.searchApprox(spark, out, col("vec_id") < 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & approx).size.toDouble / exact.size
+      assert(recall >= 0.5, s"recall $recall")
+      // corpus-independent contract: probing every list IS exact search
+      val full = IvfIndex.searchApprox(spark, out, col("vec_id") < 8, nprobe = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(full === exact)
+    } finally rm(out)
+  }
+
   test("corpus scan is partition-pruned; clustered corpora prune strictly") {
     // seeded clustered fixture: 4 tight blobs far apart — the adaptive
     // bound needs only the probe's own blob (plus ties), so the needed
