@@ -111,6 +111,37 @@ object IvfIndex {
       maxNorm = maxNorm))
   }
 
+  /** Compact the index after a run of appends — the small-files answer.
+    * Every [[append]] adds at least one file per touched cluster
+    * directory; a year of daily batches is 365 files per list, and scan
+    * setup cost scales with file count even when partition pruning
+    * skips the bytes. Rewrite the data cluster-partitioned with one
+    * task per cluster (repartition on the partition column → one file
+    * per list), staged to a sibling directory and atomically swapped —
+    * Spark correctly refuses an in-place overwrite of its own input,
+    * and the swap means a crash leaves either the old or the new
+    * layout, never a mix. Row set and metadata are unchanged, so
+    * search results are identical before and after (spec-pinned). */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    val meta = readMeta(indexDir)
+    val staged = s"$indexDir/data_compacting"
+    spark.read.parquet(s"$indexDir/data")
+      .repartition(meta.k, col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(staged)
+    val dataPath = java.nio.file.Paths.get(s"$indexDir/data")
+    val old = java.nio.file.Paths.get(s"$indexDir/data_old")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    java.nio.file.Files.move(dataPath, old)
+    java.nio.file.Files.move(java.nio.file.Paths.get(staged), dataPath)
+    rmTree(old)
+  }
+
   /** The assigned cluster's centroid as a per-row array column:
     * element_at over a literal array-of-arrays indexed by `label`. */
   private def centLit(cents: Seq[Array[Double]]): Column =

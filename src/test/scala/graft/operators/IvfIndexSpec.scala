@@ -105,6 +105,37 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally rm(out)
   }
 
+  test("compact merges append files per list; results are unchanged") {
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir()
+    val oddSrc = tmpDir()
+    try {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      emb.filter(col("vec_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$oddSrc/embeddings.parquet")
+      IvfIndex.write(spark, dir, out)
+      IvfIndex.append(spark, oddSrc, out) // duplicate odd ids: more files
+      def parquetFiles(): Int = {
+        def go(f: java.io.File): Int =
+          if (f.isDirectory) Option(f.listFiles()).map(_.map(go).sum).getOrElse(0)
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        go(new java.io.File(s"$out/data"))
+      }
+      val before = IvfIndex.searchExact(spark, out, col("vec_id") < 4)
+        .collect().map(_.toSeq)
+      val filesBefore = parquetFiles()
+      IvfIndex.compact(spark, out)
+      val filesAfter = parquetFiles()
+      assert(filesAfter < filesBefore,
+        s"compact did not shrink: $filesBefore -> $filesAfter")
+      val after = IvfIndex.searchExact(spark, out, col("vec_id") < 4)
+        .collect().map(_.toSeq)
+      assert(after.toSeq === before.toSeq)
+      assert(!new java.io.File(s"$out/data_old").exists())
+      assert(!new java.io.File(s"$out/data_compacting").exists())
+    } finally { rm(out); rm(oddSrc) }
+  }
+
   test("corpus scan is partition-pruned; clustered corpora prune strictly") {
     // seeded clustered fixture: 4 tight blobs far apart — the adaptive
     // bound needs only the probe's own blob (plus ties), so the needed
