@@ -117,11 +117,14 @@ object IvfIndex {
     * setup cost scales with file count even when partition pruning
     * skips the bytes. Rewrite the data cluster-partitioned with one
     * task per cluster (repartition on the partition column → one file
-    * per list), staged to a sibling directory and atomically swapped —
-    * Spark correctly refuses an in-place overwrite of its own input,
-    * and the swap means a crash leaves either the old or the new
-    * layout, never a mix. Row set and metadata are unchanged, so
-    * search results are identical before and after (spec-pinned). */
+    * per list), staged to a sibling directory and swapped in via two
+    * renames — Spark correctly refuses an in-place overwrite of its own
+    * input. The swap is not a single atomic operation: a crash between
+    * the renames leaves `data_old`/`data_compacting` beside a missing
+    * or old `data` — both complete layouts, recoverable by one rename,
+    * never a silently mixed directory. Row set and metadata are
+    * unchanged, so search results are identical before and after
+    * (spec-pinned). */
   def compact(spark: SparkSession, indexDir: String): Unit = {
     val meta = readMeta(indexDir)
     val staged = s"$indexDir/data_compacting"
