@@ -51,6 +51,13 @@ object GraftSession {
       .config("spark.driver.host", "localhost")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the library's SQL functions (array_dot/array_l2sq kernels,
+    // copy_unescape, optimizer_barrier) are usable from plain
+    // spark.sql on this session, not only through the operator entry
+    // points that lazily self-register them. All idempotent.
+    graft.functions.ArrayMath.register(spark)
+    graft.functions.CopyUnescape.register(spark)
+    graft.functions.OptimizerBarrier.register(spark)
     spark
   }
 }
