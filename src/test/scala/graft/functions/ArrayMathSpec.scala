@@ -100,6 +100,35 @@ class ArrayMathSpec extends AnyFunSuite {
     assert(d.getDouble(0) === 25.0)
   }
 
+  test("property: arbitrary lengths, values, and null elements match the HOF") {
+    ArrayMath.register(spark)
+    import org.scalacheck.{Gen, rng}
+    def samples[T](gen: Gen[T], n: Int): Seq[T] =
+      (0 until n).flatMap(i => gen.apply(Gen.Parameters.default,
+        rng.Seed(91L + i)))
+    val elem: Gen[java.lang.Long] = Gen.frequency(
+      9 -> Gen.chooseNum(-1000000L, 1000000L).map(java.lang.Long.valueOf),
+      1 -> Gen.const(null: java.lang.Long))
+    val arr: Gen[Seq[java.lang.Long]] = Gen.chooseNum(0, 9)
+      .flatMap(n => Gen.listOfN(n, elem))
+    val pair = for { a <- arr; b <- arr } yield (a, b)
+    val rows = samples(pair, 60)
+    val sql = rows.map { case (a, b) =>
+      def lit(x: Seq[java.lang.Long]) =
+        x.map(v => if (v == null) "cast(null as bigint)" else s"${v}L")
+          .mkString("array(", ", ", ")")
+      s"SELECT ${lit(a)} AS a, ${lit(b)} AS b"
+    }.mkString(" UNION ALL ")
+    val out = spark.sql(
+      s"SELECT array_dot(a, b) AS native, ${hofDot("a", "b")} AS hof FROM ($sql)")
+      .collect()
+    assert(out.length === rows.length)
+    out.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"null parity broke: $r")
+      if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(1))
+    }
+  }
+
   test("type check rejects mismatched element types") {
     ArrayMath.register(spark)
     val e = intercept[Exception] {
