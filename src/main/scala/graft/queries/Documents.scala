@@ -543,6 +543,46 @@ object Documents {
         SELECT doc_id, COUNT(*) AS n_chunks,
                CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
         FROM chunks JOIN reuse USING (h)
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- d15
+    // BPE merge-training signal: the frequency-weighted adjacent
+    // symbol-pair counts over the corpus vocabulary — the statistic a
+    // byte-pair-encoding trainer recomputes every merge iteration
+    // (Sennrich et al.; d07 applies a FIXED BPE-ish tokenizer, this is
+    // the other half: what the trainer would merge next). Character
+    // pairs as 2-char substrings of each vocabulary term, weighted by
+    // the term's corpus frequency; top-20 by weight, ties toward the
+    // lexicographically smaller pair.
+    //
+    // 100 TB shape: term frequencies are a map-side-combined groupBy
+    // over exploded tokens (vocabulary-bounded from there on), pair
+    // explosion fans out ≤ len(term)−1 rows per VOCABULARY entry (not
+    // per occurrence), and the final ranking aggregates ~|alphabet|²
+    // keys — driver-size output, corpus-size never shuffled twice.
+    "d15_bpe_merge_pairs" -> QueryDef(
+      build = (spark, dir) => {
+        val tf = QueryDef.spread(spark, dir, "documents")
+          .select(explode(expr(toks)).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("n"))
+        tf.filter(length(col("term")) >= 2)
+          .select(col("n"), explode(expr(
+            "transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))")).as("pair"))
+          .groupBy("pair").agg(sum("n").as("freq"))
+          .orderBy(col("freq").desc, col("pair"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH tkn AS (
+          SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '')) AS term
+          FROM documents),
+        tf AS (SELECT term, COUNT(*) AS n FROM tkn GROUP BY 1),
+        pairs AS (
+          SELECT n, substring(term, CAST(i AS INT), 2) AS pair
+          FROM tf, LATERAL unnest(range(1, length(term))) AS u(i)
+          WHERE length(term) >= 2)
+        SELECT pair, CAST(SUM(n) AS BIGINT) AS freq
+        FROM pairs GROUP BY pair
+        ORDER BY freq DESC, pair LIMIT 20"""))
   )
 }
