@@ -195,6 +195,58 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Audio framing — THE audio-pipeline primitive (every downstream
+    * feature: energy/VAD, spectrograms, wav2vec windows, starts from
+    * framed samples): slide a `win`-sample window by `hop` over the
+    * decoded payload (8-bit unsigned PCM semantics, center 128) and
+    * emit per-frame sample count + integer energy Σ(s−128)². Full
+    * frames only — the standard framing convention, and what keeps the
+    * output shape a pure function of payload length. Integer
+    * arithmetic end-to-end, so frames are bit-identical across JVMs
+    * and against the SQL oracle. Same mapPartitions shape as the other
+    * decode ops: media bytes never shuffle; output rows are
+    * fixed-width frame features. */
+  def audioFrames(df: DataFrame, idCol: String, mediaCol: String,
+      win: Int, hop: Int): DataFrame = {
+    require(win > 0 && hop > 0, "window and hop must be positive")
+    val spark = df.sparkSession
+    val idIdx = df.columns.indexOf(idCol)
+    val mIdx = df.columns.indexOf(mediaCol)
+    require(idIdx >= 0 && mIdx >= 0, s"missing $idCol/$mediaCol")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_no", LongType),
+      StructField("n_samples", LongType),
+      StructField("energy", LongType)))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        decode(if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx))
+          .toSeq.flatMap {
+            case d if d.kind == "AUD" =>
+              var frames = List.newBuilder[Row]
+              var off = 0
+              var no = 0L
+              while (off + win <= d.payload.length) {
+                var e = 0L
+                var j = 0
+                while (j < win) {
+                  val v = (d.payload(off + j) & 0xff) - 128
+                  e += v.toLong * v
+                  j += 1
+                }
+                frames += Row(id, no, win.toLong, e)
+                no += 1
+                off += hop
+              }
+              frames.result()
+            case _ => Nil
+          }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Frame-sample stand-in: pick every k-th byte of the payload as the
     * "frames" of a video column — the real version samples decoded
     * frames; the partition/batch shape is identical. */

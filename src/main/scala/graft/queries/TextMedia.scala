@@ -624,6 +624,38 @@ object TextMedia {
     // 7 frames whose head bytes sit at payload offsets 0,5,...,30 — a
     // dropped frame, wrong chunk boundary, or shuffled media bytes all
     // break the checksum.
+    // ---------------------------------------------------------------- b03
+    // Audio framing over opaque audio containers (operators.Multimodal
+    // .audioFrames): win=8/hop=4 sliding windows over the 32-byte
+    // ascii-safe payload → 7 full frames per doc, per-frame integer
+    // energy Σ(s−128)² under 8-bit-unsigned-PCM semantics. The DuckDB
+    // oracle recomputes every (frame, sample) from the same md5-hex
+    // payload bytes — a dropped frame, wrong hop, off-by-one window,
+    // or un-centered sample all break the energy hash.
+    "b03_audio_frames" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        val media = docs.select(col("doc_id"),
+          concat(lit("AUD|8000|1|"), md5(col("text").cast("binary")))
+            .cast("binary").as("media"))
+        graft.operators.Multimodal.audioFrames(media, "doc_id", "media",
+            win = 8, hop = 4)
+          .select(col("media_id").as("doc_id"), col("frame_no"),
+            col("n_samples"), col("energy"))
+          .orderBy("doc_id", "frame_no")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT doc_id, i,
+                 ord(substring(md5(text), CAST(1 + 4 * i + j AS INT), 1)) - 128 AS v
+          FROM documents,
+               LATERAL unnest(range(0, 7)) AS t(i),
+               LATERAL unnest(range(0, 8)) AS u(j))
+        SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+               CAST(8 AS BIGINT) AS n_samples,
+               CAST(SUM(v * v) AS BIGINT) AS energy
+        FROM e GROUP BY doc_id, i ORDER BY doc_id, frame_no""")),
+
     "b02_frame_sample" -> QueryDef(
       build = (spark, dir) => {
         val docs = table(spark, dir, "documents")

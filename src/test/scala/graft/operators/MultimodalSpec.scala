@@ -114,6 +114,29 @@ class MultimodalSpec extends AnyFunSuite {
       Seq.fill(6)(42))
   }
 
+  test("audio framing: full windows only, centered integer energy, AUD only") {
+    import spark.implicits._
+    val rows = Seq(
+      // payload bytes 0x80,0x84,0x7c,0x80,0x90 → centered 0,4,-4,0,16
+      (50L, media("AUD|8000|1|" + new String(
+        Array[Byte](0x80.toByte, 0x84.toByte, 0x7c.toByte, 0x80.toByte, 0x90.toByte),
+        "ISO-8859-1"))),
+      (51L, media("AUD|8000|1|ab")),    // shorter than win → 0 frames
+      (52L, media("VID|1|1|abcdefgh")), // wrong kind → dropped
+      (53L, media("garbage")))          // undecodable → dropped
+      .toDF("media_id", "media")
+    val frames = Multimodal.audioFrames(rows, "media_id", "media",
+      win = 3, hop = 2).collect()
+    val byId = frames.groupBy(_.getLong(0))
+    // windows at offsets 0 and 2 (offset 4 is partial → excluded)
+    val f = byId(50L).sortBy(_.getLong(1))
+    assert(f.map(_.getLong(1)).toSeq === Seq(0L, 1L))
+    assert(f.map(_.getLong(2)).toSeq === Seq(3L, 3L))
+    // energies: 0²+4²+(−4)² = 32; (−4)²+0²+16² = 272
+    assert(f.map(_.getLong(3)).toSeq === Seq(32L, 272L))
+    assert(!byId.contains(51L) && !byId.contains(52L) && !byId.contains(53L))
+  }
+
   test("frame sampling: every k-th chunk, empty payload yields no frames") {
     val frames = Multimodal.frameSample(df, "media_id", "media", every = 2)
     val byId = frames.collect().groupBy(_.getLong(0))
