@@ -692,6 +692,43 @@ object Relational {
           GROUP BY ps.pk, ps.cost)
         SELECT t.pk AS p_partkey, t.msk AS s_suppkey, s.s_name, t.cost AS best_cost
         FROM tie t JOIN supplier s ON s.s_suppkey = t.msk
-        ORDER BY p_partkey"""))
+        ORDER BY p_partkey""")),
+
+    // ---------------------------------------------------------------- q24
+    // Trailing 7-day revenue window — the RANGE-frame windowing shape
+    // (q07 covers ROWS/running): daily order revenue plus the sum and
+    // day-count of the trailing week BY VALUE (range on epoch-µs, not
+    // row position — gap days shrink the window, which a ROWS frame
+    // gets wrong). Integer-exact: the window emits (sum, n) rather
+    // than an average, so no engine-specific division/rounding crosses
+    // the oracle boundary. One aggregation shuffle + one value-range
+    // window over ~date-count rows — scale-free after the daily
+    // rollup.
+    "q24_trailing_week" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = table(spark, dir, "orders")
+        val daily = ord.groupBy(col("o_orderdate"))
+          .agg(sumMinor(col("o_totalprice"), 2).as("rev"))
+          .select(unix_micros(col("o_orderdate").cast("timestamp")).as("day_us"), col("rev"))
+        val w = Window.orderBy(col("day_us"))
+          .rangeBetween(-6L * 86400L * 1000000L, 0L)
+        daily
+          .withColumn("rev_7d", sum(col("rev")).over(w))
+          .withColumn("n_days_7d", count(lit(1)).over(w))
+          .orderBy("day_us")
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS day_us,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev
+          FROM orders GROUP BY 1)
+        SELECT day_us, rev,
+               CAST(SUM(rev) OVER w AS BIGINT) AS rev_7d,
+               COUNT(*) OVER w AS n_days_7d
+        FROM daily
+        WINDOW w AS (ORDER BY day_us
+                     RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW)
+        ORDER BY day_us"""))
   )
 }
