@@ -526,6 +526,61 @@ object Curation {
     // curation run pays. No SQL oracle — the composition's outputs are
     // directories, not one relation; CurateSpec pins semantics and the
     // driver's rows-only check guards the histogram shape.
+    // ---------------------------------------------------------------- c15
+    // Corpus data card: the governance summary every training-data
+    // release ships (docs/tokens/bytes, exact-dup rate, language and
+    // source composition) as ONE oracle-checked tall relation — the
+    // numbers on the card are hash-verified against an independent
+    // engine, not typed into a README. Integer metrics only; dup rate
+    // in permille so no division crosses the oracle boundary as a
+    // float. Three pruned scans (scalar aggregates incl. the digest
+    // distinct-count, lang histogram, source histogram), each
+    // map-side combined — scale-free output.
+    "c15_data_card" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        val toks = graft.queries.TextMedia.toks
+        val scalars = docs.select(
+            count(lit(1)).as("n_docs"),
+            sum(expr(s"size($toks)")).as("n_tokens"),
+            sum(expr("octet_length(cast(text as binary))")).as("n_bytes"),
+            countDistinct(md5(col("text").cast("binary"))).as("n_distinct"))
+          .select(explode(expr(
+            """array(named_struct('metric', 'n_docs', 'value', n_docs),
+                     named_struct('metric', 'n_tokens', 'value', n_tokens),
+                     named_struct('metric', 'n_bytes', 'value', n_bytes),
+                     named_struct('metric', 'exact_dup_docs', 'value', n_docs - n_distinct),
+                     named_struct('metric', 'exact_dup_permille', 'value', (n_docs - n_distinct) * 1000 div n_docs))"""))
+            .as("x"))
+          .select(col("x.metric").as("metric"), col("x.value").cast("long").as("value"))
+        val langs = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("value"))
+          .select(concat(lit("lang:"), col("lang")).as("metric"), col("value"))
+        val sources = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("value"))
+          .select(concat(lit("source:"), col("source")).as("metric"), col("value"))
+        scalars.unionByName(langs).unionByName(sources).orderBy("metric")
+      },
+      oracle = Some("""
+        WITH tkn AS (
+          SELECT doc_id, text, lang, source,
+                 len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '')) AS ntok
+          FROM documents),
+        s AS (
+          SELECT COUNT(*) AS n_docs, SUM(ntok) AS n_tokens,
+                 SUM(octet_length(encode(text))) AS n_bytes,
+                 COUNT(DISTINCT md5(text)) AS n_distinct
+          FROM tkn)
+        SELECT metric, CAST(value AS BIGINT) AS value FROM (
+          SELECT 'n_docs' AS metric, n_docs AS value FROM s
+          UNION ALL SELECT 'n_tokens', n_tokens FROM s
+          UNION ALL SELECT 'n_bytes', n_bytes FROM s
+          UNION ALL SELECT 'exact_dup_docs', n_docs - n_distinct FROM s
+          UNION ALL SELECT 'exact_dup_permille', (n_docs - n_distinct) * 1000 // n_docs FROM s
+          UNION ALL SELECT 'lang:' || lang, COUNT(*) FROM documents GROUP BY lang
+          UNION ALL SELECT 'source:' || source, COUNT(*) FROM documents GROUP BY source)
+        ORDER BY metric""")),
+
     "c14_curate_e2e" -> QueryDef(
       build = (spark, dir) => {
         import spark.implicits._
