@@ -63,6 +63,34 @@ object EventStream {
         col("segment"), col("n"),
         (col("sum_value") * 1000000).cast("bigint").as("total_value"))
 
+  /** Stream-STREAM join: click attribution — each click joins the view
+    * by the same user that happened within the preceding `windowMin`
+    * minutes. The time-bound predicate is what makes unbounded streams
+    * joinable: with both sides watermarked, Spark derives the state
+    * watermark from the bound and EVICTS view/click state older than
+    * the join window + lateness — state stays proportional to the
+    * window, not the stream. Inner join: a click with no recent view
+    * simply never emits (the unattributable-click report is the
+    * left-outer variant of the same plan, which emits nulls once the
+    * watermark proves no match can arrive). */
+  def clickAttribution(views: DataFrame, clicks: DataFrame,
+      windowMin: Int = 10): DataFrame = {
+    val v = views.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("page").as("view_page"))
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("target").as("click_target"))
+    c.join(v,
+      col("c_user") === col("v_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMin MINUTES"))
+      .select(col("c_user").as("user_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("click_ts")).as("click_us"),
+        col("view_page"), col("click_target"))
+  }
+
   /** File-source entry: stream the events table as if it were arriving
     * (one real deployment shape: parquet drops in a landing dir). */
   def fromParquetDir(spark: SparkSession, dir: String,

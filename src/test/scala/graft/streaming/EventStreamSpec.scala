@@ -82,6 +82,37 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: clicks attribute to views within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long, String)]
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStream.clickAttribution(
+      views.toDF.toDF("ts", "user_id", "page"),
+      clicks.toDF.toDF("ts", "user_id", "target"),
+      windowMin = 10).writeStream
+      .format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      views.addData((ts(0), 1L, "home"), (ts(30), 2L, "docs"))
+      clicks.addData(
+        (ts(5), 1L, "signup"),   // 5 min after user 1's view → attributed
+        (ts(20), 1L, "pricing"), // 20 min after → outside the window
+        (ts(35), 2L, "api"),     // 5 min after user 2's view → attributed
+        (ts(5), 3L, "nothing"))  // no view for user 3 → inner drop
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, view_page, click_target FROM attrib ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(rows.toSeq === Seq((1L, "home", "signup"), (2L, "docs", "api")))
+      // a later view opens a NEW attribution window for the same user
+      views.addData((ts(60), 1L, "blog"))
+      clicks.addData((ts(65), 1L, "share"))
+      q.processAllAvailable()
+      val n = spark.sql("SELECT COUNT(*) FROM attrib").collect().head.getLong(0)
+      assert(n === 3L)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the dimension without join state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
