@@ -91,6 +91,31 @@ object EventStream {
         col("view_page"), col("click_target"))
   }
 
+  /** Left-outer variant of [[clickAttribution]]: every click emits —
+    * attributed rows as soon as the view matches, UNattributed rows
+    * (null view columns) only once the click-side state passes the
+    * watermark, i.e. when Spark can PROVE no qualifying view can still
+    * arrive. That proof-delay is the semantic difference from batch
+    * left joins and why the outer side needs both watermarks. */
+  def clickAttributionOuter(views: DataFrame, clicks: DataFrame,
+      windowMin: Int = 10): DataFrame = {
+    val v = views.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("page").as("view_page"))
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("target").as("click_target"))
+    c.join(v,
+      col("c_user") === col("v_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMin MINUTES"),
+      "left_outer")
+      .select(col("c_user").as("user_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("click_ts")).as("click_us"),
+        col("view_page"), col("click_target"))
+  }
+
   /** File-source entry: stream the events table as if it were arriving
     * (one real deployment shape: parquet drops in a landing dir). */
   def fromParquetDir(spark: SparkSession, dir: String,

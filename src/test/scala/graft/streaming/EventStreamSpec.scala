@@ -113,6 +113,42 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unattributed clicks after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long, String)]
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStream.clickAttributionOuter(
+      views.toDF.toDF("ts", "user_id", "page"),
+      clicks.toDF.toDF("ts", "user_id", "target"),
+      windowMin = 10).writeStream
+      .format("memory").queryName("attrib_outer").outputMode("append").start()
+    try {
+      views.addData((ts(0), 1L, "home"))
+      clicks.addData((ts(5), 1L, "signup"), (ts(5), 9L, "orphan"))
+      q.processAllAvailable()
+      // the attributed row can emit immediately; the orphan cannot —
+      // a qualifying view for user 9 could still arrive
+      val early = spark.sql("SELECT user_id FROM attrib_outer")
+        .collect().map(_.getLong(0)).toSet
+      assert(early === Set(1L))
+      // advance BOTH watermarks far past the orphan's join window:
+      // now Spark can prove no match will come, and the null row emits
+      views.addData((ts(600), 8L, "later"))
+      clicks.addData((ts(600), 8L, "later"))
+      q.processAllAvailable()
+      views.addData((ts(1200), 8L, "later2"))
+      clicks.addData((ts(1200), 8L, "later2"))
+      q.processAllAvailable()
+      val orphan = spark.sql(
+        "SELECT view_page, click_target FROM attrib_outer WHERE user_id = 9")
+        .collect()
+      assert(orphan.length === 1)
+      assert(orphan.head.isNullAt(0))
+      assert(orphan.head.getString(1) === "orphan")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the dimension without join state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
