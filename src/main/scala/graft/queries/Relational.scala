@@ -729,6 +729,51 @@ object Relational {
         FROM daily
         WINDOW w AS (ORDER BY day_us
                      RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW)
-        ORDER BY day_us"""))
+        ORDER BY day_us""")),
+
+    // ---------------------------------------------------------------- q25
+    // Market share (TPC-H Q8 shape): per order year, the revenue share
+    // of suppliers from one nation (nationkey 7) — conditional
+    // aggregation over the lineitem ⋈ orders ⋈ supplier join. Share is
+    // emitted as (numerator, denominator, permille): all integers, the
+    // division is a single integer DIV on both engines. Plan: supplier
+    // (small dim) broadcasts; lineitem ⋈ orders shuffles once on the
+    // order key; the year rollup is map-side combined — the only
+    // corpus-scale shuffle is the fact-fact equi-join, as it should
+    // be.
+    "q25_market_share" -> QueryDef(
+      build = (spark, dir) => {
+        val li = table(spark, dir, "lineitem")
+        val ord = table(spark, dir, "orders")
+          .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("yr"))
+        val sup = table(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .withColumn("rev_minor",
+            (dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+              .cast("decimal(38,6)") * lit(1000000L)).cast("bigint"))
+          .groupBy("yr")
+          .agg(sum(when(col("s_nationkey") === 7, col("rev_minor"))
+              .otherwise(0L)).as("nation_rev"),
+            sum(col("rev_minor")).as("total_rev"))
+          .withColumn("share_permille",
+            expr("nation_rev * 1000 div total_rev"))
+          .orderBy("yr")
+      },
+      oracle = Some("""
+        WITH j AS (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                 s_nationkey,
+                 CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS rev_minor
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey)
+        SELECT yr,
+               CAST(SUM(CASE WHEN s_nationkey = 7 THEN rev_minor ELSE 0 END) AS BIGINT) AS nation_rev,
+               CAST(SUM(rev_minor) AS BIGINT) AS total_rev,
+               CAST(SUM(CASE WHEN s_nationkey = 7 THEN rev_minor ELSE 0 END) * 1000
+                    // SUM(rev_minor) AS BIGINT) AS share_permille
+        FROM j GROUP BY yr ORDER BY yr"""))
   )
 }
