@@ -1,0 +1,105 @@
+package graft.sink
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** pg_dump-format EXPORT — the reverse of the pgdump sources: write any
+  * DataFrame as `CREATE TABLE` + `COPY ... FROM stdin` text payload that
+  * psql (or this library's own `format("pgdump")` reader) ingests.
+  * Closes the round trip: curated/migrated data can leave the lake the
+  * same way it arrived.
+  *
+  * Scale shape: the COPY payload is written DISTRIBUTED as text part
+  * files (one per partition — the 100 GB part of a dump parallelizes),
+  * with the schema header and `\.` terminator as tiny driver-written
+  * files; `assemble` concatenates them into the single-file form when
+  * one file is actually required (driver-streamed, the only inherently
+  * serial step — same posture as pg_dump itself, which writes one
+  * stream).
+  *
+  * Escaping mirrors the COPY text rules the reader's CopyUnescape
+  * inverts: backslash first (`\` → `\\`), then TAB/LF/CR to `\t\n\r`;
+  * SQL NULL → `\N`. Values are Spark's `cast(... as string)` rendering,
+  * so a round trip through the reader reproduces `df.select(cast all to
+  * string)` exactly (PgDumpSinkSpec pins it on text containing tabs,
+  * newlines, backslashes, and NULLs). */
+object PgDumpSink {
+
+  /** COPY text escape of one string column (null-safe → `\N`). */
+  private[sink] def escCol(c: Column): Column =
+    coalesce(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        c, "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n"), "\r", "\\\\r"),
+      lit("\\N"))
+
+  /** Spark type → pg column type for the CREATE TABLE header. */
+  private[sink] def pgType(dt: DataType): String = dt match {
+    case LongType => "bigint"
+    case IntegerType | ShortType | ByteType => "integer"
+    case DoubleType | FloatType => "double precision"
+    case BooleanType => "boolean"
+    case _: TimestampType | TimestampNTZType => "timestamp"
+    case d: DecimalType => s"numeric(${d.precision},${d.scale})"
+    case DateType => "date"
+    case _ => "text"
+  }
+
+  /** Write `df` as a dump fragment directory:
+    *   outDir/00_header.sql  — CREATE TABLE + COPY ... FROM stdin;
+    *   outDir/10_payload/    — distributed COPY text lines (part files)
+    *   outDir/20_footer.sql  — the `\.` terminator
+    * Concatenated in name order this IS the dump (see [[assemble]]). */
+  def writeDir(df: DataFrame, table: String, outDir: String): Unit = {
+    val cols = df.schema.fields
+    val header =
+      s"""CREATE TABLE "$table" (\n""" +
+        cols.map(f => s"""    "${f.name}" ${pgType(f.dataType)}""")
+          .mkString(",\n") + "\n);\n\n" +
+        s"""COPY "$table" (${cols.map(f => s""""${f.name}"""").mkString(", ")}) FROM stdin;\n"""
+    val payload = df.select(
+      concat_ws("\t", cols.map(f => escCol(col(f.name).cast("string"))): _*)
+        .as("line"))
+    payload.write.mode("overwrite").text(s"$outDir/10_payload")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/00_header.sql"), header)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/20_footer.sql"), "\\.\n")
+  }
+
+  /** Driver-streamed concatenation of a [[writeDir]] fragment dir into
+    * one dump file — header, payload parts in name order, footer. */
+  def assemble(fragmentDir: String, outFile: String): Unit = {
+    val out = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(outFile))
+    try {
+      def cat(p: java.nio.file.Path): Unit = {
+        val in = java.nio.file.Files.newInputStream(p)
+        try in.transferTo(out) finally in.close()
+      }
+      cat(java.nio.file.Paths.get(s"$fragmentDir/00_header.sql"))
+      val payloadDir = new java.io.File(s"$fragmentDir/10_payload")
+      payloadDir.listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .sortBy(_.getName)
+        .foreach(f => cat(f.toPath))
+      cat(java.nio.file.Paths.get(s"$fragmentDir/20_footer.sql"))
+    } finally out.close()
+  }
+
+  /** Convenience: write + assemble to a single dump file. */
+  def writeFile(df: DataFrame, table: String, outFile: String): Unit = {
+    val frag = java.nio.file.Files
+      .createTempDirectory("graft_pgdump_out_").toString
+    try {
+      writeDir(df, table, frag)
+      assemble(frag, outFile)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(frag))
+    }
+  }
+}
