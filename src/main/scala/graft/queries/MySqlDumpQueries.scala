@@ -76,6 +76,35 @@ object MySqlDumpQueries {
     // per-reader tuple lexing → pruned string columns → relational agg,
     // checked against DuckDB over the source parquet (p05's sibling —
     // p04 times the full migration, p06 the format("mysqldump") scan).
+    // ---------------------------------------------------------------- p08
+    // mysqldump sink round trip (p07's MySQL counterpart): parquet
+    // lineitem → MySqlDumpSink extended INSERTs → format("mysqldump")
+    // read of the written file → aggregate vs the direct-parquet
+    // oracle.
+    "p08_mysqldump_roundtrip" -> QueryDef(
+      build = (spark, dir) => {
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_p08_").toString + "/lineitem.sql"
+        QueryDef.deferCleanup(() => {
+          val d = new java.io.File(out).getParentFile
+          Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete(); ()
+        })
+        graft.sink.MySqlDumpSink.writeFile(li, "lineitem", out)
+        spark.read.format("mysqldump").option("table", "lineitem").load(out)
+          .filter(!col("__ragged"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            (sum(col("l_quantity").cast("decimal(18,2)")) * 100)
+              .cast("bigint").as("qty_cents"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS qty_cents
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     "p06_mysqldump_v2" -> QueryDef(
       build = (spark, dir) => {
         val path = bulkDump(spark, dir)

@@ -85,6 +85,39 @@ object PgDumpQueries {
     // spark.read.format("pgdump"); the oracle checks VALUES (count + an
     // exact decimal sum in minor units), so a dropped chunk, mis-aligned
     // byte split, or broken unescape all surface as a hash mismatch.
+    // ---------------------------------------------------------------- p07
+    // Sink round trip, driver-verified: write the parquet lineitem as a
+    // pg_dump (PgDumpSink — distributed COPY payload, assembled once),
+    // read the WRITTEN FILE back through the V2 source, aggregate. The
+    // oracle computes the same aggregate directly from parquet, so a
+    // green row proves export → ingest loses nothing the aggregate can
+    // see (count + exact quantity sum per flag) — the library's write
+    // path certified by its own read path against an independent
+    // engine.
+    "p07_pgdump_roundtrip" -> QueryDef(
+      build = (spark, dir) => {
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_p07_").toString + "/lineitem.pgdump"
+        QueryDef.deferCleanup(() => {
+          val d = new java.io.File(out).getParentFile
+          Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete(); ()
+        })
+        graft.sink.PgDumpSink.writeFile(li, "lineitem", out)
+        spark.read.format("pgdump").option("table", "lineitem").load(out)
+          .filter(!col("__ragged"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            (sum(col("l_quantity").cast("decimal(18,2)")) * 100)
+              .cast("bigint").as("qty_cents"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS qty_cents
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     "p05_pgdump_v2" -> QueryDef(
       build = (spark, dir) => {
         val path = bulkDump(spark, dir)
