@@ -36,6 +36,36 @@ class MySqlDumpSinkSpec extends AnyFunSuite {
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(file))
   }
 
+  test("fuzz: random strings (controls, quotes, unicode) round-trip both sinks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val alphabet: IndexedSeq[Char] =
+      ('a' to 'z') ++ Seq('\'', '"', '`', '\\', '\n', '\r', '\t', ',',
+        ';', '(', ')', '|', 'ü', 'é', '中', '€', ' ')
+    def randStr(): String =
+      (0 until rnd.nextInt(24)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val rows = (0 until 200).map(i =>
+      (i.toLong, if (i % 17 == 0) null else randStr()))
+    val df = rows.toDF("id", "payload")
+    val want = rows.map { case (i, v) => (i.toString, v) }.sortBy(_._1)
+
+    val myFile = tmp("_fz.sql")
+    MySqlDumpSink.writeFile(df, "fz", myFile, batchRows = 13)
+    val myBack = spark.read.format("mysqldump").option("table", "fz").load(myFile)
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .sortBy(_._1)
+    assert(myBack.toSeq === want.toSeq)
+
+    val pgFile = tmp("_fz.pgdump")
+    PgDumpSink.writeFile(df, "fz", pgFile)
+    val pgBack = spark.read.format("pgdump").option("table", "fz").load(pgFile)
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .sortBy(_._1)
+    assert(pgBack.toSeq === want.toSeq)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(myFile))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(pgFile))
+  }
+
   test("customer round-trips with small INSERT batches") {
     val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val file = tmp(".sql")
