@@ -344,6 +344,13 @@ object Curate {
       s"""{"verdicts":${obj(counts)},"splits":${obj(splits)},""" +
         s""""min_tokens":${cfg.minTokens},"pack_len":${cfg.packLen},""" +
         s""""pack_shards":$shards}\n""")
+    // dataset card for the INPUT corpus this run examined — the same
+    // oracle-checked c15 relation (report.DataCard), so the governance
+    // numbers shipped with the artifacts can't drift from the verified
+    // query
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/card.json"),
+      obj(graft.report.DataCard.metricsOf(docs)) + "\n")
     Result(counts, splits)
   }
 

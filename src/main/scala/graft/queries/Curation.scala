@@ -537,8 +537,14 @@ object Curation {
     // distinct-count, lang histogram, source histogram), each
     // map-side combined — scale-free output.
     "c15_data_card" -> QueryDef(
-      build = (spark, dir) => {
-        val docs = table(spark, dir, "documents")
+      build = (spark, dir) => dataCard(table(spark, dir, "documents")),
+      oracle = CARD_ORACLE)
+  ) ++ defsTail
+
+  /** The c15 relation over an arbitrary (doc_id, text, lang, source)
+    * frame — shared by the driver query, report.DataCard, and the
+    * Curate CLI's card artifact (one implementation, no drift). */
+  private[graft] def dataCard(docs: DataFrame): DataFrame = {
         val toks = graft.queries.TextMedia.toks
         val scalars = docs.select(
             count(lit(1)).as("n_docs"),
@@ -560,8 +566,9 @@ object Curation {
           .agg(count(lit(1)).as("value"))
           .select(concat(lit("source:"), col("source")).as("metric"), col("value"))
         scalars.unionByName(langs).unionByName(sources).orderBy("metric")
-      },
-      oracle = Some("""
+  }
+
+  private lazy val CARD_ORACLE = Some("""
         WITH tkn AS (
           SELECT doc_id, text, lang, source,
                  len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '')) AS ntok
@@ -579,8 +586,9 @@ object Curation {
           UNION ALL SELECT 'exact_dup_permille', (n_docs - n_distinct) * 1000 // n_docs FROM s
           UNION ALL SELECT 'lang:' || lang, COUNT(*) FROM documents GROUP BY lang
           UNION ALL SELECT 'source:' || source, COUNT(*) FROM documents GROUP BY source)
-        ORDER BY metric""")),
+        ORDER BY metric""")
 
+  private lazy val defsTail: Map[String, QueryDef] = Map(
     "c14_curate_e2e" -> QueryDef(
       build = (spark, dir) => {
         import spark.implicits._

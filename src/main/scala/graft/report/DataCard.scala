@@ -14,6 +14,12 @@ object DataCard {
     graft.queries.Curation.defs("c15_data_card").build(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  /** Same relation over an arbitrary documents frame (what the Curate
+    * CLI cards its actual input with — batch dirs included). */
+  def metricsOf(docs: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    graft.queries.Curation.dataCard(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** Write the card JSON (sorted keys — byte-stable across runs). */
   def write(spark: SparkSession, sfDir: String, outPath: String): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

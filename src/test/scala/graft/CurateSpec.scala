@@ -38,6 +38,10 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     // summary.json parses as the same numbers
     val js = Files.readString(java.nio.file.Paths.get(s"$outDir/summary.json"))
     r.counts.foreach { case (k, v) => assert(js.contains(s""""$k":$v"""), js) }
+    // card.json: the c15 governance relation over the run's input —
+    // its n_docs is the same corpus every verdict partitioned
+    val card = Files.readString(java.nio.file.Paths.get(s"$outDir/card.json"))
+    assert(card.contains(s""""n_docs":$total"""), card)
   }
 
   test("curated corpus is exactly-deduped and split-closed") {
