@@ -88,8 +88,16 @@ object MySqlDumpSink {
 
   /** Concatenate a fragment dir into one dump file. */
   def assemble(fragmentDir: String, outFile: String): Unit = {
-    val out = java.nio.file.Files.newOutputStream(
+    // `.gz` target → gzip the stream: `pg_dump | gzip` is how dumps
+    // ship in practice, and the readers' DumpCodec path ingests the
+    // compressed form (sniffed by magic bytes, so the round trip is
+    // sink .gz → reader, no special-casing)
+    val raw = java.nio.file.Files.newOutputStream(
       java.nio.file.Paths.get(outFile))
+    val out: java.io.OutputStream =
+      if (outFile.endsWith(".gz"))
+        new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+      else raw
     try {
       def cat(p: java.nio.file.Path): Unit = {
         val in = java.nio.file.Files.newInputStream(p)

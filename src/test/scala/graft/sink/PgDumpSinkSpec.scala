@@ -53,6 +53,24 @@ class PgDumpSinkSpec extends AnyFunSuite {
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(file))
   }
 
+  test("gzip target: written .gz dump reads back through the codec path") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha"), (2L, "with	tab"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "v")
+    val file = tmp(".pgdump.gz")
+    PgDumpSink.writeFile(df, "gzed", file)
+    // really compressed (gzip magic), not just named .gz
+    val head = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(file)).take(2)
+    assert((head(0) & 0xff) === 0x1f && (head(1) & 0xff) === 0x8b)
+    val back = spark.read.format("pgdump").option("table", "gzed").load(file)
+      .select("id", "v").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .sortBy(_._1)
+    assert(back.toSeq === Seq(("1", "alpha"), ("2", "with	tab"), ("3", null)))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(file))
+  }
+
   test("fragment dir: header declares the table, payload is distributed parts") {
     import spark.implicits._
     val df = Seq((1L, 1.5, "x")).toDF("a", "b", "c")
