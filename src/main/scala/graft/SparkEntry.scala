@@ -18,6 +18,7 @@ object SparkEntry {
     Similarity.defs,
     PgDumpQueries.defs,
     MySqlDumpQueries.defs,
+    JsonlQueries.defs,
     TextMedia.defs,
     Curation.defs
   )
