@@ -130,11 +130,30 @@ object Curate {
 
   private def toks = queries.TextMedia.toks
 
-  /** Fresh full-corpus curation. */
+  /** Fresh full-corpus curation. The input dir may hold either the
+    * parquet documents table (`documents.parquet`, the testdata shape)
+    * or a JSONL corpus drop (any other content — the shape releases
+    * actually arrive in): JSONL goes through JsonlDocs' quarantine
+    * read, and malformed-line counts surface on stderr rather than
+    * becoming silent all-NULL docs. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       cfg: Config = Config()): Result =
-    curate(spark, queries.QueryDef.spread(spark, sfDir, "documents"),
-      baseIndex = None, outDir, cfg)
+    curate(spark, loadDocs(spark, sfDir), baseIndex = None, outDir, cfg)
+
+  private[graft] def loadDocs(spark: SparkSession, inDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val parquet = java.nio.file.Paths.get(s"$inDir/documents.parquet")
+    if (java.nio.file.Files.exists(parquet))
+      queries.QueryDef.spread(spark, inDir, "documents")
+    else {
+      val (good, bad) = sources.jsonl.JsonlDocs.read(spark, inDir)
+      val nBad = bad.count()
+      if (nBad > 0)
+        System.err.println(s"[curate] quarantined $nBad malformed JSONL line(s) from $inDir")
+      val target = spark.sparkContext.defaultParallelism
+      if (good.rdd.getNumPartitions < target) good.repartition(target) else good
+    }
+  }
 
   /** Incremental curation of a new batch against a prior run's outDir.
     * outDir must be a NEW directory (append-log style): writing into

@@ -239,4 +239,27 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("seq") =!= col("mx") && col("n_tokens") =!= 512).count()
     assert(nonFull === 0L)
   }
+  test("JSONL input: curation runs on a corpus drop, quarantining bad lines") {
+    val in = java.nio.file.Files.createTempDirectory("graft_cur_jsonl_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cur_jsonl_out_").toString
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "lang", "source")
+      graft.sources.jsonl.JsonlDocs.write(docs, s"$in/drop")
+      // drop a malformed shard beside the good ones (a fresh file —
+      // editing a Spark-written part would invalidate its .crc sidecar)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$in/drop/zzz-malformed.json"),
+        "not json at all\n{\"text\": \"missing id\"}\n")
+      val r = Curate.run(spark, s"$in/drop", outDir)
+      assert(r.counts.values.sum === docs.count()) // bad line excluded, all docs curated
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$outDir/card.json")))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(in)); rm(new java.io.File(outDir))
+    }
+  }
 }
