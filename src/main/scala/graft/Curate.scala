@@ -187,7 +187,7 @@ object Curate {
       s"incremental outDir must differ from baseDir ($basePath): " +
         "the run reads baseDir's index.parquet lazily and an in-place " +
         "overwrite would destroy it")
-    curate(spark, queries.QueryDef.spread(spark, batchDir, "documents"),
+    curate(spark, loadDocs(spark, batchDir),
       baseIndex = Some(spark.read.parquet(s"$baseDir/index.parquet")),
       outDir, cfg)
   }
