@@ -536,6 +536,38 @@ object Curation {
     // float. Three pruned scans (scalar aggregates incl. the digest
     // distinct-count, lang histogram, source histogram), each
     // map-side combined — scale-free output.
+    // ---------------------------------------------------------------- c16
+    // Modality referential integrity: multimodal training sets pair a
+    // text table with per-modality feature tables keyed by the same id
+    // space; orphans on either side (doc without embedding, embedding
+    // without doc) silently shrink joins downstream. One tall relation:
+    // matched count + orphans each way, via two anti-joins on the id —
+    // each a broadcast/shuffle hash anti join on the smaller side, no
+    // row data moved beyond ids.
+    "c16_modality_integrity" -> QueryDef(
+      build = (spark, dir) => {
+        val d = table(spark, dir, "documents").select(col("doc_id").as("id"))
+        val e = table(spark, dir, "embeddings").select(col("vec_id").as("id"))
+        val matched = d.join(e, Seq("id")).count()
+        val docOnly = d.join(e, Seq("id"), "left_anti").count()
+        val embOnly = e.join(d, Seq("id"), "left_anti").count()
+        import spark.implicits._
+        Seq(("doc_without_embedding", docOnly), ("embedding_without_doc", embOnly),
+          ("matched", matched))
+          .toDF("metric", "value").orderBy("metric")
+      },
+      oracle = Some("""
+        SELECT metric, CAST(value AS BIGINT) AS value FROM (
+          SELECT 'matched' AS metric,
+                 (SELECT COUNT(*) FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id) AS value
+          UNION ALL SELECT 'doc_without_embedding',
+                 (SELECT COUNT(*) FROM documents d WHERE NOT EXISTS
+                    (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))
+          UNION ALL SELECT 'embedding_without_doc',
+                 (SELECT COUNT(*) FROM embeddings e WHERE NOT EXISTS
+                    (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)))
+        ORDER BY metric""")),
+
     "c15_data_card" -> QueryDef(
       build = (spark, dir) => dataCard(table(spark, dir, "documents")),
       oracle = CARD_ORACLE)
