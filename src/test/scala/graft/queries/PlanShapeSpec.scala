@@ -116,6 +116,17 @@ class PlanShapeSpec extends AnyFunSuite {
     graft.queries.QueryDef.drainCleanups()
   }
 
+  test("q23 argmin shrinks via partial WindowGroupLimit before the shuffle") {
+    val df = Relational.defs("q23_min_cost_supplier").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // both phases present: Partial limits per map task, Final after the
+    // exchange — at 100× the (part, supplier) rows, only per-part top-1
+    // survivors shuffle
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q18 bucketed range join emits no duplicate pairs without a distinct") {
     val df = Relational.defs("q18_range_join").build(spark, dir)
     // no dedup operator in the plan...
