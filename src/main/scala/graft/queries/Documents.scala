@@ -492,6 +492,34 @@ object Documents {
     // vocabulary-of-chunks bounded, and the per-doc rollup partitions
     // by doc_id. Boundary-rule parity rides on the md5-over-token
     // contract d04/d08 already pin cross-engine.
+    // ---------------------------------------------------------------- d16
+    // Vocabulary richness per language: types (distinct terms), tokens,
+    // and the type-token ratio in permille — the classic lexical-
+    // diversity diagnostic (a low TTR at corpus scale flags template/
+    // boilerplate floods; a high one flags noise). Integer permille via
+    // one DIV. Types and tokens come from ONE exploded frame aggregated
+    // twice (tf rows = types; their tf sum = tokens) — vocabulary-
+    // bounded after the first map-side-combined groupBy, the d13
+    // discipline.
+    "d16_vocab_richness" -> QueryDef(
+      build = (spark, dir) => {
+        val tf = QueryDef.spread(spark, dir, "documents")
+          .select(col("lang"), explode(expr(toks)).as("term"))
+          .groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+        tf.groupBy("lang")
+          .agg(count(lit(1)).as("n_types"), sum("tf").as("n_tokens"))
+          .withColumn("ttr_permille", expr("n_types * 1000 div n_tokens"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH tkn AS (
+          SELECT lang, unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '')) AS term
+          FROM documents),
+        tf AS (SELECT lang, term, COUNT(*) AS tf FROM tkn GROUP BY 1, 2)
+        SELECT lang, COUNT(*) AS n_types, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) * 1000 // SUM(tf) AS BIGINT) AS ttr_permille
+        FROM tf GROUP BY lang ORDER BY lang""")),
+
     "d14_cdc_chunks" -> QueryDef(
       build = (spark, dir) => {
         val chunked = QueryDef.spread(spark, dir, "documents")
