@@ -257,6 +257,64 @@ object Documents {
                  AS alloc_tokens
         FROM ranked ORDER BY lang""")),
 
+    // ---------------------------------------------------------------- c17
+    // TEMPERATURE-weighted mix allocation — the formula multilingual
+    // training mixes actually use (weight ∝ n^α, α<1, so low-resource
+    // strata get up-sampled relative to proportional c04; α here is 0.5
+    // DELIBERATELY: sqrt is the one power IEEE requires correctly
+    // rounded, so Spark's Math.sqrt and DuckDB's libm sqrt produce the
+    // identical double, and floor(sqrt(n)·10⁶) is the identical BIGINT
+    // weight on both engines — a generic pow(n, 0.3) is NOT correctly
+    // rounded and could flip largest-remainder ranks by an ulp). Same
+    // exact largest-remainder machinery as c04 over the integer
+    // weights: allocations sum to the budget exactly.
+    "c17_temperature_mix" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 1000000L
+        val docs = QueryDef.spread(spark, dir, "documents")
+        val tot = docs.groupBy("lang")
+          .agg(sum(expr(s"size($toks)")).cast("long").as("n_tok"))
+          .withColumn("w", expr("cast(floor(sqrt(cast(n_tok as double)) * 1000000D) as bigint)"))
+        val all = Window.partitionBy()
+        tot
+          .withColumn("grand", sum("w").over(all))
+          .withColumn("base",
+            expr(s"cast((cast($budget as decimal(21,0)) * w) div grand as bigint)"))
+          .withColumn("rem",
+            expr(s"cast((cast($budget as decimal(21,0)) * w) % grand as bigint)"))
+          .withColumn("rk",
+            row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+          .withColumn("deficit", expr(s"$budget - sum(base) over ()"))
+          .select(col("lang"), col("n_tok"), col("w"),
+            (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+              .as("alloc_tokens"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH tot AS (
+          SELECT lang, CAST(SUM(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                 t -> t <> ''))) AS BIGINT) AS n_tok
+          FROM documents GROUP BY lang),
+        wt AS (
+          SELECT lang, n_tok,
+                 CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1000000) AS BIGINT) AS w
+          FROM tot),
+        calc AS (
+          SELECT lang, n_tok, w,
+                 CAST(1000000::HUGEINT * w // SUM(w) OVER () AS BIGINT) AS base,
+                 CAST(1000000::HUGEINT * w % SUM(w) OVER () AS BIGINT) AS rem
+          FROM wt),
+        ranked AS (
+          SELECT lang, n_tok, w, base,
+                 row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+                 1000000 - SUM(base) OVER () AS deficit
+          FROM calc)
+        SELECT lang, n_tok, w,
+               CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+                 AS alloc_tokens
+        FROM ranked ORDER BY lang""")),
+
     // ---------------------------------------------------------------- c05
     // Text-normalization pass: lowercase, strip ASCII punctuation,
     // collapse whitespace — the canonical pre-dedup cleanup. Reported as
