@@ -105,11 +105,29 @@ object Migrate {
     } finally release()
   }
 
+  /** The reference's headline invocation — `pg_dump mydb |
+    * harbourbridge` (conversion/conversion.go:377-406): a non-seekable
+    * input stream is teed ONCE to a scratch file (DumpCodec's layout;
+    * gzip'd streams land compressed and inflate through the normal
+    * sniffing path), then the unchanged two-pass pipeline runs against
+    * the seekable copy. Artifacts are identical to a path-based run
+    * (MigrateSpec pins this); the scratch copy is dropped afterwards. */
+  def runStream(spark: SparkSession, driver: String, in: java.io.InputStream,
+      outDir: String, mode: String = "full",
+      progressOut: String => Unit = println): Result = {
+    val scratch = graft.sources.DumpCodec.materializeStream(spark, in)
+    try run(spark, driver, scratch, outDir, mode, progressOut)
+    finally graft.sources.DumpCodec.dropScratch(spark, scratch)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(driver, dumpFile, outDir) = args.take(3)
     val mode = args.lift(3).getOrElse("full")
     val spark = GraftSession.build("graft-migrate")
-    val r = run(spark, driver, dumpFile, outDir, mode)
+    // reference CLI: "-" (or an empty path) reads the dump from stdin
+    val r =
+      if (dumpFile == "-") runStream(spark, driver, System.in, outDir, mode)
+      else run(spark, driver, dumpFile, outDir, mode)
     println(r.report)
     spark.stop()
   }

@@ -170,14 +170,18 @@ object ArrayMath {
     }
   }
 
-  /** Column-API entry points (register on the active session first). */
+  /** Column-API entry points: construct the expression directly
+    * (ColumnBridge) — pure Column construction, no registry mutation,
+    * no dependence on which session is `active` when the plan is later
+    * analyzed. [[register]] stays for the SQL-text form
+    * (`expr("array_dot(…)")`), wired per-session by GraftSession. */
   def dot(a: Column, b: Column): Column = {
-    register(org.apache.spark.sql.SparkSession.active)
-    call_function("array_dot", a, b)
+    import org.apache.spark.sql.graft.ColumnBridge._
+    column(ArrayDot(expression(a), expression(b)))
   }
 
   def l2sq(a: Column, b: Column): Column = {
-    register(org.apache.spark.sql.SparkSession.active)
-    call_function("array_l2sq", a, b)
+    import org.apache.spark.sql.graft.ColumnBridge._
+    column(ArrayL2Sq(expression(a), expression(b)))
   }
 }

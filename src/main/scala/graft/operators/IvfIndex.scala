@@ -1,7 +1,10 @@
 package graft.operators
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.util.Fs
 
 /** Persisted IVF index layout + partition-pruned EXACT search.
   *
@@ -49,12 +52,14 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$indexDir/data")
     writeMeta(indexDir, Meta(k, cents.head.length, stats.maxNorm, cents,
-      stats.radius, stats.count))
+      stats.radius, stats.count), spark.sessionState.newHadoopConf())
   }
 
-  def readMeta(indexDir: String): Meta = {
-    val node = mapper.readTree(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$indexDir/meta.json")))
+  /** All file IO goes through the Hadoop FileSystem of the path's
+    * scheme ([[graft.util.Fs]]) — an index dir can be `hdfs://…` or
+    * `s3a://…`, same as the parquet data beside it. */
+  def readMeta(indexDir: String, c: Configuration = Fs.conf()): Meta = {
+    val node = mapper.readTree(Fs.readString(s"$indexDir/meta.json", c))
     import scala.jdk.CollectionConverters._
     Meta(
       k = node.get("k").asInt(),
@@ -78,15 +83,27 @@ object IvfIndex {
     * trade (same as every production IVF index): assignment quality
     * decays as the distribution shifts, which is a re-train decision,
     * not a correctness one — exactness never depends on WHICH cluster
-    * a vector sits in, only on that cluster's radius covering it. */
+    * a vector sits in, only on that cluster's radius covering it.
+    *
+    * Crash safety: the update is staged so EVERY intermediate state
+    * keeps [[searchExact]]'s bound a proof over whatever data is
+    * visible. Radius/maxNorm can only safely LEAD the data (a too-large
+    * radius prunes less), counts can only safely TRAIL it (an
+    * understated count reaches top-k coverage later, so the threshold
+    * is lower and prunes less — an overstated count would prune from
+    * rows that do not exist yet). So: (1) publish the grown
+    * radius/maxNorm with the OLD counts — atomic temp+rename, see
+    * [[graft.util.Fs.writeStringAtomic]]; (2) append the data files;
+    * (3) publish the grown counts. A crash between any two steps
+    * leaves a conservative — never inexact — index. */
   def append(spark: SparkSession, batchDir: String, indexDir: String): Unit = {
-    val meta = readMeta(indexDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = readMeta(indexDir, conf)
     val batch = spark.read.parquet(s"$batchDir/embeddings.parquet")
     val assigned = IvfAnn.assign(batch, meta.centroids)
       .select(col("vec_id"), col("embedding"), col("label").cast("int").as("cluster"))
-    assigned.write.mode("append").partitionBy("cluster")
-      .parquet(s"$indexDir/data")
-    // exact metadata update from the batch side only (O(batch) scan)
+    // exact metadata update from the batch side only (O(batch) scan),
+    // computed BEFORE any mutation so the staged publishes are pure
     val upd = IvfAnn.assign(batch, meta.centroids)
       .select(col("label").cast("int").as("cluster"),
         sqrt(graft.functions.ArrayMath.l2sq(
@@ -107,8 +124,12 @@ object IvfIndex {
       counts(c) += r.getLong(3)
       maxNorm = math.max(maxNorm, r.getDouble(2))
     }
+    // (1) bounds lead the data (old counts), (2) data, (3) counts trail
+    writeMeta(indexDir, meta.copy(radius = radius, maxNorm = maxNorm), conf)
+    assigned.write.mode("append").partitionBy("cluster")
+      .parquet(s"$indexDir/data")
     writeMeta(indexDir, meta.copy(radius = radius, counts = counts,
-      maxNorm = maxNorm))
+      maxNorm = maxNorm), conf)
   }
 
   /** Compact the index after a run of appends — the small-files answer.
@@ -126,23 +147,28 @@ object IvfIndex {
     * unchanged, so search results are identical before and after
     * (spec-pinned). */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    val meta = readMeta(indexDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val data = s"$indexDir/data"
+    val old = s"$indexDir/data_old"
     val staged = s"$indexDir/data_compacting"
-    spark.read.parquet(s"$indexDir/data")
+    // leftover-state audit before touching anything: a prior compact
+    // that crashed between its two renames leaves data/ MISSING with
+    // the only complete copy in data_old — refuse and name the one
+    // recovering rename rather than plow a new compact into it. A
+    // data_old BESIDE an intact data/ is the post-swap window (crash
+    // before cleanup): data/ is complete, the leftover is garbage.
+    if (!Fs.exists(data, conf) && Fs.exists(old, conf))
+      throw new IllegalStateException(
+        s"$indexDir: interrupted compact — recover with: rename $old -> $data")
+    Fs.deleteTree(old, conf)
+    Fs.deleteTree(staged, conf)
+    val meta = readMeta(indexDir, conf)
+    spark.read.parquet(data)
       .repartition(meta.k, col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(staged)
-    val dataPath = java.nio.file.Paths.get(s"$indexDir/data")
-    val old = java.nio.file.Paths.get(s"$indexDir/data_old")
-    def rmTree(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-    }
-    java.nio.file.Files.move(dataPath, old)
-    java.nio.file.Files.move(java.nio.file.Paths.get(staged), dataPath)
-    rmTree(old)
+    Fs.rename(data, old, conf)
+    Fs.rename(staged, data, conf)
+    Fs.deleteTree(old, conf)
   }
 
   /** The assigned cluster's centroid as a per-row array column:
@@ -151,17 +177,17 @@ object IvfIndex {
     element_at(array(cents.map(c => array(c.map(lit(_)): _*)): _*),
       col("label").cast("int") + 1)
 
-  private def writeMeta(indexDir: String, meta: Meta): Unit = {
+  private def writeMeta(indexDir: String, meta: Meta, c: Configuration): Unit = {
     val root = mapper.createObjectNode()
     root.put("k", meta.k)
     root.put("dim", meta.dim)
     root.put("maxNorm", meta.maxNorm)
     val cn = root.putArray("centroids")
-    meta.centroids.foreach { c => val a = cn.addArray(); c.foreach(a.add) }
+    meta.centroids.foreach { cc => val a = cn.addArray(); cc.foreach(a.add) }
     val rn = root.putArray("radius"); meta.radius.foreach(rn.add)
     val mn = root.putArray("counts"); meta.counts.foreach(mn.add)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$indexDir/meta.json"), mapper.writeValueAsString(root))
+    // temp + atomic rename: a reader never observes a torn meta.json
+    Fs.writeStringAtomic(s"$indexDir/meta.json", mapper.writeValueAsString(root), c)
   }
 
   /** Fixed-nprobe APPROXIMATE search over the written index — the

@@ -540,21 +540,30 @@ object Curation {
     // Modality referential integrity: multimodal training sets pair a
     // text table with per-modality feature tables keyed by the same id
     // space; orphans on either side (doc without embedding, embedding
-    // without doc) silently shrink joins downstream. One tall relation:
-    // matched count + orphans each way, via two anti-joins on the id —
-    // each a broadcast/shuffle hash anti join on the smaller side, no
-    // row data moved beyond ids.
+    // without doc) silently shrink joins downstream. ONE relation, ONE
+    // job: a full-outer join of the two id projections (ids are unique
+    // on both sides, so the join preserves counts) with a conditional
+    // scalar aggregate — all three metrics fall out of a single id-only
+    // shuffle, and the result composes lazily like every other
+    // QueryDef instead of forcing three driver actions.
     "c16_modality_integrity" -> QueryDef(
       build = (spark, dir) => {
-        val d = table(spark, dir, "documents").select(col("doc_id").as("id"))
-        val e = table(spark, dir, "embeddings").select(col("vec_id").as("id"))
-        val matched = d.join(e, Seq("id")).count()
-        val docOnly = d.join(e, Seq("id"), "left_anti").count()
-        val embOnly = e.join(d, Seq("id"), "left_anti").count()
-        import spark.implicits._
-        Seq(("doc_without_embedding", docOnly), ("embedding_without_doc", embOnly),
-          ("matched", matched))
-          .toDF("metric", "value").orderBy("metric")
+        val d = table(spark, dir, "documents")
+          .select(col("doc_id").as("id"), lit(1).as("in_d"))
+        val e = table(spark, dir, "embeddings")
+          .select(col("vec_id").as("id"), lit(1).as("in_e"))
+        d.join(e, Seq("id"), "full_outer")
+          .agg(
+            count(when(col("in_d").isNotNull && col("in_e").isNotNull, 1)).as("n_match"),
+            count(when(col("in_e").isNull, 1)).as("n_doc_only"),
+            count(when(col("in_d").isNull, 1)).as("n_emb_only"))
+          .select(explode(expr(
+            """array(named_struct('metric', 'doc_without_embedding', 'value', n_doc_only),
+                     named_struct('metric', 'embedding_without_doc', 'value', n_emb_only),
+                     named_struct('metric', 'matched', 'value', n_match))""")).as("x"))
+          .select(col("x.metric").as("metric"),
+            col("x.value").cast("long").as("value"))
+          .orderBy("metric")
       },
       oracle = Some("""
         SELECT metric, CAST(value AS BIGINT) AS value FROM (

@@ -103,6 +103,20 @@ object Similarity {
         "array(md5(concat(mh[0], mh[1])), md5(concat(mh[2], mh[3])), md5(concat(mh[4], mh[5])))"))
         .as(Seq("bi", "bh")))
 
+  /** Build (once per process per sf dir) the persisted IVF index used
+    * by the prebuilt-index entries (e13b/e14) — p03's generate-once
+    * pattern: e13 pays the build every pass by design (the honest
+    * end-to-end), these entries measure what the layout amortizes to.
+    * meta.json is written last ([[graft.operators.IvfIndex.write]]), so
+    * its presence marks a complete build. */
+  private def benchIndex(spark: SparkSession, dir: String): String = {
+    val sfName = new java.io.File(dir).getName
+    val out = s"/tmp/graft_ivfindex_$sfName"
+    if (!new java.io.File(s"$out/meta.json").exists())
+      graft.operators.IvfIndex.write(spark, dir, out)
+    out
+  }
+
   val defs: Map[String, QueryDef] = Map(
     // ---------------------------------------------------------------- m01
     // MinHash-LSH near-dedup: 6 MinHashes → 3 bands of 2 → candidates
@@ -348,6 +362,32 @@ object Similarity {
       },
       oracle = Some(knnOracle),
       headline = true),
+
+    // ---------------------------------------------------------------- e13b
+    // The AMORTIZED side of e13: search over a PREBUILT persisted index
+    // (built once per process per sf dir, p03's generate-once pattern).
+    // e13 times build+write+search — the honest one-off; this entry is
+    // what the layout actually buys — every query after the first pays
+    // only the partition-pruned scan. Same provably-exact search, same
+    // brute-force oracle.
+    "e13b_ivf_index_search_only" -> QueryDef(
+      build = (spark, dir) =>
+        graft.operators.IvfIndex.searchExact(spark, benchIndex(spark, dir),
+          col("vec_id") < 8),
+      oracle = Some(knnOracle),
+      headline = true),
+
+    // ---------------------------------------------------------------- e14
+    // The production DIAL of the persisted index: fixed-nprobe
+    // approximate search (IvfIndex.searchApprox) — e12's rationale
+    // applied to the e13 layout. Approximate by design, so rows-only at
+    // the driver; the recall floor (and that nprobe=k reproduces
+    // searchExact bit-exactly) is pinned by IvfIndexSpec.
+    "e14_ivf_index_search_approx" -> QueryDef(
+      build = (spark, dir) =>
+        graft.operators.IvfIndex.searchApprox(spark, benchIndex(spark, dir),
+          col("vec_id") < 8),
+      oracle = None),
 
     // ---------------------------------------------------------------- e03
     // LSH-bucketed ANN (see operators.AnnLsh). The hyperplane scheme is

@@ -71,9 +71,8 @@ object MySqlDumpSink {
       }
     }(Encoders.STRING).toDF("line")
     stmts.write.mode("overwrite").text(s"$outDir/10_payload")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/00_header.sql"), header)
+    graft.util.Fs.writeStringAtomic(s"$outDir/00_header.sql", header,
+      df.sparkSession.sessionState.newHadoopConf())
   }
 
   private object Encoders {
@@ -86,44 +85,41 @@ object MySqlDumpSink {
       if (r.isNullAt(i)) "NULL" else "'" + escape(r.getString(i)) + "'"
     }.mkString("(", ",", ")")
 
-  /** Concatenate a fragment dir into one dump file. */
+  /** Concatenate a fragment dir into one dump file. All IO through the
+    * Hadoop FileSystem of each path's scheme — fragments and target can
+    * live on HDFS/S3, not just a POSIX mount. */
   def assemble(fragmentDir: String, outFile: String): Unit = {
-    // `.gz` target → gzip the stream: `pg_dump | gzip` is how dumps
+    // `.gz` target → gzip the stream: `mysqldump | gzip` is how dumps
     // ship in practice, and the readers' DumpCodec path ingests the
     // compressed form (sniffed by magic bytes, so the round trip is
     // sink .gz → reader, no special-casing)
-    val raw = java.nio.file.Files.newOutputStream(
-      java.nio.file.Paths.get(outFile))
+    val conf = graft.util.Fs.conf()
+    val raw = graft.util.Fs.create(outFile, conf)
     val out: java.io.OutputStream =
       if (outFile.endsWith(".gz"))
         new java.util.zip.GZIPOutputStream(raw, 1 << 16)
       else raw
     try {
-      def cat(p: java.nio.file.Path): Unit = {
-        val in = java.nio.file.Files.newInputStream(p)
+      def cat(p: String): Unit = {
+        val in = graft.util.Fs.open(p, conf)
         try in.transferTo(out) finally in.close()
       }
-      cat(java.nio.file.Paths.get(s"$fragmentDir/00_header.sql"))
-      new java.io.File(s"$fragmentDir/10_payload").listFiles()
-        .filter(f => f.isFile && f.getName.startsWith("part-"))
-        .sortBy(_.getName)
-        .foreach(f => cat(f.toPath))
+      cat(s"$fragmentDir/00_header.sql")
+      graft.util.Fs.listParts(s"$fragmentDir/10_payload", conf)
+        .foreach(st => cat(st.getPath.toString))
     } finally out.close()
   }
 
-  /** Convenience: write + assemble to a single dump file. */
+  /** Convenience: write + assemble to a single dump file. The fragment
+    * scratch is a sibling of the target (same FileSystem), so the whole
+    * round trip works on an object store. */
   def writeFile(df: DataFrame, table: String, outFile: String,
       batchRows: Int = 1000): Unit = {
-    val frag = java.nio.file.Files
-      .createTempDirectory("graft_mysqldump_out_").toString
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val frag = s"$outFile.fragments"
     try {
       writeDir(df, table, frag, batchRows)
       assemble(frag, outFile)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(frag))
-    }
+    } finally graft.util.Fs.deleteTree(frag, conf)
   }
 }

@@ -78,6 +78,38 @@ object DumpCodec {
       else (mtime, inflate(spark, path, mtime, conf)))._2
   }
 
+  /** Materialize a NON-SEEKABLE input stream (stdin, a pipe, a socket)
+    * to a scratch file and return its path — the reference's headline
+    * `pg_dump mydb | harbourbridge` posture (conversion/conversion.go:
+    * 377-406: any stream lands on disk before parsing, because the
+    * two-pass pipeline re-reads). Bytes are teed RAW: a gzip'd stream
+    * is written compressed and [[materialize]] inflates it on first
+    * read like any other .gz dump — one sniffing path, no
+    * special-casing. Scratch placement follows the same rule as
+    * [[materialize]] (spark.graft.dump.scratchDir, which must be a
+    * shared filesystem on a multi-executor cluster). */
+  def materializeStream(spark: SparkSession, in: java.io.InputStream): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val scratchDir = spark.conf.getOption("spark.graft.dump.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val stem = java.util.UUID.randomUUID().toString.take(12)
+    val out = new Path(scratchDir, s"graft_stream_$stem.dump")
+    val os = out.getFileSystem(conf).create(out, true)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) os.write(buf, 0, n); n = in.read(buf) }
+    } finally os.close()
+    out.toString
+  }
+
+  /** Delete a scratch copy created by [[materializeStream]]. */
+  def dropScratch(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
+    ()
+  }
+
   private def inflate(spark: SparkSession, path: String, mtime: Long,
       conf: Configuration): String = {
     val scratchDir = spark.conf.getOption("spark.graft.dump.scratchDir")

@@ -262,4 +262,24 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       rm(new java.io.File(in)); rm(new java.io.File(outDir))
     }
   }
+
+  test("JSONL input: a dir that parses to ZERO valid docs fails loudly") {
+    // a mistyped path / a dir of non-JSONL files must not curate an
+    // empty corpus into a normal-looking outDir with everything
+    // silently quarantined
+    val in = java.nio.file.Files.createTempDirectory("graft_cur_junk_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cur_junk_out_").toString
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$in/readme.txt"),
+        "this is not a JSONL corpus\njust some notes\n")
+      val e = intercept[IllegalArgumentException](Curate.run(spark, in, outDir))
+      assert(e.getMessage.contains("0 valid JSONL documents"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(in)); rm(new java.io.File(outDir))
+    }
+  }
 }

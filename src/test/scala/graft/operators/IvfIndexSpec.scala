@@ -105,6 +105,55 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally rm(out)
   }
 
+  test("index dir accepts an explicit Hadoop-scheme path (file:)") {
+    // deployment shape: a 100 TB index lives on HDFS/S3, addressed by
+    // scheme. Every non-Spark file op (meta sidecar, compact swap) goes
+    // through path.getFileSystem(conf), so a `file:` URI exercises the
+    // same code path as an object-store one end-to-end:
+    // write → readMeta → append → compact → searchExact.
+    val dir = "/root/testdata/sf0.001"
+    val local = tmpDir()
+    val out = s"file:$local/idx"
+    val oddSrc = tmpDir()
+    try {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      emb.filter(col("vec_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$oddSrc/embeddings.parquet")
+      IvfIndex.write(spark, dir, out)
+      val meta = IvfIndex.readMeta(out)
+      assert(meta.counts.sum === emb.count())
+      IvfIndex.append(spark, oddSrc, out)
+      IvfIndex.compact(spark, out)
+      val fromIndex = IvfIndex.searchExact(spark, out, col("vec_id") < 8)
+        .collect().map(_.toSeq)
+      assert(fromIndex.nonEmpty)
+      // meta.json written atomically: no temp sibling left behind
+      assert(!new java.io.File(s"$local/idx/.meta.json.tmp").exists())
+      assert(!new java.io.File(s"$local/idx/data_old").exists())
+      assert(!new java.io.File(s"$local/idx/data_compacting").exists())
+    } finally { rm(local); rm(oddSrc) }
+  }
+
+  test("compact refuses the interrupted-swap crash state instead of destroying it") {
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir()
+    try {
+      IvfIndex.write(spark, dir, out)
+      // simulate a crash between compact's two renames: data/ gone,
+      // the only complete copy sits in data_old
+      assert(new java.io.File(s"$out/data")
+        .renameTo(new java.io.File(s"$out/data_old")))
+      val e = intercept[IllegalStateException](IvfIndex.compact(spark, out))
+      assert(e.getMessage.contains("interrupted compact"))
+      // the recovery the message names actually works
+      assert(new java.io.File(s"$out/data_old")
+        .renameTo(new java.io.File(s"$out/data")))
+      IvfIndex.compact(spark, out)
+      assert(IvfIndex.searchExact(spark, out, col("vec_id") < 4)
+        .collect().nonEmpty)
+    } finally rm(out)
+  }
+
   test("compact merges append files per list; results are unchanged") {
     val dir = "/root/testdata/sf0.001"
     val out = tmpDir()
@@ -182,12 +231,22 @@ class IvfIndexSpec extends AnyFunSuite {
       val listed = new java.io.File(s"$out/data").listFiles()
         .count(_.getName.startsWith("cluster="))
       assert(listed === meta.counts.count(_ > 0))
-      val scannedParts = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).get
-      val inList = "\\(([0-9, ]+)\\)".r.findFirstIn(scannedParts)
-      inList.foreach { l =>
-        val n = l.count(_ == ',') + 1
-        assert(n < listed, s"no pruning: needed $n of $listed lists\n$scannedParts")
-      }
+      // the corpus scan's partition filter is the bracket that names
+      // `cluster` — the probe-side scan renders FIRST with an empty
+      // `PartitionFilters: []`, which is exactly what the pre-r12
+      // first-bracket regex latched onto (vacuously passing). The
+      // needed-list renders as `cluster IN (a,b,…)`, or `cluster = a`
+      // when one list suffices; every shape must be FOUND before it is
+      // counted so a plan-rendering change fails loudly instead of
+      // silently untesting the pruning guarantee.
+      val scannedParts =
+        "PartitionFilters: \\[[^\\]]*cluster[^\\]]*\\]".r.findFirstIn(plan)
+      assert(scannedParts.isDefined, s"no cluster partition filter\n$plan")
+      val n = "IN \\(([0-9, ]+)\\)".r.findFirstMatchIn(scannedParts.get)
+        .map(_.group(1).split(',').length)
+        .orElse("= ([0-9]+)".r.findFirstMatchIn(scannedParts.get).map(_ => 1))
+      assert(n.isDefined, s"unrecognized partition-filter shape\n${scannedParts.get}")
+      assert(n.get < listed, s"no pruning: needed ${n.get} of $listed lists\n${scannedParts.get}")
     } finally { rm(src); rm(out) }
   }
 }

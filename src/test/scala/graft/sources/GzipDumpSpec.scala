@@ -104,4 +104,34 @@ class GzipDumpSpec extends AnyFunSuite {
     assert(DumpCodec.isGzip(gz, spark.sessionState.newHadoopConf()))
     assert(!DumpCodec.isGzip(p1, spark.sessionState.newHadoopConf()))
   }
+
+  test("scratchDir accepts an explicit Hadoop-scheme path (file:)") {
+    // the multi-executor deployment shape: spark.graft.dump.scratchDir
+    // points at a SHARED filesystem addressed by scheme (hdfs://…,
+    // s3a://…). Everything in the inflate path goes through
+    // path.getFileSystem(conf), so a `file:`-scheme URI exercises the
+    // exact same code path as an object-store one.
+    val scratch = Files.createTempDirectory("graft_hscratch_").toString
+    val prev = spark.conf.getOption("spark.graft.dump.scratchDir")
+    spark.conf.set("spark.graft.dump.scratchDir", s"file:$scratch")
+    try {
+      val gz = gzipped(pgFixture)
+      val inflated = DumpCodec.materialize(spark, gz)
+      assert(inflated.startsWith(s"file:$scratch"),
+        s"inflated copy $inflated not under the scheme'd scratch dir")
+      // and the migration over the scheme'd scratch copy is identical
+      val plain = PgDumpReader.migrate(spark, pgFixture)
+      val viaGz = PgDumpReader.migrate(spark, gz)
+      try {
+        viaGz.tables.keySet.foreach { t =>
+          assert(canon(viaGz.tables(t)._1) === canon(plain.tables(t)._1), s"table $t")
+        }
+      } finally { plain.release(); viaGz.release() }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.dump.scratchDir", v)
+        case None => spark.conf.unset("spark.graft.dump.scratchDir")
+      }
+    }
+  }
 }
