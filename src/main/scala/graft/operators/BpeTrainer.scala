@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding TRAINER over a document corpus — the iterative
@@ -12,14 +12,36 @@ import org.apache.spark.sql.functions._
   * merge iteration then runs over the VOCABULARY — (term, weight,
   * symbol array) rows — which is what makes N merges tractable at
   * corpus scale: 100 TB of text is a few hundred million distinct
-  * terms, and each iteration is one flatMap + one aggregate + a 1-row
-  * collect (the argmax pair), never a corpus re-scan. The symbol
-  * rewrite per iteration is genuine per-row imperative logic (merge
-  * adjacent occurrences left-to-right), so it runs as a typed Dataset
-  * map rather than a tower of higher-order SQL lambdas.
+  * terms, and each iteration is one narrow job, never a corpus re-scan.
   *
-  * Determinism: the argmax pair breaks ties on (count DESC, left ASC,
-  * right ASC) — same corpus, same merges, every run, any partitioning.
+  * Incremental pair maintenance (the part that makes MANY merges
+  * tractable): pair counts live in a driver-side map — the same
+  * driver-size statistic d15 returns (≈|alphabet|² keys initially,
+  * growing only by the novel pairs each merge creates next to its merge
+  * sites; this is the footprint every single-node BPE trainer carries,
+  * while the vocabulary itself stays distributed). Each iteration:
+  *
+  *   1. the argmax pair comes from a lazy-deletion heap over that map —
+  *      no Spark job, exact ties on (count DESC, left ASC, right ASC);
+  *   2. ONE narrow job scans the cached vocabulary, applies the merges
+  *      learned since the last compaction lazily per row (map fusion —
+  *      no join, no materialization), and accumulates the pair-count
+  *      DELTAS of only the rows that actually contain the new pair,
+  *      per-partition, collected as a few-KB map merge on the driver.
+  *      Untouched terms contribute nothing and are never rewritten or
+  *      re-persisted — a full-vocabulary rewrite+persist per merge
+  *      (see [[trainRescan]]) is ~3 jobs and two vocabulary
+  *      materializations per merge, i.e. days at 32k merges;
+  *   3. every `compactEvery` merges the accumulated lazy rewrites fold
+  *      into a fresh checkpointed base (`localCheckpoint` truncates
+  *      both plan and RDD lineage, so analyzer cost stays flat across
+  *      thousands of iterations).
+  *
+  * Determinism: delta accounting is exact integer multiset arithmetic,
+  * so the learned sequence is bit-identical to the full-rescan
+  * reference ([[BpeTrainerSpec]] pins parity on the classic fixture, a
+  * randomized corpus, and real testdata, including forced-compaction
+  * cadences).
   */
 object BpeTrainer {
 
@@ -35,9 +57,115 @@ object BpeTrainer {
       .filter(expr("size(syms) >= 1"))
   }
 
-  /** Learn `nMerges` merges. Stops early when no pair reaches
-    * `minPairCount`. Returns merges in learned order. */
+  /** Learn `nMerges` merges incrementally. Stops early when no pair
+    * reaches `minPairCount`. Returns merges in learned order. */
   def train(spark: SparkSession, docs: DataFrame, nMerges: Int,
+      minPairCount: Long = 2L, compactEvery: Int = 16): Seq[Merge] = {
+    import spark.implicits._
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    var base = vocabulary(docs).as[VocabEntry]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocabCount = base.count() // materialize before the loop builds on the cache
+    // right-size the per-merge jobs: the vocabulary arrives in
+    // shuffle-partition-count partitions regardless of its size, and the
+    // merge loop runs ONE JOB PER MERGE over it — a 31-term vocab on 32
+    // partitions pays 32 empty task launches per merge, ~all of the
+    // loop's wall clock. Coalesce (narrow, reads the cache) toward ~64k
+    // rows/partition, floor 1, never widening; a corpus-scale vocabulary
+    // keeps its parallelism untouched.
+    val targetParts = math.max(1L, math.min(
+      base.rdd.getNumPartitions.toLong, (vocabCount + 65535L) / 65536L)).toInt
+    if (targetParts < base.rdd.getNumPartitions) {
+      val sized = base.coalesce(targetParts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sized.count()
+      base.unpersist(false)
+      base = sized
+    }
+    // the original CacheManager-persisted base; compacted bases are
+    // checkpoint-backed and release through the ContextCleaner instead
+    val original = base
+
+    // driver pair-count map, seeded by one shuffle-free job: each
+    // partition folds its rows into a local map, the driver adds maps
+    val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+    collectDeltas(base.mapPartitions { rows =>
+      val acc = scala.collection.mutable.HashMap[(String, String), Long]()
+      rows.foreach(v => addPairs(acc, v.syms, v.n))
+      acc.iterator
+    }).foreach { case (p, c) => counts(p) = c }
+
+    // max-heap with lazy deletion: entries are (count, left, right)
+    // snapshots; an entry is live iff it matches the map's current count
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c // larger count wins
+          else {
+            val l = y._2.compareTo(x._2) // smaller left wins
+            if (l != 0) l else y._3.compareTo(x._3)
+          }
+        }
+      })
+    counts.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var pending = List.empty[(String, String)] // merges since last compaction, in order
+    try {
+      var exhausted = false
+      while (merges.size < nMerges && !exhausted) {
+        // pop the best LIVE pair (stale snapshots are skipped)
+        var best: Option[(Long, String, String)] = None
+        while (best.isEmpty && heap.nonEmpty) {
+          val e = heap.dequeue()
+          if (counts.get((e._2, e._3)).contains(e._1)) best = Some(e)
+        }
+        best match {
+          case Some((c, a, b)) if c >= minPairCount =>
+            // one narrow job: apply pending rewrites lazily, emit pair
+            // deltas for rows containing (a, b) only
+            val hist = pending.reverse
+            val deltas = collectDeltas(base.mapPartitions { rows =>
+              val acc = scala.collection.mutable.HashMap[(String, String), Long]()
+              rows.foreach { v =>
+                val cur = applyMerges(v.syms, hist)
+                if (containsAdjacent(cur, a, b)) {
+                  addPairs(acc, cur, -v.n)
+                  addPairs(acc, mergeOnce(cur, a, b), v.n)
+                }
+              }
+              acc.iterator.filter(_._2 != 0L)
+            })
+            deltas.foreach { case (p, d) =>
+              val nc = counts.getOrElse(p, 0L) + d
+              if (nc <= 0L) counts.remove(p)
+              else { counts(p) = nc; heap.enqueue((nc, p._1, p._2)) }
+            }
+            merges += Merge(a, b, c)
+            pending = (a, b) :: pending
+            if (pending.size >= compactEvery) {
+              // fold the lazy rewrites into a fresh lineage-free base
+              val hist2 = pending.reverse
+              val folded = base.map(v => v.copy(syms = applyMerges(v.syms, hist2)))
+                .localCheckpoint(true)
+              base.unpersist(false) // no-op on checkpoint-backed bases
+              base = folded
+              pending = Nil
+            }
+          case _ => exhausted = true
+        }
+      }
+    } finally original.unpersist(false)
+    merges.toSeq
+  }
+
+  /** Full-rescan reference implementation: recomputes global pair
+    * counts and rewrites + re-persists the ENTIRE vocabulary every
+    * merge (~3 jobs and two vocabulary materializations per
+    * iteration). Kept as the obviously-correct oracle the incremental
+    * [[train]] is spec-pinned against — do not use at corpus scale. */
+  def trainRescan(spark: SparkSession, docs: DataFrame, nMerges: Int,
       minPairCount: Long = 2L): Seq[Merge] = {
     import spark.implicits._
     var vocab = vocabulary(docs).as[VocabEntry]
@@ -71,6 +199,56 @@ object BpeTrainer {
       }
     } finally vocab.unpersist(false)
     merges.toSeq
+  }
+
+  /** Add the weighted adjacent-pair multiset of `syms` into `acc`. */
+  private def addPairs(acc: scala.collection.mutable.HashMap[(String, String), Long],
+      syms: Seq[String], w: Long): Unit = {
+    var i = 0
+    val n = syms.length
+    while (i + 1 < n) {
+      val k = (syms(i), syms(i + 1))
+      val nv = acc.getOrElse(k, 0L) + w
+      if (nv == 0L) acc.remove(k) else acc(k) = nv
+      i += 1
+    }
+  }
+
+  /** Merge per-partition delta maps on the driver (exact Long sums). */
+  private def collectDeltas(
+      ds: Dataset[((String, String), Long)]): Map[(String, String), Long] = {
+    val acc = scala.collection.mutable.HashMap[(String, String), Long]()
+    ds.collect().foreach { case (k, d) =>
+      val nv = acc.getOrElse(k, 0L) + d
+      if (nv == 0L) acc.remove(k) else acc(k) = nv
+    }
+    acc.toMap
+  }
+
+  private[operators] def containsAdjacent(syms: Seq[String], left: String,
+      right: String): Boolean = {
+    var i = 0
+    val n = syms.length
+    while (i + 1 < n) {
+      if (syms(i) == left && syms(i + 1) == right) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Apply a learned-order merge list, one pass each (the training
+    * rewrite — NOT the to-fixpoint inference pass of [[encode]]).
+    * No-op rows return the input object unchanged (no allocation). */
+  private[operators] def applyMerges(syms: Seq[String],
+      ms: List[(String, String)]): Seq[String] = {
+    var cur = syms
+    var rest = ms
+    while (rest.nonEmpty) {
+      val (a, b) = rest.head
+      if (containsAdjacent(cur, a, b)) cur = mergeOnce(cur, a, b)
+      rest = rest.tail
+    }
+    cur
   }
 
   /** One left-to-right pass replacing adjacent (left, right) with the

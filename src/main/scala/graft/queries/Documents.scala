@@ -669,6 +669,35 @@ object Documents {
           WHERE length(term) >= 2)
         SELECT pair, CAST(SUM(n) AS BIGINT) AS freq
         FROM pairs GROUP BY pair
-        ORDER BY freq DESC, pair LIMIT 20"""))
+        ORDER BY freq DESC, pair LIMIT 20""")),
+
+    // ---------------------------------------------------------------- d17
+    // Full BPE training run: learn up to 200 merges over the corpus
+    // vocabulary with the INCREMENTAL trainer (driver-side pair-count
+    // map + one narrow job per merge over the cached vocabulary — see
+    // operators/BpeTrainer.scala Scaladoc for the 100 TB argument).
+    // d15 oracles ONE step of this loop; the full sequence is
+    // inherently iterative (merge k's statistic depends on merges
+    // 1..k-1), so there is no single-SQL oracle — correctness is
+    // spec-gated instead: BpeTrainerSpec pins the incremental trainer
+    // bit-identical to the full-rescan reference on the classic
+    // Sennrich fixture, a randomized corpus, forced-compaction
+    // cadences, and this exact testdata path. On this synthetic corpus
+    // the 31-term vocabulary saturates (≤107 possible merges), so the
+    // run also exercises the pair-floor early-stop. Rows-only for the
+    // driver; headline so the per-merge loop cost is benched.
+    "d17_bpe_train" -> QueryDef(
+      build = (spark, dir) => {
+        import spark.implicits._
+        val docs = QueryDef.spread(spark, dir, "documents")
+        val merges = graft.operators.BpeTrainer
+          .train(spark, docs, nMerges = 200, minPairCount = 2L)
+        merges.zipWithIndex
+          .map { case (m, i) => (i + 1L, m.left, m.right, m.count) }
+          .toDF("rank", "left", "right", "pair_freq")
+          .orderBy("rank")
+      },
+      oracle = None,
+      headline = true)
   )
 }

@@ -72,6 +72,48 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(four < none)
   }
 
+  test("incremental trainer is bit-identical to the full-rescan reference") {
+    // classic fixture, more merges than the heap's initial snapshot
+    // survives (counts rise and fall, stale entries must be skipped)
+    val inc = BpeTrainer.train(spark, fixture, nMerges = 8)
+    val ref = BpeTrainer.trainRescan(spark, fixture, nMerges = 8)
+    assert(inc === ref)
+    assert(inc.nonEmpty)
+  }
+
+  test("parity holds on a randomized corpus across compaction cadences") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdef"
+    val words = Seq.fill(400) {
+      val len = 1 + rnd.nextInt(8)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val docs = words.grouped(40).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val ref = BpeTrainer.trainRescan(spark, docs, nMerges = 12)
+    assert(ref.size === 12) // enough signal that the run isn't vacuous
+    // compactEvery=1 folds every merge; 3 forces mid-run compactions at
+    // an odd cadence; 100 never compacts within the run
+    for (ce <- Seq(1, 3, 100)) {
+      val inc = BpeTrainer.train(spark, docs, nMerges = 12, compactEvery = ce)
+      assert(inc === ref, s"divergence at compactEvery=$ce")
+    }
+  }
+
+  test("parity holds on real testdata (the d17 driver path)") {
+    // 12 merges, not more: the RESCAN reference nests one persisted
+    // plan per merge and Spark's per-job plan-description rendering
+    // over that nesting goes superlinear (~minutes at 30 merges) —
+    // the incremental trainer itself stays shallow at any depth
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val inc = BpeTrainer.train(spark, docs, nMerges = 12)
+    val ref = BpeTrainer.trainRescan(spark, docs, nMerges = 12)
+    assert(inc === ref)
+    assert(inc.size === 12)
+  }
+
   test("training stops early when no pair meets the floor") {
     import spark.implicits._
     val tiny = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
