@@ -698,6 +698,126 @@ object Documents {
           .orderBy("rank")
       },
       oracle = None,
-      headline = true)
+      headline = true),
+
+    // ---------------------------------------------------------------- d18
+    // Repetition quality filters (the within-document repetition family
+    // of Rae et al. 2021 §A1.1, token-occurrence variant): per document,
+    // the fraction of 2-gram occurrences belonging to 2-grams that
+    // repeat within the doc, and the share of the single most frequent
+    // 2-gram. Both in exact integer permille; Gopher-style verdicts.
+    //
+    // 100 TB shape: ZERO shuffle — everything is per-row expression
+    // work. The within-doc gram counts come from one array_sort + a
+    // sorted-neighbor scan (singletons) + a linear run-length fold (top
+    // gram), O(n log n) per document, instead of exploding
+    // corpus-size (doc, gram) rows through a groupBy. The fold uses the
+    // `aggregate` HOF (interpreted, not codegen) — fine here because it
+    // runs once per document over ~doc-length arrays, not per
+    // candidate-pair like the embedding kernels ArrayMath exists for.
+    // Docs with <2 tokens carry no 2-gram signal and are excluded on
+    // both sides (none exist in testdata; min is 10 tokens).
+    "d18_repetition_filter" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = QueryDef.spread(spark, dir, "documents")
+        docs
+          .select(col("doc_id"), expr(toks).as("tk"))
+          .filter(expr("size(tk) >= 2"))
+          .withColumn("s", expr(
+            "array_sort(transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1])))"))
+          .withColumn("n_grams", expr("CAST(size(s) AS BIGINT)"))
+          // a sorted gram is a singleton iff it differs from both neighbors
+          .withColumn("n_single", expr("""
+            CAST(size(filter(sequence(0, size(s) - 1),
+              i -> (i = 0 OR s[i] != s[i - 1])
+               AND (i = size(s) - 1 OR s[i] != s[i + 1]))) AS BIGINT)"""))
+          // longest equal-run in the sorted grams = max within-doc count
+          .withColumn("top_cnt", expr("""
+            aggregate(s,
+              named_struct('prev', CAST(NULL AS STRING),
+                           'run',  CAST(0 AS BIGINT),
+                           'best', CAST(0 AS BIGINT)),
+              (acc, x) -> named_struct(
+                'prev', x,
+                'run',  CASE WHEN x <=> acc.prev THEN acc.run + CAST(1 AS BIGINT)
+                             ELSE CAST(1 AS BIGINT) END,
+                'best', greatest(acc.best,
+                  CASE WHEN x <=> acc.prev THEN acc.run + CAST(1 AS BIGINT)
+                       ELSE CAST(1 AS BIGINT) END)),
+              acc -> acc.best)"""))
+          .select(col("doc_id"), col("n_grams"),
+            expr("(n_grams - n_single) * 1000 div n_grams").as("dup2_permille"),
+            expr("top_cnt * 1000 div n_grams").as("top2_permille"))
+          .withColumn("verdict",
+            when(col("dup2_permille") > 150, "reject_dup")
+              .when(col("top2_permille") > 80, "reject_top")
+              .otherwise("keep"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tkn AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS tk
+          FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS g
+          FROM tkn WHERE len(tk) >= 2),
+        c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        p AS (
+          SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_occ,
+                 CAST(MAX(cnt) AS BIGINT) AS top_cnt
+          FROM c GROUP BY 1)
+        SELECT doc_id, n_grams,
+               dup_occ * 1000 // n_grams AS dup2_permille,
+               top_cnt * 1000 // n_grams AS top2_permille,
+               CASE WHEN dup_occ * 1000 // n_grams > 150 THEN 'reject_dup'
+                    WHEN top_cnt * 1000 // n_grams > 80 THEN 'reject_top'
+                    ELSE 'keep' END AS verdict
+        FROM p ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- d19
+    // Corpus n-gram novelty: per document, the fraction of its DISTINCT
+    // 3-grams that occur in no other document — a soft-dedup /
+    // memorization-risk signal (exact duplicates score 0, fully novel
+    // text scores 1000). Complements d01 (exact) and m01/s01 (near):
+    // this one grades HOW derivative each doc is rather than pairing it.
+    //
+    // 100 TB shape: per-doc DISTINCT 3-grams before the explode bounds
+    // the shuffle at one row per distinct (doc, gram) — the gram-count
+    // aggregate is map-side combined, and the join back to grams is on
+    // the gram key only (no text moves). Threshold tuning happens on
+    // the permille output, not by re-running the pipeline. Docs with
+    // <3 tokens are excluded on both sides (none exist in testdata).
+    "d19_ngram_novelty" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = QueryDef.spread(spark, dir, "documents")
+        val grams = docs
+          .select(col("doc_id"), expr(toks).as("tk"))
+          .filter(expr("size(tk) >= 3"))
+          .select(col("doc_id"), explode(expr(
+            "array_distinct(transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2])))")).as("g"))
+        // per-doc distinct above ⇒ COUNT(*) = number of docs containing g
+        val byGram = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+        grams.join(byGram, Seq("g"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("nd") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .select(col("doc_id"), col("n_grams"), col("n_unique"),
+            expr("n_unique * 1000 div n_grams").as("novelty_permille"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tkn AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS tk
+          FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS g
+          FROM tkn WHERE len(tk) >= 3),
+        c AS (SELECT g, COUNT(*) AS nd FROM g GROUP BY 1)
+        SELECT doc_id, COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+               CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*) AS novelty_permille
+        FROM g JOIN c USING (g) GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -138,4 +138,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n === df.dropDuplicates("err_id", "click_id").count())
     assert(n > 0, "fixture range join should produce pairs")
   }
+
+  test("d18 repetition stats shuffle nothing but the output sort") {
+    val df = Documents.defs("d18_repetition_filter").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the within-doc gram counts are per-row expression work (sorted
+    // array + neighbor scan + run-length fold) — at 100× the corpus the
+    // only exchanges are the deterministic ORDER BY of the output and
+    // QueryDef.spread's round-robin scan fan-out; a hashpartitioning
+    // exchange would mean the grams exploded into a (doc, gram)
+    // aggregate after all
+    assert(!plan.contains("hashpartitioning"),
+      s"per-doc stats turned into a key shuffle:\n$plan")
+    assert(!plan.contains("Generate"), s"grams exploded instead of folded:\n$plan")
+    val n = "Exchange".r.findAllIn(plan).size
+    assert(n === 2, s"expected sort + spread exchanges only, got $n:\n$plan")
+  }
+
+  test("d19 novelty: distinct-before-explode bounds the gram shuffle") {
+    val df = Documents.defs("d19_ngram_novelty").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // partial aggregation must run map-side on the gram key so the
+    // exchange carries combined (gram, count) rows, not raw occurrences
+    assert(plan.contains("HashAggregate"), plan)
+    assert("array_distinct".r.findFirstIn(plan).isDefined,
+      s"per-doc distinct dropped before the explode:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
