@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH band index + incremental near-duplicate probe —
+  * the text-side sibling of [[IvfIndex]] (vectors) and of
+  * `c10_incremental_dedup` (exact digests): an ingestion pipeline keeps
+  * the corpus's band buckets and shingle signatures as parquet tables
+  * and answers "which existing documents is this NEW batch a near-copy
+  * of" by joining the batch against the index — never recomputing
+  * corpus LSH, never touching corpus text.
+  *
+  * Scheme: exactly m01's (word 3-gram shingles → 6 seeded-md5 MinHashes
+  * → 3 bands of 2). [[MinHashIndexSpec]] pins the band frame
+  * bit-identical to `Similarity.minhashBands`, the same parity
+  * discipline the streaming operator uses — one scheme, three
+  * consumers (batch query, stream, index), no drift.
+  *
+  * Layout under `indexDir` (all Spark parquet — FS-portable by
+  * construction):
+  *   - `bands/`       (bi INT, bh STRING, doc_id LONG) — candidate keys
+  *   - `signatures/`  (doc_id LONG, sh ARRAY<STRING>) — rerank payload
+  *   - `meta.json`    written LAST (build) / rewritten last (append) via
+  *     [[graft.util.Fs.writeStringAtomic]]: its presence marks a
+  *     complete build, and a crash mid-append leaves extra band/
+  *     signature rows with a stale count — conservative (at worst the
+  *     probe sees half an appended batch; correctness of reported pairs
+  *     never depends on meta).
+  *
+  * 100 TB judgment: candidate generation joins ~50-byte (bi, bh, id)
+  * rows against the batch's bands — the corpus-side shuffle is bounded
+  * by the INDEX key table, not the corpus text; signatures join back
+  * once per DISTINCT candidate pair (the m01 rerank shape); `append` is
+  * an O(batch) parquet append. Bucketing `bands/` by bh (BucketedSink)
+  * is the zero-shuffle refinement when the index outgrows broadcast.
+  */
+object MinHashIndex {
+
+  /** m01's shingle scheme (word 3-grams, distinct; short docs fall back
+    * to their distinct token set) — see Similarity.shingles. */
+  private val tk = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
+  private val shingleExpr =
+    s"""CASE WHEN size($tk) >= 3
+          THEN array_distinct(transform(sequence(1, size($tk) - 2),
+               i -> concat_ws(' ', slice($tk, i, 3))))
+          ELSE array_distinct($tk) END"""
+  private def mh(k: Int) =
+    s"array_min(transform(sh, s -> md5(concat('$k:', s))))"
+
+  /** (doc_id, sh) signature frame of a documents frame. */
+  def signatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(shingleExpr).as("sh"))
+
+  /** (doc_id, bi, bh) band-bucket frame of a signature frame. */
+  def bands(sigs: DataFrame): DataFrame =
+    sigs
+      .withColumn("mh", expr(s"array(${(0 until 6).map(mh).mkString(",")})"))
+      .select(col("doc_id"), posexplode(expr(
+        "array(md5(concat(mh[0], mh[1])), md5(concat(mh[2], mh[3])), md5(concat(mh[4], mh[5])))"))
+        .as(Seq("bi", "bh")))
+
+  /** Build the index from scratch (overwrites `indexDir`). */
+  def write(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+    val c = graft.util.Fs.conf()
+    graft.util.Fs.deleteTree(indexDir, c)
+    val sigs = signatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sigs.write.mode("overwrite").parquet(s"$indexDir/signatures")
+      bands(sigs).write.mode("overwrite").parquet(s"$indexDir/bands")
+      writeMeta(spark, indexDir, c)
+    } finally { sigs.unpersist(false); () }
+  }
+
+  /** Append a new batch without rebuilding: O(batch) signature/band
+    * appends, then the meta rewrite (last — see layout doc). */
+  def append(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+    val c = graft.util.Fs.conf()
+    require(graft.util.Fs.exists(s"$indexDir/meta.json", c),
+      s"$indexDir is not a complete MinHash index (no meta.json)")
+    val sigs = signatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sigs.write.mode("append").parquet(s"$indexDir/signatures")
+      bands(sigs).write.mode("append").parquet(s"$indexDir/bands")
+      writeMeta(spark, indexDir, c)
+    } finally { sigs.unpersist(false); () }
+  }
+
+  private def writeMeta(spark: SparkSession, indexDir: String,
+      c: org.apache.hadoop.conf.Configuration): Unit = {
+    val n = spark.read.parquet(s"$indexDir/signatures").count()
+    graft.util.Fs.writeStringAtomic(s"$indexDir/meta.json",
+      s"""{"scheme":"minhash-3gram-6x3","n_docs":$n}""", c)
+  }
+
+  /** Near-duplicates of `batchSigs` (a [[signatures]] frame — the
+    * caller persists it if it also feeds other work) against the
+    * persisted index: (batch_id, base_id, jaccard_permille), true
+    * Jaccard ≥ `minPermille`, self-pairs excluded so an appended batch
+    * can be probed against its own index. */
+  def probe(spark: SparkSession, indexDir: String, batchSigs: DataFrame,
+      minPermille: Int = 500): DataFrame = {
+    val idxBands = spark.read.parquet(s"$indexDir/bands")
+    val idxSigs = spark.read.parquet(s"$indexDir/signatures")
+    val cand = bands(batchSigs)
+      .select(col("doc_id").as("batch_id"), col("bi"), col("bh"))
+      .join(idxBands.select(col("doc_id").as("base_id"),
+        col("bi").as("bi2"), col("bh").as("bh2")),
+        col("bi") === col("bi2") && col("bh") === col("bh2") &&
+          col("batch_id") =!= col("base_id"))
+      .select("batch_id", "base_id")
+      .distinct()
+    cand
+      .join(idxSigs.select(col("doc_id").as("base_id"), col("sh").as("sh_a")), "base_id")
+      .join(batchSigs.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")), "batch_id")
+      // same fence as m01: the intersect — the expensive op — must run
+      // exactly once per distinct pair, not re-inlined into the filter
+      .select(col("batch_id"), col("base_id"),
+        graft.functions.OptimizerBarrier.fence(
+          expr("size(array_intersect(sh_a, sh_b))").cast("bigint")).as("common"),
+        expr("size(sh_a)").cast("bigint").as("na"),
+        expr("size(sh_b)").cast("bigint").as("nb"))
+      .select(col("batch_id"), col("base_id"),
+        expr("common * 1000 div (na + nb - common)").as("jaccard_permille"))
+      .filter(col("jaccard_permille") >= minPermille)
+  }
+}

@@ -275,6 +275,64 @@ object Similarity {
         FROM sc WHERE greatest(cont_a, cont_b) >= 900
         ORDER BY doc_a, doc_b""")),
 
+    // ---------------------------------------------------------------- m04
+    // Incremental near-dedup against a PERSISTED MinHash band index
+    // (operators/MinHashIndex.scala) — the near-dup sibling of c10
+    // (incremental exact digests) and e13 (persisted vector index): the
+    // corpus's band buckets and shingle signatures live as parquet
+    // tables; a new batch (doc_id % 5 == 0 stands in, 20% of the
+    // corpus) is answered by joining its bands against the index and
+    // reranking candidates with true Jaccard — corpus LSH is never
+    // recomputed and corpus text never moves. The oracle is the DIRECT
+    // cross-split m01-scheme computation, so a green hash proves the
+    // persisted round trip loses nothing. End-to-end by design (index
+    // build + probe), like e13. Non-vacuous: 14 pairs at sf0.01 with
+    // jaccard 900–989 permille (no trivial self-copies).
+    "m04_incremental_neardup" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = QueryDef.spread(spark, dir, "documents")
+        val idxDir =
+          s"/tmp/graft_mhindex_${new java.io.File(dir).getName}"
+        graft.operators.MinHashIndex.write(spark,
+          docs.filter(col("doc_id") % 5 =!= 0), idxDir)
+        val batchSigs = graft.operators.MinHashIndex
+          .signatures(docs.filter(col("doc_id") % 5 === 0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        QueryDef.deferCleanup(() => { batchSigs.unpersist(blocking = true); () })
+        graft.operators.MinHashIndex.probe(spark, idxDir, batchSigs)
+          .orderBy("batch_id", "base_id")
+      },
+      oracle = Some("""
+        WITH tkn AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS tk
+          FROM documents),
+        shn AS (
+          SELECT doc_id, CASE WHEN len(tk) >= 3
+            THEN list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' ')))
+            ELSE list_distinct(tk) END AS sh
+          FROM tkn),
+        mhs AS (
+          SELECT doc_id, sh,
+            [list_min(list_transform(sh, s -> md5(k || ':' || s))) for k in [0,1,2,3,4,5]] AS mh
+          FROM shn),
+        bands AS (
+          SELECT doc_id, sh,
+            unnest([md5(mh[1]||mh[2]), md5(mh[3]||mh[4]), md5(mh[5]||mh[6])]) AS bh,
+            unnest([0,1,2]) AS bi
+          FROM mhs),
+        cand AS (
+          SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS base_id,
+                 len(list_intersect(a.sh, b.sh)) AS common,
+                 len(a.sh) AS na, len(b.sh) AS nb
+          FROM bands a JOIN bands b
+            ON a.bi = b.bi AND a.bh = b.bh
+           AND a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0)
+        SELECT batch_id, base_id,
+               CAST(common * 1000 // (na + nb - common) AS BIGINT) AS jaccard_permille
+        FROM cand
+        WHERE common * 1000 // (na + nb - common) >= 500
+        ORDER BY batch_id, base_id""")),
+
     // ---------------------------------------------------------------- c03
     // Benchmark-contamination check: which training docs share any word
     // 3-gram with the (stand-in) benchmark set — doc_id % 97 == 0 marks
