@@ -447,6 +447,66 @@ object Similarity {
           col("vec_id") < 8),
       oracle = None),
 
+    // ---------------------------------------------------------------- e15
+    // One distributed k-means (Lloyd) step over the quantized
+    // embeddings — THE primitive under every clustering consumer here
+    // (e05/e06 IVF training, e07 SemDeDup, e12/e13 partition
+    // assignment), surfaced as an oracled query: assignment = argmin
+    // exact integer L2² against the k=8 seed centroids (vec_id < 8,
+    // ties to the smaller centroid id), update = per-cluster
+    // PER-DIMENSION integer coordinate sums + member counts — the
+    // map-side-combinable sufficient statistic a driver divides into
+    // new centroids. Emitting the (cluster, dim, sum, n) relation
+    // instead of float means keeps every output cell BIGINT, so the
+    // cross-engine hash is exact where averaged centroids would not be.
+    //
+    // 100 TB shape: centroids broadcast (k rows), distances in the
+    // ArrayMath codegen kernel, one shuffle of (cluster, dim) partial
+    // sums — corpus vectors never move; k·d output rows.
+    "e15_kmeans_step" -> QueryDef(
+      build = (spark, dir) => {
+        val emb = QueryDef.spread(spark, dir, "embeddings")
+          .select(col("vec_id"), expr(quant).as("qv"))
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("qv").as("cq"))
+        val assign = emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+            struct(graft.functions.ArrayMath.l2sq(col("qv"), col("cq"))
+              .as("d"), col("cid")).as("dc"))
+          .groupBy("vec_id")
+          .agg(min(col("dc")).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cluster"))
+        emb.join(assign, "vec_id")
+          .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "x")))
+          .groupBy(col("cluster"), col("dim").cast("bigint").as("dim"))
+          // each member contributes exactly one row per dimension, so
+          // the group's row count IS the cluster's member count
+          .agg(sum("x").as("coord_sum"),
+            count(lit(1)).as("n_members"))
+          .orderBy("cluster", "dim")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
+          FROM embeddings),
+        cents AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < 8),
+        dists AS (
+          SELECT q.vec_id, c.cid,
+                 list_sum([(qv[i] - cq[i]) * (qv[i] - cq[i]) for i in range(1, len(qv) + 1)]) AS d
+          FROM q CROSS JOIN cents c),
+        assign AS (
+          SELECT vec_id, cid AS cluster
+          FROM (SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM dists)
+          WHERE rn = 1),
+        coords AS (
+          SELECT a.cluster, CAST(i - 1 AS BIGINT) AS dim, q.qv[i] AS x
+          FROM assign a JOIN q USING (vec_id), LATERAL unnest(range(1, len(q.qv) + 1)) AS t(i))
+        SELECT cluster, dim, CAST(SUM(x) AS BIGINT) AS coord_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM coords GROUP BY cluster, dim ORDER BY cluster, dim""")),
+
     // ---------------------------------------------------------------- e03
     // LSH-bucketed ANN (see operators.AnnLsh). The hyperplane scheme is
     // inherently probabilistic, so the oracle-mode parameterization runs

@@ -341,6 +341,64 @@ object TextMedia {
                     ELSE 'train' END AS split
         FROM assigned
         ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- c18
+    // Eval-split DECONTAMINATION AUDIT: the 13-gram-overlap check the
+    // GPT-3 report introduced (Brown et al. 2020, App. C) — for every
+    // test/val document of a NAIVE per-doc split (c12's md5-sixteenths
+    // rule applied to doc_id instead of cluster_id), how many of its
+    // 13-token windows also occur anywhere in train. Deliberately
+    // paired with c12: the audit EXPOSES the leakage (dup docs straddle
+    // a doc-keyed split) that c12's cluster-keyed split prevents —
+    // run the audit, see contamination, switch the split key.
+    //
+    // 100 TB shape: windows are per-row transform+distinct+explode —
+    // (16-byte hash, id) rows only; the train side collapses to
+    // DISTINCT hashes before the join (set-membership, not pair
+    // enumeration) and the left join back to eval windows is
+    // hash-keyed. Window text never shuffles.
+    "c18_split_decontamination" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = QueryDef.spread(spark, dir, "documents")
+          .select(col("doc_id"), expr(toks).as("tk"))
+          .withColumn("split", expr(splitAssignExpr("doc_id")))
+          .filter(expr("size(tk) >= 13"))
+        val windows = docs.select(col("doc_id"), col("split"),
+          explode(expr(
+            "array_distinct(transform(sequence(0, size(tk) - 13), i -> md5(concat_ws(' ', slice(tk, i + 1, 13)))))"))
+            .as("h"))
+        val train = windows.filter(col("split") === "train")
+          .select("h").distinct().withColumn("leak", lit(1))
+        windows.filter(col("split") =!= "train")
+          .join(train, Seq("h"), "left")
+          .groupBy("doc_id", "split")
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when(col("leak").isNotNull, 1L).otherwise(0L)).as("n_leaked"))
+          .withColumn("verdict",
+            when(col("n_leaked") > 0, "contaminated").otherwise("clean"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tkn AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS tk,
+                 CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' THEN 'test'
+                      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('d', 'e') THEN 'val'
+                      ELSE 'train' END AS split
+          FROM documents),
+        w AS (
+          SELECT doc_id, split,
+                 unnest(list_distinct(list_transform(range(1, len(tk) - 11),
+                   i -> md5(array_to_string(tk[i:i+12], ' '))))) AS h
+          FROM tkn WHERE len(tk) >= 13),
+        tr AS (SELECT DISTINCT h FROM w WHERE split = 'train')
+        SELECT ev.doc_id, ev.split, COUNT(*) AS n_windows,
+               CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+               CASE WHEN SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) > 0
+                    THEN 'contaminated' ELSE 'clean' END AS verdict
+        FROM w ev LEFT JOIN tr ON ev.h = tr.h
+        WHERE ev.split <> 'train'
+        GROUP BY ev.doc_id, ev.split ORDER BY ev.doc_id""")),
+
     // ---------------------------------------------------------------- d11
     // Dup-cluster size histogram — the first diagnostic a dedup run
     // reports: how many clusters of each size (power-law head = a
