@@ -148,15 +148,13 @@ object Curate {
     else {
       val (good, bad) = sources.jsonl.JsonlDocs.read(spark, inDir)
       val nBad = bad.count()
-      if (nBad > 0)
-        System.err.println(s"[curate] quarantined $nBad malformed JSONL line(s) from $inDir")
-      // fail-loud guard: a mistyped path or a dir of non-JSONL files
-      // parses to ZERO good docs with everything quarantined — curating
-      // an empty corpus to a normal-looking outDir would hide that. An
-      // actually-empty input (no lines at all) still proceeds.
       if (nBad > 0) {
-        val nGood = good.count()
-        require(nGood > 0,
+        System.err.println(s"[curate] quarantined $nBad malformed JSONL line(s) from $inDir")
+        // fail-loud guard: a mistyped path or a dir of non-JSONL files
+        // parses to ZERO good docs with everything quarantined —
+        // curating an empty corpus to a normal-looking outDir would
+        // hide that. An actually-empty input (no lines) still proceeds.
+        require(good.count() > 0,
           s"$inDir parsed 0 valid JSONL documents ($nBad quarantined) — " +
             "is this actually a JSONL corpus drop?")
       }

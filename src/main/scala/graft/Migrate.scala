@@ -124,7 +124,7 @@ object Migrate {
     val Array(driver, dumpFile, outDir) = args.take(3)
     val mode = args.lift(3).getOrElse("full")
     val spark = GraftSession.build("graft-migrate")
-    // reference CLI: "-" (or an empty path) reads the dump from stdin
+    // reference CLI: "-" reads the dump from stdin
     val r =
       if (dumpFile == "-") runStream(spark, driver, System.in, outDir, mode)
       else run(spark, driver, dumpFile, outDir, mode)

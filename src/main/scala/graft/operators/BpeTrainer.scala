@@ -96,15 +96,21 @@ object BpeTrainer {
     }).foreach { case (p, c) => counts(p) = c }
 
     // max-heap with lazy deletion: entries are (count, left, right)
-    // snapshots; an entry is live iff it matches the map's current count
+    // snapshots; an entry is live iff it matches the map's current count.
+    // Tie-breaks compare UTF-8 BYTES, not String.compareTo (UTF-16 code
+    // units): trainRescan's orderBy sorts Spark UTF8Strings in binary
+    // UTF-8 order, and the two orders DISAGREE for supplementary-plane
+    // symbols vs BMP chars in [U+E000, U+FFFF] — a code-unit tie-break
+    // would silently break the advertised bit-identical parity on any
+    // corpus with emoji next to fullwidth/CJK-compat characters
     val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](
       new Ordering[(Long, String, String)] {
         def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
           val c = java.lang.Long.compare(x._1, y._1)
           if (c != 0) c // larger count wins
           else {
-            val l = y._2.compareTo(x._2) // smaller left wins
-            if (l != 0) l else y._3.compareTo(x._3)
+            val l = utf8Compare(y._2, x._2) // smaller left wins
+            if (l != 0) l else utf8Compare(y._3, x._3)
           }
         }
       })
@@ -112,6 +118,12 @@ object BpeTrainer {
 
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
     var pending = List.empty[(String, String)] // merges since last compaction, in order
+    // the current base's checkpoint blocks (None while base is the
+    // CacheManager-persisted original): released explicitly at the next
+    // compaction — Dataset.unpersist can't see checkpoint storage, and
+    // waiting for the ContextCleaner leaves up to one dead full-vocab
+    // copy per compaction in executor storage between driver GCs
+    var baseCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     try {
       var exhausted = false
       while (merges.size < nMerges && !exhausted) {
@@ -146,9 +158,18 @@ object BpeTrainer {
             pending = (a, b) :: pending
             if (pending.size >= compactEvery) {
               // fold the lazy rewrites into a fresh lineage-free base
+              // (eager checkpoint, so the outgoing base can be released
+              // immediately after — a localCheckpoint's blocks are the
+              // data itself; truncated lineage means lost blocks are
+              // unrecoverable either way, so dropping ancestors loses
+              // no fault tolerance the checkpoint still had)
               val hist2 = pending.reverse
               val folded = base.map(v => v.copy(syms = applyMerges(v.syms, hist2)))
                 .localCheckpoint(true)
+              baseCkpt.foreach(_.unpersist(false))
+              baseCkpt = folded.queryExecution.analyzed.collectFirst {
+                case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+              }
               base.unpersist(false) // no-op on checkpoint-backed bases
               base = folded
               pending = Nil
@@ -156,7 +177,10 @@ object BpeTrainer {
           case _ => exhausted = true
         }
       }
-    } finally original.unpersist(false)
+    } finally {
+      original.unpersist(false)
+      baseCkpt.foreach(_.unpersist(false)) // release the final checkpoint too
+    }
     merges.toSeq
   }
 
@@ -199,6 +223,22 @@ object BpeTrainer {
       }
     } finally vocab.unpersist(false)
     merges.toSeq
+  }
+
+  /** Binary UTF-8 comparison — the order Spark's UTF8String sort uses
+    * (unsigned byte-wise), so driver-side tie-breaks match trainRescan's
+    * `orderBy` exactly. */
+  private[operators] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
   }
 
   /** Add the weighted adjacent-pair multiset of `syms` into `acc`. */

@@ -200,7 +200,10 @@ object IvfIndex {
   def searchApprox(spark: SparkSession, indexDir: String, probePred: Column,
       topK: Int = 10, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val meta = readMeta(indexDir)
+    // the PASSED session's conf, not the thread-local active session's:
+    // the parquet scan beside this read resolves through `spark`, and
+    // meta.json must resolve through the same credentials/filesystem
+    val meta = readMeta(indexDir, spark.sessionState.newHadoopConf())
     val data = spark.read.parquet(s"$indexDir/data")
     val probeClusters = data.filter(probePred)
       .withColumn("dists", IvfAnn.distArray(meta.centroids))
@@ -236,7 +239,7 @@ object IvfIndex {
   def searchExact(spark: SparkSession, indexDir: String, probePred: Column,
       topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val meta = readMeta(indexDir)
+    val meta = readMeta(indexDir, spark.sessionState.newHadoopConf())
     val stats = IvfAnn.ClusterStats(meta.radius, meta.counts, meta.maxNorm)
     val data = spark.read.parquet(s"$indexDir/data")
     val probeClusters = data.filter(probePred)

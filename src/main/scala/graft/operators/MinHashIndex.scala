@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * corpus LSH, never touching corpus text.
   *
   * Scheme: exactly m01's (word 3-gram shingles → 6 seeded-md5 MinHashes
-  * → 3 bands of 2). [[MinHashIndexSpec]] pins the band frame
-  * bit-identical to `Similarity.minhashBands`, the same parity
-  * discipline the streaming operator uses — one scheme, three
-  * consumers (batch query, stream, index), no drift.
+  * → 3 bands of 2) — and not by coincidence: this object holds the ONE
+  * definition ([[shingleExpr]]/[[bands]]), which `Similarity` and the
+  * streaming verify companions alias, so the batch query, the stream,
+  * and the persisted index cannot drift. [[MinHashIndexSpec]] still
+  * pins the band frame against `Similarity.minhashBands` as a
+  * delegation regression check.
   *
   * Layout under `indexDir` (all Spark parquet — FS-portable by
   * construction):
@@ -37,10 +39,12 @@ import org.apache.spark.sql.functions._
   */
 object MinHashIndex {
 
-  /** m01's shingle scheme (word 3-grams, distinct; short docs fall back
-    * to their distinct token set) — see Similarity.shingles. */
+  /** THE definition of the m01 shingle scheme (word 3-grams, distinct;
+    * short docs fall back to their distinct token set) — Similarity and
+    * the streaming verify companions alias it from here, so the scheme
+    * that keys persisted indexes cannot drift from the batch query. */
   private val tk = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
-  private val shingleExpr =
+  private[graft] val shingleExpr =
     s"""CASE WHEN size($tk) >= 3
           THEN array_distinct(transform(sequence(1, size($tk) - 2),
                i -> concat_ws(' ', slice($tk, i, 3))))

@@ -27,21 +27,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
   import QueryDef.table
 
-  /** Tokens → distinct word 3-gram shingles (docs under 3 tokens fall
-    * back to their distinct token set). */
-  private val tk = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
-  /** Exposed to the streaming operators' batch-verify companions
-    * (StreamingMinHash.verifyCollisions), which must shingle with the
-    * exact m01 scheme. */
-  private[graft] val shingles =
-    s"""CASE WHEN size($tk) >= 3
-          THEN array_distinct(transform(sequence(1, size($tk) - 2),
-               i -> concat_ws(' ', slice($tk, i, 3))))
-          ELSE array_distinct($tk) END"""
-
-  /** k-th MinHash of the shingle set: lexicographic min of seeded md5. */
-  private def mh(k: Int) =
-    s"array_min(transform(sh, s -> md5(concat('$k:', s))))"
+  /** The m01 shingle/minhash/band scheme is defined ONCE, in
+    * [[graft.operators.MinHashIndex]] (it also keys that operator's
+    * persisted artifacts); this alias keeps the streaming operators'
+    * batch-verify companions (StreamingMinHash.verifyCollisions) on
+    * the same definition. */
+  private[graft] def shingles: String =
+    graft.operators.MinHashIndex.shingleExpr
 
   /** Quantized embedding: floor(x·2^20) per element, exact in double. */
   private val quant =
@@ -97,22 +89,35 @@ object Similarity {
     * operator's Scala re-implementation can be parity-pinned against it
     * (StreamingMinHashSpec). */
   private[graft] def minhashBands(spark: SparkSession, dir: String): DataFrame =
-    shingled(spark, dir)
-      .withColumn("mh", expr(s"array(${(0 until 6).map(mh).mkString(",")})"))
-      .select(col("doc_id"), posexplode(expr(
-        "array(md5(concat(mh[0], mh[1])), md5(concat(mh[2], mh[3])), md5(concat(mh[4], mh[5])))"))
-        .as(Seq("bi", "bh")))
+    graft.operators.MinHashIndex.bands(shingled(spark, dir))
 
   /** Build (once per process per sf dir) the persisted IVF index used
     * by the prebuilt-index entries (e13b/e14) — p03's generate-once
     * pattern: e13 pays the build every pass by design (the honest
     * end-to-end), these entries measure what the layout amortizes to.
     * meta.json is written last ([[graft.operators.IvfIndex.write]]), so
-    * its presence marks a complete build. */
+    * its presence marks a complete build. Freshness is mtime-keyed
+    * (DumpCodec.materialize's pattern): an index left in /tmp by an
+    * earlier round must not serve vectors from a since-regenerated
+    * embeddings table — e14 is rows-only, so a stale index would be
+    * silently wrong, not oracle-red. Harness scratch, single-process by
+    * construction (the driver runs one Bench/Verify JVM at a time). */
   private def benchIndex(spark: SparkSession, dir: String): String = {
-    val sfName = new java.io.File(dir).getName
+    val c = graft.util.Fs.conf()
+    val sfName = new org.apache.hadoop.fs.Path(dir).getName
     val out = s"/tmp/graft_ivfindex_$sfName"
-    if (!new java.io.File(s"$out/meta.json").exists())
+    def mtime(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(c)
+      if (!fs.exists(hp)) -1L
+      else {
+        val st = fs.getFileStatus(hp)
+        if (st.isFile) st.getModificationTime
+        else fs.listStatus(hp).map(_.getModificationTime).foldLeft(st.getModificationTime)(math.max)
+      }
+    }
+    val metaT = mtime(s"$out/meta.json")
+    if (metaT < 0L || metaT < mtime(s"$dir/embeddings.parquet"))
       graft.operators.IvfIndex.write(spark, dir, out)
     out
   }
@@ -139,11 +144,7 @@ object Similarity {
         // the returned plan is lazy over sh, so the release has to wait
         // for the caller's materialization — harness-drained cleanup
         QueryDef.deferCleanup(() => { sh.unpersist(blocking = true); () })
-        val bands = sh
-          .withColumn("mh", expr(s"array(${(0 until 6).map(mh).mkString(",")})"))
-          .select(col("doc_id"), posexplode(expr(
-            "array(md5(concat(mh[0], mh[1])), md5(concat(mh[2], mh[3])), md5(concat(mh[4], mh[5])))"))
-            .as(Seq("bi", "bh")))
+        val bands = graft.operators.MinHashIndex.bands(sh)
         val pairs = bands.select(col("doc_id").as("doc_a"), col("bi"), col("bh"))
           .join(bands.select(col("doc_id").as("doc_b"), col("bi").as("bi2"), col("bh").as("bh2")),
             col("bi") === col("bi2") && col("bh") === col("bh2") &&

@@ -88,12 +88,16 @@ object MySqlDumpSink {
   /** Concatenate a fragment dir into one dump file. All IO through the
     * Hadoop FileSystem of each path's scheme — fragments and target can
     * live on HDFS/S3, not just a POSIX mount. */
-  def assemble(fragmentDir: String, outFile: String): Unit = {
+  def assemble(fragmentDir: String, outFile: String,
+      hadoopConf: Option[org.apache.hadoop.conf.Configuration] = None): Unit = {
     // `.gz` target → gzip the stream: `mysqldump | gzip` is how dumps
     // ship in practice, and the readers' DumpCodec path ingests the
     // compressed form (sniffed by magic bytes, so the round trip is
     // sink .gz → reader, no special-casing)
-    val conf = graft.util.Fs.conf()
+    // callers with a session in hand pass its conf (writeFile does) so
+    // both halves of the job resolve paths identically; the active-
+    // session fallback serves standalone assemble() calls only
+    val conf = hadoopConf.getOrElse(graft.util.Fs.conf())
     val raw = graft.util.Fs.create(outFile, conf)
     val out: java.io.OutputStream =
       if (outFile.endsWith(".gz"))
@@ -119,7 +123,7 @@ object MySqlDumpSink {
     val frag = s"$outFile.fragments"
     try {
       writeDir(df, table, frag, batchRows)
-      assemble(frag, outFile)
+      assemble(frag, outFile, Some(conf))
     } finally graft.util.Fs.deleteTree(frag, conf)
   }
 }

@@ -94,12 +94,22 @@ object DumpCodec {
       .getOrElse(System.getProperty("java.io.tmpdir"))
     val stem = java.util.UUID.randomUUID().toString.take(12)
     val out = new Path(scratchDir, s"graft_stream_$stem.dump")
-    val os = out.getFileSystem(conf).create(out, true)
+    val fs = out.getFileSystem(conf)
+    val os = fs.create(out, true)
     try {
-      val buf = new Array[Byte](1 << 16)
-      var n = in.read(buf)
-      while (n >= 0) { if (n > 0) os.write(buf, 0, n); n = in.read(buf) }
-    } finally os.close()
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) os.write(buf, 0, n); n = in.read(buf) }
+      } finally os.close()
+    } catch {
+      // broken pipe / disk full mid-tee: don't strand a partial
+      // multi-GB scratch dump (the caller's drop only covers the
+      // post-materialize phase — it never learns this path existed)
+      case e: Throwable =>
+        try fs.delete(out, false) catch { case _: Throwable => () }
+        throw e
+    }
     out.toString
   }
 

@@ -114,6 +114,18 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(inc.size === 12)
   }
 
+  test("tie-break order is binary UTF-8, matching trainRescan's Spark sort") {
+    // fullwidth '0' U+FF10 (UTF-8: EF BC 90) sorts BEFORE the emoji
+    // U+1F600 (UTF-8: F0 9F 98 80) in byte order, although its UTF-16
+    // code unit (FF10) is LARGER than the emoji's lead surrogate
+    // (D83D) — String.compareTo would invert the tie and diverge from
+    // the rescan reference's UTF8String binary orderBy
+    val full = "０"
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(BpeTrainer.utf8Compare(full, emoji) < 0)
+    assert(full.compareTo(emoji) > 0) // the trap the byte compare avoids
+  }
+
   test("training stops early when no pair meets the floor") {
     import spark.implicits._
     val tiny = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
