@@ -774,6 +774,40 @@ object Relational {
                CAST(SUM(rev_minor) AS BIGINT) AS total_rev,
                CAST(SUM(CASE WHEN s_nationkey = 7 THEN rev_minor ELSE 0 END) * 1000
                     // SUM(rev_minor) AS BIGINT) AS share_permille
-        FROM j GROUP BY yr ORDER BY yr"""))
+        FROM j GROUP BY yr ORDER BY yr""")),
+
+    // ---------------------------------------------------------------- q26
+    // Order-priority checking — TPC-H Q4's EXISTS shape (the one join
+    // form the surface lacked): orders with at least one LATE line
+    // (shipped > 60 days after the order date), counted per priority.
+    // The EXISTS compiles to a LEFT SEMI join, the shape that matters
+    // at 100 TB because the probe side short-circuits on first match
+    // and emits each order at most once — an inner join + distinct
+    // would materialize every (order, late-line) pair first. The
+    // predicate mixes the equi key with a cross-side range condition,
+    // which Spark keeps as the semi-join's extra condition (no
+    // pair blow-up, no dedup operator).
+    "q26_priority_check" -> QueryDef(
+      build = (spark, dir) => {
+        val ord = table(spark, dir, "orders")
+        val li = table(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+        ord.join(li,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""))
   )
 }

@@ -139,6 +139,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n > 0, "fixture range join should produce pairs")
   }
 
+  test("q26 EXISTS stays a semi join — no pair materialization, no dedup") {
+    val df = Relational.defs("q26_priority_check").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the semi join short-circuits per order; an inner-join+distinct
+    // rewrite would materialize every (order, late-line) pair first
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("Deduplicate") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("d18 repetition stats shuffle nothing but the output sort") {
     val df = Documents.defs("d18_repetition_filter").build(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
