@@ -818,6 +818,51 @@ object Documents {
         SELECT doc_id, COUNT(*) AS n_grams,
                CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
                CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*) AS novelty_permille
-        FROM g JOIN c USING (g) GROUP BY doc_id ORDER BY doc_id"""))
+        FROM g JOIN c USING (g) GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- d20
+    // Rare-token ratio — the second standard lexical quality filter
+    // next to d18's repetition family (Rae et al. 2021 drop docs
+    // dominated by out-of-distribution tokens; C4 similar): per doc,
+    // the permille of token OCCURRENCES whose corpus frequency is
+    // below a corpus-RELATIVE floor (n·30 < max term count — exact
+    // integer, and scale-invariant: the same composition trips it at
+    // every sf, unlike an absolute count cutoff that silently goes
+    // vacuous as the corpus grows).
+    //
+    // 100 TB shape: the (doc, term) frame joins the term-frequency
+    // table on the term key — vocabulary-bounded like d13, never
+    // corpus × corpus — and the frequency ceiling is a 1-row broadcast
+    // (q09's aggregate-under-a-table shape).
+    "d20_rare_token_filter" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = QueryDef.spread(spark, dir, "documents")
+        val tok = docs.select(col("doc_id"), explode(expr(toks)).as("term"))
+        val tf = tok.groupBy("term").agg(count(lit(1)).as("n"))
+        val mx = tf.agg(max("n").as("mx"))
+        tok.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+          .join(tf, "term")
+          .crossJoin(broadcast(mx))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_tokens"),
+            sum(when(col("n") * 30 < col("mx"), col("c")).otherwise(0L))
+              .as("n_rare"))
+          .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+            expr("n_rare * 1000 div n_tokens").as("rare_permille"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tkn AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '')) AS term
+          FROM documents),
+        tf AS (SELECT term, COUNT(*) AS n FROM tkn GROUP BY 1),
+        mx AS (SELECT MAX(n) AS mx FROM tf),
+        dt AS (SELECT doc_id, term, COUNT(*) AS c FROM tkn GROUP BY 1, 2)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN n * 30 < mx THEN c ELSE 0 END) AS BIGINT) AS n_rare,
+               CAST(SUM(CASE WHEN n * 30 < mx THEN c ELSE 0 END) AS BIGINT) * 1000
+                 // CAST(SUM(c) AS BIGINT) AS rare_permille
+        FROM dt JOIN tf USING (term) CROSS JOIN mx
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
