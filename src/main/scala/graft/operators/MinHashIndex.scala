@@ -83,6 +83,9 @@ object MinHashIndex {
     val c = graft.util.Fs.conf()
     require(graft.util.Fs.exists(s"$indexDir/meta.json", c),
       s"$indexDir is not a complete MinHash index (no meta.json)")
+    require(!graft.util.Fs.readString(s"$indexDir/meta.json", c).contains("last_batch"),
+      s"$indexDir is a streaming-layout index (batch-partitioned dirs); " +
+        "use appendBatch — flat-file append would break partition discovery")
     val sigs = signatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -97,6 +100,62 @@ object MinHashIndex {
     val n = spark.read.parquet(s"$indexDir/signatures").count()
     graft.util.Fs.writeStringAtomic(s"$indexDir/meta.json",
       s"""{"scheme":"minhash-3gram-6x3","n_docs":$n}""", c)
+  }
+
+  /** Replay-safe micro-batch ingestion (the StreamingIndexProbe
+    * append). Layout differs from [[write]]/[[append]]'s flat files:
+    * each batch OWNS a partition subdirectory
+    * (`signatures/batch_id=N`, `bands/batch_id=N`) written with
+    * OVERWRITE semantics, and `meta.json` — carrying
+    * `{"scheme", "n_docs", "last_batch"}` — is the single atomic
+    * commit point, written last. The consequences, in order:
+    *
+    *   - re-delivery of an uncommitted batch rewrites its OWN dirs and
+    *     then commits — idempotent by construction, no fence to race
+    *     (a crash anywhere mid-append is healed by the rewrite);
+    *   - re-delivery of the COMMITTED last batch writes nothing
+    *     (returns false);
+    *   - a batch id BELOW the committed last batch fails loudly: ids
+    *     restarted (fresh checkpoint over a grown index, or two
+    *     queries sharing one indexDir) — silently overwriting old
+    *     batches would corrupt the corpus;
+    *   - `n_docs` advances incrementally (previous meta + this batch),
+    *     so per-batch cost never grows with corpus size.
+    *
+    * Takes the SIGNATURE frame (callers probe with the same frame —
+    * the expensive shingle/minhash work runs once per batch). The two
+    * layouts must not mix: appending onto a [[write]]-built index (or
+    * vice versa) is rejected. */
+  def appendBatch(spark: SparkSession, sigs: DataFrame, indexDir: String,
+      batchId: Long): Boolean = {
+    val c = graft.util.Fs.conf()
+    val metaPath = s"$indexDir/meta.json"
+    val (nDocs, last) =
+      if (!graft.util.Fs.exists(metaPath, c)) (0L, -1L)
+      else {
+        val m = graft.util.Fs.readString(metaPath, c)
+        val lastB = """"last_batch":(-?\d+)""".r.findFirstMatchIn(m)
+          .map(_.group(1).toLong)
+        require(lastB.isDefined,
+          s"$indexDir is a batch-API index (no last_batch in meta.json); " +
+            "streaming appendBatch and write/append layouts must not mix")
+        val n = """"n_docs":(\d+)""".r.findFirstMatchIn(m)
+          .map(_.group(1).toLong).getOrElse(0L)
+        (n, lastB.get)
+      }
+    if (batchId < last)
+      throw new IllegalStateException(
+        s"appendBatch($batchId) but $indexDir already committed batch $last: " +
+          "the micro-batch id space restarted (fresh checkpoint dir over an " +
+          "existing index, or two queries sharing it) — use a new indexDir " +
+          "or restore the original checkpoint")
+    if (batchId == last) return false // committed replay: data is complete
+    val n = sigs.count()
+    sigs.write.mode("overwrite").parquet(s"$indexDir/signatures/batch_id=$batchId")
+    bands(sigs).write.mode("overwrite").parquet(s"$indexDir/bands/batch_id=$batchId")
+    graft.util.Fs.writeStringAtomic(metaPath,
+      s"""{"scheme":"minhash-3gram-6x3","n_docs":${nDocs + n},"last_batch":$batchId}""", c)
+    true
   }
 
   /** Near-duplicates of `batchSigs` (a [[signatures]] frame — the

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.MinHashIndex
 import graft.util.Fs
@@ -22,64 +23,66 @@ import graft.util.Fs
   *      (batch_id, base_id, jaccard_permille) pairs vs all EARLIER
   *      batches (within-batch pairs are [[StreamingMinHash]]'s job);
   *   2. hand the verified pairs to the caller's sink callback;
-  *   3. append the batch to the index so later batches see it.
+  *   3. append the batch via [[MinHashIndex.appendBatch]] so later
+  *      batches see it.
   *
-  * Replay safety: foreachBatch re-delivers a micro-batch after a
-  * failure/restart. The append is FENCED on the batch id — a
-  * `last_batch.json` sidecar (atomic rename, like the index meta)
-  * records the highest appended id, and a replayed batch re-probes
-  * (idempotent reads) but skips the append instead of double-inserting
-  * its documents. One sidecar write per micro-batch, no coordination.
+  * Replay safety is structural, not fenced: each batch owns a
+  * partition subdirectory written with overwrite semantics and the
+  * meta commit is one atomic rename (see appendBatch's Scaladoc), so a
+  * re-delivered batch heals any partial write instead of
+  * double-inserting; batch-id-space restarts fail loudly. Because a
+  * replayed (or partially-appended) batch's own documents may already
+  * sit in the index, the probe result additionally EXCLUDES pairs
+  * whose base is in the current batch — within-batch near-dups never
+  * leak into the output, first delivery or replay.
   */
 object StreamingIndexProbe {
 
   /** Start the ingestion query over a streaming (doc_id, text) frame.
     * `onPairs` receives each micro-batch's verified near-dup pairs
-    * (possibly empty). */
+    * (possibly empty); the frame is released after the callback
+    * returns. */
   def start(docs: DataFrame, indexDir: String, checkpointDir: String,
       onPairs: DataFrame => Unit, minPermille: Int = 500): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        onPairs(processBatch(batch.sparkSession, indexDir, batch, batchId,
-          minPermille))
+        val pairs = processBatch(batch.sparkSession, indexDir, batch, batchId,
+          minPermille)
+        try onPairs(pairs) finally { pairs.unpersist(false); () }
       }
       .start()
 
-  /** One micro-batch: probe (vs earlier batches), fence-checked append.
-    * Returns the pairs frame, ALREADY MATERIALIZED (the caller's sink
-    * must see pre-append results even though it runs after the append,
-    * and the probe plan is lazy over index files the append mutates). */
+  /** One micro-batch: probe (vs earlier batches), idempotent append.
+    * Returns the pairs frame PERSISTED AND MATERIALIZED — the caller's
+    * sink must see pre-append results even though it runs after the
+    * append mutates the index files the lazy probe plan reads; kept
+    * distributed (no driver collect — a batch matching a heavily
+    * duplicated corpus region can emit arbitrarily many pairs). The
+    * caller releases it. */
   private[streaming] def processBatch(spark: SparkSession, indexDir: String,
       batch: DataFrame, batchId: Long, minPermille: Int): DataFrame = {
     import spark.implicits._
-    val c = Fs.conf()
     val sigs = MinHashIndex.signatures(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val hasIndex = Fs.exists(s"$indexDir/meta.json", c)
-      val pairs =
-        if (hasIndex)
+      val raw =
+        if (Fs.exists(s"$indexDir/meta.json", Fs.conf()))
           MinHashIndex.probe(spark, indexDir, sigs, minPermille)
-            .collect().toSeq
-            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        else Seq.empty[(Long, Long, Long)]
-      val appended = lastAppended(indexDir, c)
-      if (batchId > appended) {
-        if (hasIndex) MinHashIndex.append(spark, batch, indexDir)
-        else MinHashIndex.write(spark, batch, indexDir)
-        Fs.writeStringAtomic(s"$indexDir/last_batch.json",
-          s"""{"batch_id":$batchId}""", c)
-      }
-      pairs.toDF("batch_id", "base_id", "jaccard_permille")
+        else
+          Seq.empty[(Long, Long, Long)]
+            .toDF("batch_id", "base_id", "jaccard_permille")
+      // replay hardening: exclude pairs whose base is THIS batch — on
+      // first delivery the batch isn't indexed yet (no-op), on replay
+      // after a crash its docs are, and within-batch pairs must not
+      // leak (same-id self-pairs are already excluded by probe)
+      val pairs = raw
+        .join(sigs.select(col("doc_id").as("base_id")), Seq("base_id"), "left_anti")
+        .select("batch_id", "base_id", "jaccard_permille")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count() // materialize BEFORE the append mutates the index
+      MinHashIndex.appendBatch(spark, sigs, indexDir, batchId)
+      pairs
     } finally { sigs.unpersist(false); () }
   }
-
-  private def lastAppended(indexDir: String,
-      c: org.apache.hadoop.conf.Configuration): Long =
-    if (!Fs.exists(s"$indexDir/last_batch.json", c)) -1L
-    else {
-      val s = Fs.readString(s"$indexDir/last_batch.json", c)
-      """-?\d+""".r.findFirstIn(s).map(_.toLong).getOrElse(-1L)
-    }
 }
