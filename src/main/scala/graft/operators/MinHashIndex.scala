@@ -23,12 +23,16 @@ import org.apache.spark.sql.functions._
   * construction):
   *   - `bands/`       (bi INT, bh STRING, doc_id LONG) — candidate keys
   *   - `signatures/`  (doc_id LONG, sh ARRAY<STRING>) — rerank payload
-  *   - `meta.json`    written LAST (build) / rewritten last (append) via
+  *   - `meta.json`    written LAST via
   *     [[graft.util.Fs.writeStringAtomic]]: its presence marks a
-  *     complete build, and a crash mid-append leaves extra band/
-  *     signature rows with a stale count — conservative (at worst the
-  *     probe sees half an appended batch; correctness of reported pairs
-  *     never depends on meta).
+  *     complete build.
+  * Two append disciplines share this layout: the flat batch API
+  * ([[write]]/[[append]] — a crash mid-append leaves extra rows with a
+  * stale count, conservative because pair correctness never depends on
+  * meta) and the streaming [[appendBatch]] (per-batch partition
+  * subdirs, idempotent overwrite, meta as the single atomic commit —
+  * see its Scaladoc). The two must not mix on one index dir and
+  * reject each other.
   *
   * 100 TB judgment: candidate generation joins ~50-byte (bi, bh, id)
   * rows against the batch's bands — the corpus-side shuffle is bounded
@@ -66,7 +70,7 @@ object MinHashIndex {
 
   /** Build the index from scratch (overwrites `indexDir`). */
   def write(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
-    val c = graft.util.Fs.conf()
+    val c = spark.sessionState.newHadoopConf()
     graft.util.Fs.deleteTree(indexDir, c)
     val sigs = signatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -80,7 +84,7 @@ object MinHashIndex {
   /** Append a new batch without rebuilding: O(batch) signature/band
     * appends, then the meta rewrite (last — see layout doc). */
   def append(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
-    val c = graft.util.Fs.conf()
+    val c = spark.sessionState.newHadoopConf()
     require(graft.util.Fs.exists(s"$indexDir/meta.json", c),
       s"$indexDir is not a complete MinHash index (no meta.json)")
     require(!graft.util.Fs.readString(s"$indexDir/meta.json", c).contains("last_batch"),
@@ -128,7 +132,7 @@ object MinHashIndex {
     * vice versa) is rejected. */
   def appendBatch(spark: SparkSession, sigs: DataFrame, indexDir: String,
       batchId: Long): Boolean = {
-    val c = graft.util.Fs.conf()
+    val c = spark.sessionState.newHadoopConf()
     val metaPath = s"$indexDir/meta.json"
     val (nDocs, last) =
       if (!graft.util.Fs.exists(metaPath, c)) (0L, -1L)

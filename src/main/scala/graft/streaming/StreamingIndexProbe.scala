@@ -67,7 +67,7 @@ object StreamingIndexProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val raw =
-        if (Fs.exists(s"$indexDir/meta.json", Fs.conf()))
+        if (Fs.exists(s"$indexDir/meta.json", spark.sessionState.newHadoopConf()))
           MinHashIndex.probe(spark, indexDir, sigs, minPermille)
         else
           Seq.empty[(Long, Long, Long)]
