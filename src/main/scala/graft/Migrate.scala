@@ -124,7 +124,9 @@ object Migrate {
     val Array(driver, dumpFile, outDir) = args.take(3)
     val mode = args.lift(3).getOrElse("full")
     val spark = GraftSession.build("graft-migrate")
-    // reference CLI: "-" reads the dump from stdin
+    // pipe UX (the reference reads stdin when its -dump-file flag is
+    // EMPTY); our dump-file arg is positional, so the conventional "-"
+    // sentinel marks the stdin case instead
     val r =
       if (dumpFile == "-") runStream(spark, driver, System.in, outDir, mode)
       else run(spark, driver, dumpFile, outDir, mode)

@@ -27,9 +27,9 @@ import org.apache.spark.sql.functions._
   *     [[graft.util.Fs.writeStringAtomic]]: its presence marks a
   *     complete build.
   * Two append disciplines share this layout: the flat batch API
-  * ([[write]]/[[append]] — a crash mid-append leaves extra rows with a
-  * stale count, conservative because pair correctness never depends on
-  * meta) and the streaming [[appendBatch]] (per-batch partition
+  * ([[write]]/[[append]] — a crash mid-append followed by a retry can
+  * leave bit-identical duplicate rows, which [[probe]] collapses by
+  * deduplicating its output pair set) and the streaming [[appendBatch]] (per-batch partition
   * subdirs, idempotent overwrite, meta as the single atomic commit —
   * see its Scaladoc). The two must not mix on one index dir and
   * reject each other.
@@ -192,5 +192,14 @@ object MinHashIndex {
       .select(col("batch_id"), col("base_id"),
         expr("common * 1000 div (na + nb - common)").as("jaccard_permille"))
       .filter(col("jaccard_permille") >= minPermille)
+      // flat-append crash hardening: a batch-API append that crashed
+      // between its data writes and the meta rewrite, then was retried,
+      // leaves DUPLICATE signature/band rows for the re-appended docs.
+      // Candidates already collapse (the .distinct above), but each
+      // duplicated index signature would re-emit its pairs — dedup the
+      // OUTPUT pair set (tiny: only verified near-dups shuffle) rather
+      // than the index signatures (a corpus-sized shuffle per probe).
+      // The duplicated rows are bit-identical, so this is exact.
+      .dropDuplicates("batch_id", "base_id")
   }
 }

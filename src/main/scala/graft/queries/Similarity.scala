@@ -95,32 +95,27 @@ object Similarity {
     * by the prebuilt-index entries (e13b/e14) — p03's generate-once
     * pattern: e13 pays the build every pass by design (the honest
     * end-to-end), these entries measure what the layout amortizes to.
-    * meta.json is written last ([[graft.operators.IvfIndex.write]]), so
-    * its presence marks a complete build. Freshness is mtime-keyed
-    * (DumpCodec.materialize's pattern): an index left in /tmp by an
-    * earlier round must not serve vectors from a since-regenerated
-    * embeddings table — e14 is rows-only, so a stale index would be
-    * silently wrong, not oracle-red. Harness scratch, single-process by
-    * construction (the driver runs one Bench/Verify JVM at a time). */
-  private def benchIndex(spark: SparkSession, dir: String): String = {
-    val c = graft.util.Fs.conf()
-    val sfName = new org.apache.hadoop.fs.Path(dir).getName
-    val out = s"/tmp/graft_ivfindex_$sfName"
-    def mtime(p: String): Long = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(c)
-      if (!fs.exists(hp)) -1L
-      else {
-        val st = fs.getFileStatus(hp)
-        if (st.isFile) st.getModificationTime
-        else fs.listStatus(hp).map(_.getModificationTime).foldLeft(st.getModificationTime)(math.max)
+    * The index lives in a PROCESS-OWNED temp directory (removed on JVM
+    * exit), so a since-regenerated embeddings table can never be served
+    * by a stale index left behind by an earlier run — e14 is rows-only,
+    * so staleness would be silently wrong, not oracle-red — and
+    * concurrent drivers on one machine cannot collide on a shared
+    * scratch path. */
+  private val benchIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def benchIndex(spark: SparkSession, dir: String): String =
+    benchIndexDirs.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_ivfindex_bench_").toString
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(out))
       }
-    }
-    val metaT = mtime(s"$out/meta.json")
-    if (metaT < 0L || metaT < mtime(s"$dir/embeddings.parquet"))
       graft.operators.IvfIndex.write(spark, dir, out)
-    out
-  }
+      out
+    })
 
   val defs: Map[String, QueryDef] = Map(
     // ---------------------------------------------------------------- m01
@@ -292,8 +287,16 @@ object Similarity {
     "m04_incremental_neardup" -> QueryDef(
       build = (spark, dir) => {
         val docs = QueryDef.spread(spark, dir, "documents")
-        val idxDir =
-          s"/tmp/graft_mhindex_${new java.io.File(dir).getName}"
+        // per-pass temp scratch (e13's pattern): no shared literal path
+        // for concurrent drivers on one machine to collide on
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft_mhindex_bench_").toString + "/idx"
+        QueryDef.deferCleanup(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(idxDir).getParentFile)
+        })
         graft.operators.MinHashIndex.write(spark,
           docs.filter(col("doc_id") % 5 =!= 0), idxDir)
         val batchSigs = graft.operators.MinHashIndex

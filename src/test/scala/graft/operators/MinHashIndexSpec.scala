@@ -25,7 +25,12 @@ class MinHashIndexSpec extends AnyFunSuite {
       Seq.empty[(Long, String)])
   }
 
-  test("band frame is bit-identical to m01's scheme") {
+  // NOTE this is a DELEGATION check, not independent scheme pinning:
+  // Similarity.minhashBands routes through MinHashIndex.bands (one
+  // definition by design), so both sides run the same code — what this
+  // pins is the plumbing/spread wiring. Independent pinning of the
+  // scheme itself rests on m01/m04's DuckDB oracles.
+  test("Similarity.minhashBands delegates to MinHashIndex.bands (plumbing pin)") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val mine = MinHashIndex.bands(MinHashIndex.signatures(docs))
