@@ -19,19 +19,29 @@ import org.apache.spark.sql.functions._
   * driver-size statistic d15 returns (≈|alphabet|² keys initially,
   * growing only by the novel pairs each merge creates next to its merge
   * sites; this is the footprint every single-node BPE trainer carries,
-  * while the vocabulary itself stays distributed). Each iteration:
+  * while the vocabulary itself stays distributed — and it is guarded:
+  * a corpus whose distinct-pair space explodes past `maxPairs` fails
+  * loudly with a diagnosis instead of OOMing the driver). Each
+  * iteration:
   *
   *   1. the argmax pair comes from a lazy-deletion heap over that map —
   *      no Spark job, exact ties on (count DESC, left ASC, right ASC);
-  *   2. ONE narrow job scans the cached vocabulary, applies the merges
-  *      learned since the last compaction lazily per row (map fusion —
-  *      no join, no materialization), and accumulates the pair-count
-  *      DELTAS of only the rows that actually contain the new pair,
-  *      per-partition, collected as a few-KB map merge on the driver.
-  *      Untouched terms contribute nothing and are never rewritten or
-  *      re-persisted — a full-vocabulary rewrite+persist per merge
-  *      (see [[trainRescan]]) is ~3 jobs and two vocabulary
-  *      materializations per merge, i.e. days at 32k merges;
+  *   2. ONE narrow PARTITION-PRUNED job visits only the vocabulary
+  *      partitions that contain the merged pair — the driver keeps an
+  *      inverted index pair → {partition → count} (maintained from the
+  *      same deltas the job returns), so untouched partitions are never
+  *      even scheduled, let alone scanned ([[BpeTrainerSpec]] pins the
+  *      task count). Within a visited partition the merges learned
+  *      since the last compaction apply lazily per row (map fusion —
+  *      no join, no materialization) and only rows that actually
+  *      contain the new pair emit pair-count DELTAS, collected as a
+  *      few-KB map merge on the driver. Untouched terms contribute
+  *      nothing and are never rewritten or re-persisted — a
+  *      full-vocabulary rewrite+persist per merge (see [[trainRescan]])
+  *      is ~3 jobs and two vocabulary materializations per merge,
+  *      i.e. days at 32k merges, and even a full-vocabulary SCAN per
+  *      merge is days of cumulative scan at a 100M-term vocabulary ×
+  *      32k merges;
   *   3. every `compactEvery` merges the accumulated lazy rewrites fold
   *      into a fresh checkpointed base (`localCheckpoint` truncates
   *      both plan and RDD lineage, so analyzer cost stays flat across
@@ -58,11 +68,20 @@ object BpeTrainer {
   }
 
   /** Learn `nMerges` merges incrementally. Stops early when no pair
-    * reaches `minPairCount`. Returns merges in learned order. */
+    * reaches `minPairCount`. Returns merges in learned order.
+    *
+    * `maxPairs` bounds the DRIVER pair-map footprint: training fails
+    * loudly (with the corpus diagnosis) instead of grinding the driver
+    * into GC death when a byte-noise corpus explodes the distinct-pair
+    * space. `rowsPerPartition` is the coalesce target for the cached
+    * vocabulary (test dial — production keeps the default). */
   def train(spark: SparkSession, docs: DataFrame, nMerges: Int,
-      minPairCount: Long = 2L, compactEvery: Int = 16): Seq[Merge] = {
+      minPairCount: Long = 2L, compactEvery: Int = 16,
+      maxPairs: Long = 10000000L,
+      rowsPerPartition: Long = 65536L): Seq[Merge] = {
     import spark.implicits._
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    require(rowsPerPartition >= 1, s"rowsPerPartition must be >= 1")
     var base = vocabulary(docs).as[VocabEntry]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocabCount = base.count() // materialize before the loop builds on the cache
@@ -74,7 +93,8 @@ object BpeTrainer {
     // rows/partition, floor 1, never widening; a corpus-scale vocabulary
     // keeps its parallelism untouched.
     val targetParts = math.max(1L, math.min(
-      base.rdd.getNumPartitions.toLong, (vocabCount + 65535L) / 65536L)).toInt
+      base.rdd.getNumPartitions.toLong,
+      (vocabCount + rowsPerPartition - 1L) / rowsPerPartition)).toInt
     if (targetParts < base.rdd.getNumPartitions) {
       val sized = base.coalesce(targetParts)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -86,14 +106,50 @@ object BpeTrainer {
     // checkpoint-backed and release through the ContextCleaner instead
     val original = base
 
-    // driver pair-count map, seeded by one shuffle-free job: each
-    // partition folds its rows into a local map, the driver adds maps
+    // Driver pair statistics, maintained at PARTITION granularity: the
+    // global count map feeds the argmax heap, and the per-pair postings
+    // (pair -> {partition -> count}) are the INVERTED INDEX that lets a
+    // merge's delta job read ONLY the partitions holding the merged
+    // pair (PartitionPruningRDD below) instead of scanning the full
+    // cached vocabulary — the difference between O(affected) and
+    // O(vocabulary) per merge at a 32k-merge production run. Footprint:
+    // postings add one (partition -> count) entry per pair per
+    // partition CONTAINING it — Zipf-bounded like the count map itself
+    // (hot pairs are few and dense, the long tail is 1-partition), and
+    // both are guarded by `maxPairs`.
     val counts = scala.collection.mutable.HashMap[(String, String), Long]()
-    collectDeltas(base.mapPartitions { rows =>
+    val postings =
+      scala.collection.mutable.HashMap[(String, String),
+        scala.collection.mutable.HashMap[Int, Long]]()
+    def applyDelta(pid: Int, p: (String, String), d: Long): Long = {
+      val ng = counts.getOrElse(p, 0L) + d
+      if (ng <= 0L) counts.remove(p) else counts(p) = ng
+      val pm = postings.getOrElseUpdate(p,
+        scala.collection.mutable.HashMap[Int, Long]())
+      val np = pm.getOrElse(pid, 0L) + d
+      if (np <= 0L) {
+        pm.remove(pid)
+        if (pm.isEmpty) { postings.remove(p); () }
+      } else pm(pid) = np
+      ng
+    }
+    def guardPairs(): Unit =
+      if (counts.size > maxPairs)
+        throw new IllegalStateException(
+          s"BPE pair map exceeded the driver budget: ${counts.size} distinct " +
+            s"adjacent pairs > maxPairs=$maxPairs. The corpus's symbol " +
+            "distribution is noise-like (random bytes / binary content " +
+            "produce ~|vocab| unique pairs, where natural text stays near " +
+            "|alphabet|^2) — filter the corpus, or raise maxPairs if the " +
+            "driver heap genuinely has room")
+    // seeded by one shuffle-free job: each partition folds its rows
+    // into a local map; the driver folds the per-partition maps
+    base.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val acc = scala.collection.mutable.HashMap[(String, String), Long]()
       rows.foreach(v => addPairs(acc, v.syms, v.n))
-      acc.iterator
-    }).foreach { case (p, c) => counts(p) = c }
+      acc.iterator.map(kv => (pid, kv._1, kv._2))
+    }.collect().foreach { case (pid, p, c) => applyDelta(pid, p, c) }
+    guardPairs()
 
     // max-heap with lazy deletion: entries are (count, left, right)
     // snapshots; an entry is live iff it matches the map's current count.
@@ -135,25 +191,42 @@ object BpeTrainer {
         }
         best match {
           case Some((c, a, b)) if c >= minPairCount =>
-            // one narrow job: apply pending rewrites lazily, emit pair
-            // deltas for rows containing (a, b) only
+            // one narrow PRUNED job: the postings name exactly the
+            // partitions holding (a, b) — only those are scheduled
+            // (PartitionPruningRDD: untouched partitions get no task,
+            // their cached blocks are never deserialized). Within a
+            // visited partition, pending rewrites apply lazily per row
+            // and only rows containing (a, b) emit deltas.
+            val pids = postings.get((a, b))
+              .map(_.keysIterator.toArray.sorted).getOrElse(Array.empty[Int])
+            assert(pids.nonEmpty, s"postings lost pair ($a,$b) with count $c")
+            val pidSet = pids.toSet
             val hist = pending.reverse
-            val deltas = collectDeltas(base.mapPartitions { rows =>
-              val acc = scala.collection.mutable.HashMap[(String, String), Long]()
-              rows.foreach { v =>
-                val cur = applyMerges(v.syms, hist)
-                if (containsAdjacent(cur, a, b)) {
-                  addPairs(acc, cur, -v.n)
-                  addPairs(acc, mergeOnce(cur, a, b), v.n)
-                }
-              }
-              acc.iterator.filter(_._2 != 0L)
-            })
-            deltas.foreach { case (p, d) =>
-              val nc = counts.getOrElse(p, 0L) + d
-              if (nc <= 0L) counts.remove(p)
-              else { counts(p) = nc; heap.enqueue((nc, p._1, p._2)) }
+            val sc = spark.sparkContext
+            sc.setJobDescription(s"bpe-merge-delta:${merges.size}")
+            val deltas =
+              try {
+                org.apache.spark.rdd.PartitionPruningRDD
+                  .create(base.rdd, pidSet.contains)
+                  .mapPartitionsWithIndex { (i, rows) =>
+                    val pid = pids(i) // pruned partitions keep parent order
+                    val acc = scala.collection.mutable.HashMap[(String, String), Long]()
+                    rows.foreach { v =>
+                      val cur = applyMerges(v.syms, hist)
+                      if (containsAdjacent(cur, a, b)) {
+                        addPairs(acc, cur, -v.n)
+                        addPairs(acc, mergeOnce(cur, a, b), v.n)
+                      }
+                    }
+                    acc.iterator.filter(_._2 != 0L)
+                      .map(kv => (pid, kv._1, kv._2))
+                  }.collect()
+              } finally sc.setJobDescription(null)
+            deltas.foreach { case (pid, p, d) =>
+              val nc = applyDelta(pid, p, d)
+              if (nc > 0L) heap.enqueue((nc, p._1, p._2))
             }
+            guardPairs()
             merges += Merge(a, b, c)
             pending = (a, b) :: pending
             if (pending.size >= compactEvery) {
@@ -252,17 +325,6 @@ object BpeTrainer {
       if (nv == 0L) acc.remove(k) else acc(k) = nv
       i += 1
     }
-  }
-
-  /** Merge per-partition delta maps on the driver (exact Long sums). */
-  private def collectDeltas(
-      ds: Dataset[((String, String), Long)]): Map[(String, String), Long] = {
-    val acc = scala.collection.mutable.HashMap[(String, String), Long]()
-    ds.collect().foreach { case (k, d) =>
-      val nv = acc.getOrElse(k, 0L) + d
-      if (nv == 0L) acc.remove(k) else acc(k) = nv
-    }
-    acc.toMap
   }
 
   private[operators] def containsAdjacent(syms: Seq[String], left: String,

@@ -132,4 +132,84 @@ class BpeTrainerSpec extends AnyFunSuite {
     val merges = BpeTrainer.train(spark, tiny, nMerges = 10, minPairCount = 2)
     assert(merges.isEmpty) // every pair occurs once
   }
+
+  test("a merge's delta job visits only partitions holding the pair") {
+    import spark.implicits._
+    // 2000 filler terms built from globally-unique codepoints — every
+    // adjacent pair occurs exactly once, so none is mergeable — plus 3
+    // terms containing the pair (x, y), each twice in the corpus:
+    // (x, y) is the unique argmax (count 6). With rowsPerPartition=64
+    // the 2003-term vocabulary spreads over 32 hash partitions, but the
+    // x/y terms can sit in at most 3 of them — the pruned delta job
+    // must schedule at most 3 tasks, not 32.
+    var cp = 0x4E00
+    def freshChar(): String = { val s = new String(Character.toChars(cp)); cp += 1; s }
+    val filler = (0 until 2000).map(_ => (0 until 5).map(_ => freshChar()).mkString)
+    val special = (0 until 3).map(_ => freshChar() + "xy" + freshChar())
+    val words = filler ++ special.flatMap(t => Seq(t, t))
+    val docs = words.grouped(100).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+
+    // count tasks that actually RAN for the delta job: jobStart's
+    // stageInfos also list upstream (cache-skipped) stages at full
+    // width, so record the delta job's stage ids at start and sum the
+    // task counts of only the stages that COMPLETE — a skipped stage
+    // never completes, a pruned result stage completes with one task
+    // per surviving partition
+    val deltaStageIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val deltaJobSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ranTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val completedStages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        if (desc.startsWith("bpe-merge-delta")) {
+          deltaJobSeen.incrementAndGet()
+          js.stageInfos.foreach(si => deltaStageIds.add(si.stageId))
+        }
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (deltaStageIds.contains(sc.stageInfo.stageId)) {
+          completedStages.incrementAndGet()
+          ranTasks.addAndGet(sc.stageInfo.numTasks); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val merges = BpeTrainer.train(spark, docs, nMerges = 1,
+        minPairCount = 4, rowsPerPartition = 64)
+      assert(merges.map(m => (m.left, m.right)) === Seq(("x", "y")))
+      assert(merges.head.count === 6L)
+      // listener bus is async — poll until the delta job's events land
+      val deadline = System.nanoTime() + 10000000000L
+      while ((deltaJobSeen.get() == 0 || completedStages.get() == 0) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(deltaJobSeen.get() === 1, "expected exactly one delta job")
+      val tasks = ranTasks.get()
+      assert(tasks >= 1 && tasks <= 3,
+        s"delta job ran $tasks tasks; pruning should cap it at the " +
+          "3 partitions that can hold the x/y terms (vocab is 32 partitions)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("pair-map budget guard fails loudly on a noise-like corpus") {
+    import spark.implicits._
+    // 60 terms of 3 globally-unique codepoints = 120 distinct pairs —
+    // trips a maxPairs=50 budget at seeding, BEFORE any merge work
+    var cp = 0x5E00
+    def freshChar(): String = { val s = new String(Character.toChars(cp)); cp += 1; s }
+    val words = (0 until 60).map(_ => (0 until 3).map(_ => freshChar()).mkString)
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      BpeTrainer.train(spark, docs, nMerges = 1, maxPairs = 50L)
+    }
+    assert(e.getMessage.contains("maxPairs=50"))
+    assert(e.getMessage.contains("noise"))
+  }
 }
