@@ -390,7 +390,12 @@ object BpeTrainer {
 
   /** Distributed corpus encoding: per-document BPE token count under
     * the learned merges — the "how many tokens is my corpus under this
-    * tokenizer" question every training-data budget starts from. */
+    * tokenizer" question every training-data budget starts from.
+    * Zero-shuffle: merges broadcast, one narrow pass over the corpus,
+    * with a per-partition TERM memo (Zipf does the rest — the hot
+    * vocabulary encodes once per task, not once per occurrence; the
+    * memo is size-capped so an adversarial all-unique-terms partition
+    * degrades to straight encoding, never to memory growth). */
   def encodeCounts(spark: SparkSession, docs: DataFrame,
       merges: Seq[Merge]): DataFrame = {
     import spark.implicits._
@@ -398,8 +403,15 @@ object BpeTrainer {
     val toks = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
     docs.select(col("doc_id"), expr(toks).as("tk"))
       .as[(Long, Seq[String])]
-      .map { case (id, tk) =>
-        (id, tk.iterator.map(t => encode(t, bc.value).length.toLong).sum)
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap[String, Long]()
+        def tokCount(t: String): Long =
+          memo.getOrElse(t, {
+            val n = encode(t, bc.value).length.toLong
+            if (memo.size < (1 << 20)) memo(t) = n
+            n
+          })
+        it.map { case (id, tk) => (id, tk.iterator.map(tokCount).sum) }
       }
       .toDF("doc_id", "n_bpe_tokens")
   }

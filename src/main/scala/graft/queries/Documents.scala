@@ -32,6 +32,35 @@ object Documents {
     * Explicit class, not \s — see the object Scaladoc. */
   private val toks = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
   private val stopArr = "array('the','a','of','to','and')"
+
+  /** d21's fixed merge list (learned order) — ONE constant feeds both
+    * the Spark query and the generated oracle SQL, so the two cannot
+    * drift. English-frequent pairs incl. two second-order merges
+    * ("th"+"e", "an"+"d") that exercise merge-consumes-merge. */
+  private val d21Merges = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"))
+  /** DuckDB oracle for d21, generated from [[d21Merges]]: bracket every
+    * character as chr(1)<c>chr(2), apply each merge as one replace()
+    * (see the d21 QueryDef comment for the exactness argument), count
+    * brackets. raw interpolation: the '[ \t...]' class must reach
+    * DuckDB as backslash escapes, not literal newlines — SparkEntry
+    * joins oracle SQL lines with spaces. */
+  private val d21Oracle: String = {
+    def b(sym: String) = s"chr(1) || '$sym' || chr(2)"
+    val chain = d21Merges.foldLeft(
+      raw"regexp_replace(term, '(.)', chr(1) || '\1' || chr(2), 'g')") {
+      case (acc, (l, r)) => s"replace($acc, ${b(l)} || ${b(r)}, ${b(l + r)})"
+    }
+    raw"""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '')) AS term
+        FROM documents),
+      enc AS (SELECT doc_id, $chain AS s FROM toks)
+      SELECT doc_id,
+             CAST(SUM(length(s) - length(replace(s, chr(1), ''))) AS BIGINT) AS n_bpe_tokens
+      FROM enc GROUP BY doc_id ORDER BY doc_id"""
+  }
   /** Bag-of-words content fingerprint: md5 over the sorted distinct token
     * set — catches reordered/duplicated-content documents that raw-text
     * hashing misses. Pure per-row expression → embarrassingly parallel. */
@@ -698,6 +727,37 @@ object Documents {
           .orderBy("rank")
       },
       oracle = None,
+      headline = true),
+
+    // ---------------------------------------------------------------- d21
+    // BPE ENCODE under a fixed merge list: per-doc token count — the
+    // apply side of the tokenizer surface (d15 = one merge signal, d17
+    // = the full training loop, this = inference over the corpus).
+    // The oracle re-derives the counts in DuckDB from first principles:
+    // each term becomes a chr(1)-sym-chr(2) bracketed symbol string and
+    // each merge is ONE left-to-right replace() — exact because (a) a
+    // single greedy non-overlapping pass IS the fixpoint for one merge
+    // rule (a merged symbol `lr` can never re-create the (l, r)
+    // adjacency: it would require lr = l or lr = r, impossible by
+    // length), matching encode()'s to-fixpoint loop, and (b) replace()'s
+    // leftmost-non-overlapping scan is exactly mergeOnce's greedy
+    // consume ("a a a" + (a,a) → "aa a" both ways). The bracket chars
+    // make matches symbol-exact (a bare "t h" pattern would also match
+    // inside "at h"); tokens = bracket count. The merge list is
+    // embedded literally in BOTH sides from one Scala constant.
+    //
+    // 100 TB shape: zero shuffle — broadcast merges, one narrow pass,
+    // per-partition term memo (see BpeTrainer.encodeCounts); the only
+    // aggregation is the per-doc sum computed inside the row pass.
+    "d21_bpe_encode_counts" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = QueryDef.spread(spark, dir, "documents")
+        val merges = d21Merges.map { case (l, r) =>
+          graft.operators.BpeTrainer.Merge(l, r, 0L) }
+        graft.operators.BpeTrainer.encodeCounts(spark, docs, merges)
+          .orderBy("doc_id")
+      },
+      oracle = Some(d21Oracle),
       headline = true),
 
     // ---------------------------------------------------------------- d18
