@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `indexDir` (all Spark parquet — FS-portable by
   * construction):
-  *   - `bands/`       (bi INT, bh STRING, doc_id LONG) — candidate keys
+  *   - `bands/`       (doc_id LONG, bi INT, bh STRING) — candidate
+  *     keys; in the batch layout written BUCKETED by (bi, bh) — the FULL
+  *     candidate-join key, which co-partitioning requires (Spark's
+  *     requireAllClusterKeysForCoPartition) — so probes join it
+  *     shuffle-free (bucket count in meta) — the session-local
+  *     catalog entry is re-registered on demand ([[bandsTable]])
   *   - `signatures/`  (doc_id LONG, sh ARRAY<STRING>) — rerank payload
   *   - `meta.json`    written LAST via
   *     [[graft.util.Fs.writeStringAtomic]]: its presence marks a
@@ -35,11 +40,13 @@ import org.apache.spark.sql.functions._
   * reject each other.
   *
   * 100 TB judgment: candidate generation joins ~50-byte (bi, bh, id)
-  * rows against the batch's bands — the corpus-side shuffle is bounded
-  * by the INDEX key table, not the corpus text; signatures join back
-  * once per DISTINCT candidate pair (the m01 rerank shape); `append` is
-  * an O(batch) parquet append. Bucketing `bands/` by bh (BucketedSink)
-  * is the zero-shuffle refinement when the index outgrows broadcast.
+  * rows against the batch's bands; in the batch layout the index side
+  * never shuffles AT ALL — the bucketed scan's HashPartitioning(bi, bh)
+  * covers the join keys, so only the O(batch) side moves
+  * (spec-pinned). Signatures join back once per DISTINCT candidate
+  * pair (the m01 rerank shape); `append` is an O(batch) bucket-aligned
+  * append. The streaming layout trades this for idempotent per-batch
+  * commits and gets it back via [[compactStreaming]].
   */
 object MinHashIndex {
 
@@ -68,42 +75,92 @@ object MinHashIndex {
         "array(md5(concat(mh[0], mh[1])), md5(concat(mh[2], mh[3])), md5(concat(mh[4], mh[5])))"))
         .as(Seq("bi", "bh")))
 
-  /** Build the index from scratch (overwrites `indexDir`). */
-  def write(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+  /** Session-catalog name for the bucketed `bands/` table of an index
+    * dir — derived from the dir, so the same index re-registers under
+    * the same name across sessions/processes (the catalog entry is
+    * session-local metadata; the DATA and its bucket-id file naming
+    * live with the index). */
+  private[operators] def bandsTable(indexDir: String): String =
+    "graft_mhidx_bands_" + org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(indexDir).substring(0, 12)
+
+  /** (Re-)register the external bucketed table over `bands/` in THIS
+    * session's catalog — a new process opening an existing index has
+    * the files (bucket ids are encoded in their names) but not the
+    * catalog entry that tells Spark to trust them. Drop-and-create:
+    * idempotent, survives a same-process rebuild with a different
+    * bucket count, never touches data (external). */
+  private def registerBandsTable(spark: SparkSession, indexDir: String,
+      buckets: Int): String = {
+    val tbl = bandsTable(indexDir)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl (doc_id BIGINT, bi INT, bh STRING)
+         |USING parquet
+         |CLUSTERED BY (bi, bh) SORTED BY (bi, bh) INTO $buckets BUCKETS
+         |LOCATION '$indexDir/bands'""".stripMargin)
+    tbl
+  }
+
+  /** Build the index from scratch (overwrites `indexDir`). `bands/` is
+    * written BUCKETED by (bi, bh) (`bandBuckets` files, sorted within), so
+    * every future [[probe]]'s candidate join is shuffle-free on the
+    * index side — the one-time bucketing shuffle at build is amortized
+    * over the life of the index (BucketedSink's rationale; at corpus
+    * scale pick a bucket count matching cluster parallelism, e.g.
+    * 4096). */
+  def write(spark: SparkSession, docs: DataFrame, indexDir: String,
+      bandBuckets: Int = 32): Unit = {
     val c = spark.sessionState.newHadoopConf()
     graft.util.Fs.deleteTree(indexDir, c)
     val sigs = signatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       sigs.write.mode("overwrite").parquet(s"$indexDir/signatures")
-      bands(sigs).write.mode("overwrite").parquet(s"$indexDir/bands")
-      writeMeta(spark, indexDir, c)
+      spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(indexDir)}")
+      bands(sigs).write.mode("overwrite").format("parquet")
+        .bucketBy(bandBuckets, "bi", "bh").sortBy("bi", "bh")
+        .option("path", s"$indexDir/bands")
+        .saveAsTable(bandsTable(indexDir))
+      writeMeta(spark, indexDir, bandBuckets, c)
     } finally { sigs.unpersist(false); () }
   }
 
   /** Append a new batch without rebuilding: O(batch) signature/band
-    * appends, then the meta rewrite (last — see layout doc). */
+    * appends (the band append lands bucket-aligned through the same
+    * table, preserving the shuffle-free probe), then the meta rewrite
+    * (last — see layout doc). */
   def append(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
     val c = spark.sessionState.newHadoopConf()
     require(graft.util.Fs.exists(s"$indexDir/meta.json", c),
       s"$indexDir is not a complete MinHash index (no meta.json)")
-    require(!graft.util.Fs.readString(s"$indexDir/meta.json", c).contains("last_batch"),
+    val meta = graft.util.Fs.readString(s"$indexDir/meta.json", c)
+    require(!meta.contains("last_batch"),
       s"$indexDir is a streaming-layout index (batch-partitioned dirs); " +
         "use appendBatch — flat-file append would break partition discovery")
+    val buckets = bandBucketsOf(meta)
+    registerBandsTable(spark, indexDir, buckets)
     val sigs = signatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       sigs.write.mode("append").parquet(s"$indexDir/signatures")
-      bands(sigs).write.mode("append").parquet(s"$indexDir/bands")
-      writeMeta(spark, indexDir, c)
+      bands(sigs).write.mode("append").format("parquet")
+        .bucketBy(buckets, "bi", "bh").sortBy("bi", "bh")
+        .option("path", s"$indexDir/bands")
+        .saveAsTable(bandsTable(indexDir))
+      writeMeta(spark, indexDir, buckets, c)
     } finally { sigs.unpersist(false); () }
   }
 
-  private def writeMeta(spark: SparkSession, indexDir: String,
+  private def bandBucketsOf(meta: String): Int =
+    """"bands_buckets":(\d+)""".r.findFirstMatchIn(meta)
+      .map(_.group(1).toInt).getOrElse(0)
+
+  private def writeMeta(spark: SparkSession, indexDir: String, buckets: Int,
       c: org.apache.hadoop.conf.Configuration): Unit = {
     val n = spark.read.parquet(s"$indexDir/signatures").count()
     graft.util.Fs.writeStringAtomic(s"$indexDir/meta.json",
-      s"""{"scheme":"minhash-3gram-6x3","n_docs":$n}""", c)
+      s"""{"scheme":"minhash-3gram-6x3","n_docs":$n,"bands_buckets":$buckets}""", c)
   }
 
   /** Replay-safe micro-batch ingestion (the StreamingIndexProbe
@@ -162,6 +219,60 @@ object MinHashIndex {
     true
   }
 
+  /** Convert a STREAMING-layout index (per-batch partition dirs) into
+    * the batch layout with BUCKETED bands — the append→compact
+    * discipline for continuous ingestion: the stream appends with
+    * idempotent per-batch overwrite commits (which cannot also be
+    * bucket-aligned — per-batch dirs and one bucketed table are
+    * different layouts), and when ingestion pauses or finishes, ONE
+    * compaction pays the bucketing shuffle so every subsequent
+    * [[probe]] is shuffle-free on the index side and the accumulated
+    * per-batch small files collapse. After compaction the index is a
+    * batch-layout index: [[append]]/[[probe]] continue, [[appendBatch]]
+    * rejects it (resuming the old stream checkpoint would corrupt —
+    * start a fresh indexDir for a new stream).
+    *
+    * Staged + swapped per subdir (IvfIndex.compact's discipline): a
+    * crash mid-compact leaves complete old/staged copies, and
+    * re-running compactStreaming from any intermediate state converges
+    * (meta — the layout commit point — flips only at the end). */
+  def compactStreaming(spark: SparkSession, indexDir: String,
+      bandBuckets: Int = 32): Unit = {
+    val c = spark.sessionState.newHadoopConf()
+    val meta = graft.util.Fs.readString(s"$indexDir/meta.json", c)
+    require(meta.contains("last_batch"),
+      s"$indexDir is not a streaming-layout index; only appendBatch " +
+        "indexes need compaction to the bucketed batch layout")
+    def swapIn(name: String)(writeStaged: String => Unit): Unit = {
+      val live = s"$indexDir/$name"
+      val old = s"$indexDir/${name}_old"
+      val staged = s"$indexDir/${name}_compacting"
+      if (!graft.util.Fs.exists(live, c) && graft.util.Fs.exists(old, c))
+        throw new IllegalStateException(
+          s"$indexDir: interrupted compact — recover with: rename $old -> $live")
+      graft.util.Fs.deleteTree(old, c)
+      graft.util.Fs.deleteTree(staged, c)
+      writeStaged(staged)
+      graft.util.Fs.rename(live, old, c)
+      graft.util.Fs.rename(staged, live, c)
+      graft.util.Fs.deleteTree(old, c)
+    }
+    swapIn("signatures") { staged =>
+      spark.read.parquet(s"$indexDir/signatures").select("doc_id", "sh")
+        .write.mode("overwrite").parquet(staged)
+    }
+    val stgTbl = bandsTable(indexDir) + "_stg"
+    swapIn("bands") { staged =>
+      spark.sql(s"DROP TABLE IF EXISTS $stgTbl")
+      spark.read.parquet(s"$indexDir/bands").select("doc_id", "bi", "bh")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(bandBuckets, "bi", "bh").sortBy("bi", "bh")
+        .option("path", staged).saveAsTable(stgTbl)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $stgTbl") // its location was renamed away
+    writeMeta(spark, indexDir, bandBuckets, c) // commits the batch layout
+  }
+
   /** Near-duplicates of `batchSigs` (a [[signatures]] frame — the
     * caller persists it if it also feeds other work) against the
     * persisted index: (batch_id, base_id, jaccard_permille), true
@@ -169,8 +280,23 @@ object MinHashIndex {
     * can be probed against its own index. */
   def probe(spark: SparkSession, indexDir: String, batchSigs: DataFrame,
       minPermille: Int = 500): DataFrame = {
-    val idxBands = spark.read.parquet(s"$indexDir/bands")
+    // batch-layout indexes carry bucketed bands: read through the
+    // (re-)registered catalog table so the scan reports its
+    // HashPartitioning(bh) and the candidate join shuffles ONLY the
+    // batch side (MinHashIndexSpec pins the plan). Streaming-layout
+    // indexes (per-batch dirs — the idempotent-commit trade) read
+    // flat and pay the index-side shuffle until [[compactStreaming]]
+    // converts them.
+    val meta = graft.util.Fs.readString(s"$indexDir/meta.json",
+      spark.sessionState.newHadoopConf())
+    val buckets = bandBucketsOf(meta)
+    val idxBands =
+      if (buckets > 0 && !meta.contains("last_batch"))
+        spark.table(registerBandsTable(spark, indexDir, buckets))
+      else spark.read.parquet(s"$indexDir/bands")
+        .select("doc_id", "bi", "bh") // drop streaming batch_id if present
     val idxSigs = spark.read.parquet(s"$indexDir/signatures")
+      .select("doc_id", "sh")
     val cand = bands(batchSigs)
       .select(col("doc_id").as("batch_id"), col("bi"), col("bh"))
       .join(idxBands.select(col("doc_id").as("base_id"),

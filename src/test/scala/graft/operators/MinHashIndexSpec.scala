@@ -104,4 +104,92 @@ class MinHashIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("meta.json"))
   }
+
+  test("probe's candidate join is shuffle-free on the bucketed index side") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val idx = tmp()
+    MinHashIndex.write(spark, docs.filter(col("doc_id") % 5 =!= 0), idx,
+      bandBuckets = 8)
+    // force the SMJ shape (no broadcast) and a walkable static plan
+    val olds = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+      .map { case (k, v) =>
+        val o = spark.conf.get(k); spark.conf.set(k, v); k -> o }
+    try {
+      val probe = MinHashIndex.probe(spark, idx,
+        MinHashIndex.signatures(docs.filter(col("doc_id") % 5 === 0)))
+      val plan = probe.queryExecution.executedPlan
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("/bands")) => s
+      }
+      assert(scans.nonEmpty, "expected a file scan over bands/")
+      assert(scans.forall(_.bucketedScan),
+        "the bands scan must report its bucketing (Bucketed: true)")
+      // no shuffle may sit between the bands scan and the CANDIDATE
+      // join: the join child holding the bands scan must be
+      // Exchange-free (the batch child shuffles into the buckets;
+      // downstream rerank joins shuffle candidate pairs by design)
+      def holdsBands(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.relation.location.rootPaths.exists(_.toString.contains("/bands")) => s
+        }.isDefined
+      // the LOWEST join over the bands scan (ancestors also "contain"
+      // it transitively): its bands-holding child has no further join
+      val candJoin = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.children.exists(c => holdsBands(c) && c.collectFirst {
+              case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+            }.isEmpty) => j
+      }
+      assert(candJoin.size === 1, "expected one SMJ directly over bands/")
+      val Seq(idxSide) = candJoin.head.children.filter(holdsBands)
+      val idxShuffles = idxSide.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(idxShuffles.isEmpty,
+        s"index-side Exchange found:\n${idxShuffles.mkString("\n")}")
+      val batchSide = candJoin.head.children.filterNot(holdsBands)
+      assert(batchSide.exists(_.collectFirst {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isDefined), "the batch side shuffles into the index's buckets")
+      // and the pairs themselves are the fixture's truth
+      assert(probe.collect().nonEmpty)
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("compactStreaming converts a streamed index to the bucketed layout") {
+    import spark.implicits._
+    val (base, batch, _) = fixture
+    val all = base.toDF("doc_id", "text")
+    val b1 = all.filter(col("doc_id") === 1L)
+    val b2 = all.filter(col("doc_id") === 2L)
+    val idx = tmp()
+    assert(MinHashIndex.appendBatch(spark, MinHashIndex.signatures(b1), idx, 0L))
+    assert(MinHashIndex.appendBatch(spark, MinHashIndex.signatures(b2), idx, 1L))
+    val sigs = MinHashIndex.signatures(batch.toDF("doc_id", "text"))
+    def got = MinHashIndex.probe(spark, idx, sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = got
+    MinHashIndex.compactStreaming(spark, idx, bandBuckets = 4)
+    // same pairs, now served from the batch layout
+    assert(got === before)
+    assert(before === Set((3L, 1L, 1000L), (4L, 1L, 894L)))
+    val meta = graft.util.Fs.readString(s"$idx/meta.json", graft.util.Fs.conf())
+    assert(meta.contains(""""bands_buckets":4"""))
+    assert(!meta.contains("last_batch"))
+    assert(meta.contains(""""n_docs":2"""))
+    // the layout handoff: streaming appends reject, batch appends work
+    val e = intercept[IllegalArgumentException] {
+      MinHashIndex.appendBatch(spark, sigs, idx, 2L); ()
+    }
+    assert(e.getMessage.contains("must not mix"))
+    MinHashIndex.append(spark, batch.toDF("doc_id", "text"), idx)
+    val after = MinHashIndex.probe(spark, idx,
+        MinHashIndex.signatures(b1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.contains((1L, 3L))) // the copy is findable from the other side
+  }
 }
