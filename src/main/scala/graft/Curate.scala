@@ -142,8 +142,8 @@ object Curate {
 
   private[graft] def loadDocs(spark: SparkSession, inDir: String)
       : org.apache.spark.sql.DataFrame = {
-    val parquet = java.nio.file.Paths.get(s"$inDir/documents.parquet")
-    if (java.nio.file.Files.exists(parquet))
+    if (graft.util.Fs.exists(s"$inDir/documents.parquet",
+        spark.sessionState.newHadoopConf()))
       queries.QueryDef.spread(spark, inDir, "documents")
     else {
       val (good, bad) = sources.jsonl.JsonlDocs.read(spark, inDir)
@@ -185,12 +185,15 @@ object Curate {
     * matters. */
   def runIncremental(spark: SparkSession, batchDir: String, baseDir: String,
       outDir: String, cfg: Config = Config()): Result = {
-    // REAL paths, not just normalized ones: a symlinked outDir aliasing
-    // baseDir (a "latest" pointer) would pass a string compare and
-    // still destroy the index. outDir is created first so it resolves.
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    val basePath = java.nio.file.Paths.get(baseDir).toRealPath()
-    val outPath = java.nio.file.Paths.get(outDir).toRealPath()
+    // CANONICAL paths, not just normalized strings: a symlinked local
+    // outDir aliasing baseDir (a "latest" pointer) would pass a string
+    // compare and still destroy the index (Fs.canonical resolves local
+    // symlinks; remote schemes compare by qualified URI). outDir is
+    // created first so it resolves.
+    val hc = spark.sessionState.newHadoopConf()
+    graft.util.Fs.mkdirs(outDir, hc)
+    val basePath = graft.util.Fs.canonical(baseDir, hc)
+    val outPath = graft.util.Fs.canonical(outDir, hc)
     require(basePath != outPath,
       s"incremental outDir must differ from baseDir ($basePath): " +
         "the run reads baseDir's index.parquet lazily and an in-place " +
@@ -202,7 +205,7 @@ object Curate {
 
   private def curate(spark: SparkSession, docs: DataFrame,
       baseIndex: Option[DataFrame], outDir: String, cfg: Config): Result = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    graft.util.Fs.mkdirs(outDir, spark.sessionState.newHadoopConf())
     // Curate owns its frames' lifecycle: releases collect HERE and run
     // in a finally (a failed write must not pin MEMORY_AND_DISK frames
     // for the rest of the session) — never the process-global QueryDef
@@ -366,18 +369,17 @@ object Curate {
 
     def obj(m: Map[String, Long]) =
       m.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/summary.json"),
+    val hc = spark.sessionState.newHadoopConf()
+    graft.util.Fs.writeStringAtomic(s"$outDir/summary.json",
       s"""{"verdicts":${obj(counts)},"splits":${obj(splits)},""" +
         s""""min_tokens":${cfg.minTokens},"pack_len":${cfg.packLen},""" +
-        s""""pack_shards":$shards}\n""")
+        s""""pack_shards":$shards}\n""", hc)
     // dataset card for the INPUT corpus this run examined — the same
     // oracle-checked c15 relation (report.DataCard), so the governance
     // numbers shipped with the artifacts can't drift from the verified
     // query
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/card.json"),
-      obj(graft.report.DataCard.metricsOf(docs)) + "\n")
+    graft.util.Fs.writeStringAtomic(s"$outDir/card.json",
+      obj(graft.report.DataCard.metricsOf(docs)) + "\n", hc)
     Result(counts, splits)
   }
 

@@ -41,7 +41,8 @@ object Migrate {
       outDir: String, mode: String = "full",
       progressOut: String => Unit = println): Result = {
     require(Set("full", "schema-only", "data-only").contains(mode), mode)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val hc = spark.sessionState.newHadoopConf()
+    graft.util.Fs.mkdirs(outDir, hc)
     val sessionPath = s"$outDir/session.json"
     // data-only: the session file (possibly edited since the schema run)
     // is the source of truth for the target schema and name maps.
@@ -67,15 +68,13 @@ object Migrate {
       // failed data pass still leaves usable schema files).
       DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/schema.ddl.txt", pretty = true)
       DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/schema.ddl.sql", pretty = false)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$outDir/fk_backfill.sql"),
-        DdlSink.fkBackfillStatements(plan.spSchema).mkString("", ";\n", ";\n"))
+      graft.util.Fs.writeStringAtomic(s"$outDir/fk_backfill.sql",
+        DdlSink.fkBackfillStatements(plan.spSchema).mkString("", ";\n", ";\n"), hc)
       SessionFile.write(plan, sessionPath)
     }
     if (mode == "schema-only") {
       val report = Report.render(driver, plan, Map.empty, stmtStats)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$outDir/report.txt"), report)
+      graft.util.Fs.writeStringAtomic(s"$outDir/report.txt", report, hc)
       return Result(Map.empty, report)
     }
 
@@ -99,8 +98,7 @@ object Migrate {
 
     val stats = Report.tableStats(tables)
     val report = Report.render(driver, plan, stats, stmtStats)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/report.txt"), report)
+    graft.util.Fs.writeStringAtomic(s"$outDir/report.txt", report, hc)
     Result(stats.map { case (t, s) => t -> (s.rows, s.badRows) }, report)
     } finally release()
   }

@@ -5,8 +5,9 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import graft.schema._
 import graft.schema.SchemaConverter.ConversionPlan
 import graft.types.{Issue, SpType, SrcType}
-import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
+
+import graft.util.Fs
 
 /** K5/S14: session-file round-trip (reference:
   * conversion/conversion.go:605-657 WriteSessionFile/ReadSessionFile).
@@ -21,19 +22,20 @@ object SessionFile {
   // ------------------------------------------------------------- write
 
   def write(plan: ConversionPlan, path: String,
-      driver: Option[String] = None): Unit = {
+      driver: Option[String] = None,
+      c: org.apache.hadoop.conf.Configuration = Fs.conf()): Unit = {
     val root = toJson(plan)
     // optional source-driver tag: the web session needs it back on
     // resume (typemap/overview are driver-keyed); the Migrate data-only
     // path takes the driver on the CLI and ignores it
     driver.foreach(root.put("driver", _))
-    Files.writeString(Paths.get(path),
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    Fs.writeStringAtomic(path,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root), c)
   }
 
   /** The driver tag written by [[write]], if the file carries one. */
   def readDriver(path: String): Option[String] = {
-    val root = mapper.readTree(Files.readString(Paths.get(path)))
+    val root = mapper.readTree(Fs.readString(path, Fs.conf()))
     Option(root.get("driver")).map(_.asText).filter(_.nonEmpty)
   }
 
@@ -115,7 +117,7 @@ object SessionFile {
   // -------------------------------------------------------------- read
 
   def read(path: String): ConversionPlan =
-    fromJson(mapper.readTree(Files.readString(Paths.get(path))))
+    fromJson(mapper.readTree(Fs.readString(path, Fs.conf())))
 
   def fromJson(root: JsonNode): ConversionPlan = {
     def strs(n: JsonNode): Seq[String] = n.elements.asScala.map(_.asText).toSeq

@@ -87,9 +87,10 @@ object DdlRender {
   /** K4 schema-file writers: pretty (comments, no backticks) and legal
     * (backticks, no comments) variants (conversion/conversion.go:549-603). */
   def writeSchemaFile(schema: Map[String, SpannerTable], path: String,
-      pretty: Boolean): Unit = {
+      pretty: Boolean,
+      c: org.apache.hadoop.conf.Configuration = graft.util.Fs.conf()): Unit = {
     val cfg = if (pretty) Config(comments = true) else Config(protectIds = true)
     val text = schemaDdl(schema, cfg).mkString("", ";\n\n", ";\n")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), text)
+    graft.util.Fs.writeStringAtomic(path, text, c)
   }
 }

@@ -55,7 +55,7 @@ object JdbcMigrate {
     // data moves, so a failed data pass still leaves a usable plan)
     val (tables, order) = InfoSchema.readSchema(cat, sysSchemas)
     val plan = SchemaConverter.convert(mapper, tables, order)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    graft.util.Fs.mkdirs(outDir, spark.sessionState.newHadoopConf())
     DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/schema.ddl.txt", pretty = true)
     DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/schema.ddl.sql", pretty = false)
     graft.plan.SessionFile.write(plan, s"$outDir/session.json")

@@ -88,4 +88,17 @@ object Fs {
     p.getFileSystem(c).mkdirs(p)
     ()
   }
+
+  /** Fully-qualified canonical form of a path for EQUALITY checks
+    * (same-directory guards). `file:` paths additionally resolve
+    * symlinks — a local "latest" symlink aliasing its target must
+    * compare equal to it; remote stores have no symlinks to chase, and
+    * their qualified URI is already canonical. */
+  def canonical(path: String, c: Configuration): String = {
+    val p = new Path(path)
+    val q = p.getFileSystem(c).makeQualified(p)
+    if (q.toUri.getScheme == "file")
+      "file:" + java.nio.file.Paths.get(q.toUri.getPath).toRealPath().toString
+    else q.toString
+  }
 }

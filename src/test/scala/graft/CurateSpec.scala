@@ -23,6 +23,22 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     super.afterAll()
   }
 
+  test("artifacts land on an explicit file:-scheme Hadoop outDir") {
+    // the JSON sidecars (summary/card) and the parquet shards resolve
+    // through the outDir's Hadoop scheme — an HDFS/S3 outDir must not
+    // crash on the sidecar writes after the parquet landed
+    val fsOut = "file:" +
+      Files.createTempDirectory("graft_curate_fs").toString + "/run"
+    val r = Curate.run(spark, dir, fsOut)
+    val c = spark.sessionState.newHadoopConf()
+    assert(graft.util.Fs.exists(s"$fsOut/summary.json", c))
+    assert(graft.util.Fs.exists(s"$fsOut/card.json", c))
+    val js = graft.util.Fs.readString(s"$fsOut/summary.json", c)
+    r.counts.foreach { case (k, v) => assert(js.contains(s""""$k":$v"""), js) }
+    assert(spark.read.parquet(s"$fsOut/verdicts.parquet").count() ===
+      spark.read.parquet(s"$dir/documents.parquet").count())
+  }
+
   test("verdicts partition the corpus and reconcile with every artifact") {
     val (outDir, r) = out
     val total = spark.read.parquet(s"$dir/documents.parquet").count()

@@ -42,6 +42,28 @@ class MigrateSpec extends AnyFunSuite {
         graft.schema.DdlRender.Config()).mkString(";"))
   }
 
+  test("artifacts land on an explicit file:-scheme Hadoop outDir") {
+    // every driver artifact (DDL, session, fk, report, parquet) goes
+    // through the Hadoop FileSystem of the outDir's scheme — a URI
+    // outDir (the HDFS/S3 shape) must work end to end, not just a bare
+    // POSIX path the java.nio fallback would have accepted
+    val out = "file:" +
+      java.nio.file.Files.createTempDirectory("graft-mig-fs").toString + "/run"
+    val r = Migrate.run(spark, "pgdump",
+      "src/test/resources/fixtures/sample.pgdump", out)
+    assert(r.tables("inventory") === (3L, 0L))
+    val c = spark.sessionState.newHadoopConf()
+    for (a <- Seq("schema.ddl.txt", "schema.ddl.sql", "fk_backfill.sql",
+        "session.json", "report.txt"))
+      assert(graft.util.Fs.exists(s"$out/$a", c), s"missing $a")
+    assert(graft.util.Fs.readString(s"$out/report.txt", c)
+      .contains("Summary of Conversion"))
+    assert(spark.read.parquet(s"$out/inventory.parquet").count() === 3)
+    // and the session file reads back through the same scheme
+    assert(graft.plan.SessionFile.read(s"$out/session.json")
+      .spSchema.contains("inventory"))
+  }
+
   test("progress meter emits per-table percent lines during the data pass") {
     val out = java.nio.file.Files.createTempDirectory("graft-mig-prog").toString
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
