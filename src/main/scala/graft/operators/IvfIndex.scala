@@ -32,8 +32,14 @@ import graft.util.Fs
   */
 object IvfIndex {
 
+  /** `lastBatch` is Some only for STREAMING-layout indexes
+    * ([[initStreaming]]/[[appendBatch]] — per-batch partition dirs,
+    * batch id as the commit fence); None marks the flat batch layout
+    * ([[write]]/[[append]]). The two layouts reject each other's
+    * mutation APIs, same discipline as [[MinHashIndex]]. */
   final case class Meta(k: Int, dim: Int, maxNorm: Double,
-      centroids: Seq[Array[Double]], radius: Array[Double], counts: Array[Long])
+      centroids: Seq[Array[Double]], radius: Array[Double], counts: Array[Long],
+      lastBatch: Option[Long] = None)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -68,7 +74,8 @@ object IvfIndex {
       centroids = node.get("centroids").elements().asScala
         .map(row => row.elements().asScala.map(_.asDouble()).toArray).toSeq,
       radius = node.get("radius").elements().asScala.map(_.asDouble()).toArray,
-      counts = node.get("counts").elements().asScala.map(_.asLong()).toArray)
+      counts = node.get("counts").elements().asScala.map(_.asLong()).toArray,
+      lastBatch = Option(node.get("last_batch")).map(_.asLong()))
   }
 
   /** Append a batch of new vectors to an existing index WITHOUT
@@ -99,6 +106,9 @@ object IvfIndex {
   def append(spark: SparkSession, batchDir: String, indexDir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val meta = readMeta(indexDir, conf)
+    require(meta.lastBatch.isEmpty,
+      s"$indexDir is a streaming-layout index (batch-partitioned dirs); " +
+        "use appendBatch — a flat append would break partition discovery")
     val batch = spark.read.parquet(s"$batchDir/embeddings.parquet")
     val assigned = IvfAnn.assign(batch, meta.centroids)
       .select(col("vec_id"), col("embedding"), col("label").cast("int").as("cluster"))
@@ -132,6 +142,87 @@ object IvfIndex {
       maxNorm = maxNorm), conf)
   }
 
+  /** Create an EMPTY streaming-layout index: train centroids once on a
+    * bootstrap corpus (the frozen assignment function), write meta with
+    * zero counts/radius and `last_batch = -1`. Vectors then arrive
+    * exclusively through [[appendBatch]]; every batch owns a
+    * `data/batch_id=N/cluster=J/` partition subtree. The bootstrap
+    * corpus is TRAINING data only — it is not ingested (ingest it as
+    * batch 0 if it should also be searchable). */
+  def initStreaming(spark: SparkSession, bootstrapDir: String,
+      indexDir: String, k: Int = 16, iters: Int = 2): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val emb = spark.read.parquet(s"$bootstrapDir/embeddings.parquet")
+    val cents = IvfAnn.trainCentroids(emb, k, iters)
+    Fs.deleteTree(indexDir, conf)
+    writeMeta(indexDir, Meta(k, cents.head.length, 0.0, cents,
+      new Array[Double](k), new Array[Long](k), lastBatch = Some(-1L)), conf)
+  }
+
+  /** Replay-safe micro-batch ingestion — [[MinHashIndex.appendBatch]]'s
+    * discipline carried to the IVF layout, COMPOSED with [[append]]'s
+    * bounds-lead-data staging (exactness here depends on meta, which
+    * the MinHash case never had to worry about):
+    *
+    *   1. publish grown radius/maxNorm with the OLD counts and OLD
+    *      last_batch (atomic rename) — bounds may only LEAD the data;
+    *   2. overwrite `data/batch_id=N/` — the batch owns its dir, so a
+    *      crashed partial write is healed by the re-delivered rewrite,
+    *      and its rows are covered by the already-published bounds the
+    *      moment they appear;
+    *   3. publish grown counts + `last_batch = N` — counts TRAIL the
+    *      data (understating only loosens pruning), and last_batch is
+    *      the single commit fence: a re-delivered committed batch
+    *      writes nothing (returns false), a batch id BELOW the fence
+    *      fails loudly (restarted id space).
+    *
+    * Every crash point therefore leaves an index over which
+    * [[searchExact]]'s bound remains a proof, and no batch can
+    * double-insert or double-count. */
+  def appendBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
+      batchId: Long): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = readMeta(indexDir, conf)
+    val last = meta.lastBatch.getOrElse(throw new IllegalArgumentException(
+      s"$indexDir is a batch-API index (no last_batch in meta.json); " +
+        "streaming appendBatch and write/append layouts must not mix"))
+    if (batchId < last)
+      throw new IllegalStateException(
+        s"appendBatch($batchId) but $indexDir already committed batch $last: " +
+          "the micro-batch id space restarted (fresh checkpoint dir over an " +
+          "existing index, or two queries sharing it) — use a new indexDir " +
+          "or restore the original checkpoint")
+    if (batchId == last) return false // committed replay: data is complete
+    val assigned = IvfAnn.assign(batch, meta.centroids)
+      .select(col("vec_id"), col("embedding"), col("label").cast("int").as("cluster"))
+    val upd = IvfAnn.assign(batch, meta.centroids)
+      .select(col("label").cast("int").as("cluster"),
+        sqrt(graft.functions.ArrayMath.l2sq(
+          col("embedding").cast("array<double>"),
+          centLit(meta.centroids))).as("d"),
+        sqrt(graft.functions.ArrayMath.dot(
+          col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"))).as("nrm"))
+      .groupBy("cluster").agg(max("d").as("r"), max("nrm").as("mx"),
+        count(lit(1)).as("n"))
+      .collect()
+    val radius = meta.radius.clone()
+    val counts = meta.counts.clone()
+    var maxNorm = meta.maxNorm
+    upd.foreach { r =>
+      val c = r.getInt(0)
+      radius(c) = math.max(radius(c), r.getDouble(1))
+      counts(c) += r.getLong(3)
+      maxNorm = math.max(maxNorm, r.getDouble(2))
+    }
+    writeMeta(indexDir, meta.copy(radius = radius, maxNorm = maxNorm), conf)
+    assigned.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$indexDir/data/batch_id=$batchId")
+    writeMeta(indexDir, meta.copy(radius = radius, counts = counts,
+      maxNorm = maxNorm, lastBatch = Some(batchId)), conf)
+    true
+  }
+
   /** Compact the index after a run of appends — the small-files answer.
     * Every [[append]] adds at least one file per touched cluster
     * directory; a year of daily batches is 365 files per list, and scan
@@ -143,9 +234,11 @@ object IvfIndex {
     * input. The swap is not a single atomic operation: a crash between
     * the renames leaves `data_old`/`data_compacting` beside a missing
     * or old `data` — both complete layouts, recoverable by one rename,
-    * never a silently mixed directory. Row set and metadata are
+    * never a silently mixed directory. Row set and pruning metadata are
     * unchanged, so search results are identical before and after
-    * (spec-pinned). */
+    * (spec-pinned). Compacting a STREAMING-layout index additionally
+    * FINALIZES it into the batch layout (last_batch dropped — the
+    * per-batch commit dirs it fenced no longer exist). */
   def compact(spark: SparkSession, indexDir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val data = s"$indexDir/data"
@@ -164,11 +257,19 @@ object IvfIndex {
     Fs.deleteTree(staged, conf)
     val meta = readMeta(indexDir, conf)
     spark.read.parquet(data)
+      .select("vec_id", "embedding", "cluster") // drops streaming batch_id
       .repartition(meta.k, col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(staged)
     Fs.rename(data, old, conf)
     Fs.rename(staged, data, conf)
     Fs.deleteTree(old, conf)
+    // compacting a STREAMING index also FINALIZES it into the batch
+    // layout (per-batch commit dirs are gone, so the batch-id fence is
+    // meaningless): drop last_batch so appendBatch rejects a resumed
+    // stream loudly and append/search continue on the batch API —
+    // MinHashIndex.compactStreaming's handoff, same rationale
+    if (meta.lastBatch.isDefined)
+      writeMeta(indexDir, meta.copy(lastBatch = None), conf)
   }
 
   /** The assigned cluster's centroid as a per-row array column:
@@ -186,6 +287,7 @@ object IvfIndex {
     meta.centroids.foreach { cc => val a = cn.addArray(); cc.foreach(a.add) }
     val rn = root.putArray("radius"); meta.radius.foreach(rn.add)
     val mn = root.putArray("counts"); meta.counts.foreach(mn.add)
+    meta.lastBatch.foreach(b => root.put("last_batch", b))
     // temp + atomic rename: a reader never observes a torn meta.json
     Fs.writeStringAtomic(s"$indexDir/meta.json", mapper.writeValueAsString(root), c)
   }
@@ -238,11 +340,50 @@ object IvfIndex {
     * top-k. */
   def searchExact(spark: SparkSession, indexDir: String, probePred: Column,
       topK: Int = 10): DataFrame = {
+    val data = spark.read.parquet(s"$indexDir/data")
+    searchCore(spark, indexDir, data.filter(probePred), topK, None)
+  }
+
+  /** EXACT top-k search for an EXTERNAL probe frame (vec_id,
+    * embedding) — vectors that are not (or not yet) in the index: the
+    * streaming-ingestion probe shape, where each arriving batch asks
+    * for its nearest EARLIER vectors. `excludeCands` (ids frame)
+    * removes vectors from the CANDIDATE side exactly — their
+    * per-cluster assignment counts are subtracted from the pruning
+    * stats before the threshold is computed (clamped at 0;
+    * understating counts only loosens the threshold, so the bound
+    * stays a proof over the reduced candidate set, while radius and
+    * maxNorm stay conservatively large). That is what makes a REPLAYED
+    * streaming batch — whose vectors already sit in the index —
+    * produce bit-identical output to its first delivery. */
+  def searchExactFrame(spark: SparkSession, indexDir: String,
+      probes: DataFrame, topK: Int = 10,
+      excludeCands: Option[DataFrame] = None): DataFrame =
+    searchCore(spark, indexDir, probes, topK, excludeCands)
+
+  private def searchCore(spark: SparkSession, indexDir: String,
+      probes: DataFrame, topK: Int,
+      excludeCands: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val meta = readMeta(indexDir, spark.sessionState.newHadoopConf())
-    val stats = IvfAnn.ClusterStats(meta.radius, meta.counts, meta.maxNorm)
+    val counts = excludeCands match {
+      case None => meta.counts
+      case Some(ex) =>
+        // exact per-cluster subtraction: assignment to the frozen
+        // centroids is deterministic, so the excluded rows' clusters
+        // are known without touching the index. O(k) driver rows.
+        val c = meta.counts.clone()
+        IvfAnn.assign(ex, meta.centroids)
+          .groupBy("label").agg(count(lit(1)).as("n")).collect()
+          .foreach { r =>
+            val j = r.getLong(0).toInt
+            c(j) = math.max(0L, c(j) - r.getLong(1))
+          }
+        c
+    }
+    val stats = IvfAnn.ClusterStats(meta.radius, counts, meta.maxNorm)
     val data = spark.read.parquet(s"$indexDir/data")
-    val probeClusters = data.filter(probePred)
+    val probeClusters = probes
       .withColumn("cdots", IvfAnn.dotArray(meta.centroids))
       .withColumn("pnorm", sqrt(graft.functions.ArrayMath.dot(
         col("embedding").cast("array<double>"),
@@ -254,10 +395,16 @@ object IvfIndex {
     // inlining it as literals guarantees static partition pruning
     val needed = probeClusters.select("cluster").distinct()
       .collect().map(_.getInt(0)).sorted
-    val corpus = data
+    val corpusAll = data
       .filter(col("cluster").isin(needed.map(Integer.valueOf).toIndexedSeq: _*))
       .select(col("vec_id").as("cand_id"), expr(IvfAnn.quant).as("qv"),
         col("cluster"))
+    val corpus = excludeCands match {
+      case None => corpusAll
+      case Some(ex) => corpusAll.join(
+        broadcast(ex.select(col("vec_id").as("cand_id"))),
+        Seq("cand_id"), "left_anti")
+    }
     val cands = probeClusters.join(corpus,
         probeClusters("cluster") === corpus("cluster") &&
           col("query_id") =!= col("cand_id"))

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.IvfIndex
+import graft.util.Fs
+
+/** Streaming EMBEDDING ingestion with exact kNN against the persisted
+  * IVF index — [[StreamingIndexProbe]]'s design carried to the vector
+  * side: each arriving micro-batch of (vec_id, embedding) rows is
+  * answered with its top-k nearest EARLIER vectors (provably exact —
+  * IvfIndex's Cauchy-Schwarz bound), then appended so later batches
+  * see it. The corpus lives in the index's cluster-partitioned parquet,
+  * not in stream state; a restart resumes from disk.
+  *
+  * Per micro-batch (foreachBatch):
+  *
+  *   1. search the batch frame against the index
+  *      ([[IvfIndex.searchExactFrame]]) with the batch itself EXCLUDED
+  *      from the candidate side — on first delivery that is a no-op
+  *      (the batch isn't indexed yet), on replay after a crash it
+  *      makes the output bit-identical to the first delivery even
+  *      though the batch's vectors already sit in the index (the
+  *      exclusion subtracts their cluster counts from the pruning
+  *      stats, so the bound stays a proof over the reduced set);
+  *   2. hand the (query_id, cand_id, dot, rnk) pairs to the caller's
+  *      sink callback;
+  *   3. append via [[IvfIndex.appendBatch]] — per-batch partition dir,
+  *      bounds-lead-data meta staging, last_batch as the single commit
+  *      fence (see its Scaladoc for the crash-point walk).
+  *
+  * The index must exist before the stream starts
+  * ([[IvfIndex.initStreaming]] trains the frozen centroids from a
+  * bootstrap corpus); assignment quality under drift is the usual IVF
+  * re-train decision, never a correctness one. */
+object StreamingIvfProbe {
+
+  /** Start the ingestion query over a streaming (vec_id, embedding)
+    * frame. `onPairs` receives each micro-batch's exact top-k pairs
+    * (possibly empty); the frame is released after the callback
+    * returns. */
+  def start(embeddings: DataFrame, indexDir: String, checkpointDir: String,
+      onPairs: DataFrame => Unit, topK: Int = 10): StreamingQuery =
+    embeddings.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pairs = processBatch(batch.sparkSession, indexDir, batch, batchId,
+          topK)
+        try onPairs(pairs) finally { pairs.unpersist(false); () }
+      }
+      .start()
+
+  /** One micro-batch: exact search (vs earlier batches only), then the
+    * idempotent append. Returns the pairs frame PERSISTED AND
+    * MATERIALIZED — the caller's sink must see pre-append results even
+    * though it runs after the append mutates the files the lazy search
+    * plan reads; kept distributed (no driver collect). The caller
+    * releases it. */
+  private[streaming] def processBatch(spark: SparkSession, indexDir: String,
+      batch: DataFrame, batchId: Long, topK: Int): DataFrame = {
+    import spark.implicits._
+    val vecs = batch.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val raw =
+        if (Fs.exists(s"$indexDir/data", spark.sessionState.newHadoopConf()))
+          IvfIndex.searchExactFrame(spark, indexDir, vecs, topK,
+            excludeCands = Some(vecs))
+        else // no batch committed yet: nothing earlier to be near
+          Seq.empty[(Long, Long, Long, Long)]
+            .toDF("query_id", "cand_id", "dot", "rnk")
+      val pairs = raw
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count() // materialize BEFORE the append mutates the index
+      IvfIndex.appendBatch(spark, vecs, indexDir, batchId)
+      pairs
+    } finally { vecs.unpersist(false); () }
+  }
+}
