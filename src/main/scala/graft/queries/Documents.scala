@@ -40,6 +40,72 @@ object Documents {
   private val d21Merges = Seq(
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
     ("e", "r"), ("o", "n"), ("r", "e"))
+  /** d20's core, factored like [[ngramNovelty]] — its term-frequency
+    * join is the second term-keyed hot-key site SkewJoinSpec covers.
+    * The (doc, term) aggregate BEFORE the join collapses each doc's
+    * occurrences of a hot term to one row (residual skew is
+    * #docs-containing, never #occurrences), and the join itself is
+    * salted — see the inline comment. */
+  private[graft] def rareTokenFilter(docs: DataFrame,
+      salts: Int = 8): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(expr(toks)).as("term"))
+    val tf = tok.groupBy("term").agg(count(lit(1)).as("n"))
+    val mx = tf.agg(max("n").as("mx"))
+    // the tf join is term-keyed and function words are hot keys: every
+    // (doc, "the") row hashes to one shuffle partition, and AQE cannot
+    // split this SMJ (aggregates sit between the shuffle stages and
+    // the join). SaltedJoin spreads each hot term over `salts`
+    // reducers at the price of replicating the vocabulary-bounded tf
+    // side `salts` times — the measured-skew fallback its Scaladoc
+    // prescribes, pinned by SkewJoinSpec on a hot-term corpus.
+    graft.operators.SaltedJoin.join(
+        tok.groupBy("doc_id", "term").agg(count(lit(1)).as("c")),
+        tf, "term", salts)
+      .crossJoin(broadcast(mx))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        sum(when(col("n") * 30 < col("mx"), col("c")).otherwise(0L))
+          .as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+        expr("n_rare * 1000 div n_tokens").as("rare_permille"))
+      .orderBy("doc_id")
+  }
+
+  /** d19's core, factored so SkewJoinSpec can drive the production
+    * pipeline over a deliberately skewed corpus. Deliberately JOIN-FREE
+    * on the gram key: the naive shape joins the corpus gram frame back
+    * to per-gram counts, and a corpus-scale stop-word gram ("of the
+    * same …" in a billion docs) piles a billion probe rows onto ONE
+    * shuffle partition — which AQE's skew rule cannot split here (it
+    * needs bare shuffle stages under the join; the count aggregate in
+    * between blocks the rewrite). Instead hot grams COLLAPSE in the
+    * map-side partial aggregate (one row per gram per mapper reaches
+    * the shuffle), singles carry their owning doc out of the same
+    * aggregate, and the only join left is doc_id ⋈ doc_id — uniform by
+    * construction. SkewJoinSpec pins the shape (no gram-keyed join)
+    * and parity against the naive form on a hot-gram corpus. */
+  private[graft] def ngramNovelty(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .filter(expr("size(tk) >= 3"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2])))")).as("g"))
+    // per-doc distinct above ⇒ COUNT(*) = number of docs containing g.
+    // JOIN-FREE on the gram key: hot grams collapse in this partial
+    // aggregate, and an nd = 1 gram's min(doc_id) IS its owning doc,
+    // so per-doc uniques come from a second uniform doc_id aggregate
+    val uniq = grams.groupBy("g")
+      .agg(count(lit(1)).as("nd"), min("doc_id").as("doc_id"))
+      .filter(col("nd") === 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_unique"))
+    grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(uniq, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        expr("n_unique * 1000 div n_grams").as("novelty_permille"))
+      .orderBy("doc_id")
+  }
+
   /** DuckDB oracle for d21, generated from [[d21Merges]]: bracket every
     * character as chr(1)<c>chr(2), apply each merge as one replace()
     * (see the d21 QueryDef comment for the exactness argument), count
@@ -849,23 +915,8 @@ object Documents {
     // the permille output, not by re-running the pipeline. Docs with
     // <3 tokens are excluded on both sides (none exist in testdata).
     "d19_ngram_novelty" -> QueryDef(
-      build = (spark, dir) => {
-        val docs = QueryDef.spread(spark, dir, "documents")
-        val grams = docs
-          .select(col("doc_id"), expr(toks).as("tk"))
-          .filter(expr("size(tk) >= 3"))
-          .select(col("doc_id"), explode(expr(
-            "array_distinct(transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2])))")).as("g"))
-        // per-doc distinct above ⇒ COUNT(*) = number of docs containing g
-        val byGram = grams.groupBy("g").agg(count(lit(1)).as("nd"))
-        grams.join(byGram, Seq("g"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("nd") === 1, 1L).otherwise(0L)).as("n_unique"))
-          .select(col("doc_id"), col("n_grams"), col("n_unique"),
-            expr("n_unique * 1000 div n_grams").as("novelty_permille"))
-          .orderBy("doc_id")
-      },
+      build = (spark, dir) =>
+        ngramNovelty(QueryDef.spread(spark, dir, "documents")),
       oracle = Some("""
         WITH tkn AS (
           SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS tk
@@ -895,22 +946,8 @@ object Documents {
     // corpus × corpus — and the frequency ceiling is a 1-row broadcast
     // (q09's aggregate-under-a-table shape).
     "d20_rare_token_filter" -> QueryDef(
-      build = (spark, dir) => {
-        val docs = QueryDef.spread(spark, dir, "documents")
-        val tok = docs.select(col("doc_id"), explode(expr(toks)).as("term"))
-        val tf = tok.groupBy("term").agg(count(lit(1)).as("n"))
-        val mx = tf.agg(max("n").as("mx"))
-        tok.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
-          .join(tf, "term")
-          .crossJoin(broadcast(mx))
-          .groupBy("doc_id")
-          .agg(sum("c").as("n_tokens"),
-            sum(when(col("n") * 30 < col("mx"), col("c")).otherwise(0L))
-              .as("n_rare"))
-          .select(col("doc_id"), col("n_tokens"), col("n_rare"),
-            expr("n_rare * 1000 div n_tokens").as("rare_permille"))
-          .orderBy("doc_id")
-      },
+      build = (spark, dir) =>
+        rareTokenFilter(QueryDef.spread(spark, dir, "documents")),
       oracle = Some("""
         WITH tkn AS (
           SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '')) AS term
