@@ -298,6 +298,39 @@ object BpeTrainer {
     merges.toSeq
   }
 
+  /** Persist a learned merge list as one JSON artifact (learned order
+    * preserved — BPE inference is order-sensitive). Hadoop-FS + atomic
+    * temp/rename like every other index sidecar here, so a tokenizer
+    * trained on the cluster lands beside its corpus on HDFS/S3 and a
+    * reader never sees a torn file. */
+  def saveMerges(merges: Seq[Merge], path: String,
+      c: org.apache.hadoop.conf.Configuration = graft.util.Fs.conf()): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("format", "graft-bpe-merges-v1")
+    val arr = root.putArray("merges")
+    merges.foreach { m =>
+      val n = arr.addObject()
+      n.put("left", m.left); n.put("right", m.right); n.put("count", m.count)
+      ()
+    }
+    graft.util.Fs.writeStringAtomic(path, mapper.writeValueAsString(root), c)
+  }
+
+  /** Load a [[saveMerges]] artifact, learned order preserved. */
+  def loadMerges(path: String,
+      c: org.apache.hadoop.conf.Configuration = graft.util.Fs.conf()): Seq[Merge] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(graft.util.Fs.readString(path, c))
+    require(root.path("format").asText() == "graft-bpe-merges-v1",
+      s"$path is not a graft BPE merges artifact")
+    import scala.jdk.CollectionConverters._
+    root.get("merges").elements().asScala.map { n =>
+      Merge(n.get("left").asText(), n.get("right").asText(),
+        n.get("count").asLong())
+    }.toSeq
+  }
+
   /** Binary UTF-8 comparison — the order Spark's UTF8String sort uses
     * (unsigned byte-wise), so driver-side tie-breaks match trainRescan's
     * `orderBy` exactly. */

@@ -133,6 +133,28 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(merges.isEmpty) // every pair occurs once
   }
 
+  test("merge lists round-trip through the persisted artifact") {
+    val merges = BpeTrainer.train(spark, fixture, nMerges = 6)
+    assert(merges.nonEmpty)
+    val path = "file:" + java.nio.file.Files
+      .createTempDirectory("bpe-merges").toString + "/merges.json"
+    val c = spark.sessionState.newHadoopConf()
+    BpeTrainer.saveMerges(merges, path, c)
+    val back = BpeTrainer.loadMerges(path, c)
+    assert(back === merges) // learned ORDER preserved — inference is order-sensitive
+    // and the reloaded tokenizer encodes identically
+    val a = BpeTrainer.encodeCounts(spark, fixture, merges).collect().toSeq
+    val b = BpeTrainer.encodeCounts(spark, fixture, back).collect().toSeq
+    assert(a === b)
+    val junk = "file:" + java.nio.file.Files
+      .createTempDirectory("bpe-junk").toString + "/junk.json"
+    graft.util.Fs.writeStringAtomic(junk, """{"format":"something-else"}""", c)
+    val e = intercept[IllegalArgumentException] {
+      BpeTrainer.loadMerges(junk, c)
+    }
+    assert(e.getMessage.contains("not a graft BPE merges artifact"))
+  }
+
   test("a merge's delta job visits only partitions holding the pair") {
     import spark.implicits._
     // 2000 filler terms built from globally-unique codepoints — every
