@@ -117,6 +117,63 @@ object Similarity {
       out
     })
 
+  /** Prebuilt MinHash band index over the m04 base split (doc_id % 5
+    * != 0), benchIndex's generate-once pattern for the text side: m04
+    * pays build+probe every pass (the honest one-off), m04b measures
+    * what the persisted BUCKETED layout amortizes to — the per-batch
+    * probe cost a continuously-ingesting deployment actually pays. */
+  private val benchMhIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def benchMhIndex(spark: SparkSession, dir: String): String =
+    benchMhIndexDirs.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_mhindex_bench_once_").toString + "/idx"
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(out).getParentFile)
+      }
+      graft.operators.MinHashIndex.write(spark,
+        QueryDef.spread(spark, dir, "documents")
+          .filter(col("doc_id") % 5 =!= 0), out)
+      out
+    })
+
+  /** m04/m04b shared oracle: the DIRECT cross-split m01-scheme
+    * computation — one definition, so the build+probe and probe-only
+    * entries cannot drift. */
+  private val m04Oracle = """
+        WITH tkn AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS tk
+          FROM documents),
+        shn AS (
+          SELECT doc_id, CASE WHEN len(tk) >= 3
+            THEN list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' ')))
+            ELSE list_distinct(tk) END AS sh
+          FROM tkn),
+        mhs AS (
+          SELECT doc_id, sh,
+            [list_min(list_transform(sh, s -> md5(k || ':' || s))) for k in [0,1,2,3,4,5]] AS mh
+          FROM shn),
+        bands AS (
+          SELECT doc_id, sh,
+            unnest([md5(mh[1]||mh[2]), md5(mh[3]||mh[4]), md5(mh[5]||mh[6])]) AS bh,
+            unnest([0,1,2]) AS bi
+          FROM mhs),
+        cand AS (
+          SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS base_id,
+                 len(list_intersect(a.sh, b.sh)) AS common,
+                 len(a.sh) AS na, len(b.sh) AS nb
+          FROM bands a JOIN bands b
+            ON a.bi = b.bi AND a.bh = b.bh
+           AND a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0)
+        SELECT batch_id, base_id,
+               CAST(common * 1000 // (na + nb - common) AS BIGINT) AS jaccard_permille
+        FROM cand
+        WHERE common * 1000 // (na + nb - common) >= 500
+        ORDER BY batch_id, base_id"""
+
   val defs: Map[String, QueryDef] = Map(
     // ---------------------------------------------------------------- m01
     // MinHash-LSH near-dedup: 6 MinHashes → 3 bands of 2 → candidates
@@ -306,36 +363,29 @@ object Similarity {
         graft.operators.MinHashIndex.probe(spark, idxDir, batchSigs)
           .orderBy("batch_id", "base_id")
       },
-      oracle = Some("""
-        WITH tkn AS (
-          SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS tk
-          FROM documents),
-        shn AS (
-          SELECT doc_id, CASE WHEN len(tk) >= 3
-            THEN list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' ')))
-            ELSE list_distinct(tk) END AS sh
-          FROM tkn),
-        mhs AS (
-          SELECT doc_id, sh,
-            [list_min(list_transform(sh, s -> md5(k || ':' || s))) for k in [0,1,2,3,4,5]] AS mh
-          FROM shn),
-        bands AS (
-          SELECT doc_id, sh,
-            unnest([md5(mh[1]||mh[2]), md5(mh[3]||mh[4]), md5(mh[5]||mh[6])]) AS bh,
-            unnest([0,1,2]) AS bi
-          FROM mhs),
-        cand AS (
-          SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS base_id,
-                 len(list_intersect(a.sh, b.sh)) AS common,
-                 len(a.sh) AS na, len(b.sh) AS nb
-          FROM bands a JOIN bands b
-            ON a.bi = b.bi AND a.bh = b.bh
-           AND a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0)
-        SELECT batch_id, base_id,
-               CAST(common * 1000 // (na + nb - common) AS BIGINT) AS jaccard_permille
-        FROM cand
-        WHERE common * 1000 // (na + nb - common) >= 500
-        ORDER BY batch_id, base_id""")),
+      oracle = Some(m04Oracle)),
+
+    // ---------------------------------------------------------------- m04b
+    // The AMORTIZED side of m04 (e13b's pattern on the text side):
+    // probe-only against a PREBUILT persisted band index — built once
+    // per process, bands bucketed by the full join key so the probe
+    // never shuffles the index side. m04 times the honest one-off
+    // (build + probe); this entry is the per-batch cost a continuously
+    // ingesting deployment actually pays. Same oracle (the probe
+    // result is a pure function of the corpus split).
+    "m04b_incremental_neardup_probe_only" -> QueryDef(
+      build = (spark, dir) => {
+        val idxDir = benchMhIndex(spark, dir)
+        val batchSigs = graft.operators.MinHashIndex
+          .signatures(QueryDef.spread(spark, dir, "documents")
+            .filter(col("doc_id") % 5 === 0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        QueryDef.deferCleanup(() => { batchSigs.unpersist(blocking = true); () })
+        graft.operators.MinHashIndex.probe(spark, idxDir, batchSigs)
+          .orderBy("batch_id", "base_id")
+      },
+      oracle = Some(m04Oracle),
+      headline = true),
 
     // ---------------------------------------------------------------- c03
     // Benchmark-contamination check: which training docs share any word
