@@ -301,22 +301,47 @@ object IvfIndex {
     * exactly. */
   def searchApprox(spark: SparkSession, indexDir: String, probePred: Column,
       topK: Int = 10, nprobe: Int = 4): DataFrame = {
+    val data = spark.read.parquet(s"$indexDir/data")
+    approxCore(spark, indexDir, data.filter(probePred), topK, nprobe, None)
+  }
+
+  /** Fixed-nprobe APPROXIMATE search for an EXTERNAL probe frame — the
+    * streaming dial: [[searchExactFrame]]'s shape with
+    * [[searchApprox]]'s bounded fan-out. `excludeCands` removes
+    * vectors from the candidate side (the replaying-batch case); the
+    * probe list itself is count-independent (nearest nprobe
+    * centroids), so replay output is identical to first delivery by
+    * the same argument, without any stats adjustment. */
+  def searchApproxFrame(spark: SparkSession, indexDir: String,
+      probes: DataFrame, topK: Int = 10, nprobe: Int = 4,
+      excludeCands: Option[DataFrame] = None): DataFrame =
+    approxCore(spark, indexDir, probes, topK, nprobe, excludeCands)
+
+  private def approxCore(spark: SparkSession, indexDir: String,
+      probes: DataFrame, topK: Int, nprobe: Int,
+      excludeCands: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the PASSED session's conf, not the thread-local active session's:
     // the parquet scan beside this read resolves through `spark`, and
     // meta.json must resolve through the same credentials/filesystem
     val meta = readMeta(indexDir, spark.sessionState.newHadoopConf())
     val data = spark.read.parquet(s"$indexDir/data")
-    val probeClusters = data.filter(probePred)
+    val probeClusters = probes
       .withColumn("dists", IvfAnn.distArray(meta.centroids))
       .select(col("vec_id").as("query_id"), expr(IvfAnn.quant).as("pq"),
         explode(IvfAnn.nearestClusters(meta.centroids.length, nprobe)).as("cluster"))
     val needed = probeClusters.select("cluster").distinct()
       .collect().map(_.getInt(0)).sorted
-    val corpus = data
+    val corpusAll = data
       .filter(col("cluster").isin(needed.map(Integer.valueOf).toIndexedSeq: _*))
       .select(col("vec_id").as("cand_id"), expr(IvfAnn.quant).as("qv"),
         col("cluster"))
+    val corpus = excludeCands match {
+      case None => corpusAll
+      case Some(ex) => corpusAll.join(
+        broadcast(ex.select(col("vec_id").as("cand_id"))),
+        Seq("cand_id"), "left_anti")
+    }
     val cands = probeClusters.join(corpus,
         probeClusters("cluster") === corpus("cluster") &&
           col("query_id") =!= col("cand_id"))

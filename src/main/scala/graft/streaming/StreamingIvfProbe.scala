@@ -17,7 +17,10 @@ import graft.util.Fs
   * Per micro-batch (foreachBatch):
   *
   *   1. search the batch frame against the index
-  *      ([[IvfIndex.searchExactFrame]]) with the batch itself EXCLUDED
+  *      ([[IvfIndex.searchExactFrame]], or `searchApproxFrame` when an
+  *      `nprobe` dial is passed — the recall/cost trade for corpora
+  *      where the exact bound's fan-out isn't worth it) with the batch
+  *      itself EXCLUDED
   *      from the candidate side — on first delivery that is a no-op
   *      (the batch isn't indexed yet), on replay after a crash it
   *      makes the output bit-identical to the first delivery even
@@ -41,12 +44,13 @@ object StreamingIvfProbe {
     * (possibly empty); the frame is released after the callback
     * returns. */
   def start(embeddings: DataFrame, indexDir: String, checkpointDir: String,
-      onPairs: DataFrame => Unit, topK: Int = 10): StreamingQuery =
+      onPairs: DataFrame => Unit, topK: Int = 10,
+      nprobe: Option[Int] = None): StreamingQuery =
     embeddings.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val pairs = processBatch(batch.sparkSession, indexDir, batch, batchId,
-          topK)
+          topK, nprobe)
         try onPairs(pairs) finally { pairs.unpersist(false); () }
       }
       .start()
@@ -58,15 +62,20 @@ object StreamingIvfProbe {
     * plan reads; kept distributed (no driver collect). The caller
     * releases it. */
   private[streaming] def processBatch(spark: SparkSession, indexDir: String,
-      batch: DataFrame, batchId: Long, topK: Int): DataFrame = {
+      batch: DataFrame, batchId: Long, topK: Int,
+      nprobe: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val vecs = batch.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val raw =
         if (Fs.exists(s"$indexDir/data", spark.sessionState.newHadoopConf()))
-          IvfIndex.searchExactFrame(spark, indexDir, vecs, topK,
-            excludeCands = Some(vecs))
+          nprobe match {
+            case None => IvfIndex.searchExactFrame(spark, indexDir, vecs, topK,
+              excludeCands = Some(vecs))
+            case Some(np) => IvfIndex.searchApproxFrame(spark, indexDir, vecs,
+              topK, np, excludeCands = Some(vecs))
+          }
         else // no batch committed yet: nothing earlier to be near
           Seq.empty[(Long, Long, Long, Long)]
             .toDF("query_id", "cand_id", "dot", "rnk")

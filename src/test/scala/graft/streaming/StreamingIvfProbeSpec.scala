@@ -135,6 +135,30 @@ class StreamingIvfProbeSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("must not mix"))
   }
 
+  test("approx dial: nprobe = k reproduces the exact probe; replay identical") {
+    import spark.implicits._
+    val idx = tmp("sivfa") + "/idx"
+    IvfIndex.initStreaming(spark, bootstrap(), idx, k = 2, iters = 2)
+    val b0 = Seq((1L, vec(0, 0.5)), (2L, vec(1, 0.5))).toDF("vec_id", "embedding")
+    val b1 = Seq((3L, vec(0, 0.6)), (4L, vec(1, 0.6))).toDF("vec_id", "embedding")
+    StreamingIvfProbe.processBatch(spark, idx, b0, 0L, 2)
+    // nprobe = k visits every cluster → must equal the exact search
+    val approx = pairsOf(StreamingIvfProbe.processBatch(spark, idx, b1, 1L, 2,
+      nprobe = Some(2)))
+    assert(approx === Set((3L, 1L, 1L), (3L, 2L, 2L), (4L, 2L, 1L), (4L, 1L, 2L)))
+    // replayed approx probe (batch already indexed): same output
+    val replay = pairsOf(StreamingIvfProbe.processBatch(spark, idx, b1, 1L, 2,
+      nprobe = Some(2)))
+    assert(replay === approx)
+    // nprobe = 1 restricts each probe to its own cluster's candidates
+    val b2 = Seq((5L, vec(0, 0.7))).toDF("vec_id", "embedding")
+    val narrow = pairsOf(StreamingIvfProbe.processBatch(spark, idx, b2, 2L, 2,
+      nprobe = Some(1)))
+    assert(narrow.map(_._2).subsetOf(Set(1L, 3L)),
+      s"nprobe=1 must only see same-axis candidates, got $narrow")
+    assert(narrow.nonEmpty)
+  }
+
   test("a fully streamed index searches identically to a one-shot build") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
