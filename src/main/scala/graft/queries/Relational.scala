@@ -809,5 +809,48 @@ object Relational {
             AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority"""))
+,
+
+    // ---------------------------------------------------------------- q27
+    // Large-volume orders (TPC-H Q18 shape): customers whose orders
+    // exceed a total-quantity threshold — the aggregate-then-semi-join
+    // pattern (IN over a grouped HAVING subquery). Spark shape: the
+    // qualifying-orderkey set is computed ONCE by a map-side-combined
+    // groupBy over lineitem's (orderkey, qty) columns only, then drives
+    // a LEFT SEMI join pruning orders before the customer join — the
+    // big fact table is touched once, and the wide rows that survive
+    // are the few qualifying orders. Threshold 250 is calibrated
+    // non-vacuous on the testdata generator (sf-invariant shape).
+    //
+    // 100 TB: lineitem groupBy shuffles (orderkey, partial-sum) pairs
+    // with map-side combine; the semi-join and the customer join move
+    // qualifying orders only; customer joins via its key. No step
+    // carries more than one fact-table-keyed shuffle.
+    "q27_big_orders" -> QueryDef(
+      build = (spark, dir) => {
+        val li = table(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+        val big = li.groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("decimal(38,9)")).as("total_qty"))
+          .filter(col("total_qty") > 250)
+        val ord = table(spark, dir, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+        table(spark, dir, "customer")
+          .join(ord, col("c_custkey") === col("o_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      },
+      oracle = Some("""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(t.total_qty AS DECIMAL(38,9)) AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN (
+          SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(38,9))) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(38,9))) > 250
+        ) t ON o_orderkey = t.l_orderkey
+        ORDER BY o_totalprice DESC, o_orderkey"""))
   )
 }
