@@ -813,13 +813,14 @@ object Relational {
 
     // ---------------------------------------------------------------- q27
     // Large-volume orders (TPC-H Q18 shape): customers whose orders
-    // exceed a total-quantity threshold — the aggregate-then-semi-join
-    // pattern (IN over a grouped HAVING subquery). Spark shape: the
-    // qualifying-orderkey set is computed ONCE by a map-side-combined
-    // groupBy over lineitem's (orderkey, qty) columns only, then drives
-    // a LEFT SEMI join pruning orders before the customer join — the
-    // big fact table is touched once, and the wide rows that survive
-    // are the few qualifying orders. Threshold 250 is calibrated
+    // exceed a total-quantity threshold — the classic IN-over-a-grouped-
+    // HAVING subquery. Spark shape: the qualifying set is computed ONCE
+    // by a map-side-combined groupBy over lineitem's (orderkey, qty)
+    // columns only, then joined INNER against orders — semantically the
+    // semi-join (groupBy output is unique per orderkey) while carrying
+    // total_qty into the output, pruning orders before the customer
+    // join. The big fact table is touched once, and the wide rows that
+    // survive are the few qualifying orders. Threshold 250 is calibrated
     // non-vacuous on the testdata generator (sf-invariant shape).
     //
     // 100 TB: lineitem groupBy shuffles (orderkey, partial-sum) pairs
