@@ -40,7 +40,9 @@ import org.apache.spark.sql.functions._
   *                 instead of losing every member; a cluster with no
   *                 quality-passing member falls through to low_quality
   *                 for all members
-  *   low_quality   fewer than minTokens whitespace tokens (default 5)
+  *   low_quality   fewer than minTokens whitespace tokens (default 5),
+  *                 or — when cfg.maxRep2gramPermille is set — d18's
+  *                 duplicate-2gram occupancy above the ceiling
   *   kept          everything else; assigned a split by md5 of its
   *                 dup-cluster id (c12 rule: near-dups never straddle
   *                 splits, singletons hash their own id)
@@ -100,15 +102,24 @@ object Curate {
     * @param packShards     packing shards per split; None derives from
     *                       the kept-doc count ([[deriveShards]]) so
     *                       packing parallelism scales with the corpus
-    *                       instead of capping at a constant */
+    *                       instead of capping at a constant
+    * @param maxRep2gramPermille opt-in Gopher-style repetition gate:
+    *                       docs whose duplicate-2gram occupancy (the
+    *                       oracle-verified d18 signal, SAME expression)
+    *                       exceeds this permille are low_quality and
+    *                       excluded from canonical election. None (the
+    *                       default) reproduces historical behavior */
   final case class Config(
       minTokens: Int = 5,
       testSixteenths: Int = 1,
       valSixteenths: Int = 2,
       baseHamming: Int = 2,
       packLen: Int = 512,
-      packShards: Option[Int] = None) {
+      packShards: Option[Int] = None,
+      maxRep2gramPermille: Option[Int] = None) {
     require(minTokens >= 0, s"minTokens $minTokens")
+    maxRep2gramPermille.foreach(t => require(t >= 0 && t <= 1000,
+      s"maxRep2gramPermille must be a permille, got $t"))
     require(testSixteenths >= 0 && valSixteenths >= 0 &&
       testSixteenths + valSixteenths < 16,
       s"splits must leave room for train: test=$testSixteenths val=$valSixteenths")
@@ -281,9 +292,16 @@ object Curate {
     // materialized inside dupClustersOf; release collected locally)
     val clusters = queries.TextMedia.dupClustersOf(fps, f => cleanups += f)
 
+    // repetition signal only when the gate is on — the d18 expression
+    // is per-row but not free (a sort over the doc's 2-grams)
+    val repCol = cfg.maxRep2gramPermille match {
+      case None => lit(0L)
+      case Some(_) => expr(queries.Documents.dup2gramPermilleExpr)
+    }
     val withCluster = docs
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
-        expr(s"cast(size($toks) as bigint)").as("n_tok"))
+        expr(s"cast(size($toks) as bigint)").as("n_tok"),
+        repCol.as("rep2_permille"))
       .join(exactLosers, Seq("doc_id"), "left")
       .join(clusters.select(col("doc_id"), col("cluster_id")),
         Seq("doc_id"), "left")
@@ -294,9 +312,10 @@ object Curate {
     // near_dup). One cluster-keyed aggregation over cluster members
     // only, joined back on the cluster id — bounded by cluster count,
     // never corpus-wide
+    val repCeil = cfg.maxRep2gramPermille.map(_.toLong).getOrElse(1001L)
     val canons = withCluster
       .filter(col("cluster_id").isNotNull && col("text").isNotNull &&
-        col("n_tok") >= cfg.minTokens)
+        col("n_tok") >= cfg.minTokens && col("rep2_permille") <= repCeil)
       .groupBy("cluster_id").agg(min("doc_id").as("canon"))
     val joined = withCluster.join(canons, Seq("cluster_id"), "left")
     val withBase = baseVerdicts
@@ -315,7 +334,8 @@ object Curate {
              WHEN v_exact IS NOT NULL THEN 'exact_dup'
              WHEN cluster_id IS NOT NULL AND canon IS NOT NULL
                   AND doc_id != canon THEN 'near_dup'
-             WHEN text IS NULL OR n_tok < ${cfg.minTokens} THEN 'low_quality'
+             WHEN text IS NULL OR n_tok < ${cfg.minTokens}
+                  OR rep2_permille > $repCeil THEN 'low_quality'
              ELSE 'kept' END"""))
       .withColumn("split_cluster", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("split", expr(queries.TextMedia.splitAssignExprN(

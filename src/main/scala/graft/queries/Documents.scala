@@ -33,6 +33,31 @@ object Documents {
   private val toks = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
   private val stopArr = "array('the','a','of','to','and')"
 
+  /** d18's 2-gram machinery, factored to shared pieces so the oracled
+    * query and Curate's quality gate compute the SAME scheme. `tk` is
+    * the bound token-array name, `s` the bound sorted-grams name. */
+  private[graft] val sorted2GramsExpr =
+    "array_sort(transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1])))"
+  private[graft] val gramSingletonCountExpr = """
+    CAST(size(filter(sequence(0, size(s) - 1),
+      i -> (i = 0 OR s[i] != s[i - 1])
+       AND (i = size(s) - 1 OR s[i] != s[i + 1]))) AS BIGINT)"""
+
+  /** Duplicate-2gram occupancy (d18's `dup2_permille`) as ONE
+    * self-contained expression over `text` — integer permille, docs
+    * under 2 tokens score 0 (no signal). The singleton-array transforms
+    * are let-bindings: tk and s are bound once each, not recomputed per
+    * reference. Built from the same shared pieces as the d18 QueryDef,
+    * so the oracle-verified signal and any consumer (Curate's
+    * repetition gate) cannot drift. */
+  private[graft] val dup2gramPermilleExpr: String =
+    s"""element_at(transform(array($toks), tk ->
+          CASE WHEN size(tk) < 2 THEN CAST(0 AS BIGINT)
+               ELSE element_at(transform(array($sorted2GramsExpr), s ->
+                 (CAST(size(s) AS BIGINT) - $gramSingletonCountExpr)
+                   * 1000 div CAST(size(s) AS BIGINT)), 1)
+               END), 1)"""
+
   /** d21's fixed merge list (learned order) — ONE constant feeds both
     * the Spark query and the generated oracle SQL, so the two cannot
     * drift. English-frequent pairs incl. two second-order merges
@@ -849,14 +874,11 @@ object Documents {
         docs
           .select(col("doc_id"), expr(toks).as("tk"))
           .filter(expr("size(tk) >= 2"))
-          .withColumn("s", expr(
-            "array_sort(transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1])))"))
+          .withColumn("s", expr(sorted2GramsExpr))
           .withColumn("n_grams", expr("CAST(size(s) AS BIGINT)"))
-          // a sorted gram is a singleton iff it differs from both neighbors
-          .withColumn("n_single", expr("""
-            CAST(size(filter(sequence(0, size(s) - 1),
-              i -> (i = 0 OR s[i] != s[i - 1])
-               AND (i = size(s) - 1 OR s[i] != s[i + 1]))) AS BIGINT)"""))
+          // a sorted gram is a singleton iff it differs from both
+          // neighbors (shared piece — see dup2gramPermilleExpr)
+          .withColumn("n_single", expr(gramSingletonCountExpr))
           // longest equal-run in the sorted grams = max within-doc count
           .withColumn("top_cnt", expr("""
             aggregate(s,

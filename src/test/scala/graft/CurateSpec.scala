@@ -108,6 +108,57 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("opt-in repetition gate quarantines Gopher-style repetitive docs") {
+    import spark.implicits._
+    val dir2 = Files.createTempDirectory("graft_curate_rep").toString
+    // doc 1: "spam spam ... spam" — every 2-gram is the same (dup2
+    // occupancy 1000 permille); doc 2: all-distinct tokens (0 permille);
+    // doc 3: half-repetitive (a b a b ... pattern, ~1000 as well but
+    // kept distinct from doc 1 to exercise the threshold on two docs)
+    val docs = Seq(
+      (1L, Seq.fill(30)("spam").mkString(" "), "en", "s"),
+      (2L, (1 to 30).map(i => s"w$i").mkString(" "), "en", "s"),
+      (3L, (1 to 15).flatMap(_ => Seq("ab", "cd")).mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    try {
+      // default config: no gate — everything long enough is kept
+      val off = Curate.run(spark, dir2, s"$dir2/out_off")
+      assert(off.counts("kept") === 3L)
+      // gate at 150 permille: both repetitive docs quarantine
+      val on = Curate.run(spark, dir2, s"$dir2/out_on",
+        Curate.Config(maxRep2gramPermille = Some(150)))
+      assert(on.counts === Map("kept" -> 1L, "low_quality" -> 2L))
+      val v = spark.read.parquet(s"$dir2/out_on/verdicts.parquet")
+        .collect().map(row => row.getLong(0) -> row.getString(1)).toMap
+      assert(v === Map(1L -> "low_quality", 2L -> "kept", 3L -> "low_quality"))
+    } finally {
+      val p = java.nio.file.Paths.get(dir2)
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+    }
+  }
+
+  test("the gate's expression IS d18's oracled signal (no drift)") {
+    // the one-expression form used by the Curate gate must agree with
+    // the d18 QueryDef's column-pipeline form on real data, row by row
+    val dir18 = "/root/testdata/sf0.001"
+    val viaQuery = graft.queries.Documents.defs("d18_repetition_filter")
+      .build(spark, dir18)
+      .select("doc_id", "dup2_permille")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.queries.QueryDef.drainCleanups()
+    val viaExpr = spark.read.parquet(s"$dir18/documents.parquet")
+      .select(col("doc_id"),
+        expr(graft.queries.Documents.dup2gramPermilleExpr).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // d18 excludes <2-token docs; the expression scores them 0 — on
+    // the overlap they must agree exactly
+    viaQuery.foreach { case (id, p) => assert(viaExpr(id) === p, s"doc $id") }
+    assert(viaQuery.nonEmpty)
+  }
+
   test("incremental: base wins, batch-local rules apply, index accumulates") {
     import spark.implicits._
     def writeDocs(dir: String, rows: Seq[(Long, String)]): Unit =
