@@ -174,4 +174,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-doc distinct dropped before the explode:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q27 big orders: lineitem scan prunes to its two join/agg columns") {
+    val df = Relational.defs("q27_big_orders").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the fact table must reach parquet with only (l_orderkey,
+    // l_quantity) in ReadSchema — a scan dragging all 16 lineitem
+    // columns through the qualifying-set aggregate reads ~8x the bytes
+    val liScans = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+      .toSeq
+    assert(liScans.size === 1, s"lineitem must be scanned exactly once:\n$plan")
+    val rs = liScans.head.split("ReadSchema: ").last
+    assert(rs.contains("l_orderkey") && rs.contains("l_quantity"), rs)
+    assert(!rs.contains("l_comment") && !rs.contains("l_extendedprice"),
+      s"column pruning failed: $rs")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
