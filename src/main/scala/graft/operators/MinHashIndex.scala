@@ -139,15 +139,19 @@ object MinHashIndex {
       s"$indexDir is a streaming-layout index (batch-partitioned dirs); " +
         "use appendBatch — flat-file append would break partition discovery")
     val buckets = bandBucketsOf(meta)
-    registerBandsTable(spark, indexDir, buckets)
+    if (buckets > 0) registerBandsTable(spark, indexDir, buckets)
     val sigs = signatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       sigs.write.mode("append").parquet(s"$indexDir/signatures")
-      bands(sigs).write.mode("append").format("parquet")
-        .bucketBy(buckets, "bi", "bh").sortBy("bi", "bh")
-        .option("path", s"$indexDir/bands")
-        .saveAsTable(bandsTable(indexDir))
+      if (buckets > 0)
+        bands(sigs).write.mode("append").format("parquet")
+          .bucketBy(buckets, "bi", "bh").sortBy("bi", "bh")
+          .option("path", s"$indexDir/bands")
+          .saveAsTable(bandsTable(indexDir))
+      else // legacy pre-bucketing index: stay flat (probe reads it flat
+           // too); rebuild via write() to adopt the bucketed layout
+        bands(sigs).write.mode("append").parquet(s"$indexDir/bands")
       writeMeta(spark, indexDir, buckets, c)
     } finally { sigs.unpersist(false); () }
   }

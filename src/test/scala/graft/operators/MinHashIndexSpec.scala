@@ -105,6 +105,30 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("meta.json"))
   }
 
+  test("legacy pre-bucketing indexes still append and probe (flat path)") {
+    import spark.implicits._
+    val (base, batch, _) = fixture
+    // fabricate the pre-bucketing layout: flat parquet dirs + a meta
+    // WITHOUT bands_buckets (what an index built before the bucketed
+    // write looks like on disk)
+    val idx = tmp()
+    val sigs = MinHashIndex.signatures(base.toDF("doc_id", "text"))
+    sigs.write.parquet(s"$idx/signatures")
+    MinHashIndex.bands(sigs).write.parquet(s"$idx/bands")
+    graft.util.Fs.writeStringAtomic(s"$idx/meta.json",
+      s"""{"scheme":"minhash-3gram-6x3","n_docs":2}""", graft.util.Fs.conf())
+    val batchSigs = MinHashIndex.signatures(batch.toDF("doc_id", "text"))
+    def got = MinHashIndex.probe(spark, idx, batchSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((3L, 1L, 1000L), (4L, 1L, 894L)))
+    // flat append keeps the layout consistent and the probe target grows
+    MinHashIndex.append(spark, batch.toDF("doc_id", "text"), idx)
+    val again = MinHashIndex.probe(spark, idx,
+        MinHashIndex.signatures(base.toDF("doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again.contains((1L, 3L)))
+  }
+
   test("probe's candidate join is shuffle-free on the bucketed index side") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
