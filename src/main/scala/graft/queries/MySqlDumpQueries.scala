@@ -21,6 +21,12 @@ object MySqlDumpQueries {
     val sfName = new java.io.File(dir).getName
     val path = s"/tmp/graft_bulk_$sfName.mysqldump"
     if (new java.io.File(path).exists()) return path
+    // concurrency-safe cache fill: assemble under pid-unique scratch
+    // names, then ONE atomic rename into place — a concurrent driver
+    // either sees no file (and generates its own identical copy; the
+    // content is deterministic, so whichever rename lands last is
+    // byte-equal) or a complete file, never a torn half-assembly
+    val pid = ProcessHandle.current().pid()
     val tuples = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(concat(lit("("),
         col("l_orderkey"), lit(","), col("l_linenumber"), lit(","),
@@ -34,12 +40,13 @@ object MySqlDumpQueries {
     val lines = numbered.groupBy(col("g"), (col("rn") / 1000).cast("int").as("chunk"))
       .agg(concat_ws(",", collect_list(col("t"))).as("body"))
       .select(concat(lit("INSERT INTO `lineitem` VALUES "), col("body"), lit(";")))
-    val tmp = s"$path.payload"
+    val tmp = s"$path.payload.$pid"
     lines.coalesce(1).write.mode("overwrite").text(tmp)
     val part = new java.io.File(tmp).listFiles()
       .find(_.getName.startsWith("part-")).get
+    val staged = s"$path.staged.$pid"
     val out = new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(path))
+      new java.io.FileOutputStream(staged))
     try {
       out.write(
         """/*!40103 SET TIME_ZONE='+00:00' */;
@@ -54,6 +61,14 @@ object MySqlDumpQueries {
           |""".stripMargin.getBytes("UTF-8"))
       java.nio.file.Files.copy(part.toPath, out)
     } finally out.close()
+    java.nio.file.Files.move(java.nio.file.Paths.get(staged),
+      java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(tmp)) // drop the pid-scratch payload dir
     path
   }
 

@@ -23,6 +23,12 @@ object PgDumpQueries {
     val sfName = new java.io.File(dir).getName
     val path = s"/tmp/graft_bulk_$sfName.pgdump"
     if (new java.io.File(path).exists()) return path
+    // concurrency-safe cache fill: assemble under pid-unique scratch
+    // names, then ONE atomic rename into place — a concurrent driver
+    // either sees no file (and generates its own identical copy; the
+    // content is deterministic, so whichever rename lands last is
+    // byte-equal) or a complete file, never a torn half-assembly
+    val pid = ProcessHandle.current().pid()
     val esc = (c: org.apache.spark.sql.Column) =>
       regexp_replace(regexp_replace(regexp_replace(c,
         "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n")
@@ -31,12 +37,13 @@ object PgDumpQueries {
         col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_shipdate").cast("date").cast("string"), col("l_returnflag"),
         esc(col("l_linestatus"))))
-    val tmp = s"$path.payload"
+    val tmp = s"$path.payload.$pid"
     lines.coalesce(1).write.mode("overwrite").text(tmp)
     val part = new java.io.File(tmp).listFiles()
       .find(_.getName.startsWith("part-")).get
+    val staged = s"$path.staged.$pid"
     val out = new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(path))
+      new java.io.FileOutputStream(staged))
     try {
       out.write(
         """CREATE TABLE lineitem (
@@ -54,6 +61,14 @@ object PgDumpQueries {
       java.nio.file.Files.copy(part.toPath, out)
       out.write("\\.\n".getBytes("UTF-8"))
     } finally out.close()
+    java.nio.file.Files.move(java.nio.file.Paths.get(staged),
+      java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(tmp)) // drop the pid-scratch payload dir
     path
   }
 
