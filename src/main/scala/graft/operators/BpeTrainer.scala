@@ -78,9 +78,11 @@ object BpeTrainer {
   def train(spark: SparkSession, docs: DataFrame, nMerges: Int,
       minPairCount: Long = 2L, compactEvery: Int = 16,
       maxPairs: Long = 10000000L,
-      rowsPerPartition: Long = 65536L): Seq[Merge] = {
+      rowsPerPartition: Long = 65536L,
+      heapCompactFactor: Int = 4): Seq[Merge] = {
     import spark.implicits._
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    require(heapCompactFactor >= 0, s"heapCompactFactor $heapCompactFactor")
     require(rowsPerPartition >= 1, s"rowsPerPartition must be >= 1")
     var base = vocabulary(docs).as[VocabEntry]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -227,6 +229,17 @@ object BpeTrainer {
               if (nc > 0L) heap.enqueue((nc, p._1, p._2))
             }
             guardPairs()
+            // lazy deletion means the heap only ever GROWS (one stale
+            // snapshot per applied delta survives until dequeued); over
+            // a 32k-merge production run that is a slow driver-memory
+            // leak. When stale entries dominate, rebuild from the live
+            // count map — O(pairs), amortized free against the deltas
+            // that grew it, and semantics-neutral (every live pair is
+            // re-enqueued at its current count)
+            if (heap.size > heapCompactFactor * math.max(counts.size, 1024)) {
+              heap.clear()
+              counts.foreach { case ((a2, b2), c2) => heap.enqueue((c2, a2, b2)) }
+            }
             merges += Merge(a, b, c)
             pending = (a, b) :: pending
             if (pending.size >= compactEvery) {

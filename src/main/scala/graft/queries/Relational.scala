@@ -853,5 +853,52 @@ object Relational {
           HAVING SUM(CAST(l_quantity AS DECIMAL(38,9))) > 250
         ) t ON o_orderkey = t.l_orderkey
         ORDER BY o_totalprice DESC, o_orderkey"""))
+,
+
+    // ---------------------------------------------------------------- q28
+    // Returned-item reporting (TPC-H Q10 shape): top-20 customers by
+    // revenue lost to returns in one quarter. Exercises the
+    // filter-early join order: lineitem is cut by the returnflag
+    // predicate AT THE SCAN (PushedFilters), orders by the date range,
+    // and only the surviving quarter of returns shuffles into the
+    // customer join; nation (25 rows, SF-independent) broadcasts.
+    // Revenue in exact minor units, acctbal likewise; top-k through
+    // the rank window so ties are deterministic.
+    "q28_returned_items" -> QueryDef(
+      build = (spark, dir) => {
+        val li = table(spark, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+        val ord = table(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        val cust = table(spark, dir, "customer")
+        val nat = table(spark, dir, "nation")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"))
+          .agg(sumMinor(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+            .as("revenue"))
+          .select(col("c_custkey"), col("c_name"),
+            dec(col("c_acctbal"), 2).multiply(lit(100)).cast("bigint")
+              .as("acctbal_minor"),
+            col("n_name"), col("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_minor,
+               n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20"""))
   )
 }

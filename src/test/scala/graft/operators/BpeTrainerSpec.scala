@@ -100,6 +100,12 @@ class BpeTrainerSpec extends AnyFunSuite {
       val inc = BpeTrainer.train(spark, docs, nMerges = 12, compactEvery = ce)
       assert(inc === ref, s"divergence at compactEvery=$ce")
     }
+    // heapCompactFactor=0 rebuilds the argmax heap from the live count
+    // map after EVERY merge — the anti-leak rebuild must be
+    // semantics-neutral at any cadence
+    val rebuilt = BpeTrainer.train(spark, docs, nMerges = 12,
+      heapCompactFactor = 0)
+    assert(rebuilt === ref, "heap rebuild changed the learned sequence")
   }
 
   test("parity holds on real testdata (the d17 driver path)") {
