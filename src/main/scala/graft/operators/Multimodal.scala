@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.{col, explode, expr}
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
@@ -193,6 +194,86 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Perceptual difference-hash (dHash) over decoded images — the
+    * standard near-duplicate fingerprint for image corpora (resize to
+    * (hashW+1)×hashH, one bit per horizontal neighbor comparison,
+    * row-major MSB-first into a LONG). Built ON [[resize]]'s
+    * integer-exact box filter, so the hash is a pure integer function
+    * of the pixels: bit-identical across JVMs and SQL-reproducible
+    * when the source is already (hashW+1)×hashH (identity resize).
+    * Gray-level shifts preserve the bits (neighbor ORDER survives
+    * brightness changes) — the property that makes dHash a NEAR-dup
+    * key where byte hashing only catches exact copies. Undecodable
+    * media simply yields no row (the quarantine posture of resize).
+    * hashW·hashH ≤ 64 so the hash packs one BIGINT. */
+  def dHash(df: DataFrame, idCol: String, mediaCol: String,
+      hashW: Int = 8, hashH: Int = 4): DataFrame = {
+    require(hashW >= 1 && hashH >= 1 && hashW * hashH <= 64,
+      s"dHash grid $hashW x $hashH must pack into 64 bits")
+    val spark = df.sparkSession
+    val resized = resize(df, idCol, mediaCol, hashW + 1, hashH)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("dhash", LongType)))
+    val w = hashW
+    val h = hashH
+    val rdd = resized.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val px = r.getAs[Array[Byte]](3)
+        var bits = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val a = px(y * (w + 1) + x) & 0xff
+            val b = px(y * (w + 1) + x + 1) & 0xff
+            bits = (bits << 1) | (if (b > a) 1L else 0L)
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, bits)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Near-duplicate image pairs by banded dHash Hamming distance — the
+    * s01 (SimHash text) scheme carried to the image side: the 32-bit
+    * default hash splits into 4 bands of 8 bits; candidates share a
+    * band bucket; true Hamming ≤ `maxHamming` verifies. Recall is a
+    * PIGEONHOLE GUARANTEE, not a probability: ≤ 3 differing bits touch
+    * at most 3 of the 4 bands, so every qualifying pair shares an
+    * intact band (maxHamming must stay < bands for the argument).
+    * Candidate generation joins (band, value, id) rows only — image
+    * bytes never shuffle, identical-image buckets are AQE-splittable
+    * skew, never a content move. */
+  def dHashNearDup(hashes: DataFrame, bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands $bands must divide 64")
+    require(maxHamming < bands,
+      s"maxHamming $maxHamming needs < $bands bands for guaranteed recall")
+    val width = 64 / bands
+    // unsigned shift + mask, not div/mod: a 64-bit hash with the top
+    // bit set is a NEGATIVE long, and arithmetic div would corrupt its
+    // band values
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val banded = hashes.select(col("media_id"), col("dhash"),
+      explode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> struct(b as bi, " +
+        s"shiftrightunsigned(dhash, b * $width) & ${mask}L as bv))")).as("band"))
+      .select(col("media_id"), col("dhash"),
+        col("band.bi").as("bi"), col("band.bv").as("bv"))
+    banded.as("x").join(banded.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        expr("bit_count(x.dhash ^ y.dhash)").cast("bigint").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Audio framing — THE audio-pipeline primitive (every downstream

@@ -714,6 +714,44 @@ object TextMedia {
                CAST(SUM(v * v) AS BIGINT) AS energy
         FROM e GROUP BY doc_id, i ORDER BY doc_id, frame_no""")),
 
+    // ---------------------------------------------------------------- b04
+    // Perceptual image near-dup (operators.Multimodal.dHash +
+    // dHashNearDup): the s01 banded-Hamming scheme on the IMAGE side —
+    // resize → difference hash → 4x8-bit bands → candidates share a
+    // band → verify true Hamming ≤ 3 (pigeonhole recall guarantee, not
+    // probabilistic). Containers are the deterministic 9x4 fake-IMG
+    // form (36 ascii payload bytes from md5 chains) so the identity
+    // resize makes every bit DuckDB-reproducible; the oracle computes
+    // the naive all-pairs Hamming relation — equality proves the
+    // banded join loses nothing. Real PNGs take the same code path
+    // through decodeImage (MultimodalSpec pins it).
+    "b04_image_neardup" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        val media = docs.select(col("doc_id"),
+          concat(lit("IMG|9|4|"), md5(col("text").cast("binary")),
+            substring(md5(md5(col("text").cast("binary")).cast("binary")), 1, 4))
+            .cast("binary").as("media"))
+        val hashes = graft.operators.Multimodal.dHash(media, "doc_id", "media")
+        graft.operators.Multimodal.dHashNearDup(hashes)
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some("""
+        WITH pay AS (
+          SELECT doc_id, md5(text) || substring(md5(md5(text)), 1, 4) AS p
+          FROM documents),
+        bits AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN ord(substring(p, y*9 + x + 2, 1)) > ord(substring(p, y*9 + x + 1, 1))
+                      THEN CAST(pow(2, 31 - (y*8 + x)) AS BIGINT) ELSE 0 END) AS BIGINT) AS dhash
+          FROM pay, LATERAL unnest(range(0, 4)) t(y), LATERAL unnest(range(0, 8)) u(x)
+          GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        ORDER BY id_a, id_b""")),
+
     "b02_frame_sample" -> QueryDef(
       build = (spark, dir) => {
         val docs = table(spark, dir, "documents")

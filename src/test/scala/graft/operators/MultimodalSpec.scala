@@ -145,4 +145,78 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!byId.contains(5L)) // empty payload
     assert(!byId.contains(3L)) // corrupt skipped
   }
+
+  test("dHash: brightness-invariant perceptual hash, banded near-dup pairs") {
+    import spark.implicits._
+    // 9x4 fake images (identity resize): A, an exact copy of A, a
+    // one-comparison perturbation of A, a brightness-shifted A, and an
+    // unrelated pattern
+    def img(px: Seq[Int]): Array[Byte] =
+      media("IMG|9|4|" + px.map(_.toChar).mkString)
+    val a = (0 until 36).map(i => 60 + (i % 9) * 5)       // rising rows
+    val bumped = a.updated(1, 40)                          // flips bits around x=0/1
+    val shifted = a.map(_ + 10)                            // same neighbor ORDER
+    val other = (0 until 36).map(i => 200 - (i % 9) * 7)   // falling rows
+    val df4 = Seq(
+      (1L, img(a)), (2L, img(a)), (3L, img(bumped)),
+      (4L, img(shifted)), (5L, img(other)))
+      .toDF("doc_id", "media")
+    val hashes = Multimodal.dHash(df4, "doc_id", "media")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) === hashes(2L))
+    assert(hashes(1L) === hashes(4L), "gray shift must not change the hash")
+    assert(hashes(1L) !== hashes(5L))
+    val d13 = java.lang.Long.bitCount(hashes(1L) ^ hashes(3L))
+    assert(d13 >= 1 && d13 <= 3, s"one-pixel bump flipped $d13 bits")
+    val pairs = Multimodal.dHashNearDup(Multimodal.dHash(df4, "doc_id", "media"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 1-2-4 mutually identical (hamming 0), 3 near all of them; 5 alone
+    assert(pairs.filter(_._3 == 0L).map(p => (p._1, p._2)) ===
+      Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("dHash banded recall is the pigeonhole guarantee, incl. one-band damage") {
+    import spark.implicits._
+    // craft two hashes differing in exactly 3 bits, ALL inside one
+    // 8-bit band — the adversarial case for banding (3 diffs can kill
+    // at most 3 of 4 bands, so one intact band must remain)
+    def imgFor(bits: Long): Array[Byte] = {
+      // chained +-5 around base 128 (a run of 8 stays within 88..168,
+      // never wrapping the unsigned byte range)
+      val px = new Array[Int](36)
+      for (y <- 0 until 4) {
+        px(y * 9) = 128
+        for (x <- 0 until 8) {
+          val bit = (bits >> (31 - (y * 8 + x))) & 1L
+          // comparison is px[x+1] > px[x]; chain values so each
+          // comparison is independent: alternate base levels
+          px(y * 9 + x + 1) = if (bit == 1L) px(y * 9 + x) + 5
+            else px(y * 9 + x) - 5
+        }
+      }
+      media("IMG|9|4|" + px.map(_.toChar).mkString)
+    }
+    val h1 = 0x0F0F0F0FL
+    val h2 = h1 ^ 0x00000007L // 3 bits, all in band 0
+    val df2 = Seq((1L, imgFor(h1)), (2L, imgFor(h2))).toDF("doc_id", "media")
+    val hs = Multimodal.dHash(df2, "doc_id", "media")
+    val got = hs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === h1 && got(2L) === h2, s"crafted hashes drifted: $got")
+    val pairs = Multimodal.dHashNearDup(hs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 3L)))
+  }
+
+  test("dHash flows through real PNG decode (resize path, not the stub)") {
+    import spark.implicits._
+    // a 36x16 real PNG with a horizontal gradient: every resized
+    // neighbor comparison is "brighter to the right" -> all-ones hash
+    val grad = png(36, 16)((x, _) => 40 + x * 5)
+    val dfp = Seq((7L, grad)).toDF("doc_id", "media")
+    val h = Multimodal.dHash(dfp, "doc_id", "media")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(7L) === 0xFFFFFFFFL, f"expected all-ones, got ${h(7L)}%08x")
+  }
 }
