@@ -272,8 +272,11 @@ object Multimodal {
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
         expr("bit_count(x.dhash ^ y.dhash)").cast("bigint").as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup: multi-band collisions of non-near
+      // pairs would otherwise ride through the distinct's shuffle just
+      // to be dropped after
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Audio framing — THE audio-pipeline primitive (every downstream
