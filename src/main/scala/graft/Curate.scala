@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   *   components) → quality gate → leakage-free split → per-split
   *   sequence packing → curated parquet + manifest + summary.
   *
-  * Usage: runMain graft.Curate <sfDir> <outDir> [minTokens]
-  *        runMain graft.Curate <batchDir> <outDir> <minTokens> <baseDir>
+  * Usage: runMain graft.Curate <sfDir> <outDir> [minTokens] [--rep=N]
+  *        runMain graft.Curate <batchDir> <outDir> <minTokens> <baseDir> [--rep=N]
+  *
+  * `--rep=N` (position-independent) switches on the d18-backed
+  * repetition gate at N permille (Config.maxRep2gramPermille).
   *
   * The 4-arg form is the INCREMENTAL mode: curate a new batch against a
   * previous run's output (baseDir). The base corpus always wins — a
@@ -426,15 +429,32 @@ object Curate {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** CLI argument split: `--key=value` flags (position-independent)
+    * vs positionals. Supported flags: `--rep=<permille>` turns on the
+    * d18-backed repetition gate ([[Config.maxRep2gramPermille]]).
+    * Unknown flags fail loudly — a typo must not silently curate with
+    * default dials. */
+  private[graft] def parseArgs(args: Array[String])
+      : (Array[String], Config) = {
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    var cfg = Config(minTokens = if (pos.length > 2) pos(2).toInt else 5)
+    flags.foreach {
+      case f if f.startsWith("--rep=") =>
+        cfg = cfg.copy(maxRep2gramPermille = Some(f.stripPrefix("--rep=").toInt))
+      case f => throw new IllegalArgumentException(
+        s"unknown flag $f (supported: --rep=<permille>)")
+    }
+    (pos, cfg)
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val outDir = if (args.length > 1) args(1) else "/tmp/graft_curate"
-    val minTokens = if (args.length > 2) args(2).toInt else 5
+    val (pos, cfg) = parseArgs(args)
+    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = if (pos.length > 1) pos(1) else "/tmp/graft_curate"
     val spark = GraftSession.build("graft-curate")
     val r =
-      if (args.length > 3)
-        runIncremental(spark, sfDir, args(3), outDir, Config(minTokens = minTokens))
-      else run(spark, sfDir, outDir, Config(minTokens = minTokens))
+      if (pos.length > 3) runIncremental(spark, sfDir, pos(3), outDir, cfg)
+      else run(spark, sfDir, outDir, cfg)
     println(s"[curate] verdicts=${r.counts} splits=${r.splits} -> $outDir")
     spark.stop()
   }

@@ -140,6 +140,20 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CLI args: --rep flag is position-independent; typos fail loudly") {
+    val (pos, cfg) = Curate.parseArgs(
+      Array("/in", "--rep=150", "/out", "7", "/base"))
+    assert(pos.toSeq === Seq("/in", "/out", "7", "/base"))
+    assert(cfg.minTokens === 7)
+    assert(cfg.maxRep2gramPermille === Some(150))
+    val (_, noFlag) = Curate.parseArgs(Array("/in", "/out"))
+    assert(noFlag === Curate.Config())
+    val e = intercept[IllegalArgumentException] {
+      Curate.parseArgs(Array("/in", "--repp=9"))
+    }
+    assert(e.getMessage.contains("unknown flag"))
+  }
+
   test("the gate's expression IS d18's oracled signal (no drift)") {
     // the one-expression form used by the Curate gate must agree with
     // the d18 QueryDef's column-pipeline form on real data, row by row
