@@ -250,13 +250,39 @@ object Multimodal {
     * intact band (maxHamming must stay < bands for the argument).
     * Candidate generation joins (band, value, id) rows only — image
     * bytes never shuffle, identical-image buckets are AQE-splittable
-    * skew, never a content move. */
-  def dHashNearDup(hashes: DataFrame, bands: Int = 4,
+    * skew, never a content move.
+    *
+    * `hashBits` must be the REAL packed width from [[dHash]]
+    * (hashW·hashH; 32 for the default 8×4 grid) — banding over the
+    * full 64-bit long would make every band above the hash width
+    * identically zero for every image, silently degenerating those
+    * bands' buckets into an all-pairs cross product: output still
+    * correct (the Hamming filter saves it), but the LSH pruning the
+    * operator exists for is gone at corpus scale. */
+  def dHashNearDup(hashes: DataFrame, hashBits: Int = 32, bands: Int = 4,
       maxHamming: Int = 3): DataFrame = {
-    require(bands >= 1 && 64 % bands == 0, s"bands $bands must divide 64")
     require(maxHamming < bands,
       s"maxHamming $maxHamming needs < $bands bands for guaranteed recall")
-    val width = 64 / bands
+    dHashCandidates(hashes, hashBits, bands)
+      // filter BEFORE the dedup: multi-band collisions of non-near
+      // pairs would otherwise ride through the distinct's shuffle just
+      // to be dropped after
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** The pre-filter candidate relation of [[dHashNearDup]]: one row per
+    * (ordered pair, shared band) collision, WITH multiplicity. Exposed
+    * package-private so MultimodalSpec can pin the pruning property —
+    * unrelated images must generate ≪ n² candidates, the invariant the
+    * Hamming filter's correctness silently masks. */
+  private[graft] def dHashCandidates(hashes: DataFrame, hashBits: Int,
+      bands: Int): DataFrame = {
+    require(hashBits >= 1 && hashBits <= 64,
+      s"hashBits $hashBits must be in [1, 64]")
+    require(bands >= 1 && hashBits % bands == 0,
+      s"bands $bands must divide hashBits $hashBits")
+    val width = hashBits / bands
     // unsigned shift + mask, not div/mod: a 64-bit hash with the top
     // bit set is a NEGATIVE long, and arithmetic div would corrupt its
     // band values
@@ -272,11 +298,6 @@ object Multimodal {
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
         expr("bit_count(x.dhash ^ y.dhash)").cast("bigint").as("hamming"))
-      // filter BEFORE the dedup: multi-band collisions of non-near
-      // pairs would otherwise ride through the distinct's shuffle just
-      // to be dropped after
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Audio framing — THE audio-pipeline primitive (every downstream

@@ -820,8 +820,12 @@ object Relational {
     // semi-join (groupBy output is unique per orderkey) while carrying
     // total_qty into the output, pruning orders before the customer
     // join. The big fact table is touched once, and the wide rows that
-    // survive are the few qualifying orders. Threshold 250 is calibrated
-    // non-vacuous on the testdata generator (sf-invariant shape).
+    // survive are the few qualifying orders. Threshold 250 (25000 minor
+    // units) is calibrated non-vacuous on the testdata generator
+    // (sf-invariant shape). total_qty follows the repo's exact
+    // minor-units convention (q28 below is the model): quantities have
+    // ≤2 decimals, so Σqty×100 is an exact BIGINT on both engines —
+    // no raw DECIMAL crosses the oracle-compare boundary.
     //
     // 100 TB: lineitem groupBy shuffles (orderkey, partial-sum) pairs
     // with map-side combine; the semi-join and the customer join move
@@ -832,25 +836,27 @@ object Relational {
         val li = table(spark, dir, "lineitem")
           .select(col("l_orderkey"), col("l_quantity"))
         val big = li.groupBy("l_orderkey")
-          .agg(sum(col("l_quantity").cast("decimal(38,9)")).as("total_qty"))
-          .filter(col("total_qty") > 250)
+          .agg(sumMinor(col("l_quantity"), 2).as("total_qty_minor"))
+          .filter(col("total_qty_minor") > 25000L)
         val ord = table(spark, dir, "orders")
           .join(big, col("o_orderkey") === col("l_orderkey"))
         table(spark, dir, "customer")
           .join(ord, col("c_custkey") === col("o_custkey"))
           .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
-            col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+            col("o_orderdate"), col("o_totalprice"), col("total_qty_minor"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       },
       oracle = Some("""
         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-               CAST(t.total_qty AS DECIMAL(38,9)) AS total_qty
+               t.total_qty_minor
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN (
-          SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(38,9))) AS total_qty
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS total_qty_minor
           FROM lineitem GROUP BY l_orderkey
-          HAVING SUM(CAST(l_quantity AS DECIMAL(38,9))) > 250
+          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) > 25000
         ) t ON o_orderkey = t.l_orderkey
         ORDER BY o_totalprice DESC, o_orderkey"""))
 ,

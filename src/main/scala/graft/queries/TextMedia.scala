@@ -725,21 +725,52 @@ object TextMedia {
     // the naive all-pairs Hamming relation — equality proves the
     // banded join loses nothing. Real PNGs take the same code path
     // through decodeImage (MultimodalSpec pins it).
+    //
+    // The corpus PLANTS near-dup families so the recall guarantee is
+    // verified non-vacuously (pure-random payloads yield ~1 accidental
+    // pair at sf0.01): docs with doc_id%25 < 5 form 5-member groups
+    // keyed by doc_id - doc_id%25; the anchor (m=0) takes the group
+    // base payload, member m≥1 overwrites the ROW-LEADING byte of row
+    // m-1 with chr(1). A row-leading byte feeds exactly one neighbor
+    // comparison, so each member differs from base in ≤1 dHash bit and
+    // any two members in ≤2 — every in-group pair qualifies (≤3),
+    // C(5,2)=10 pairs per group, ~200 pairs at sf0.01.
     "b04_image_neardup" -> QueryDef(
       build = (spark, dir) => {
         val docs = table(spark, dir, "documents")
+        val m = col("doc_id") % 25
+        val baseKey = (col("doc_id") - m).cast("string").cast("binary")
+        val pb = concat(md5(baseKey),
+          substring(md5(md5(baseKey).cast("binary")), 1, 4))
+        val pos = ((m - 1) * 9 + 1).cast("int") // row-leading byte, 1-based
+        val payload = when(m >= 5,
+            concat(md5(col("text").cast("binary")),
+              substring(md5(md5(col("text").cast("binary")).cast("binary")), 1, 4)))
+          .when(m === 0, pb)
+          .otherwise(concat(
+            pb.substr(lit(1), pos - lit(1)), lit("\u0001"),
+            pb.substr(pos + lit(1), lit(36) - pos)))
         val media = docs.select(col("doc_id"),
-          concat(lit("IMG|9|4|"), md5(col("text").cast("binary")),
-            substring(md5(md5(col("text").cast("binary")).cast("binary")), 1, 4))
-            .cast("binary").as("media"))
+          concat(lit("IMG|9|4|"), payload).cast("binary").as("media"))
         val hashes = graft.operators.Multimodal.dHash(media, "doc_id", "media")
         graft.operators.Multimodal.dHashNearDup(hashes)
           .orderBy("id_a", "id_b")
       },
       oracle = Some("""
-        WITH pay AS (
-          SELECT doc_id, md5(text) || substring(md5(md5(text)), 1, 4) AS p
+        WITH base AS (
+          SELECT doc_id, text, doc_id % 25 AS m,
+                 md5(CAST(doc_id - doc_id % 25 AS VARCHAR)) ||
+                 substring(md5(md5(CAST(doc_id - doc_id % 25 AS VARCHAR))), 1, 4) AS pb
           FROM documents),
+        pay AS (
+          SELECT doc_id,
+                 CASE WHEN m >= 5 THEN md5(text) || substring(md5(md5(text)), 1, 4)
+                      WHEN m = 0 THEN pb
+                      ELSE substring(pb, 1, CAST((m - 1) * 9 AS INT)) || chr(1) ||
+                           substring(pb, CAST((m - 1) * 9 + 2 AS INT),
+                                     CAST(35 - (m - 1) * 9 AS INT))
+                 END AS p
+          FROM base),
         bits AS (
           SELECT doc_id,
                  CAST(SUM(CASE WHEN ord(substring(p, y*9 + x + 2, 1)) > ord(substring(p, y*9 + x + 1, 1))

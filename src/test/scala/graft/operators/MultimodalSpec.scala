@@ -209,6 +209,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L, 3L)))
   }
 
+  test("dHash banding prunes: unrelated hashes make zero candidates") {
+    import spark.implicits._
+    // hashes crafted so no two images share ANY 8-bit band (band value
+    // = the image index, repeated in all four bands). The guard this
+    // pins: banding must cover only the REAL 32-bit hash width — bands
+    // laid over the zero high bits of the packing long would collide
+    // for EVERY pair (bv = 0), silently degenerating candidate
+    // generation to an all-pairs product that the Hamming filter then
+    // hides from every output-level test.
+    val n = 40
+    val hs = (1 to n).map { i =>
+      val b = i.toLong
+      (i.toLong, (b << 24) | (b << 16) | (b << 8) | b)
+    }.toDF("media_id", "dhash")
+    assert(Multimodal.dHashCandidates(hs, hashBits = 32, bands = 4).count() === 0,
+      "disjoint-band hashes must generate no candidate pairs")
+    // and the pair output is of course empty too
+    assert(Multimodal.dHashNearDup(hs).count() === 0)
+  }
+
   test("dHash flows through real PNG decode (resize path, not the stub)") {
     import spark.implicits._
     // a 36x16 real PNG with a horizontal gradient: every resized
