@@ -47,7 +47,7 @@ object Migrate {
     // data-only: the session file (possibly edited since the schema run)
     // is the source of truth for the target schema and name maps.
     val planOverride =
-      if (mode == "data-only") Some(SessionFile.read(sessionPath)) else None
+      if (mode == "data-only") Some(SessionFile.read(sessionPath, hc)) else None
 
     val (tables, plan, stmtStats, release) = driver match {
       case "pgdump" =>
@@ -66,11 +66,11 @@ object Migrate {
     if (mode != "data-only") {
       // Schema artifacts first (the reference emits them before data so a
       // failed data pass still leaves usable schema files).
-      DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/schema.ddl.txt", pretty = true)
-      DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/schema.ddl.sql", pretty = false)
+      DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/schema.ddl.txt", pretty = true, hc)
+      DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/schema.ddl.sql", pretty = false, hc)
       graft.util.Fs.writeStringAtomic(s"$outDir/fk_backfill.sql",
         DdlSink.fkBackfillStatements(plan.spSchema).mkString("", ";\n", ";\n"), hc)
-      SessionFile.write(plan, sessionPath)
+      SessionFile.write(plan, sessionPath, hc)
     }
     if (mode == "schema-only") {
       val report = Report.render(driver, plan, Map.empty, stmtStats)

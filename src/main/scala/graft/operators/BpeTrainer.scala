@@ -58,6 +58,24 @@ object BpeTrainer {
   final case class VocabEntry(term: String, n: Long, syms: Seq[String])
   final case class Merge(left: String, right: String, count: Long)
 
+  /** Measured driver-map footprint after seeding: `distinctPairs` is
+    * the count-map size, `postingEntries` the inverted index's total
+    * (pair, partition) entries — the quantity the seed collect actually
+    * materializes — and `keyChars` the MEASURED char payload of all
+    * pair keys. `estBytes` applies a documented conservative JVM model
+    * on top: per count entry ≈ two String objects (16B header + 16B
+    * array header + 2B/char) + 24B tuple + 40B HashMap node + 24B boxed
+    * Long ≈ 168B + 2·chars; per posting entry ≈ 40B node + two 24B
+    * boxes = 88B. The production dial: size `maxPairs` so
+    * `maxPairs · (168 + 2·avgPairChars) + maxPairs·P̄·88` fits the
+    * driver heap, where P̄ = mean partitions-per-pair (≤ the coalesced
+    * partition count; Zipf corpora sit near 1 for the tail). */
+  final case class Footprint(distinctPairs: Long, postingEntries: Long,
+      keyChars: Long) {
+    def estBytes: Long =
+      distinctPairs * 168L + 2L * keyChars + postingEntries * 88L
+  }
+
   /** Frequency-weighted vocabulary with initial character symbols. */
   def vocabulary(docs: DataFrame): DataFrame = {
     val toks = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"
@@ -79,7 +97,8 @@ object BpeTrainer {
       minPairCount: Long = 2L, compactEvery: Int = 16,
       maxPairs: Long = 10000000L,
       rowsPerPartition: Long = 65536L,
-      heapCompactFactor: Int = 4): Seq[Merge] = {
+      heapCompactFactor: Int = 4,
+      onFootprint: Footprint => Unit = _ => ()): Seq[Merge] = {
     import spark.implicits._
     require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
     require(heapCompactFactor >= 0, s"heapCompactFactor $heapCompactFactor")
@@ -135,15 +154,29 @@ object BpeTrainer {
       } else pm(pid) = np
       ng
     }
+    def pairBudgetError(n: Long): IllegalStateException =
+      new IllegalStateException(
+        s"BPE pair map exceeded the driver budget: $n distinct " +
+          s"adjacent pairs > maxPairs=$maxPairs. The corpus's symbol " +
+          "distribution is noise-like (random bytes / binary content " +
+          "produce ~|vocab| unique pairs, where natural text stays near " +
+          "|alphabet|^2) — filter the corpus, or raise maxPairs if the " +
+          "driver heap genuinely has room")
     def guardPairs(): Unit =
-      if (counts.size > maxPairs)
-        throw new IllegalStateException(
-          s"BPE pair map exceeded the driver budget: ${counts.size} distinct " +
-            s"adjacent pairs > maxPairs=$maxPairs. The corpus's symbol " +
-            "distribution is noise-like (random bytes / binary content " +
-            "produce ~|vocab| unique pairs, where natural text stays near " +
-            "|alphabet|^2) — filter the corpus, or raise maxPairs if the " +
-            "driver heap genuinely has room")
+      if (counts.size > maxPairs) throw pairBudgetError(counts.size)
+    // pre-flight budget check, DISTRIBUTED: a guard placed only after
+    // the seed collect documents the blow-up it cannot prevent — by the
+    // time it runs, every (partition, pair, count) triple has already
+    // been materialized on the driver. Count the distinct pair space in
+    // the cluster first (one shuffle over the cached vocabulary,
+    // seconds next to a training run), so a noise-like corpus fails
+    // with the diagnosis before a single pair lands on the driver.
+    val preflightPairs = base.rdd.mapPartitions { rows =>
+      val acc = scala.collection.mutable.HashMap[(String, String), Long]()
+      rows.foreach(v => addPairs(acc, v.syms, v.n))
+      acc.keysIterator
+    }.distinct().count()
+    if (preflightPairs > maxPairs) throw pairBudgetError(preflightPairs)
     // seeded by one shuffle-free job: each partition folds its rows
     // into a local map; the driver folds the per-partition maps
     base.rdd.mapPartitionsWithIndex { (pid, rows) =>
@@ -152,6 +185,18 @@ object BpeTrainer {
       acc.iterator.map(kv => (pid, kv._1, kv._2))
     }.collect().foreach { case (pid, p, c) => applyDelta(pid, p, c) }
     guardPairs()
+    // measured footprint of what the seed actually built — the
+    // production-sizing line (Footprint documents the byte model and
+    // the maxPairs dial; BpeTrainerSpec pins the model on a real run)
+    locally {
+      val fp = Footprint(counts.size.toLong,
+        postings.valuesIterator.map(_.size.toLong).sum,
+        counts.keysIterator.map(k => (k._1.length + k._2.length).toLong).sum)
+      System.err.println(s"[bpe] seeded driver maps: ${fp.distinctPairs} " +
+        s"pairs, ${fp.postingEntries} posting entries, ~${fp.estBytes} bytes " +
+        s"(maxPairs=$maxPairs)")
+      onFootprint(fp)
+    }
 
     // max-heap with lazy deletion: entries are (count, left, right)
     // snapshots; an entry is live iff it matches the map's current count.
@@ -317,7 +362,7 @@ object BpeTrainer {
     * trained on the cluster lands beside its corpus on HDFS/S3 and a
     * reader never sees a torn file. */
   def saveMerges(merges: Seq[Merge], path: String,
-      c: org.apache.hadoop.conf.Configuration = graft.util.Fs.conf()): Unit = {
+      c: org.apache.hadoop.conf.Configuration): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("format", "graft-bpe-merges-v1")
@@ -332,7 +377,7 @@ object BpeTrainer {
 
   /** Load a [[saveMerges]] artifact, learned order preserved. */
   def loadMerges(path: String,
-      c: org.apache.hadoop.conf.Configuration = graft.util.Fs.conf()): Seq[Merge] = {
+      c: org.apache.hadoop.conf.Configuration): Seq[Merge] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(graft.util.Fs.readString(path, c))
     require(root.path("format").asText() == "graft-bpe-merges-v1",

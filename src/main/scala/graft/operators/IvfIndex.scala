@@ -64,7 +64,7 @@ object IvfIndex {
   /** All file IO goes through the Hadoop FileSystem of the path's
     * scheme ([[graft.util.Fs]]) — an index dir can be `hdfs://…` or
     * `s3a://…`, same as the parquet data beside it. */
-  def readMeta(indexDir: String, c: Configuration = Fs.conf()): Meta = {
+  def readMeta(indexDir: String, c: Configuration): Meta = {
     val node = mapper.readTree(Fs.readString(s"$indexDir/meta.json", c))
     import scala.jdk.CollectionConverters._
     Meta(
@@ -193,33 +193,43 @@ object IvfIndex {
           "existing index, or two queries sharing it) — use a new indexDir " +
           "or restore the original checkpoint")
     if (batchId == last) return false // committed replay: data is complete
+    // ONE materialization of the caller's batch plan feeds BOTH the
+    // pruning stats and the data write: evaluating it twice would let a
+    // nondeterministic input (a re-evaluated sample, a re-read mutable
+    // source) write vectors the published radius/maxNorm never covered,
+    // silently voiding searchExact's pruning proof. persist + the stats
+    // collect pins the row set before the write re-reads it from cache.
     val assigned = IvfAnn.assign(batch, meta.centroids)
-      .select(col("vec_id"), col("embedding"), col("label").cast("int").as("cluster"))
-    val upd = IvfAnn.assign(batch, meta.centroids)
-      .select(col("label").cast("int").as("cluster"),
-        sqrt(graft.functions.ArrayMath.l2sq(
-          col("embedding").cast("array<double>"),
-          centLit(meta.centroids))).as("d"),
-        sqrt(graft.functions.ArrayMath.dot(
-          col("embedding").cast("array<double>"),
-          col("embedding").cast("array<double>"))).as("nrm"))
-      .groupBy("cluster").agg(max("d").as("r"), max("nrm").as("mx"),
-        count(lit(1)).as("n"))
-      .collect()
-    val radius = meta.radius.clone()
-    val counts = meta.counts.clone()
-    var maxNorm = meta.maxNorm
-    upd.foreach { r =>
-      val c = r.getInt(0)
-      radius(c) = math.max(radius(c), r.getDouble(1))
-      counts(c) += r.getLong(3)
-      maxNorm = math.max(maxNorm, r.getDouble(2))
-    }
-    writeMeta(indexDir, meta.copy(radius = radius, maxNorm = maxNorm), conf)
-    assigned.write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$indexDir/data/batch_id=$batchId")
-    writeMeta(indexDir, meta.copy(radius = radius, counts = counts,
-      maxNorm = maxNorm, lastBatch = Some(batchId)), conf)
+      .withColumn("d", sqrt(graft.functions.ArrayMath.l2sq(
+        col("embedding").cast("array<double>"),
+        centLit(meta.centroids))))
+      .withColumn("nrm", sqrt(graft.functions.ArrayMath.dot(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>"))))
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("int").as("cluster"), col("d"), col("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val upd = assigned
+        .groupBy("cluster").agg(max("d").as("r"), max("nrm").as("mx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val radius = meta.radius.clone()
+      val counts = meta.counts.clone()
+      var maxNorm = meta.maxNorm
+      upd.foreach { r =>
+        val c = r.getInt(0)
+        radius(c) = math.max(radius(c), r.getDouble(1))
+        counts(c) += r.getLong(3)
+        maxNorm = math.max(maxNorm, r.getDouble(2))
+      }
+      writeMeta(indexDir, meta.copy(radius = radius, maxNorm = maxNorm), conf)
+      assigned.select("vec_id", "embedding", "cluster")
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$indexDir/data/batch_id=$batchId")
+      writeMeta(indexDir, meta.copy(radius = radius, counts = counts,
+        maxNorm = maxNorm, lastBatch = Some(batchId)), conf)
+    } finally { assigned.unpersist(blocking = true); () }
     true
   }
 

@@ -84,21 +84,38 @@ object MinHashIndex {
     "graft_mhidx_bands_" + org.apache.commons.codec.digest.DigestUtils
       .md5Hex(indexDir).substring(0, 12)
 
+  /** Per-table-name registration locks: a probe is logically read-only,
+    * so its catalog side effect must never interleave a DROP under a
+    * concurrent caller's `spark.table()` resolution of the same index. */
+  private val registerLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
   /** (Re-)register the external bucketed table over `bands/` in THIS
     * session's catalog — a new process opening an existing index has
     * the files (bucket ids are encoded in their names) but not the
-    * catalog entry that tells Spark to trust them. Drop-and-create:
-    * idempotent, survives a same-process rebuild with a different
-    * bucket count, never touches data (external). */
+    * catalog entry that tells Spark to trust them. Reuses a live entry
+    * whose bucket count already matches (the steady state: zero DDL per
+    * probe); drops and recreates only on first registration or a
+    * rebuild that changed the bucket count, under a per-table lock so
+    * concurrent probes of one index never race the DROP/CREATE window.
+    * Never touches data (external). */
   private def registerBandsTable(spark: SparkSession, indexDir: String,
       buckets: Int): String = {
     val tbl = bandsTable(indexDir)
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(
-      s"""CREATE TABLE $tbl (doc_id BIGINT, bi INT, bh STRING)
-         |USING parquet
-         |CLUSTERED BY (bi, bh) SORTED BY (bi, bh) INTO $buckets BUCKETS
-         |LOCATION '$indexDir/bands'""".stripMargin)
+    registerLocks.getOrElseUpdate(tbl, new Object).synchronized {
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(tbl)
+      val cat = spark.sessionState.catalog
+      val fresh = cat.tableExists(ident) &&
+        cat.getTableMetadata(ident).bucketSpec.exists(_.numBuckets == buckets)
+      if (!fresh) {
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(
+          s"""CREATE TABLE $tbl (doc_id BIGINT, bi INT, bh STRING)
+             |USING parquet
+             |CLUSTERED BY (bi, bh) SORTED BY (bi, bh) INTO $buckets BUCKETS
+             |LOCATION '$indexDir/bands'""".stripMargin)
+      }
+    }
     tbl
   }
 
@@ -150,7 +167,7 @@ object MinHashIndex {
           .option("path", s"$indexDir/bands")
           .saveAsTable(bandsTable(indexDir))
       else // legacy pre-bucketing index: stay flat (probe reads it flat
-           // too); rebuild via write() to adopt the bucketed layout
+           // too); one rebucket() migrates to the bucketed layout
         bands(sigs).write.mode("append").parquet(s"$indexDir/bands")
       writeMeta(spark, indexDir, buckets, c)
     } finally { sigs.unpersist(false); () }
@@ -247,26 +264,42 @@ object MinHashIndex {
     require(meta.contains("last_batch"),
       s"$indexDir is not a streaming-layout index; only appendBatch " +
         "indexes need compaction to the bucketed batch layout")
-    def swapIn(name: String)(writeStaged: String => Unit): Unit = {
-      val live = s"$indexDir/$name"
-      val old = s"$indexDir/${name}_old"
-      val staged = s"$indexDir/${name}_compacting"
-      if (!graft.util.Fs.exists(live, c) && graft.util.Fs.exists(old, c))
-        throw new IllegalStateException(
-          s"$indexDir: interrupted compact — recover with: rename $old -> $live")
-      graft.util.Fs.deleteTree(old, c)
-      graft.util.Fs.deleteTree(staged, c)
-      writeStaged(staged)
-      graft.util.Fs.rename(live, old, c)
-      graft.util.Fs.rename(staged, live, c)
-      graft.util.Fs.deleteTree(old, c)
-    }
-    swapIn("signatures") { staged =>
+    swapIn(indexDir, "signatures", c) { staged =>
       spark.read.parquet(s"$indexDir/signatures").select("doc_id", "sh")
         .write.mode("overwrite").parquet(staged)
     }
+    rewriteBandsBucketed(spark, indexDir, bandBuckets, c)
+    writeMeta(spark, indexDir, bandBuckets, c) // commits the batch layout
+  }
+
+  /** One-shot migration of a legacy pre-bucketing index (flat `bands/`,
+    * `bands_buckets` 0) to the bucketed layout: rewrites ONLY `bands/`
+    * — signatures are layout-identical across generations — staged +
+    * swapped with [[compactStreaming]]'s crash discipline, then commits
+    * the bucket count in meta. After this every [[probe]] is
+    * shuffle-free on the index side and [[append]] lands
+    * bucket-aligned; the alternative (a full [[write]] rebuild) also
+    * re-signatures the corpus, which this skips. */
+  def rebucket(spark: SparkSession, indexDir: String,
+      bandBuckets: Int = 32): Unit = {
+    val c = spark.sessionState.newHadoopConf()
+    val meta = graft.util.Fs.readString(s"$indexDir/meta.json", c)
+    require(!meta.contains("last_batch"),
+      s"$indexDir is a streaming-layout index; use compactStreaming")
+    require(bandBucketsOf(meta) == 0,
+      s"$indexDir already has the bucketed layout " +
+        s"(bands_buckets=${bandBucketsOf(meta)})")
+    rewriteBandsBucketed(spark, indexDir, bandBuckets, c)
+    writeMeta(spark, indexDir, bandBuckets, c)
+  }
+
+  /** Staged bucketed rewrite of `bands/` + in-place swap (shared by
+    * [[compactStreaming]] and [[rebucket]]). Tolerates a streaming
+    * layout's extra batch_id column and collapses its subdirs. */
+  private def rewriteBandsBucketed(spark: SparkSession, indexDir: String,
+      bandBuckets: Int, c: org.apache.hadoop.conf.Configuration): Unit = {
     val stgTbl = bandsTable(indexDir) + "_stg"
-    swapIn("bands") { staged =>
+    swapIn(indexDir, "bands", c) { staged =>
       spark.sql(s"DROP TABLE IF EXISTS $stgTbl")
       spark.read.parquet(s"$indexDir/bands").select("doc_id", "bi", "bh")
         .write.mode("overwrite").format("parquet")
@@ -274,7 +307,27 @@ object MinHashIndex {
         .option("path", staged).saveAsTable(stgTbl)
     }
     spark.sql(s"DROP TABLE IF EXISTS $stgTbl") // its location was renamed away
-    writeMeta(spark, indexDir, bandBuckets, c) // commits the batch layout
+  }
+
+  /** Write a staged replacement for `indexDir/name`, then swap it in
+    * (write → rename live→old → rename staged→live → drop old). A crash
+    * at any point leaves complete copies only; the guard names the one
+    * recovering rename if a previous swap died between its renames. */
+  private def swapIn(indexDir: String, name: String,
+      c: org.apache.hadoop.conf.Configuration)(
+      writeStaged: String => Unit): Unit = {
+    val live = s"$indexDir/$name"
+    val old = s"$indexDir/${name}_old"
+    val staged = s"$indexDir/${name}_compacting"
+    if (!graft.util.Fs.exists(live, c) && graft.util.Fs.exists(old, c))
+      throw new IllegalStateException(
+        s"$indexDir: interrupted compact — recover with: rename $old -> $live")
+    graft.util.Fs.deleteTree(old, c)
+    graft.util.Fs.deleteTree(staged, c)
+    writeStaged(staged)
+    graft.util.Fs.rename(live, old, c)
+    graft.util.Fs.rename(staged, live, c)
+    graft.util.Fs.deleteTree(old, c)
   }
 
   /** Near-duplicates of `batchSigs` (a [[signatures]] frame — the
@@ -297,8 +350,15 @@ object MinHashIndex {
     val idxBands =
       if (buckets > 0 && !meta.contains("last_batch"))
         spark.table(registerBandsTable(spark, indexDir, buckets))
-      else spark.read.parquet(s"$indexDir/bands")
-        .select("doc_id", "bi", "bh") // drop streaming batch_id if present
+      else {
+        if (buckets == 0 && !meta.contains("last_batch"))
+          System.err.println(s"[minhash-index] $indexDir has the legacy " +
+            "flat layout — every probe pays an index-side shuffle; run " +
+            "MinHashIndex.rebucket(indexDir) once to adopt the bucketed " +
+            "layout")
+        spark.read.parquet(s"$indexDir/bands")
+          .select("doc_id", "bi", "bh") // drop streaming batch_id if present
+      }
     val idxSigs = spark.read.parquet(s"$indexDir/signatures")
       .select("doc_id", "sh")
     val cand = bands(batchSigs)

@@ -22,8 +22,8 @@ object SessionFile {
   // ------------------------------------------------------------- write
 
   def write(plan: ConversionPlan, path: String,
-      driver: Option[String] = None,
-      c: org.apache.hadoop.conf.Configuration = Fs.conf()): Unit = {
+      c: org.apache.hadoop.conf.Configuration,
+      driver: Option[String] = None): Unit = {
     val root = toJson(plan)
     // optional source-driver tag: the web session needs it back on
     // resume (typemap/overview are driver-keyed); the Migrate data-only
@@ -34,8 +34,9 @@ object SessionFile {
   }
 
   /** The driver tag written by [[write]], if the file carries one. */
-  def readDriver(path: String): Option[String] = {
-    val root = mapper.readTree(Fs.readString(path, Fs.conf()))
+  def readDriver(path: String,
+      c: org.apache.hadoop.conf.Configuration): Option[String] = {
+    val root = mapper.readTree(Fs.readString(path, c))
     Option(root.get("driver")).map(_.asText).filter(_.nonEmpty)
   }
 
@@ -116,8 +117,9 @@ object SessionFile {
 
   // -------------------------------------------------------------- read
 
-  def read(path: String): ConversionPlan =
-    fromJson(mapper.readTree(Fs.readString(path, Fs.conf())))
+  def read(path: String,
+      c: org.apache.hadoop.conf.Configuration): ConversionPlan =
+    fromJson(mapper.readTree(Fs.readString(path, c)))
 
   def fromJson(root: JsonNode): ConversionPlan = {
     def strs(n: JsonNode): Seq[String] = n.elements.asScala.map(_.asText).toSeq

@@ -96,26 +96,45 @@ object Similarity {
     * pattern: e13 pays the build every pass by design (the honest
     * end-to-end), these entries measure what the layout amortizes to.
     * The index lives in a PROCESS-OWNED temp directory (removed on JVM
-    * exit), so a since-regenerated embeddings table can never be served
-    * by a stale index left behind by an earlier run — e14 is rows-only,
-    * so staleness would be silently wrong, not oracle-red — and
-    * concurrent drivers on one machine cannot collide on a shared
-    * scratch path. */
+    * exit) so other processes can never serve or collide with it, and
+    * the cache key carries the source table's file stamp so a
+    * regeneration WITHIN this JVM rebuilds instead of serving stale —
+    * e14 is rows-only, so staleness would be silently wrong, not
+    * oracle-red. */
+  /** Cheap freshness token for a bench source table: name+size+mtime of
+    * its parquet file(s). The process-lifetime caches below key on it,
+    * so a WITHIN-JVM regeneration of the table rebuilds the index
+    * instead of silently serving a stale one (cross-process staleness
+    * is already impossible — indexes live in process-owned temp dirs). */
+  private def sourceStamp(dir: String, tableName: String): String = {
+    val f = new java.io.File(dir, s"$tableName.parquet")
+    def one(x: java.io.File) = s"${x.getName}:${x.length}:${x.lastModified}"
+    if (f.isDirectory)
+      Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .sortBy(_.getName).map(one).mkString(";")
+    else one(f)
+  }
+
   private val benchIndexDirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private def benchIndex(spark: SparkSession, dir: String): String =
-    benchIndexDirs.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_ivfindex_bench_").toString
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def benchIndex(spark: SparkSession, dir: String): String = {
+    val stamp = sourceStamp(dir, "embeddings")
+    benchIndexDirs.get(dir) match {
+      case Some((s, out)) if s == stamp => out
+      case _ =>
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_ivfindex_bench_").toString
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(out))
         }
-        rm(new java.io.File(out))
-      }
-      graft.operators.IvfIndex.write(spark, dir, out)
-      out
-    })
+        graft.operators.IvfIndex.write(spark, dir, out)
+        benchIndexDirs.put(dir, (stamp, out))
+        out
+    }
+  }
 
   /** Prebuilt MinHash band index over the m04 base split (doc_id % 5
     * != 0), benchIndex's generate-once pattern for the text side: m04
@@ -123,22 +142,107 @@ object Similarity {
     * what the persisted BUCKETED layout amortizes to — the per-batch
     * probe cost a continuously-ingesting deployment actually pays. */
   private val benchMhIndexDirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private def benchMhIndex(spark: SparkSession, dir: String): String =
-    benchMhIndexDirs.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_mhindex_bench_once_").toString + "/idx"
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def benchMhIndex(spark: SparkSession, dir: String): String = {
+    val stamp = sourceStamp(dir, "documents")
+    benchMhIndexDirs.get(dir) match {
+      case Some((s, out)) if s == stamp => out
+      case _ =>
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_mhindex_bench_once_").toString + "/idx"
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(out).getParentFile)
         }
-        rm(new java.io.File(out).getParentFile)
+        graft.operators.MinHashIndex.write(spark,
+          QueryDef.spread(spark, dir, "documents")
+            .filter(col("doc_id") % 5 =!= 0), out)
+        benchMhIndexDirs.put(dir, (stamp, out))
+        out
+    }
+  }
+
+  /** Local recursive dir copy for the compaction bench entries: each
+    * pass compacts a FRESH copy of the process-cached streamed index
+    * (compaction converts the layout in place, so the cached original
+    * must stay streamed). Bench/verify scratch is local-FS by
+    * construction (same posture as every temp-dir pattern here). */
+  private def copyTree(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t)
+        ()
       }
-      graft.operators.MinHashIndex.write(spark,
-        QueryDef.spread(spark, dir, "documents")
-          .filter(col("doc_id") % 5 =!= 0), out)
-      out
-    })
+    }
+  }
+
+  /** Process-cached STREAMING-layout IVF index over the full embeddings
+    * table, ingested in 3 micro-batches — the fixture the e16
+    * compaction entry copies and finalizes each pass. Centroids train
+    * on the same corpus as [[benchIndex]], so the compacted index is
+    * the batch-layout index e13 builds directly. */
+  private val benchStreamedIvfDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def benchStreamedIvfIndex(spark: SparkSession, dir: String): String = {
+    val stamp = sourceStamp(dir, "embeddings")
+    benchStreamedIvfDirs.get(dir) match {
+      case Some((s, out)) if s == stamp => out
+      case _ =>
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_ivfstream_bench_").toString + "/idx"
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(out).getParentFile)
+        }
+        graft.operators.IvfIndex.initStreaming(spark, dir, out)
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        (0 to 2).foreach { b =>
+          graft.operators.IvfIndex.appendBatch(spark,
+            emb.filter(col("vec_id") % 3 === b), out, b.toLong)
+        }
+        benchStreamedIvfDirs.put(dir, (stamp, out))
+        out
+    }
+  }
+
+  /** Process-cached STREAMING-layout MinHash index over the m04 base
+    * split, ingested in 3 micro-batches — the m05 compaction fixture. */
+  private val benchStreamedMhDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def benchStreamedMhIndex(spark: SparkSession, dir: String): String = {
+    val stamp = sourceStamp(dir, "documents")
+    benchStreamedMhDirs.get(dir) match {
+      case Some((s, out)) if s == stamp => out
+      case _ =>
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_mhstream_bench_").toString + "/idx"
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(out).getParentFile)
+        }
+        val base = QueryDef.spread(spark, dir, "documents")
+          .filter(col("doc_id") % 5 =!= 0)
+        (0 to 2).foreach { b =>
+          graft.operators.MinHashIndex.appendBatch(spark,
+            graft.operators.MinHashIndex.signatures(
+              base.filter(col("doc_id") % 3 === b)), out, b.toLong)
+        }
+        benchStreamedMhDirs.put(dir, (stamp, out))
+        out
+    }
+  }
 
   /** m04/m04b shared oracle: the DIRECT cross-split m01-scheme
     * computation — one definition, so the build+probe and probe-only
@@ -387,6 +491,41 @@ object Similarity {
       oracle = Some(m04Oracle),
       headline = true),
 
+    // ---------------------------------------------------------------- m05
+    // The MAINTENANCE cost a streaming MinHash deployment pays
+    // periodically: compactStreaming converts the per-batch-dir layout
+    // (the idempotent-commit trade) into the bucketed batch layout,
+    // collapsing accumulated small files and buying every later probe
+    // its shuffle-free index side. Each pass copies the process-cached
+    // streamed index (3 micro-batches over the m04 base split; the
+    // copy is the cheap part) and times compact + one probe. The probe
+    // result is the same pure function of the corpus split as m04, so
+    // the same oracle proves the compaction lost nothing.
+    "m05_mhindex_compact_probe" -> QueryDef(
+      build = (spark, dir) => {
+        val streamed = benchStreamedMhIndex(spark, dir)
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft_mhcompact_bench_").toString
+        QueryDef.deferCleanup(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(scratch))
+        })
+        val idx = s"$scratch/idx"
+        copyTree(streamed, idx)
+        graft.operators.MinHashIndex.compactStreaming(spark, idx)
+        val batchSigs = graft.operators.MinHashIndex
+          .signatures(QueryDef.spread(spark, dir, "documents")
+            .filter(col("doc_id") % 5 === 0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        QueryDef.deferCleanup(() => { batchSigs.unpersist(blocking = true); () })
+        graft.operators.MinHashIndex.probe(spark, idx, batchSigs)
+          .orderBy("batch_id", "base_id")
+      },
+      oracle = Some(m04Oracle),
+      headline = true),
+
     // ---------------------------------------------------------------- c03
     // Benchmark-contamination check: which training docs share any word
     // 3-gram with the (stand-in) benchmark set — doc_id % 97 == 0 marks
@@ -500,6 +639,34 @@ object Similarity {
         graft.operators.IvfIndex.searchApprox(spark, benchIndex(spark, dir),
           col("vec_id") < 8),
       oracle = None),
+
+    // ---------------------------------------------------------------- e16
+    // IVF-side maintenance twin of m05: IvfIndex.compact finalizes a
+    // streamed index (per-batch partition subtrees from 3 micro-batch
+    // appends) into the one-file-per-cluster batch layout — the
+    // small-files bill a streaming ANN deployment pays periodically.
+    // Each pass copies the process-cached streamed index and times
+    // compact + one exact search. Exact search is provably exact over
+    // ANY index whose bounds cover its data (compact preserves rows
+    // and bounds), so the e01 brute-force oracle applies unchanged.
+    "e16_ivf_compact_search" -> QueryDef(
+      build = (spark, dir) => {
+        val streamed = benchStreamedIvfIndex(spark, dir)
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft_ivfcompact_bench_").toString
+        QueryDef.deferCleanup(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(scratch))
+        })
+        val idx = s"$scratch/idx"
+        copyTree(streamed, idx)
+        graft.operators.IvfIndex.compact(spark, idx)
+        graft.operators.IvfIndex.searchExact(spark, idx, col("vec_id") < 8)
+      },
+      oracle = Some(knnOracle),
+      headline = true),
 
     // ---------------------------------------------------------------- e15
     // One distributed k-means (Lloyd) step over the quantized

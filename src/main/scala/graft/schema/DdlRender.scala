@@ -88,7 +88,7 @@ object DdlRender {
     * (backticks, no comments) variants (conversion/conversion.go:549-603). */
   def writeSchemaFile(schema: Map[String, SpannerTable], path: String,
       pretty: Boolean,
-      c: org.apache.hadoop.conf.Configuration = graft.util.Fs.conf()): Unit = {
+      c: org.apache.hadoop.conf.Configuration): Unit = {
     val cfg = if (pretty) Config(comments = true) else Config(protectIds = true)
     val text = schemaDdl(schema, cfg).mkString("", ";\n\n", ";\n")
     graft.util.Fs.writeStringAtomic(path, text, c)

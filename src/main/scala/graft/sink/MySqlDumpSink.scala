@@ -89,15 +89,16 @@ object MySqlDumpSink {
     * Hadoop FileSystem of each path's scheme — fragments and target can
     * live on HDFS/S3, not just a POSIX mount. */
   def assemble(fragmentDir: String, outFile: String,
-      hadoopConf: Option[org.apache.hadoop.conf.Configuration] = None): Unit = {
+      hadoopConf: org.apache.hadoop.conf.Configuration): Unit = {
     // `.gz` target → gzip the stream: `mysqldump | gzip` is how dumps
     // ship in practice, and the readers' DumpCodec path ingests the
     // compressed form (sniffed by magic bytes, so the round trip is
     // sink .gz → reader, no special-casing)
-    // callers with a session in hand pass its conf (writeFile does) so
-    // both halves of the job resolve paths identically; the active-
-    // session fallback serves standalone assemble() calls only
-    val conf = hadoopConf.getOrElse(graft.util.Fs.conf())
+    // the conf is required, not active-session-resolved: both halves of
+    // the job must resolve paths through the SAME FileSystem config,
+    // and a thread-local session lookup can silently pick a different
+    // session's spark.hadoop.* overrides in a multi-session JVM
+    val conf = hadoopConf
     val raw = graft.util.Fs.create(outFile, conf)
     val out: java.io.OutputStream =
       if (outFile.endsWith(".gz"))
@@ -123,7 +124,7 @@ object MySqlDumpSink {
     val frag = s"$outFile.fragments"
     try {
       writeDir(df, table, frag, batchRows)
-      assemble(frag, outFile, Some(conf))
+      assemble(frag, outFile, conf)
     } finally graft.util.Fs.deleteTree(frag, conf)
   }
 }

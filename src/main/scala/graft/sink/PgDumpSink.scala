@@ -69,17 +69,18 @@ object PgDumpSink {
   /** Driver-streamed concatenation of a [[writeDir]] fragment dir into
     * one dump file — header, payload parts in name order, footer. */
   def assemble(fragmentDir: String, outFile: String,
-      hadoopConf: Option[org.apache.hadoop.conf.Configuration] = None): Unit = {
+      hadoopConf: org.apache.hadoop.conf.Configuration): Unit = {
     // `.gz` target → gzip the stream: `pg_dump | gzip` is how dumps
     // ship in practice, and the readers' DumpCodec path ingests the
     // compressed form (sniffed by magic bytes, so the round trip is
     // sink .gz → reader, no special-casing). All IO through the Hadoop
     // FileSystem of each path's scheme — fragments and target can live
     // on HDFS/S3, not just a POSIX mount.
-    // callers with a session in hand pass its conf (writeFile does) so
-    // both halves of the job resolve paths identically; the active-
-    // session fallback serves standalone assemble() calls only
-    val conf = hadoopConf.getOrElse(graft.util.Fs.conf())
+    // the conf is required, not active-session-resolved: both halves of
+    // the job must resolve paths through the SAME FileSystem config,
+    // and a thread-local session lookup can silently pick a different
+    // session's spark.hadoop.* overrides in a multi-session JVM
+    val conf = hadoopConf
     val raw = graft.util.Fs.create(outFile, conf)
     val out: java.io.OutputStream =
       if (outFile.endsWith(".gz"))
@@ -105,7 +106,7 @@ object PgDumpSink {
     val frag = s"$outFile.fragments"
     try {
       writeDir(df, table, frag)
-      assemble(frag, outFile, Some(conf))
+      assemble(frag, outFile, conf)
     } finally graft.util.Fs.deleteTree(frag, conf)
   }
 }

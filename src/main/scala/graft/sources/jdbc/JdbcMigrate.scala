@@ -55,10 +55,11 @@ object JdbcMigrate {
     // data moves, so a failed data pass still leaves a usable plan)
     val (tables, order) = InfoSchema.readSchema(cat, sysSchemas)
     val plan = SchemaConverter.convert(mapper, tables, order)
-    graft.util.Fs.mkdirs(outDir, spark.sessionState.newHadoopConf())
-    DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/schema.ddl.txt", pretty = true)
-    DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/schema.ddl.sql", pretty = false)
-    graft.plan.SessionFile.write(plan, s"$outDir/session.json")
+    val hc = spark.sessionState.newHadoopConf()
+    graft.util.Fs.mkdirs(outDir, hc)
+    DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/schema.ddl.txt", pretty = true, hc)
+    DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/schema.ddl.sql", pretty = false, hc)
+    graft.plan.SessionFile.write(plan, s"$outDir/session.json", hc)
 
     // data pass: one distributed JDBC read per table, typed rows cast +
     // renamed onto the Spanner schema, parquet per table. PG identifiers

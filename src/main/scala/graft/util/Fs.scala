@@ -14,13 +14,14 @@ import org.apache.hadoop.fs.{FileContext, FileStatus, Options, Path}
   */
 object Fs {
 
-  /** Hadoop conf: the active session's (respects `spark.hadoop.*`
-    * overrides) when one exists, else vanilla — which still resolves
-    * `file:` and any scheme on the classpath. */
-  def conf(): Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+  // Deliberately NO `conf()` default-resolver here: every helper takes
+  // the Configuration explicitly. A thread-local active-session lookup
+  // is a multi-session footgun — artifact writes silently resolving
+  // against whichever session happens to be active on the calling
+  // thread (wrong `spark.hadoop.*` overrides, wrong default FS). The
+  // caller either has a session (pass `sessionState.newHadoopConf()`)
+  // or is deliberately session-less (pass `new Configuration()`, which
+  // still resolves `file:` and any scheme on the classpath).
 
   def exists(path: String, c: Configuration): Boolean = {
     val p = new Path(path)

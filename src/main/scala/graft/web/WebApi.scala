@@ -48,13 +48,20 @@ final class WebSession {
     * file if one is attached (reference updateSessionFile). */
   def commit(p: ConversionPlan): Unit = synchronized {
     plan = Some(p)
-    sessionFile.foreach(SessionFile.write(p, _, Some(driver)))
+    sessionFile.foreach(SessionFile.write(p, _, WebApi.hadoopConf, Some(driver)))
   }
 }
 
 object WebApi {
 
   private val mapper = new ObjectMapper()
+
+  /** The web layer is deliberately spark-less (schema metadata only), so
+    * its artifact IO resolves through an explicit VANILLA Hadoop conf —
+    * `file:` plus any scheme on the classpath — never the thread-local
+    * active session, whose `spark.hadoop.*` overrides would belong to
+    * whatever unrelated session is active in a multi-session JVM. */
+  private[web] val hadoopConf = new org.apache.hadoop.conf.Configuration()
 
   /** Start the API on `port` (0 = ephemeral). Returns the server (call
     * `stop(0)` when done) and its mutable session. */
@@ -179,7 +186,7 @@ object WebApi {
       Files.createTempDirectory("graft_web").toString)
     Files.createDirectories(Paths.get(dir))
     val path = s"$dir/session.json"
-    SessionFile.write(plan, path, Some(s.driver))
+    SessionFile.write(plan, path, WebApi.hadoopConf, Some(s.driver))
     s.synchronized { s.sessionFile = Some(path) }
     val o = mapper.createObjectNode()
     o.put("path", path)
@@ -190,13 +197,13 @@ object WebApi {
   private def resumeSession(ex: HttpExchange, s: WebSession): Unit = {
     val path = readJson(ex).path("path").asText("")
     if (!Files.exists(Paths.get(path))) fail(404, s"no session file at $path")
-    val plan = SessionFile.read(path)
+    val plan = SessionFile.read(path, hadoopConf)
     s.synchronized {
       s.plan = Some(plan)
       s.sessionFile = Some(path)
       // restore the driver tag too — /typemap and /overview are
       // driver-keyed and would otherwise break on a fresh process
-      SessionFile.readDriver(path).foreach(s.driver = _)
+      SessionFile.readDriver(path, hadoopConf).foreach(s.driver = _)
     }
     respond(ex, 200, planJson(plan))
   }
@@ -500,7 +507,7 @@ object WebApi {
       Files.createTempDirectory("graft_web").toString)
     Files.createDirectories(Paths.get(dir))
     val path = Paths.get(dir, "schema.txt").toAbsolutePath.toString
-    DdlRender.writeSchemaFile(plan.spSchema, path, pretty = true)
+    DdlRender.writeSchemaFile(plan.spSchema, path, pretty = true, hadoopConf)
     respond(ex, 200, textNode(path))
   }
 

@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * lifecycle, asserting every artifact lands and reads back. */
 class MigrateSpec extends AnyFunSuite {
   private lazy val spark = GraftSession.build("graft-test")
+  private lazy val hc = spark.sessionState.newHadoopConf()
 
   test("pg_dump end-to-end: parquet + DDL + session + report") {
     val out = java.nio.file.Files.createTempDirectory("graft-mig-pg").toString
@@ -33,7 +34,7 @@ class MigrateSpec extends AnyFunSuite {
     assert(fks.contains("ADD CONSTRAINT `fk_sku` FOREIGN KEY"))
     assert(r.report.contains("Summary of Conversion"))
     // session round-trips to the same DDL
-    val back = graft.plan.SessionFile.read(s"$out/session.json")
+    val back = graft.plan.SessionFile.read(s"$out/session.json", hc)
     assert(graft.schema.DdlRender.schemaDdl(back.spSchema,
       graft.schema.DdlRender.Config()).mkString(";") ===
       graft.schema.DdlRender.schemaDdl(
@@ -60,7 +61,7 @@ class MigrateSpec extends AnyFunSuite {
       .contains("Summary of Conversion"))
     assert(spark.read.parquet(s"$out/inventory.parquet").count() === 3)
     // and the session file reads back through the same scheme
-    assert(graft.plan.SessionFile.read(s"$out/session.json")
+    assert(graft.plan.SessionFile.read(s"$out/session.json", hc)
       .spSchema.contains("inventory"))
   }
 
@@ -92,11 +93,11 @@ class MigrateSpec extends AnyFunSuite {
     assert(new java.io.File(s"$out/session.json").exists())
     assert(!new java.io.File(s"$out/inventory.parquet").exists())
     // edit the session between stages: rename a column (T8 workflow)
-    val plan = graft.plan.SessionFile.read(s"$out/session.json")
+    val plan = graft.plan.SessionFile.read(s"$out/session.json", hc)
     val edited = graft.schema.PlanEdits
       .renameColumn(plan, "inventory", "qty", "quantity")
       .getOrElse(fail("edit failed"))
-    graft.plan.SessionFile.write(edited, s"$out/session.json")
+    graft.plan.SessionFile.write(edited, s"$out/session.json", hc)
     // pass 2: data only — edited plan drives the conversion
     val r2 = Migrate.run(spark, "pgdump", fixture, out, mode = "data-only")
     assert(r2.tables("inventory") === (3L, 0L))
@@ -108,11 +109,11 @@ class MigrateSpec extends AnyFunSuite {
     val out = java.nio.file.Files.createTempDirectory("graft-mig-rm").toString
     val fixture = "src/test/resources/fixtures/sample.pgdump"
     Migrate.run(spark, "pgdump", fixture, out, mode = "schema-only")
-    val plan = graft.plan.SessionFile.read(s"$out/session.json")
+    val plan = graft.plan.SessionFile.read(s"$out/session.json", hc)
     val edited = graft.schema.PlanEdits
       .removeColumn(plan, "inventory", "qty")
       .getOrElse(fail("edit failed"))
-    graft.plan.SessionFile.write(edited, s"$out/session.json")
+    graft.plan.SessionFile.write(edited, s"$out/session.json", hc)
     val r2 = Migrate.run(spark, "pgdump", fixture, out, mode = "data-only")
     assert(r2.tables("inventory") === (3L, 0L))
     val inv = spark.read.parquet(s"$out/inventory.parquet")

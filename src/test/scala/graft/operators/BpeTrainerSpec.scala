@@ -240,4 +240,43 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxPairs=50"))
     assert(e.getMessage.contains("noise"))
   }
+
+  test("budget guard trips in the PRE-FLIGHT job, before any collect") {
+    import spark.implicits._
+    // same noise corpus; the captured footprint callback proves the
+    // driver maps were never seeded — the distributed distinct-count
+    // rejected the corpus first (the guard a post-collect check cannot
+    // provide: by then the blow-up already landed on the driver)
+    var cp = 0x6E00
+    def freshChar(): String = { val s = new String(Character.toChars(cp)); cp += 1; s }
+    val words = (0 until 60).map(_ => (0 until 3).map(_ => freshChar()).mkString)
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    var seeded = false
+    intercept[IllegalStateException] {
+      BpeTrainer.train(spark, docs, nMerges = 1, maxPairs = 50L,
+        onFootprint = _ => seeded = true)
+    }
+    assert(!seeded, "driver maps were seeded despite the budget breach")
+  }
+
+  test("driver-map footprint is measured and bounded (real testdata)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    var fp: Option[BpeTrainer.Footprint] = None
+    BpeTrainer.train(spark, docs, nMerges = 1, onFootprint = f => fp = Some(f))
+    val f = fp.getOrElse(fail("footprint callback never fired"))
+    assert(f.distinctPairs > 0)
+    // postings add at most one entry per pair per partition — the
+    // structural bound the byte model's P̄ term relies on
+    assert(f.postingEntries >= f.distinctPairs)
+    assert(f.postingEntries <= f.distinctPairs * 32)
+    // the documented model: fixed per-entry overheads over the measured
+    // char payload; natural-language sf0.001 sits far under 100 MB —
+    // a 10x-margin ceiling that still catches accidental O(vocab·pairs)
+    // blow-ups in the map structures
+    assert(f.estBytes === f.distinctPairs * 168L + 2L * f.keyChars
+      + f.postingEntries * 88L)
+    assert(f.estBytes < 100L * 1024 * 1024,
+      s"seed maps estimate ${f.estBytes} bytes — the driver-map " +
+        "footprint model or the map contents regressed")
+  }
 }

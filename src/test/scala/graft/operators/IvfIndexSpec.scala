@@ -47,7 +47,7 @@ class IvfIndexSpec extends AnyFunSuite {
       val cents = IvfAnn.trainCentroids(emb)
       val stats = IvfAnn.clusterStats(emb, cents)
       IvfIndex.write(spark, dir, out)
-      val meta = IvfIndex.readMeta(out)
+      val meta = IvfIndex.readMeta(out, spark.sessionState.newHadoopConf())
       assert(meta.centroids.map(_.toSeq) === cents.map(_.toSeq))
       assert(meta.radius.toSeq === stats.radius.toSeq)
       assert(meta.counts.toSeq === stats.count.toSeq)
@@ -70,9 +70,9 @@ class IvfIndexSpec extends AnyFunSuite {
       emb.filter(col("vec_id") % 2 === 1)
         .write.mode("overwrite").parquet(s"$oddSrc/embeddings.parquet")
       IvfIndex.write(spark, evenSrc, out)
-      val before = IvfIndex.readMeta(out)
+      val before = IvfIndex.readMeta(out, spark.sessionState.newHadoopConf())
       IvfIndex.append(spark, oddSrc, out)
-      val after = IvfIndex.readMeta(out)
+      val after = IvfIndex.readMeta(out, spark.sessionState.newHadoopConf())
       assert(after.counts.sum === before.counts.sum + emb.filter(col("vec_id") % 2 === 1).count())
       assert(after.radius.zip(before.radius).forall { case (a, b) => a >= b })
       // exactness over the grown corpus vs in-memory exact over ALL rows
@@ -120,7 +120,7 @@ class IvfIndexSpec extends AnyFunSuite {
       emb.filter(col("vec_id") % 2 === 1)
         .write.mode("overwrite").parquet(s"$oddSrc/embeddings.parquet")
       IvfIndex.write(spark, dir, out)
-      val meta = IvfIndex.readMeta(out)
+      val meta = IvfIndex.readMeta(out, spark.sessionState.newHadoopConf())
       assert(meta.counts.sum === emb.count())
       IvfIndex.append(spark, oddSrc, out)
       IvfIndex.compact(spark, out)
@@ -227,7 +227,7 @@ class IvfIndexSpec extends AnyFunSuite {
       }
       assert(res.collect().toSeq.map(_.toSeq) === brute.collect().toSeq.map(_.toSeq))
       // strict pruning: probes in blob 0 must not need every list
-      val meta = IvfIndex.readMeta(out)
+      val meta = IvfIndex.readMeta(out, spark.sessionState.newHadoopConf())
       val listed = new java.io.File(s"$out/data").listFiles()
         .count(_.getName.startsWith("cluster="))
       assert(listed === meta.counts.count(_ > 0))

@@ -78,7 +78,7 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(p1 === pairs(oneShot))
     assert(p1.nonEmpty, "cross-split fixture should contain near-dups")
     // meta counts the union after the append
-    val meta = graft.util.Fs.readString(s"$incr/meta.json", graft.util.Fs.conf())
+    val meta = graft.util.Fs.readString(s"$incr/meta.json", spark.sessionState.newHadoopConf())
     assert(meta.contains(s""""n_docs":${a.count() + b.count()}"""))
   }
 
@@ -116,7 +116,7 @@ class MinHashIndexSpec extends AnyFunSuite {
     sigs.write.parquet(s"$idx/signatures")
     MinHashIndex.bands(sigs).write.parquet(s"$idx/bands")
     graft.util.Fs.writeStringAtomic(s"$idx/meta.json",
-      s"""{"scheme":"minhash-3gram-6x3","n_docs":2}""", graft.util.Fs.conf())
+      s"""{"scheme":"minhash-3gram-6x3","n_docs":2}""", spark.sessionState.newHadoopConf())
     val batchSigs = MinHashIndex.signatures(batch.toDF("doc_id", "text"))
     def got = MinHashIndex.probe(spark, idx, batchSigs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -127,6 +127,52 @@ class MinHashIndexSpec extends AnyFunSuite {
         MinHashIndex.signatures(base.toDF("doc_id", "text")))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again.contains((1L, 3L)))
+  }
+
+  test("rebucket migrates a legacy flat index; probes identical, plan bucketed") {
+    import spark.implicits._
+    val (base, batch, _) = fixture
+    // the same fabricated pre-bucketing layout as the flat-path test
+    val idx = tmp()
+    val sigs = MinHashIndex.signatures(base.toDF("doc_id", "text"))
+    sigs.write.parquet(s"$idx/signatures")
+    MinHashIndex.bands(sigs).write.parquet(s"$idx/bands")
+    graft.util.Fs.writeStringAtomic(s"$idx/meta.json",
+      s"""{"scheme":"minhash-3gram-6x3","n_docs":2}""",
+      spark.sessionState.newHadoopConf())
+    val batchSigs = MinHashIndex.signatures(batch.toDF("doc_id", "text"))
+    def got = MinHashIndex.probe(spark, idx, batchSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = got
+    MinHashIndex.rebucket(spark, idx, bandBuckets = 8)
+    // results are unchanged — rebucket rewrites layout, never rows
+    assert(got === before)
+    assert(before === Set((3L, 1L, 1000L), (4L, 1L, 894L)))
+    // and the probe now reads a BUCKETED bands scan (the shuffle-free
+    // probe shape the flat layout couldn't offer); AQE off for a
+    // walkable static plan, as in the shuffle-free pin below
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = MinHashIndex.probe(spark, idx, batchSigs)
+        .queryExecution.executedPlan
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("/bands")) => s
+      }
+      assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+        "post-rebucket bands scan must be bucketed")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    // append continues bucket-aligned on the migrated index
+    MinHashIndex.append(spark, batch.toDF("doc_id", "text"), idx)
+    assert(MinHashIndex.probe(spark, idx, sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((1L, 3L)))
+    // second migration has nothing to do and says so
+    val e = intercept[IllegalArgumentException] {
+      MinHashIndex.rebucket(spark, idx)
+    }
+    assert(e.getMessage.contains("already"))
   }
 
   test("probe's candidate join is shuffle-free on the bucketed index side") {
@@ -201,7 +247,7 @@ class MinHashIndexSpec extends AnyFunSuite {
     // same pairs, now served from the batch layout
     assert(got === before)
     assert(before === Set((3L, 1L, 1000L), (4L, 1L, 894L)))
-    val meta = graft.util.Fs.readString(s"$idx/meta.json", graft.util.Fs.conf())
+    val meta = graft.util.Fs.readString(s"$idx/meta.json", spark.sessionState.newHadoopConf())
     assert(meta.contains(""""bands_buckets":4"""))
     assert(!meta.contains("last_batch"))
     assert(meta.contains(""""n_docs":2"""))

@@ -9,11 +9,12 @@ class SessionFileSpec extends AnyFunSuite {
 
   private lazy val plan =
     PgDumpReader.schemaPass("src/test/resources/fixtures/sample.pgdump")._2
+  private val c = new org.apache.hadoop.conf.Configuration()
 
   test("session file round-trips the full conversion plan") {
     val p = java.nio.file.Files.createTempFile("graft", ".session.json")
-    SessionFile.write(plan, p.toString)
-    val back = SessionFile.read(p.toString)
+    SessionFile.write(plan, p.toString, c)
+    val back = SessionFile.read(p.toString, c)
     assert(back.tableOrder === plan.tableOrder)
     assert(back.toSpannerTable === plan.toSpannerTable)
     assert(back.toSpannerCols === plan.toSpannerCols)
