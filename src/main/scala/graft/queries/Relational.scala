@@ -905,6 +905,167 @@ object Relational {
           AND l_returnflag = 'R' AND c_nationkey = n_nationkey
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")),
+
+    // ---------------------------------------------------------------- q29
+    // Late-shipment priority split (TPC-H Q12 shape adapted to this
+    // schema — no l_shipmode/l_commitdate here, so "late" is shipped
+    // ≥ 365 days after the order date). Exercises the
+    // join-then-conditional-aggregation pattern: ONE pass over the
+    // joined rows produces both priority counters via sum(CASE), never
+    // two scans or a self-join; the date-gap predicate is a post-join
+    // filter by necessity (it spans both tables), but each scan still
+    // prunes to exactly the join keys + the two columns the predicate
+    // and aggregation need.
+    "q29_late_shipment_priority" -> QueryDef(
+      build = (spark, dir) => {
+        val li = table(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+        val ord = table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 365 DAYS"))
+          .groupBy("l_returnflag")
+          .agg(
+            sum(when(col("o_orderpriority") === "1-URGENT" ||
+              col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+              .as("high_line_count"),
+            sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+              col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+              .as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate + INTERVAL 365 DAY
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- q30
+    // Supplier diversity per part family (TPC-H Q16 shape; lineitem
+    // stands in for the absent partsupp as the part↔supplier bridge).
+    // Exercises NOT IN as a LEFT ANTI join (the blacklist is a
+    // subquery, not a literal list) composed with a distinct
+    // aggregation. Anti-join build side is the 6-row blacklist —
+    // broadcast by AQE; countDistinct shuffles (brand, bucket,
+    // suppkey) triples once, then counts — never a row explosion.
+    "q30_supplier_diversity" -> QueryDef(
+      build = (spark, dir) => {
+        val bridge = table(spark, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"))
+        val prt = table(spark, dir, "part")
+          .filter(col("p_brand") =!= "Brand#1" &&
+            col("p_size").between(10, 40))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        val blacklist = table(spark, dir, "supplier")
+          .filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))
+        bridge
+          .join(blacklist, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(prt, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"),
+            expr("CAST(p_size DIV 10 AS BIGINT)").as("size_bucket"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("size_bucket"))
+      },
+      oracle = Some("""
+        SELECT p_brand, CAST(p_size // 10 AS BIGINT) AS size_bucket,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size BETWEEN 10 AND 40
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, size_bucket
+        ORDER BY supplier_cnt DESC, p_brand, size_bucket""")),
+
+    // ---------------------------------------------------------------- q31
+    // Disjunctive-predicate revenue (TPC-H Q19 shape): three OR'd
+    // conjunctions that each span BOTH tables. The optimizer shape
+    // under test: Catalyst cannot push the disjunction itself to
+    // either scan, but it derives the per-table IMPLIED filters —
+    // p_brand IN (three brands) reaches the part scan and the
+    // quantity envelope reaches lineitem (PushedFilters on both) —
+    // so the join sees only candidate rows and the full predicate
+    // re-applies post-join. One exact minor-unit revenue row out.
+    "q31_disjunctive_revenue" -> QueryDef(
+      build = (spark, dir) => {
+        val li = table(spark, dir, "lineitem")
+          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"))
+        val prt = table(spark, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        li.join(prt, col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+              col("l_quantity").between(10, 35)) ||
+            (col("p_brand") === "Brand#4" && col("p_size").between(20, 50) &&
+              col("l_quantity").between(25, 50)))
+          .agg(sumMinor(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+            .as("revenue"))
+      },
+      oracle = Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+           OR (p_brand = 'Brand#4'  AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 25 AND 50)""")),
+
+    // ---------------------------------------------------------------- q32
+    // Suppliers who kept finished orders waiting (TPC-H Q21 shape,
+    // "late" as in q29): the SOLE late supplier in a multi-supplier
+    // order. Exercises the semi + anti SELF-join chain — the classic
+    // EXISTS / NOT EXISTS pair over the same fact table. Shape
+    // discipline: the late set collapses to DISTINCT (order, supplier)
+    // pairs FIRST (id-only, tiny), so the semi probe runs against
+    // distinct order/supplier pairs and the anti side is the late set
+    // itself — lineitem's wide rows never enter either join.
+    "q32_waiting_supplier" -> QueryDef(
+      build = (spark, dir) => {
+        val li = table(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val ord = table(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 365 DAYS"))
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        val pairs = li.select(col("l_orderkey").as("ok2"),
+          col("l_suppkey").as("sk2")).distinct()
+        val sole = late
+          .join(pairs, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+            "left_semi")
+          .join(late.select(col("ok").as("ok3"), col("sk").as("sk3")),
+            col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+        sole.join(table(spark, dir, "supplier"),
+            col("sk") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH late AS (
+          SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+            AND l_shipdate >= o_orderdate + INTERVAL 365 DAY),
+        sole AS (
+          SELECT * FROM late l1
+          WHERE EXISTS (SELECT 1 FROM lineitem l2
+                        WHERE l2.l_orderkey = l1.ok AND l2.l_suppkey <> l1.sk)
+            AND NOT EXISTS (SELECT 1 FROM late l3
+                            WHERE l3.ok = l1.ok AND l3.sk <> l1.sk))
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM sole JOIN supplier ON sk = s_suppkey
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
         LIMIT 20"""))
   )
 }

@@ -191,4 +191,49 @@ class PlanShapeSpec extends AnyFunSuite {
       s"column pruning failed: $rs")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q30 NOT IN blacklist compiles to one anti join, no dedup") {
+    val df = Relational.defs("q30_supplier_diversity").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    // countDistinct rewrites to a two-level aggregate, never a
+    // Deduplicate/exploded pair set; and nothing goes cartesian
+    assert(!plan.contains("Deduplicate") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
+  test("q31 disjunction: implied filters reach BOTH scans") {
+    val df = Relational.defs("q31_disjunctive_revenue").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // Catalyst cannot push the OR itself, but it must derive and push
+    // the per-table envelopes: the three-brand IN-set to part, the
+    // quantity bounds to lineitem — PushedFilters on each scan. If
+    // either scan line loses its pushed predicate, the join processes
+    // the full fact table at 100x.
+    val scan = (t: String) => plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains(s"$t.parquet"))
+      .toSeq
+    val part = scan("part"); val li = scan("lineitem")
+    assert(part.size === 1 && li.size === 1, plan)
+    assert(part.head.contains("PushedFilters") && part.head.contains("p_brand"),
+      s"brand envelope not pushed to part scan: ${part.head}")
+    assert(li.head.contains("PushedFilters") && li.head.contains("l_quantity"),
+      s"quantity envelope not pushed to lineitem scan: ${li.head}")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q32 exists/not-exists chain stays semi + anti over id-only pairs") {
+    val df = Relational.defs("q32_waiting_supplier").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the self-join operands are the collapsed (orderkey, suppkey)
+    // pairs: no join may carry lineitem's measure columns
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    joinLines.foreach { l =>
+      assert(!l.contains("l_extendedprice") && !l.contains("l_quantity"),
+        s"wide lineitem columns entered a join: $l")
+    }
+  }
 }
