@@ -266,21 +266,82 @@ object IvfIndex {
     Fs.deleteTree(old, conf)
     Fs.deleteTree(staged, conf)
     val meta = readMeta(indexDir, conf)
-    spark.read.parquet(data)
+    val all = spark.read.parquet(data)
       .select("vec_id", "embedding", "cluster") // drops streaming batch_id
-      .repartition(meta.k, col("cluster"))
+    // compaction FOLDS tombstones: deleted rows leave the data files
+    // for good and the exact per-cluster counts are recomputed from
+    // what survives. radius/maxNorm stay as stored — bounds of a
+    // superset cover the subset, so searchExact's proof is unaffected.
+    val kept = tombstoneFrame(spark, indexDir) match {
+      case Some(t) => all.join(broadcast(t.select("vec_id")),
+        Seq("vec_id"), "left_anti")
+      case None => all
+    }
+    kept.repartition(meta.k, col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(staged)
+    val newCounts = new Array[Long](meta.k)
+    spark.read.parquet(staged)
+      .groupBy("cluster").agg(count(lit(1)).as("n")).collect()
+      .foreach(r => newCounts(r.getInt(0)) = r.getLong(1))
     Fs.rename(data, old, conf)
     Fs.rename(staged, data, conf)
     Fs.deleteTree(old, conf)
-    // compacting a STREAMING index also FINALIZES it into the batch
+    // commit order matters for exactness under a crash: publish the
+    // REDUCED counts while the tombstones still exist (a crash between
+    // the two steps double-subtracts — clamped at 0, only loosens
+    // pruning, still exact), then clear the tombstones; the reverse
+    // order would leave OVERSTATED counts with no tombstones to
+    // subtract, overstating the prune threshold — silently inexact.
+    // Compacting a STREAMING index also FINALIZES it into the batch
     // layout (per-batch commit dirs are gone, so the batch-id fence is
     // meaningless): drop last_batch so appendBatch rejects a resumed
-    // stream loudly and append/search continue on the batch API —
-    // MinHashIndex.compactStreaming's handoff, same rationale
-    if (meta.lastBatch.isDefined)
-      writeMeta(indexDir, meta.copy(lastBatch = None), conf)
+    // stream loudly — MinHashIndex.compactStreaming's handoff.
+    writeMeta(indexDir, meta.copy(counts = newCounts, lastBatch = None), conf)
+    Fs.deleteTree(s"$indexDir/tombstones", conf)
   }
+
+  /** O(deletions) takedown: record `ids` (a vec_id frame) as TOMBSTONES
+    * beside the data — the GDPR/retraction path. Deleted vectors stop
+    * appearing as probes or candidates immediately (every search
+    * subtracts their stored cluster assignment from the pruning counts
+    * exactly, so [[searchExact]] remains a proof over the reduced
+    * corpus) and leave the files at the next [[compact]]. Ids not in
+    * the index are ignored; re-deleting is idempotent (tombstones
+    * dedup at read). Note: a deleted id re-ingested through
+    * [[appendBatch]] stays hidden until a compact clears the
+    * tombstone — delete is corpus-wide retraction, not row versioning. */
+  def delete(spark: SparkSession, indexDir: String, ids: DataFrame): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    readMeta(indexDir, conf) // validates the index exists before writing
+    spark.read.parquet(s"$indexDir/data")
+      .join(broadcast(ids.select(col("vec_id"))), Seq("vec_id"))
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+      .distinct()
+      .coalesce(1) // takedown batches are bounded; one file per delete
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+  }
+
+  /** The live tombstone set: distinct (vec_id, cluster), or None when
+    * nothing was ever deleted (the common case pays one existence
+    * check, no scan). */
+  private def tombstoneFrame(spark: SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val c = spark.sessionState.newHadoopConf()
+    if (Fs.exists(s"$indexDir/tombstones", c))
+      Some(spark.read.parquet(s"$indexDir/tombstones")
+        .select(col("vec_id"), col("cluster")).distinct())
+    else None
+  }
+
+  /** Drop tombstoned probes from an index-derived probe frame (external
+    * probe frames are never filtered — they are the caller's). */
+  private def dropTombstonedProbes(spark: SparkSession, indexDir: String,
+      probes: DataFrame): DataFrame =
+    tombstoneFrame(spark, indexDir) match {
+      case Some(t) => probes.join(broadcast(t.select("vec_id")),
+        Seq("vec_id"), "left_anti")
+      case None => probes
+    }
 
   /** The assigned cluster's centroid as a per-row array column:
     * element_at over a literal array-of-arrays indexed by `label`. */
@@ -312,7 +373,9 @@ object IvfIndex {
   def searchApprox(spark: SparkSession, indexDir: String, probePred: Column,
       topK: Int = 10, nprobe: Int = 4): DataFrame = {
     val data = spark.read.parquet(s"$indexDir/data")
-    approxCore(spark, indexDir, data.filter(probePred), topK, nprobe, None)
+    approxCore(spark, indexDir,
+      dropTombstonedProbes(spark, indexDir, data.filter(probePred)), topK,
+      nprobe, None)
   }
 
   /** Fixed-nprobe APPROXIMATE search for an EXTERNAL probe frame — the
@@ -346,7 +409,14 @@ object IvfIndex {
       .filter(col("cluster").isin(needed.map(Integer.valueOf).toIndexedSeq: _*))
       .select(col("vec_id").as("cand_id"), expr(IvfAnn.quant).as("qv"),
         col("cluster"))
-    val corpus = excludeCands match {
+    // approx has no counts math, so tombstones only need the
+    // candidate-side exclusion here
+    val excludeIds = (tombstoneFrame(spark, indexDir).map(_.select(col("vec_id"))),
+        excludeCands.map(_.select(col("vec_id")))) match {
+      case (Some(a), Some(b)) => Some(a.union(b))
+      case (a, b) => a.orElse(b)
+    }
+    val corpus = excludeIds match {
       case None => corpusAll
       case Some(ex) => corpusAll.join(
         broadcast(ex.select(col("vec_id").as("cand_id"))),
@@ -376,7 +446,8 @@ object IvfIndex {
   def searchExact(spark: SparkSession, indexDir: String, probePred: Column,
       topK: Int = 10): DataFrame = {
     val data = spark.read.parquet(s"$indexDir/data")
-    searchCore(spark, indexDir, data.filter(probePred), topK, None)
+    searchCore(spark, indexDir,
+      dropTombstonedProbes(spark, indexDir, data.filter(probePred)), topK, None)
   }
 
   /** EXACT top-k search for an EXTERNAL probe frame (vec_id,
@@ -401,13 +472,30 @@ object IvfIndex {
       excludeCands: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val meta = readMeta(indexDir, spark.sessionState.newHadoopConf())
-    val counts = excludeCands match {
+    val tomb = tombstoneFrame(spark, indexDir)
+    val countsT = tomb match {
       case None => meta.counts
+      case Some(t) =>
+        // tombstones carry their cluster, so the subtraction needs no
+        // assignment pass; clamped at 0 like every exclusion — an
+        // understated count only loosens the prune threshold.
+        val c = meta.counts.clone()
+        t.groupBy("cluster").agg(count(lit(1)).as("n")).collect()
+          .foreach { r =>
+            val j = r.getInt(0)
+            c(j) = math.max(0L, c(j) - r.getLong(1))
+          }
+        c
+    }
+    val counts = excludeCands match {
+      case None => countsT
       case Some(ex) =>
         // exact per-cluster subtraction: assignment to the frozen
         // centroids is deterministic, so the excluded rows' clusters
         // are known without touching the index. O(k) driver rows.
-        val c = meta.counts.clone()
+        // (An id both tombstoned and excluded subtracts twice — the
+        // clamp keeps that conservative, never inexact.)
+        val c = countsT.clone()
         IvfAnn.assign(ex, meta.centroids)
           .groupBy("label").agg(count(lit(1)).as("n")).collect()
           .foreach { r =>
@@ -434,7 +522,12 @@ object IvfIndex {
       .filter(col("cluster").isin(needed.map(Integer.valueOf).toIndexedSeq: _*))
       .select(col("vec_id").as("cand_id"), expr(IvfAnn.quant).as("qv"),
         col("cluster"))
-    val corpus = excludeCands match {
+    val excludeIds = (tomb.map(_.select(col("vec_id"))),
+        excludeCands.map(_.select(col("vec_id")))) match {
+      case (Some(a), Some(b)) => Some(a.union(b))
+      case (a, b) => a.orElse(b)
+    }
+    val corpus = excludeIds match {
       case None => corpusAll
       case Some(ex) => corpusAll.join(
         broadcast(ex.select(col("vec_id").as("cand_id"))),

@@ -264,12 +264,79 @@ object MinHashIndex {
     require(meta.contains("last_batch"),
       s"$indexDir is not a streaming-layout index; only appendBatch " +
         "indexes need compaction to the bucketed batch layout")
+    val tomb = tombstoneFrame(spark, indexDir)
     swapIn(indexDir, "signatures", c) { staged =>
-      spark.read.parquet(s"$indexDir/signatures").select("doc_id", "sh")
-        .write.mode("overwrite").parquet(staged)
+      val all = spark.read.parquet(s"$indexDir/signatures")
+        .select("doc_id", "sh")
+      val kept = tomb match {
+        case Some(t) => all.join(broadcast(t), Seq("doc_id"), "left_anti")
+        case None => all
+      }
+      kept.write.mode("overwrite").parquet(staged)
     }
-    rewriteBandsBucketed(spark, indexDir, bandBuckets, c)
+    rewriteBandsBucketed(spark, indexDir, bandBuckets, c, tomb)
     writeMeta(spark, indexDir, bandBuckets, c) // commits the batch layout
+    graft.util.Fs.deleteTree(s"$indexDir/tombstones", c)
+  }
+
+  /** O(deletions) takedown — the GDPR/retraction path: record `ids`
+    * (a doc_id frame) as TOMBSTONES beside the index. Deleted documents
+    * stop appearing on the INDEX side of every [[probe]] immediately
+    * (the candidate set anti-joins the tombstones — a per-probe cost of
+    * one broadcast of the bounded takedown set) and leave the
+    * signature/band files for good at the next [[compact]]. Unknown ids
+    * are harmless; re-deleting is idempotent (the tombstone set dedups
+    * at read). Works on every layout — streaming indexes fold their
+    * tombstones at [[compactStreaming]] time via [[compact]]'s shared
+    * rewrite. */
+  def delete(spark: SparkSession, indexDir: String, ids: DataFrame): Unit = {
+    val c = spark.sessionState.newHadoopConf()
+    require(graft.util.Fs.exists(s"$indexDir/meta.json", c),
+      s"$indexDir is not a complete index (no meta.json)")
+    ids.select(col("doc_id")).distinct()
+      .coalesce(1) // takedown batches are bounded; one file per delete
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+  }
+
+  /** The live tombstone set, or None when nothing was ever deleted
+    * (the common case pays one existence check, no scan). */
+  private def tombstoneFrame(spark: SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val c = spark.sessionState.newHadoopConf()
+    if (graft.util.Fs.exists(s"$indexDir/tombstones", c))
+      Some(spark.read.parquet(s"$indexDir/tombstones")
+        .select("doc_id").distinct())
+    else None
+  }
+
+  /** Batch-layout maintenance: rewrite `signatures/` and `bands/` minus
+    * the tombstones ([[compactStreaming]]'s staged-swap discipline),
+    * collapsing the small files a run of [[append]]s accumulates and
+    * folding deletions into the data for good. meta's n_docs recounts
+    * from the rewritten signatures; the tombstones clear LAST, so a
+    * crash anywhere leaves probes exact (a surviving tombstone over
+    * already-rewritten data anti-joins nothing). Legacy flat indexes
+    * come out bucketed — compact subsumes [[rebucket]] when a rewrite
+    * is due anyway. */
+  def compact(spark: SparkSession, indexDir: String,
+      bandBuckets: Int = 32): Unit = {
+    val c = spark.sessionState.newHadoopConf()
+    val meta = graft.util.Fs.readString(s"$indexDir/meta.json", c)
+    require(!meta.contains("last_batch"),
+      s"$indexDir is a streaming-layout index; use compactStreaming")
+    val tomb = tombstoneFrame(spark, indexDir)
+    swapIn(indexDir, "signatures", c) { staged =>
+      val all = spark.read.parquet(s"$indexDir/signatures")
+        .select("doc_id", "sh")
+      val kept = tomb match {
+        case Some(t) => all.join(broadcast(t), Seq("doc_id"), "left_anti")
+        case None => all
+      }
+      kept.write.mode("overwrite").parquet(staged)
+    }
+    rewriteBandsBucketed(spark, indexDir, bandBuckets, c, tomb)
+    writeMeta(spark, indexDir, bandBuckets, c) // n_docs recounts, pre-clear
+    graft.util.Fs.deleteTree(s"$indexDir/tombstones", c)
   }
 
   /** One-shot migration of a legacy pre-bucketing index (flat `bands/`,
@@ -297,16 +364,32 @@ object MinHashIndex {
     * [[compactStreaming]] and [[rebucket]]). Tolerates a streaming
     * layout's extra batch_id column and collapses its subdirs. */
   private def rewriteBandsBucketed(spark: SparkSession, indexDir: String,
-      bandBuckets: Int, c: org.apache.hadoop.conf.Configuration): Unit = {
+      bandBuckets: Int, c: org.apache.hadoop.conf.Configuration,
+      minus: Option[DataFrame] = None): Unit = {
     val stgTbl = bandsTable(indexDir) + "_stg"
     swapIn(indexDir, "bands", c) { staged =>
       spark.sql(s"DROP TABLE IF EXISTS $stgTbl")
-      spark.read.parquet(s"$indexDir/bands").select("doc_id", "bi", "bh")
-        .write.mode("overwrite").format("parquet")
+      val all = spark.read.parquet(s"$indexDir/bands")
+        .select("doc_id", "bi", "bh")
+      val kept = minus match {
+        case Some(t) => all.join(broadcast(t.select("doc_id")),
+          Seq("doc_id"), "left_anti")
+        case None => all
+      }
+      kept.write.mode("overwrite").format("parquet")
         .bucketBy(bandBuckets, "bi", "bh").sortBy("bi", "bh")
         .option("path", staged).saveAsTable(stgTbl)
     }
     spark.sql(s"DROP TABLE IF EXISTS $stgTbl") // its location was renamed away
+    // the swap replaced every file under bands/ — a live catalog entry
+    // for this index still caches the OLD listing and would fail the
+    // next probe with FILE_NOT_EXIST; drop its cached state (other
+    // processes re-register from disk and never saw this session's
+    // listing)
+    val live = bandsTable(indexDir)
+    if (spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(live)))
+      spark.catalog.refreshTable(live)
   }
 
   /** Write a staged replacement for `indexDir/name`, then swap it in
@@ -361,7 +444,7 @@ object MinHashIndex {
       }
     val idxSigs = spark.read.parquet(s"$indexDir/signatures")
       .select("doc_id", "sh")
-    val cand = bands(batchSigs)
+    val cand0 = bands(batchSigs)
       .select(col("doc_id").as("batch_id"), col("bi"), col("bh"))
       .join(idxBands.select(col("doc_id").as("base_id"),
         col("bi").as("bi2"), col("bh").as("bh2")),
@@ -369,6 +452,14 @@ object MinHashIndex {
           col("batch_id") =!= col("base_id"))
       .select("batch_id", "base_id")
       .distinct()
+    // tombstoned documents are retracted from the INDEX side at probe
+    // time (one broadcast anti-join over the already-small candidate
+    // set); compact() folds them out of the files for good
+    val cand = tombstoneFrame(spark, indexDir) match {
+      case Some(t) => cand0.join(broadcast(t.select(col("doc_id")
+        .as("base_id"))), Seq("base_id"), "left_anti")
+      case None => cand0
+    }
     cand
       .join(idxSigs.select(col("doc_id").as("base_id"), col("sh").as("sh_a")), "base_id")
       .join(batchSigs.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")), "batch_id")

@@ -91,16 +91,6 @@ object Similarity {
   private[graft] def minhashBands(spark: SparkSession, dir: String): DataFrame =
     graft.operators.MinHashIndex.bands(shingled(spark, dir))
 
-  /** Build (once per process per sf dir) the persisted IVF index used
-    * by the prebuilt-index entries (e13b/e14) — p03's generate-once
-    * pattern: e13 pays the build every pass by design (the honest
-    * end-to-end), these entries measure what the layout amortizes to.
-    * The index lives in a PROCESS-OWNED temp directory (removed on JVM
-    * exit) so other processes can never serve or collide with it, and
-    * the cache key carries the source table's file stamp so a
-    * regeneration WITHIN this JVM rebuilds instead of serving stale —
-    * e14 is rows-only, so staleness would be silently wrong, not
-    * oracle-red. */
   /** Cheap freshness token for a bench source table: name+size+mtime of
     * its parquet file(s). The process-lifetime caches below key on it,
     * so a WITHIN-JVM regeneration of the table rebuilds the index
@@ -115,6 +105,16 @@ object Similarity {
     else one(f)
   }
 
+  /** Build (once per process per sf dir) the persisted IVF index used
+    * by the prebuilt-index entries (e13b/e14/e17) — p03's generate-once
+    * pattern: e13 pays the build every pass by design (the honest
+    * end-to-end), these entries measure what the layout amortizes to.
+    * The index lives in a PROCESS-OWNED temp directory (removed on JVM
+    * exit) so other processes can never serve or collide with it, and
+    * the cache key carries the source table's file stamp so a
+    * regeneration WITHIN this JVM rebuilds instead of serving stale —
+    * e14 is rows-only, so staleness would be silently wrong, not
+    * oracle-red. */
   private val benchIndexDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private def benchIndex(spark: SparkSession, dir: String): String = {
@@ -525,6 +525,74 @@ object Similarity {
       },
       oracle = Some(m04Oracle),
       headline = true),
+
+    // ---------------------------------------------------------------- m06
+    // Takedown path, text side: retract base docs (doc_id % 25 == 17 —
+    // a subset of the base split, chosen to INTERSECT the m04 pair set
+    // so the retraction is verified non-vacuously: 2 of the 14 sf0.01
+    // pairs vanish) from a COPY of the prebuilt index
+    // via tombstones, then probe. The oracle is m04's direct
+    // computation with the retracted docs excluded from the base side
+    // — a green hash proves the tombstone anti-join retracts exactly
+    // (not one pair more or fewer). Not headline: delete cost is
+    // O(takedown batch), the probe cost is m04b's.
+    "m06_neardup_post_delete" -> QueryDef(
+      build = (spark, dir) => {
+        val streamed = benchMhIndex(spark, dir)
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft_mhdelete_bench_").toString
+        QueryDef.deferCleanup(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(scratch))
+        })
+        val idx = s"$scratch/idx"
+        copyTree(streamed, idx)
+        val docs = QueryDef.spread(spark, dir, "documents")
+        graft.operators.MinHashIndex.delete(spark, idx,
+          docs.filter(col("doc_id") % 25 === 17).select("doc_id"))
+        val batchSigs = graft.operators.MinHashIndex
+          .signatures(docs.filter(col("doc_id") % 5 === 0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        QueryDef.deferCleanup(() => { batchSigs.unpersist(blocking = true); () })
+        graft.operators.MinHashIndex.probe(spark, idx, batchSigs)
+          .orderBy("batch_id", "base_id")
+      },
+      oracle = Some(m04Oracle.replace(
+        "a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0",
+        "a.doc_id % 5 <> 0 AND a.doc_id % 25 <> 17 AND b.doc_id % 5 = 0"))),
+
+    // ---------------------------------------------------------------- e17
+    // Takedown path, vector side: tombstone vec_id % 7 == 3 in a copy
+    // of the prebuilt IVF index, then exact-search. Deleted vectors
+    // vanish as probes AND candidates, and the pruning counts are
+    // subtracted from the tombstones' stored clusters — the oracle is
+    // the brute force over the surviving corpus, so a green hash
+    // proves the reduced-index search is still exact (the bound held
+    // with the adjusted counts).
+    "e17_knn_post_delete" -> QueryDef(
+      build = (spark, dir) => {
+        val base = benchIndex(spark, dir)
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft_ivfdelete_bench_").toString
+        QueryDef.deferCleanup(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(scratch))
+        })
+        val idx = s"$scratch/idx"
+        copyTree(base, idx)
+        val emb = QueryDef.spread(spark, dir, "embeddings")
+        graft.operators.IvfIndex.delete(spark, idx,
+          emb.filter(col("vec_id") % 7 === 3).select("vec_id"))
+        graft.operators.IvfIndex.searchExact(spark, idx, col("vec_id") < 8)
+      },
+      oracle = Some(knnOracle
+        .replace("WHERE vec_id < 8", "WHERE vec_id < 8 AND vec_id % 7 <> 3")
+        .replace("ON p.query_id <> c.vec_id",
+          "ON p.query_id <> c.vec_id AND c.vec_id % 7 <> 3"))),
 
     // ---------------------------------------------------------------- c03
     // Benchmark-contamination check: which training docs share any word

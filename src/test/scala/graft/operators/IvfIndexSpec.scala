@@ -185,6 +185,62 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally { rm(out); rm(oddSrc) }
   }
 
+  /** Brute-force quantized-dot top-k over an embedding frame — the
+    * delete tests' independent reference (e01's shape, no index). */
+  private def brute(emb: org.apache.spark.sql.DataFrame,
+      topK: Int = 10): Seq[Seq[Any]] = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.select(col("vec_id"), expr(IvfAnn.quant).as("qv"))
+    val probes = q.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("qv").as("pq"))
+    val dots = q.join(broadcast(probes), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        IvfAnn.qdot("pq", "qv").as("dot"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("cand_id"))
+    dots.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= topK).orderBy("query_id", "rnk")
+      .collect().toSeq.map(_.toSeq)
+  }
+
+  test("delete retracts vectors exactly; compact folds the tombstones") {
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir()
+    try {
+      import spark.implicits._
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      IvfIndex.write(spark, dir, out)
+      val hc = spark.sessionState.newHadoopConf()
+      val countsBefore = IvfIndex.readMeta(out, hc).counts.sum
+      // delete every 7th vector (includes probe id 3 — deleted probes
+      // stop being queries too) + an unknown id (must be a no-op)
+      val doomed = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+      IvfIndex.delete(spark, out, doomed)
+      IvfIndex.delete(spark, out, Seq(99999999L).toDF("vec_id"))
+      IvfIndex.delete(spark, out, doomed) // re-delete: idempotent
+      val expected = brute(emb.filter(col("vec_id") % 7 =!= 3))
+      val got = IvfIndex.searchExact(spark, out, col("vec_id") < 8)
+        .collect().toSeq.map(_.toSeq)
+      assert(got === expected, "post-delete exact search != brute force " +
+        "over the surviving corpus")
+      // approx at nprobe=k is exhaustive — must agree post-delete too
+      val k = IvfIndex.readMeta(out, hc).k
+      val approx = IvfIndex.searchApprox(spark, out, col("vec_id") < 8,
+        nprobe = k).collect().toSeq.map(_.toSeq)
+      assert(approx === expected)
+      // counts are untouched until compact (search subtracts on the fly)
+      assert(IvfIndex.readMeta(out, hc).counts.sum === countsBefore)
+      IvfIndex.compact(spark, out)
+      assert(!new java.io.File(s"$out/tombstones").exists(),
+        "compact must clear the folded tombstones")
+      val deleted = doomed.count()
+      assert(IvfIndex.readMeta(out, hc).counts.sum === countsBefore - deleted,
+        "compact must republish exact reduced counts")
+      val after = IvfIndex.searchExact(spark, out, col("vec_id") < 8)
+        .collect().toSeq.map(_.toSeq)
+      assert(after === expected, "compaction changed the search result")
+    } finally rm(out)
+  }
+
   test("corpus scan is partition-pruned; clustered corpora prune strictly") {
     // seeded clustered fixture: 4 tight blobs far apart — the adaptive
     // bound needs only the probe's own blob (plus ties), so the needed

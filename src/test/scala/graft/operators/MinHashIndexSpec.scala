@@ -129,6 +129,38 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(again.contains((1L, 3L)))
   }
 
+  test("delete retracts base docs from probes; compact folds tombstones") {
+    import spark.implicits._
+    val (base, batch, _) = fixture
+    val idx = tmp()
+    MinHashIndex.write(spark, base.toDF("doc_id", "text"), idx)
+    val batchSigs = MinHashIndex.signatures(batch.toDF("doc_id", "text"))
+    def got = MinHashIndex.probe(spark, idx, batchSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((3L, 1L, 1000L), (4L, 1L, 894L)))
+    // unknown id: no-op; then retract base doc 1 — both its pairs go
+    MinHashIndex.delete(spark, idx, Seq(777L).toDF("doc_id"))
+    assert(got === Set((3L, 1L, 1000L), (4L, 1L, 894L)))
+    MinHashIndex.delete(spark, idx, Seq(1L).toDF("doc_id"))
+    MinHashIndex.delete(spark, idx, Seq(1L).toDF("doc_id")) // idempotent
+    assert(got === Set.empty, "tombstoned base doc still probed")
+    // compact folds the deletion into the files and stays bucketed
+    MinHashIndex.compact(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones").exists())
+    assert(got === Set.empty)
+    val meta = graft.util.Fs.readString(s"$idx/meta.json",
+      spark.sessionState.newHadoopConf())
+    assert(meta.contains(""""n_docs":1"""), meta)
+    // the index keeps working: append the batch, re-probe the base side
+    MinHashIndex.append(spark, batch.toDF("doc_id", "text"), idx)
+    val again = MinHashIndex.probe(spark, idx,
+        MinHashIndex.signatures(base.toDF("doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 1 was deleted from the INDEX, but as an external probe it
+    // still finds its surviving copy d3
+    assert(again.contains((1L, 3L)))
+  }
+
   test("rebucket migrates a legacy flat index; probes identical, plan bucketed") {
     import spark.implicits._
     val (base, batch, _) = fixture
