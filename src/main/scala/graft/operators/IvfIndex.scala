@@ -300,6 +300,59 @@ object IvfIndex {
     Fs.deleteTree(s"$indexDir/tombstones", conf)
   }
 
+  /** Re-cluster the CURRENT corpus — the answer to [[append]]'s
+    * documented centroid drift. Append froze the assignment function,
+    * so a shifted distribution degrades PRUNING (inflated radii,
+    * lopsided lists) while staying exact; retrain restores it: read
+    * the vectors (minus tombstones, folded here like [[compact]]),
+    * train fresh deterministic-Lloyd centroids, reassign, rewrite
+    * cluster-partitioned, and republish radius/counts/maxNorm computed
+    * exactly over the new clustering. Streaming layouts finalize into
+    * the batch layout (compact's handoff).
+    *
+    * Concurrency/crash contract — STRICTER than compact's, because the
+    * cluster ids change meaning: searches must not run during the
+    * swap-to-meta window, and a retrain that crashes mid-swap must be
+    * re-run (or compact + recover per its message) BEFORE searching.
+    * Re-running always converges: retrain consumes only (vec_id,
+    * embedding), which every intermediate state preserves as a set.
+    * Exactness after a COMPLETED retrain needs no new proof — the
+    * bound never depended on which cluster a vector sits in, only on
+    * the published stats matching the published assignment, which they
+    * do by construction here. */
+  def retrain(spark: SparkSession, indexDir: String, k: Int = 16,
+      iters: Int = 2): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val data = s"$indexDir/data"
+    val old = s"$indexDir/data_old"
+    val staged = s"$indexDir/data_compacting"
+    if (!Fs.exists(data, conf) && Fs.exists(old, conf))
+      throw new IllegalStateException(
+        s"$indexDir: interrupted compact/retrain — recover with: " +
+          s"rename $old -> $data")
+    Fs.deleteTree(old, conf)
+    Fs.deleteTree(staged, conf)
+    val all = spark.read.parquet(data).select("vec_id", "embedding")
+    val kept = tombstoneFrame(spark, indexDir) match {
+      case Some(t) => all.join(broadcast(t.select("vec_id")),
+        Seq("vec_id"), "left_anti")
+      case None => all
+    }
+    val cents = IvfAnn.trainCentroids(kept, k, iters)
+    val stats = IvfAnn.clusterStats(kept, cents)
+    IvfAnn.assign(kept, cents)
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("int").as("cluster"))
+      .repartition(k, col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(staged)
+    Fs.rename(data, old, conf)
+    Fs.rename(staged, data, conf)
+    Fs.deleteTree(old, conf)
+    writeMeta(indexDir, Meta(k, cents.head.length, stats.maxNorm, cents,
+      stats.radius, stats.count), conf)
+    Fs.deleteTree(s"$indexDir/tombstones", conf)
+  }
+
   /** O(deletions) takedown: record `ids` (a vec_id frame) as TOMBSTONES
     * beside the data — the GDPR/retraction path. Deleted vectors stop
     * appearing as probes or candidates immediately (every search

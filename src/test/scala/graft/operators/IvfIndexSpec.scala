@@ -241,6 +241,43 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally rm(out)
   }
 
+  test("retrain re-clusters the drifted corpus; search stays exact") {
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir()
+    val evenSrc = tmpDir()
+    val oddSrc = tmpDir()
+    try {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      emb.filter(col("vec_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$evenSrc/embeddings.parquet")
+      emb.filter(col("vec_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$oddSrc/embeddings.parquet")
+      // drift: centroids trained on the evens only, odds appended under
+      // the frozen assignment; plus a pending takedown to fold
+      IvfIndex.write(spark, evenSrc, out)
+      IvfIndex.append(spark, oddSrc, out)
+      IvfIndex.delete(spark, out,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"))
+      IvfIndex.retrain(spark, out)
+      val hc = spark.sessionState.newHadoopConf()
+      assert(!new java.io.File(s"$out/tombstones").exists(),
+        "retrain must fold pending tombstones")
+      val meta = IvfIndex.readMeta(out, hc)
+      val kept = emb.filter(col("vec_id") % 7 =!= 3)
+      assert(meta.counts.sum === kept.count(),
+        "published counts must total the surviving corpus")
+      assert(meta.lastBatch.isEmpty)
+      // the retrained stats + assignment keep exact search exact
+      val expected = brute(kept)
+      val got = IvfIndex.searchExact(spark, out, col("vec_id") < 8)
+        .collect().toSeq.map(_.toSeq)
+      assert(got === expected)
+      // and the leftovers of the staged swap are gone
+      assert(!new java.io.File(s"$out/data_old").exists())
+      assert(!new java.io.File(s"$out/data_compacting").exists())
+    } finally { rm(out); rm(evenSrc); rm(oddSrc) }
+  }
+
   test("corpus scan is partition-pruned; clustered corpora prune strictly") {
     // seeded clustered fixture: 4 tight blobs far apart — the adaptive
     // bound needs only the probe's own blob (plus ties), so the needed
