@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.Curate <sfDir> <outDir> [minTokens] [--rep=N]
   *        runMain graft.Curate <batchDir> <outDir> <minTokens> <baseDir> [--rep=N]
+  *        runMain graft.Curate --takedown=<ids> <baseDir> <outDir>
   *
   * `--rep=N` (position-independent) switches on the d18-backed
   * repetition gate at N permille (Config.maxRep2gramPermille).
@@ -215,6 +216,91 @@ object Curate {
     curate(spark, loadDocs(spark, batchDir),
       baseIndex = Some(spark.read.parquet(s"$baseDir/index.parquet")),
       outDir, cfg)
+  }
+
+  /** Right-to-be-forgotten over a COMPLETED curation: rewrite baseDir's
+    * artifacts into outDir with `ids` retracted. The verdict flips to
+    * `taken_down`, the docs leave `curated.parquet` and the packing
+    * (sequences are re-derived from the survivors — packed text must
+    * not retain the content), and the split bookkeeping drops them —
+    * but their `index.parquet` rows stay as NULL-split suppressors
+    * (digest + simhash only, one-way hashes: no content is retained),
+    * so a future incremental batch redelivering the same content can
+    * NEVER re-admit it. Ids that are unknown or were already dropped
+    * are no-ops (the suppressors they already had remain). O(corpus)
+    * rewrite of the curated/packing artifacts, O(index) for the index —
+    * all doc-parallel, the takedown set rides as one broadcast.
+    *
+    * Pack length and shard count are read back from baseDir's
+    * `summary.json`, so the surviving sequences use the dials of the
+    * original run without re-specifying them. */
+  def runTakedown(spark: SparkSession, baseDir: String, outDir: String,
+      ids: DataFrame): Result = {
+    val hc = spark.sessionState.newHadoopConf()
+    graft.util.Fs.mkdirs(outDir, hc)
+    require(graft.util.Fs.canonical(baseDir, hc) !=
+      graft.util.Fs.canonical(outDir, hc),
+      "takedown outDir must differ from baseDir: the rewrite reads " +
+        "baseDir's artifacts lazily")
+    val summary = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.util.Fs.readString(s"$baseDir/summary.json", hc))
+    val packLen = summary.path("pack_len").asInt(512)
+    val packShards = summary.path("pack_shards").asInt(16)
+
+    val takedown = ids.select(col("doc_id")).distinct()
+      .withColumn("td", lit(1))
+    val verdicts = spark.read.parquet(s"$baseDir/verdicts.parquet")
+      .join(broadcast(takedown), Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("td") === 1, lit("taken_down")).otherwise(col("verdict")))
+      .withColumn("split",
+        when(col("td") === 1, lit(null).cast("string")).otherwise(col("split")))
+      .select("doc_id", "verdict", "split")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts.parquet")
+      val kept = spark.read.parquet(s"$baseDir/curated.parquet")
+        .join(broadcast(takedown.select("doc_id")), Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        kept.select("doc_id", "text", "lang", "source", "split")
+          .write.mode("overwrite").partitionBy("split")
+          .parquet(s"$outDir/curated.parquet")
+        // index: retracted rows keep digest+fp but lose their split —
+        // exactly the dropped-doc posture, including the one-exemplar
+        // compaction per distinct (digest, fp)
+        val flipped = spark.read.parquet(s"$baseDir/index.parquet")
+          .join(broadcast(takedown), Seq("doc_id"), "left")
+          .withColumn("split",
+            when(col("td") === 1, lit(null).cast("string"))
+              .otherwise(col("split")))
+          .select("doc_id", "digest", "fp", "split")
+        flipped.filter(col("split").isNotNull)
+          .unionByName(flipped.filter(col("split").isNull)
+            .groupBy("digest", "fp").agg(min("doc_id").as("doc_id"))
+            .select(col("doc_id"), col("digest"), col("fp"),
+              lit(null).cast("string").as("split")))
+          .write.mode("overwrite").parquet(s"$outDir/index.parquet")
+        writePacking(kept.withColumn("n_tok", expr(s"size($toks)")),
+          s"$outDir/packing.parquet", packLen, packShards)
+        val counts = verdicts.groupBy("verdict").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val splits = kept.groupBy("split").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        def obj(m: Map[String, Long]) =
+          m.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }
+            .mkString("{", ",", "}")
+        graft.util.Fs.writeStringAtomic(s"$outDir/summary.json",
+          s"""{"verdicts":${obj(counts)},"splits":${obj(splits)},""" +
+            s""""min_tokens":${summary.path("min_tokens").asInt(5)},""" +
+            s""""pack_len":$packLen,"pack_shards":$packShards}\n""", hc)
+        // governance card over what SURVIVES — the numbers shipped with
+        // the post-takedown artifacts
+        graft.util.Fs.writeStringAtomic(s"$outDir/card.json",
+          obj(graft.report.DataCard.metricsOf(kept)) + "\n", hc)
+        Result(counts, splits)
+      } finally { kept.unpersist(blocking = true); () }
+    } finally { verdicts.unpersist(blocking = true); () }
   }
 
   private def curate(spark: SparkSession, docs: DataFrame,
@@ -431,30 +517,60 @@ object Curate {
 
   /** CLI argument split: `--key=value` flags (position-independent)
     * vs positionals. Supported flags: `--rep=<permille>` turns on the
-    * d18-backed repetition gate ([[Config.maxRep2gramPermille]]).
-    * Unknown flags fail loudly — a typo must not silently curate with
-    * default dials. */
+    * d18-backed repetition gate ([[Config.maxRep2gramPermille]]);
+    * `--takedown=<ids>` switches the run to [[runTakedown]] (the
+    * positionals become baseDir outDir; <ids> is a parquet dir with a
+    * doc_id column, or a text file of one id per line). Unknown flags
+    * fail loudly — a typo must not silently curate with default
+    * dials. */
   private[graft] def parseArgs(args: Array[String])
-      : (Array[String], Config) = {
+      : (Array[String], Config, Option[String]) = {
     val (flags, pos) = args.partition(_.startsWith("--"))
     var cfg = Config(minTokens = if (pos.length > 2) pos(2).toInt else 5)
+    var takedown: Option[String] = None
     flags.foreach {
       case f if f.startsWith("--rep=") =>
         cfg = cfg.copy(maxRep2gramPermille = Some(f.stripPrefix("--rep=").toInt))
+      case f if f.startsWith("--takedown=") =>
+        takedown = Some(f.stripPrefix("--takedown="))
       case f => throw new IllegalArgumentException(
-        s"unknown flag $f (supported: --rep=<permille>)")
+        s"unknown flag $f (supported: --rep=<permille>, --takedown=<ids>)")
     }
-    (pos, cfg)
+    (pos, cfg, takedown)
+  }
+
+  /** Takedown id list: a parquet dir (doc_id column) or a text file of
+    * one decimal id per line (comments/blanks skipped) — the shape a
+    * legal request actually arrives in. */
+  private[graft] def loadTakedownIds(spark: SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    val hc = spark.sessionState.newHadoopConf()
+    if (graft.util.Fs.exists(s"$path/_SUCCESS", hc) ||
+        path.endsWith(".parquet"))
+      spark.read.parquet(path).select(col("doc_id").cast("long").as("doc_id"))
+    else
+      spark.read.textFile(path)
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(_.toLong).toDF("doc_id")
   }
 
   def main(args: Array[String]): Unit = {
-    val (pos, cfg) = parseArgs(args)
-    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.001")
-    val outDir = if (pos.length > 1) pos(1) else "/tmp/graft_curate"
+    val (pos, cfg, takedown) = parseArgs(args)
     val spark = GraftSession.build("graft-curate")
-    val r =
-      if (pos.length > 3) runIncremental(spark, sfDir, pos(3), outDir, cfg)
-      else run(spark, sfDir, outDir, cfg)
+    val r = takedown match {
+      case Some(idsPath) =>
+        require(pos.length >= 2,
+          "takedown usage: Curate --takedown=<ids> <baseDir> <outDir>")
+        runTakedown(spark, pos(0), pos(1), loadTakedownIds(spark, idsPath))
+      case None =>
+        val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.001")
+        val outDir = if (pos.length > 1) pos(1) else "/tmp/graft_curate"
+        if (pos.length > 3) runIncremental(spark, sfDir, pos(3), outDir, cfg)
+        else run(spark, sfDir, outDir, cfg)
+    }
+    val outDir = takedown.map(_ => pos(1))
+      .getOrElse(if (pos.length > 1) pos(1) else "/tmp/graft_curate")
     println(s"[curate] verdicts=${r.counts} splits=${r.splits} -> $outDir")
     spark.stop()
   }

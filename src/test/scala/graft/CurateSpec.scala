@@ -141,12 +141,12 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("CLI args: --rep flag is position-independent; typos fail loudly") {
-    val (pos, cfg) = Curate.parseArgs(
+    val (pos, cfg, _) = Curate.parseArgs(
       Array("/in", "--rep=150", "/out", "7", "/base"))
     assert(pos.toSeq === Seq("/in", "/out", "7", "/base"))
     assert(cfg.minTokens === 7)
     assert(cfg.maxRep2gramPermille === Some(150))
-    val (_, noFlag) = Curate.parseArgs(Array("/in", "/out"))
+    val (_, noFlag, _) = Curate.parseArgs(Array("/in", "/out"))
     assert(noFlag === Curate.Config())
     val e = intercept[IllegalArgumentException] {
       Curate.parseArgs(Array("/in", "--repp=9"))
@@ -245,6 +245,62 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
         Curate.runIncremental(
           spark, s"$root/batch2", s"$root/out2", s"$root/out2")
       }
+    } finally {
+      val p = java.nio.file.Paths.get(root)
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+    }
+  }
+
+  test("takedown: retracted docs leave every artifact but keep suppressing") {
+    import spark.implicits._
+    def writeDocs(dir: String, rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, t) => (id, t, "en", "s") }
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val root = Files.createTempDirectory("graft_curate_td").toString
+    val longA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val longB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val longC = (1 to 40).map(i => s"gamma$i").mkString(" ")
+    try {
+      writeDocs(s"$root/base", Seq((1L, longA), (2L, longB), (3L, longC)))
+      val base = Curate.run(spark, s"$root/base", s"$root/out0")
+      assert(base.counts === Map("kept" -> 3L))
+      // retract doc 2 (+ an unknown id: no-op)
+      val r = Curate.runTakedown(spark, s"$root/out0", s"$root/out1",
+        Seq(2L, 999L).toDF("doc_id"))
+      assert(r.counts === Map("kept" -> 2L, "taken_down" -> 1L))
+      // gone from curated + packing bookkeeping, verdict flipped
+      val curated = spark.read.parquet(s"$root/out1/curated.parquet")
+      assert(curated.select("doc_id").collect().map(_.getLong(0)).toSet ===
+        Set(1L, 3L))
+      val v = spark.read.parquet(s"$root/out1/verdicts.parquet")
+      assert(v.filter(col("verdict") === "taken_down")
+        .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L))
+      assert(v.filter(col("doc_id") === 2L).select("split")
+        .collect().head.isNullAt(0), "retracted doc must leave its split")
+      // packing re-derives from the survivors: token totals reconcile
+      val packed = spark.read.parquet(s"$root/out1/packing.parquet")
+        .agg(sum("n_tokens")).collect().head.getLong(0)
+      assert(packed === 2L * 40L, s"packing must cover exactly the survivors")
+      // the index keeps doc 2's digest/fp as a NULL-split suppressor:
+      // a future batch redelivering the content is NOT re-admitted
+      writeDocs(s"$root/batch", Seq((10L, longB)))
+      val r2 = Curate.runIncremental(
+        spark, s"$root/batch", s"$root/out1", s"$root/out2")
+      assert(r2.counts === Map("dup_of_base" -> 1L),
+        "taken-down content must stay suppressed on redelivery")
+      // in-place takedown refused (lazy reads of baseDir)
+      intercept[IllegalArgumentException] {
+        Curate.runTakedown(spark, s"$root/out1", s"$root/out1",
+          Seq(1L).toDF("doc_id"))
+      }
+      // summary reflects the post-takedown totals
+      val js = Files.readString(
+        java.nio.file.Paths.get(s"$root/out1/summary.json"))
+      assert(js.contains(""""taken_down":1"""), js)
+      assert(js.contains(""""kept":2"""), js)
     } finally {
       val p = java.nio.file.Paths.get(root)
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())

@@ -159,6 +159,23 @@ class StreamingIvfProbeSpec extends AnyFunSuite {
     assert(narrow.nonEmpty)
   }
 
+  test("a mid-stream takedown composes with the batch exclusion") {
+    import spark.implicits._
+    val idx = tmp("sivfd") + "/idx"
+    IvfIndex.initStreaming(spark, bootstrap(), idx, k = 2, iters = 2)
+    val b0 = Seq((1L, vec(0, 0.5)), (2L, vec(1, 0.5))).toDF("vec_id", "embedding")
+    val b1 = Seq((3L, vec(0, 0.6)), (4L, vec(1, 0.6))).toDF("vec_id", "embedding")
+    assert(StreamingIvfProbe.processBatch(spark, idx, b0, 0L, 1).count() === 0L)
+    // without the takedown, doc 3's nearest is the same-axis doc 1
+    // (the first test pins that); delete doc 1 mid-stream — the next
+    // batch's probe must skip it AND still exclude its own rows, so
+    // doc 3 falls through to the cross-axis doc 2
+    IvfIndex.delete(spark, idx, Seq(1L).toDF("vec_id"))
+    val got = pairsOf(StreamingIvfProbe.processBatch(spark, idx, b1, 1L, 1))
+    assert(got === Set((3L, 2L, 1L), (4L, 2L, 1L)),
+      "tombstoned doc 1 must vanish from probe candidates")
+  }
+
   test("a fully streamed index searches identically to a one-shot build") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
