@@ -160,40 +160,69 @@ object Multimodal {
         decode(bytes) match {
           case Some(d) if d.kind == "IMG" && d.width > 0 && d.height > 0 &&
               d.payload.length == d.width * d.height =>
-            val out = new Array[Byte](outW * outH)
-            var oy = 0
-            while (oy < outH) {
-              // Long box arithmetic: oy*height can exceed Int for tall
-              // targets over tall sources even when both fit individually
-              val y0 = (oy.toLong * d.height / outH).toInt
-              val y1 = math.max(y0 + 1, ((oy + 1).toLong * d.height / outH).toInt)
-              var ox = 0
-              while (ox < outW) {
-                val x0 = (ox.toLong * d.width / outW).toInt
-                val x1 = math.max(x0 + 1, ((ox + 1).toLong * d.width / outW).toInt)
-                var sum = 0L
-                var n = 0
-                var y = y0
-                while (y < y1) {
-                  var x = x0
-                  while (x < x1) {
-                    sum += (d.payload(y * d.width + x) & 0xff)
-                    n += 1
-                    x += 1
-                  }
-                  y += 1
-                }
-                out(oy * outW + ox) = (sum / n).toByte
-                ox += 1
-              }
-              oy += 1
-            }
-            Some(Row(id, outW, outH, out))
+            Some(Row(id, outW, outH,
+              boxResize(d.payload, d.width, d.height, outW, outH)))
           case _ => None
         }
       }
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** The integer box-filter core of [[resize]]: output pixel = floor
+    * mean of its clamped source box. Shared with the per-frame video
+    * path so a frame hashes exactly like the same bytes as an image. */
+  private[operators] def boxResize(payload: Array[Byte], w: Int, h: Int,
+      outW: Int, outH: Int): Array[Byte] = {
+    val out = new Array[Byte](outW * outH)
+    var oy = 0
+    while (oy < outH) {
+      // Long box arithmetic: oy*height can exceed Int for tall
+      // targets over tall sources even when both fit individually
+      val y0 = (oy.toLong * h / outH).toInt
+      val y1 = math.max(y0 + 1, ((oy + 1).toLong * h / outH).toInt)
+      var ox = 0
+      while (ox < outW) {
+        val x0 = (ox.toLong * w / outW).toInt
+        val x1 = math.max(x0 + 1, ((ox + 1).toLong * w / outW).toInt)
+        var sum = 0L
+        var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            sum += (payload(y * w + x) & 0xff)
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(oy * outW + ox) = (sum / n).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  /** MSB-first bit pack of the horizontal neighbor comparisons of a
+    * (hashW+1)×hashH plane — [[dHash]]'s kernel, shared with
+    * [[videoFrameHashes]]. */
+  private[operators] def dhashBits(px: Array[Byte], hashW: Int,
+      hashH: Int): Long = {
+    var bits = 0L
+    var y = 0
+    while (y < hashH) {
+      var x = 0
+      while (x < hashW) {
+        val a = px(y * (hashW + 1) + x) & 0xff
+        val b = px(y * (hashW + 1) + x + 1) & 0xff
+        bits = (bits << 1) | (if (b > a) 1L else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    bits
   }
 
   /** Perceptual difference-hash (dHash) over decoded images — the
@@ -221,21 +250,7 @@ object Multimodal {
     val h = hashH
     val rdd = resized.rdd.mapPartitions { it =>
       it.map { r =>
-        val id = r.getLong(0)
-        val px = r.getAs[Array[Byte]](3)
-        var bits = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val a = px(y * (w + 1) + x) & 0xff
-            val b = px(y * (w + 1) + x + 1) & 0xff
-            bits = (bits << 1) | (if (b > a) 1L else 0L)
-            x += 1
-          }
-          y += 1
-        }
-        Row(id, bits)
+        Row(r.getLong(0), dhashBits(r.getAs[Array[Byte]](3), w, h))
       }
     }
     spark.createDataFrame(rdd, schema)
@@ -298,6 +313,95 @@ object Multimodal {
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
         expr("bit_count(x.dhash ^ y.dhash)").cast("bigint").as("hamming"))
+  }
+
+  /** Per-frame perceptual hashes of a VIDEO column: decode the
+    * container, split the payload into fixed (width·height)-byte
+    * frames, keep every `stride`-th (the sampling dial — hashing every
+    * frame of real video is wasted work; near-dup detection needs a
+    * sparse signature), and dHash each frame through the SAME integer
+    * resize → neighbor-compare kernel as [[dHash]], so a frame hashes
+    * bit-identically to the same bytes shipped as a still image.
+    * Output (media_id, frame_no, dhash) — fixed-width rows; video
+    * bytes never leave the decoding partition. Videos whose payload is
+    * not a whole number of frames are dropped (the quarantine
+    * posture). */
+  def videoFrameHashes(df: DataFrame, idCol: String, mediaCol: String,
+      stride: Int = 1, hashW: Int = 8, hashH: Int = 4): DataFrame = {
+    require(stride >= 1, s"stride $stride")
+    require(hashW >= 1 && hashH >= 1 && hashW * hashH <= 64,
+      s"dHash grid $hashW x $hashH must pack into 64 bits")
+    val spark = df.sparkSession
+    val idIdx = df.columns.indexOf(idCol)
+    val mIdx = df.columns.indexOf(mediaCol)
+    require(idIdx >= 0 && mIdx >= 0, s"missing $idCol/$mediaCol")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_no", IntegerType),
+      StructField("dhash", LongType)))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx)
+        decode(bytes) match {
+          case Some(d) if d.kind == "VID" && d.width > 0 && d.height > 0 &&
+              d.payload.length > 0 &&
+              d.payload.length % (d.width * d.height) == 0 =>
+            val fSize = d.width * d.height
+            val n = d.payload.length / fSize
+            (0 until n by stride).iterator.map { f =>
+              val frame = java.util.Arrays.copyOfRange(
+                d.payload, f * fSize, (f + 1) * fSize)
+              val px = boxResize(frame, d.width, d.height, hashW + 1, hashH)
+              Row(id, f, dhashBits(px, hashW, hashH))
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Video near-duplicates over a [[videoFrameHashes]] frame: two
+    * videos pair when at least `minMatches` DISTINCT sampled-frame
+    * pairs collide within `maxHamming` bits — trims, re-encodes, and
+    * overlay edits perturb individual frames, but a shared scene keeps
+    * enough near-identical frames to clear the floor. Candidate
+    * generation is [[dHashNearDup]]'s banded scheme per FRAME (same
+    * pigeonhole recall per frame pair; `hashBits` must again be the
+    * real packed width), joining only (band, value, video, frame)
+    * rows; the Hamming filter runs before the distinct's shuffle and
+    * the final aggregate moves one row per surviving frame pair.
+    * Output (vid_a, vid_b, matched_frames), vid_a < vid_b. */
+  def videoNearDup(frameHashes: DataFrame, hashBits: Int = 32,
+      bands: Int = 4, maxHamming: Int = 3, minMatches: Int = 2): DataFrame = {
+    require(hashBits >= 1 && hashBits <= 64,
+      s"hashBits $hashBits must be in [1, 64]")
+    require(bands >= 1 && hashBits % bands == 0,
+      s"bands $bands must divide hashBits $hashBits")
+    require(maxHamming < bands,
+      s"maxHamming $maxHamming needs < $bands bands for guaranteed recall")
+    require(minMatches >= 1, s"minMatches $minMatches")
+    val width = hashBits / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val banded = frameHashes.select(col("media_id"), col("frame_no"),
+      col("dhash"),
+      explode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> struct(b as bi, " +
+        s"shiftrightunsigned(dhash, b * $width) & ${mask}L as bv))")).as("band"))
+      .select(col("media_id"), col("frame_no"), col("dhash"),
+        col("band.bi").as("bi"), col("band.bv").as("bv"))
+    banded.as("x").join(banded.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") < col("y.media_id"))
+      .filter(expr("bit_count(x.dhash ^ y.dhash)") <= maxHamming)
+      .select(col("x.media_id").as("vid_a"), col("x.frame_no").as("fa"),
+        col("y.media_id").as("vid_b"), col("y.frame_no").as("fb"))
+      .distinct()
+      .groupBy("vid_a", "vid_b")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("matched_frames"))
+      .filter(col("matched_frames") >= minMatches)
   }
 
   /** Audio framing — THE audio-pipeline primitive (every downstream

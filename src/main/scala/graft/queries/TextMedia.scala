@@ -783,6 +783,69 @@ object TextMedia {
         WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
         ORDER BY id_a, id_b""")),
 
+    // ---------------------------------------------------------------- b05
+    // Video near-dup: per-frame dHash (the b04 kernel, frame-split
+    // from the VID container) → banded candidates per frame pair →
+    // videos pair when ≥2 distinct frame pairs land within Hamming 3.
+    // Corpus: 4-frame 9x4 videos; doc_id%25 < 5 form 5-member
+    // families sharing base frames, member m perturbing the FIRST
+    // byte of frame m-1 (≤1 dHash bit) — every in-family pair shares
+    // ≥2 (actually all 4) qualifying frames, C(5,2)=10 pairs per
+    // family; non-family frames are md5 chains of the doc text. The
+    // oracle recomputes the naive all-frame-pairs relation, so a
+    // green hash proves the per-frame banded join loses no video
+    // pair.
+    "b05_video_neardup" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        val m = col("doc_id") % 25
+        val baseKey = (col("doc_id") - m).cast("string")
+        def pay(key: org.apache.spark.sql.Column, f: Int): org.apache.spark.sql.Column = {
+          val k = concat(key, lit(s":$f")).cast("binary")
+          concat(md5(k), substring(md5(md5(k).cast("binary")), 1, 4))
+        }
+        val frames = (0 until 4).map { f =>
+          val base = pay(baseKey, f)
+          val fam = when(m === f + 1,
+            concat(lit(""), base.substr(lit(2), lit(35)))).otherwise(base)
+          when(m >= 5, pay(col("text"), f)).otherwise(fam)
+        }
+        val media = docs.select(col("doc_id"),
+          concat(lit("VID|9|4|") +: frames: _*).cast("binary").as("media"))
+        val hashes = graft.operators.Multimodal
+          .videoFrameHashes(media, "doc_id", "media")
+        graft.operators.Multimodal.videoNearDup(hashes)
+          .orderBy("vid_a", "vid_b")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id, text, doc_id % 25 AS m,
+                 CAST(doc_id - doc_id % 25 AS VARCHAR) AS bk
+          FROM documents),
+        fr AS (
+          SELECT doc_id, f,
+                 CASE WHEN m >= 5
+                        THEN md5(text || ':' || f) || substring(md5(md5(text || ':' || f)), 1, 4)
+                      WHEN m = f + 1
+                        THEN chr(1) || substring(md5(bk || ':' || f) || substring(md5(md5(bk || ':' || f)), 1, 4), 2, 35)
+                      ELSE md5(bk || ':' || f) || substring(md5(md5(bk || ':' || f)), 1, 4)
+                 END AS p
+          FROM base, LATERAL unnest(range(0, 4)) t(f)),
+        bits AS (
+          SELECT doc_id, f,
+                 CAST(SUM(CASE WHEN ord(substring(p, y*9 + x + 2, 1)) > ord(substring(p, y*9 + x + 1, 1))
+                      THEN CAST(pow(2, 31 - (y*8 + x)) AS BIGINT) ELSE 0 END) AS BIGINT) AS dhash
+          FROM fr, LATERAL unnest(range(0, 4)) t(y), LATERAL unnest(range(0, 8)) u(x)
+          GROUP BY doc_id, f),
+        fpairs AS (
+          SELECT DISTINCT a.doc_id AS vid_a, a.f AS fa, b.doc_id AS vid_b, b.f AS fb
+          FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.dhash, b.dhash)) <= 3)
+        SELECT vid_a, vid_b, CAST(COUNT(*) AS BIGINT) AS matched_frames
+        FROM fpairs GROUP BY vid_a, vid_b
+        HAVING COUNT(*) >= 2
+        ORDER BY vid_a, vid_b""")),
+
     "b02_frame_sample" -> QueryDef(
       build = (spark, dir) => {
         val docs = table(spark, dir, "documents")

@@ -229,6 +229,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.dHashNearDup(hs).count() === 0)
   }
 
+  test("video frames hash exactly like the same bytes shipped as stills") {
+    import spark.implicits._
+    // two 9x4 frames with distinct ascii planes, packed into one VID
+    // container; each frame's dhash must equal dHash of the IMG form
+    val f0 = (0 until 36).map(i => ('A' + (i % 26)).toChar).mkString
+    val f1 = (0 until 36).map(i => ('z' - (i % 26)).toChar).mkString
+    val vid = Seq((7L, media(s"VID|9|4|$f0$f1"))).toDF("doc_id", "media")
+    val stills = Seq((0L, media(s"IMG|9|4|$f0")), (1L, media(s"IMG|9|4|$f1")))
+      .toDF("doc_id", "media")
+    val vh = Multimodal.videoFrameHashes(vid, "doc_id", "media")
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    val sh = Multimodal.dHash(stills, "doc_id", "media")
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1))).toMap
+    assert(vh === sh, "per-frame hash must equal the still-image dHash")
+    // stride samples every k-th frame; ragged payloads are quarantined
+    val vid4 = Seq((8L, media(s"VID|9|4|$f0$f1$f0$f1"))).toDF("doc_id", "media")
+    assert(Multimodal.videoFrameHashes(vid4, "doc_id", "media", stride = 2)
+      .collect().map(_.getInt(1)).toSet === Set(0, 2))
+    val ragged = Seq((9L, media("VID|9|4|short"))).toDF("doc_id", "media")
+    assert(Multimodal.videoFrameHashes(ragged, "doc_id", "media").count() === 0)
+  }
+
+  test("videoNearDup: minMatches floor and banded pruning") {
+    import spark.implicits._
+    // crafted frame hashes: videos 1/2 share TWO identical frames,
+    // videos 1/3 share only ONE — the floor keeps (1,2), drops (1,3).
+    // band-disjoint filler (video 4) generates no candidates at all.
+    def quad(b: Long) = (b << 24) | (b << 16) | (b << 8) | b
+    val hs = Seq(
+      (1L, 0, quad(10)), (1L, 1, quad(11)), (1L, 2, quad(12)),
+      (2L, 0, quad(10)), (2L, 1, quad(11)), (2L, 2, quad(33)),
+      (3L, 0, quad(12)), (3L, 1, quad(34)), (3L, 2, quad(35)),
+      (4L, 0, quad(60)), (4L, 1, quad(61)), (4L, 2, quad(62)))
+      .toDF("media_id", "frame_no", "dhash")
+    val got = Multimodal.videoNearDup(hs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 2L)),
+      s"expected only the 2-frame match to clear minMatches=2: $got")
+    // floor of 1 admits the single-frame overlap too
+    val loose = Multimodal.videoNearDup(hs, minMatches = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(loose === Set((1L, 2L, 2L), (1L, 3L, 1L)))
+  }
+
   test("dHash flows through real PNG decode (resize path, not the stub)") {
     import spark.implicits._
     // a 36x16 real PNG with a horizontal gradient: every resized
