@@ -366,11 +366,33 @@ object IvfIndex {
   def delete(spark: SparkSession, indexDir: String, ids: DataFrame): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     readMeta(indexDir, conf) // validates the index exists before writing
+    // id-only input → the clusters come from ONE data scan. At corpus
+    // scale prefer [[deleteVectors]] when the takedown request carries
+    // the vectors: it skips this scan entirely.
     spark.read.parquet(s"$indexDir/data")
       .join(broadcast(ids.select(col("vec_id"))), Seq("vec_id"))
       .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
       .distinct()
       .coalesce(1) // takedown batches are bounded; one file per delete
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+  }
+
+  /** O(batch) delete for callers holding the vectors (vec_id,
+    * embedding): the cluster comes from assignment against the CURRENT
+    * centroids — exactly how every ingest path ([[write]]/[[append]]/
+    * [[appendBatch]]) and [[retrain]]'s rewrite placed the row, so the
+    * tombstone lands on the row's true cluster without touching the
+    * corpus. Ids not in the index produce tombstones that exclude
+    * nothing (vec_id anti-join misses) and whose count subtraction is
+    * clamped — conservative, never inexact. */
+  def deleteVectors(spark: SparkSession, indexDir: String,
+      vectors: DataFrame): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = readMeta(indexDir, conf)
+    IvfAnn.assign(vectors, meta.centroids)
+      .select(col("vec_id"), col("label").cast("int").as("cluster"))
+      .distinct()
+      .coalesce(1)
       .write.mode("append").parquet(s"$indexDir/tombstones")
   }
 

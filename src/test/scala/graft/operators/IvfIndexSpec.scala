@@ -241,6 +241,32 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally rm(out)
   }
 
+  test("deleteVectors (O(batch), no corpus scan) matches the id-only delete") {
+    val dir = "/root/testdata/sf0.001"
+    val a = tmpDir(); val b = tmpDir()
+    try {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val doomed = emb.filter(col("vec_id") % 5 === 2)
+      IvfIndex.write(spark, dir, a)
+      IvfIndex.write(spark, dir, b)
+      IvfIndex.delete(spark, a, doomed.select("vec_id"))
+      IvfIndex.deleteVectors(spark, b, doomed.select("vec_id", "embedding"))
+      // identical tombstone sets (assignment against the frozen
+      // centroids IS how the index placed the rows) ...
+      val ta = spark.read.parquet(s"$a/tombstones")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val tb = spark.read.parquet(s"$b/tombstones")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(ta === tb)
+      // ... hence identical searches
+      val ra = IvfIndex.searchExact(spark, a, col("vec_id") < 8)
+        .collect().toSeq.map(_.toSeq)
+      val rb = IvfIndex.searchExact(spark, b, col("vec_id") < 8)
+        .collect().toSeq.map(_.toSeq)
+      assert(ra === rb && ra.nonEmpty)
+    } finally { rm(a); rm(b) }
+  }
+
   test("retrain re-clusters the drifted corpus; search stays exact") {
     val dir = "/root/testdata/sf0.001"
     val out = tmpDir()
