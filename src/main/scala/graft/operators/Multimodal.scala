@@ -404,6 +404,73 @@ object Multimodal {
       .filter(col("matched_frames") >= minMatches)
   }
 
+  /** Acoustic fingerprint: the sign of consecutive FRAME-ENERGY deltas
+    * packed MSB-first into a long — the audio member of the perceptual
+    * near-dup family ([[dHash]] for stills, [[videoFrameHashes]] for
+    * video). Energy is [[audioFrames]]'s exact integer Σ(s−128)² per
+    * win/hop window, so the fingerprint is a pure integer function of
+    * the samples (bit-identical cross-engine); level changes scale all
+    * energies together, so the delta SIGNS — like dHash's neighbor
+    * order — survive volume normalization, which byte hashing does
+    * not. Needs `bits`+1 full frames; shorter audio yields no row
+    * (quarantine posture). */
+  def audioFingerprint(df: DataFrame, idCol: String, mediaCol: String,
+      win: Int, hop: Int, bits: Int = 32): DataFrame = {
+    require(win > 0 && hop > 0, "window and hop must be positive")
+    require(bits >= 1 && bits <= 64, s"bits $bits must pack into a long")
+    val spark = df.sparkSession
+    val idIdx = df.columns.indexOf(idCol)
+    val mIdx = df.columns.indexOf(mediaCol)
+    require(idIdx >= 0 && mIdx >= 0, s"missing $idCol/$mediaCol")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("afp", LongType)))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        decode(if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx))
+          .toSeq.flatMap {
+            case d if d.kind == "AUD" &&
+                d.payload.length >= win + bits.toLong * hop =>
+              val e = new Array[Long](bits + 1)
+              var f = 0
+              while (f <= bits) {
+                var sum = 0L
+                var j = 0
+                while (j < win) {
+                  val v = (d.payload(f * hop + j) & 0xff) - 128
+                  sum += v.toLong * v
+                  j += 1
+                }
+                e(f) = sum
+                f += 1
+              }
+              var fp = 0L
+              var i = 0
+              while (i < bits) {
+                fp = (fp << 1) | (if (e(i + 1) > e(i)) 1L else 0L)
+                i += 1
+              }
+              Seq(Row(id, fp))
+            case _ => Nil
+          }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Audio near-duplicates over an [[audioFingerprint]] frame — the
+    * same banded-Hamming candidate scheme as the image/video paths
+    * (one definition: this delegates to [[dHashNearDup]]), with the
+    * same pigeonhole recall (maxHamming < bands). Default dials: 32
+    * fingerprint bits in 4 bands of 8 — at 16 bits a random pair sits
+    * within Hamming 3 with p ≈ 1%, which floods a corpus-scale join
+    * with accidental pairs; 32 bits puts that at ~1e-6. */
+  def audioNearDup(fps: DataFrame, bits: Int = 32, bands: Int = 4,
+      maxHamming: Int = 3): DataFrame =
+    dHashNearDup(fps.select(col("media_id"), col("afp").as("dhash")),
+      bits, bands, maxHamming)
+
   /** Audio framing — THE audio-pipeline primitive (every downstream
     * feature: energy/VAD, spectrograms, wav2vec windows, starts from
     * framed samples): slide a `win`-sample window by `hop` over the

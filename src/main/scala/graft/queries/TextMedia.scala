@@ -783,6 +783,81 @@ object TextMedia {
         WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
         ORDER BY id_a, id_b""")),
 
+    // ---------------------------------------------------------------- b06
+    // Audio near-dup — the acoustic member of the perceptual family:
+    // frame energies (b03's exact integer Σ(s−128)², win=8 hop=4) →
+    // sign-of-delta 32-bit fingerprint → the shared banded-Hamming
+    // scheme (4 bands of 8, pigeonhole recall for ≤3 bits; 16 bits
+    // would admit ~1% of RANDOM pairs within Hamming 3 — useless as a
+    // near-dup key — 32 bits puts that at ~1e-6). 136-byte md5-chain
+    // payloads give exactly the 33 frames the 32 deltas need;
+    // families (doc_id%25 < 5) share a base payload, member m
+    // overwriting byte 21 with chr(m) — the byte feeds frames 4 and 5
+    // only, so ≤3 delta bits move and EVERY in-family pair qualifies.
+    // Oracle = the naive all-pairs fingerprint relation.
+    "b06_audio_neardup" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        val m = col("doc_id") % 25
+        val baseKey = (col("doc_id") - m).cast("string")
+        def chain(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val k1 = md5(key.cast("binary"))
+          val k2 = md5(k1.cast("binary"))
+          val k3 = md5(k2.cast("binary"))
+          val k4 = md5(k3.cast("binary"))
+          val k5 = md5(k4.cast("binary"))
+          concat(k1, k2, k3, k4, substring(k5, 1, 8))
+        }
+        val pb = chain(baseKey)
+        val payload = when(m >= 5, chain(col("text")))
+          .when(m === 0, pb)
+          .otherwise(concat(pb.substr(lit(1), lit(20)),
+            expr("chr(doc_id % 25)"), pb.substr(lit(22), lit(115))))
+        val media = docs.select(col("doc_id"),
+          concat(lit("AUD|8000|1|"), payload).cast("binary").as("media"))
+        val fps = graft.operators.Multimodal
+          .audioFingerprint(media, "doc_id", "media", win = 8, hop = 4)
+        graft.operators.Multimodal.audioNearDup(fps)
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id, text, doc_id % 25 AS m,
+                 CAST(doc_id - doc_id % 25 AS VARCHAR) AS bk
+          FROM documents),
+        pay AS (
+          SELECT doc_id,
+                 CASE WHEN m >= 5 THEN ct
+                      WHEN m = 0 THEN cb
+                      ELSE substring(cb, 1, 20) || chr(CAST(m AS INT))
+                           || substring(cb, 22, 115)
+                 END AS p
+          FROM (SELECT doc_id, m,
+                       md5(text) || md5(md5(text)) || md5(md5(md5(text)))
+                         || md5(md5(md5(md5(text))))
+                         || substring(md5(md5(md5(md5(md5(text))))), 1, 8) AS ct,
+                       md5(bk) || md5(md5(bk)) || md5(md5(md5(bk)))
+                         || md5(md5(md5(md5(bk))))
+                         || substring(md5(md5(md5(md5(md5(bk))))), 1, 8) AS cb
+                FROM base) chains),
+        en AS (
+          SELECT doc_id, f,
+                 SUM((ord(substring(p, CAST(4*f + j + 1 AS INT), 1)) - 128)
+                   * (ord(substring(p, CAST(4*f + j + 1 AS INT), 1)) - 128)) AS e
+          FROM pay, LATERAL unnest(range(0, 33)) t(f), LATERAL unnest(range(0, 8)) u(j)
+          GROUP BY doc_id, f),
+        fp AS (
+          SELECT a.doc_id,
+                 CAST(SUM(CASE WHEN b.e > a.e THEN CAST(pow(2, 31 - a.f) AS BIGINT) ELSE 0 END) AS BIGINT) AS afp
+          FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+          WHERE a.f < 32
+          GROUP BY a.doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.afp, b.afp)) <= 3
+        ORDER BY id_a, id_b""")),
+
     // ---------------------------------------------------------------- b05
     // Video near-dup: per-frame dHash (the b04 kernel, frame-split
     // from the VID container) → banded candidates per frame pair →

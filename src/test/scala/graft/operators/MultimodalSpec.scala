@@ -273,6 +273,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(loose === Set((1L, 2L, 2L), (1L, 3L, 1L)))
   }
 
+  test("audioFingerprint: delta signs, volume invariance, short-audio drop") {
+    import spark.implicits._
+    // 3 frames (win=4, hop=4, bits=2): energies 4·1², 4·3², 4·2² →
+    // deltas (up, down) → fingerprint 0b10 = 2
+    def pcm(vals: Int*): String = vals.map(v => (128 + v).toChar).mkString
+    val quiet = pcm(1,1,1,1, 3,3,3,3, 2,2,2,2)
+    val loud  = pcm(2,2,2,2, 6,6,6,6, 4,4,4,4) // 2x amplitude
+    val df3 = Seq(
+      (1L, media(s"AUD|8|1|$quiet")),
+      (2L, media(s"AUD|8|1|$loud")),
+      (3L, media(s"AUD|8|1|${pcm(1,1,1,1)}"))) // 1 frame: too short
+      .toDF("doc_id", "media")
+    val got = Multimodal.audioFingerprint(df3, "doc_id", "media",
+        win = 4, hop = 4, bits = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L),
+      s"expected fp=0b10 for both volumes, short audio dropped: $got")
+    // and the near-dup wrapper pairs them through the shared banded path
+    val fps = Seq((1L, 2L), (2L, 2L)).toDF("media_id", "afp")
+    val pairs = Multimodal.audioNearDup(fps, bits = 2, bands = 2,
+        maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0L)))
+  }
+
   test("dHash flows through real PNG decode (resize path, not the stub)") {
     import spark.implicits._
     // a 36x16 real PNG with a horizontal gradient: every resized
