@@ -1066,6 +1066,43 @@ object Relational {
         FROM sole JOIN supplier ON sk = s_suppkey
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // ---------------------------------------------------------------- q33
+    // Important-value concentration (TPC-H Q11 shape): parts whose
+    // revenue exceeds 1.3x the per-part MEAN — an aggregate filtered
+    // against a GLOBAL aggregate of the same relation. The optimizer
+    // shape: the scalar subquery becomes a 1-row frame broadcast-
+    // crossed under the grouped aggregate (q09/q22's pattern applied
+    // to agg-vs-agg), so the fact table is scanned once for the
+    // groups and once for the total — never once per group. The
+    // threshold is mean-relative (rev·n·10 > 13·total, exact integer
+    // cross-multiplication), so the selected tail is SF-invariant
+    // where a fixed fraction-of-total cutoff would silently empty at
+    // 10x the part count.
+    "q33_value_concentration" -> QueryDef(
+      build = (spark, dir) => {
+        val pv = table(spark, dir, "lineitem")
+          .select(col("l_partkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("r"))
+          .groupBy("l_partkey")
+          .agg(sumMinor(col("r"), 6).as("rev"))
+        val tot = pv.agg(sum(col("rev")).as("t"),
+          count(lit(1)).as("n"))
+        pv.crossJoin(broadcast(tot))
+          .filter(col("rev") * col("n") * lit(10) > col("t") * lit(13))
+          .select(col("l_partkey"), col("rev"))
+          .orderBy(col("rev").desc, col("l_partkey"))
+      },
+      oracle = Some("""
+        WITH pv AS (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev
+          FROM lineitem GROUP BY l_partkey),
+        tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS t, COUNT(*) AS n FROM pv)
+        SELECT l_partkey, rev
+        FROM pv, tot
+        WHERE rev * n * 10 > 13 * t
+        ORDER BY rev DESC, l_partkey"""))
   )
 }

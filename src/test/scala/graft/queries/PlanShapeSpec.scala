@@ -222,6 +222,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q33 agg-vs-global-agg: two fact scans, 1-row broadcast, no per-group subquery") {
+    val df = Relational.defs("q33_value_concentration").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("lineitem.parquet"))
+      .size
+    assert(scans === 2,
+      s"expected exactly groups + total scans of lineitem, got $scans:\n$plan")
+    // the global total rides as a broadcast single row — the legitimate
+    // bounded NLJ shape (q09/q22's) — never a cartesian of real data
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q32 exists/not-exists chain stays semi + anti over id-only pairs") {
     val df = Relational.defs("q32_waiting_supplier").build(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
