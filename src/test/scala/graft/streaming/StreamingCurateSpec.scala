@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.{Curate, GraftSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Continuous curation: each micro-batch becomes one chained Curate
+  * generation — cross-batch dup suppression through the maintained
+  * index, committed-replay no-ops, crashed partials heal by re-run,
+  * id-space restarts fail loudly, prune bounds the trail. */
+class StreamingCurateSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.build("graft-test")
+  private def tmp(stem: String) = Files.createTempDirectory(stem).toString
+
+  private val longA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+  private val longB = (1 to 40).map(i => s"beta$i").mkString(" ")
+  private val longC = (1 to 40).map(i => s"gamma$i").mkString(" ")
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  test("generations chain: later batches are curated against ALL earlier ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("scur")
+    val in = MemoryStream[(Long, String, String, String)]
+    val results = scala.collection.mutable.ArrayBuffer[Curate.Result]()
+    val q = StreamingCurate.start(
+      in.toDF.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long")),
+      root, tmp("scurchk"), onResult = r => { results += r; () })
+    try {
+      in.addData((1L, longA, "en", "s"), (2L, longB, "en", "s"))
+      q.processAllAvailable()
+      assert(results.last.counts === Map("kept" -> 2L))
+      // batch 1: a copy of batch-0 content must be suppressed via the
+      // chained index, fresh content kept
+      in.addData((10L, longA, "en", "s"), (11L, longC, "en", "s"))
+      q.processAllAvailable()
+      assert(results.last.counts ===
+        Map("dup_of_base" -> 1L, "kept" -> 1L))
+      // batch 2 chains off generation 1: batch-1 content now suppresses
+      in.addData((20L, longC, "en", "s"))
+      q.processAllAvailable()
+      assert(results.last.counts === Map("dup_of_base" -> 1L))
+      // the committed pointer tracks the last generation, whose curated
+      // output holds only the batch's survivors
+      assert(StreamingCurate.readLatest(spark, root).map(_._2) === Some(2L))
+      assert(spark.read.parquet(s"$root/gen_2/index.parquet").count() === 5L)
+    } finally q.stop()
+  }
+
+  test("committed replay no-ops; partial generation heals; restarts fail") {
+    val root = tmp("scur2")
+    val b0 = docsDf(Seq((1L, longA), (2L, longB)))
+    val b1 = docsDf(Seq((10L, longA), (11L, longC)))
+    assert(StreamingCurate.processBatch(spark, b0, root, 0L)
+      .map(_.counts) === Some(Map("kept" -> 2L)))
+    val first = StreamingCurate.processBatch(spark, b1, root, 1L)
+    assert(first.map(_.counts) === Some(Map("dup_of_base" -> 1L, "kept" -> 1L)))
+    // committed replay: nothing runs, pointer stable
+    assert(StreamingCurate.processBatch(spark, b1, root, 1L) === None)
+    assert(StreamingCurate.readLatest(spark, root).map(_._2) === Some(1L))
+    // crash simulation: a partial NEXT generation (dir exists, LATEST
+    // not advanced) is deleted and fully re-run on re-delivery
+    val hc = spark.sessionState.newHadoopConf()
+    graft.util.Fs.mkdirs(s"$root/gen_2/partial_garbage", hc)
+    val b2 = docsDf(Seq((20L, longC)))
+    assert(StreamingCurate.processBatch(spark, b2, root, 2L)
+      .map(_.counts) === Some(Map("dup_of_base" -> 1L)))
+    assert(!graft.util.Fs.exists(s"$root/gen_2/partial_garbage", hc))
+    // id-space restart below the fence: loud failure
+    val e = intercept[IllegalStateException] {
+      StreamingCurate.processBatch(spark, b0, root, 0L)
+    }
+    assert(e.getMessage.contains("restarted"))
+  }
+
+  test("prune bounds the generation trail, never the committed gen") {
+    val root = tmp("scur3")
+    StreamingCurate.processBatch(spark, docsDf(Seq((1L, longA))), root, 0L)
+    StreamingCurate.processBatch(spark, docsDf(Seq((2L, longB))), root, 1L)
+    StreamingCurate.processBatch(spark, docsDf(Seq((3L, longC))), root, 2L)
+    StreamingCurate.prune(spark, root, keep = 1)
+    val hc = spark.sessionState.newHadoopConf()
+    assert(graft.util.Fs.exists(s"$root/gen_2", hc))
+    assert(!graft.util.Fs.exists(s"$root/gen_0", hc))
+    assert(!graft.util.Fs.exists(s"$root/gen_1", hc))
+    assert(!graft.util.Fs.exists(s"$root/batch_0", hc))
+    // the pruned chain keeps working: the next batch curates against
+    // the surviving committed generation
+    val r = StreamingCurate.processBatch(spark,
+      docsDf(Seq((4L, longC))), root, 3L)
+    assert(r.map(_.counts) === Some(Map("dup_of_base" -> 1L)))
+  }
+}
