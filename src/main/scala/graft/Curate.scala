@@ -143,6 +143,24 @@ object Curate {
 
   final case class Result(counts: Map[String, Long], splits: Map[String, Long])
 
+  /** NULL-split suppressor compaction + index.parquet writer — ONE
+    * definition shared by the fresh/incremental pipeline and the
+    * takedown rewrite, so the invariant that keeps dropped and
+    * taken-down content suppressed (kept rows verbatim; dropped rows
+    * one exemplar per distinct (digest, fp)) can never diverge between
+    * the two paths. */
+  private def writeIndex(frame: DataFrame, path: String): Unit =
+    frame.filter(col("split").isNotNull)
+      .unionByName(frame.filter(col("split").isNull)
+        .groupBy("digest", "fp").agg(min("doc_id").as("doc_id"))
+        .select(col("doc_id"), col("digest"), col("fp"),
+          lit(null).cast("string").as("split")))
+      .write.mode("overwrite").parquet(path)
+
+  /** Sorted-key JSON object over counter maps (summary/card sidecars). */
+  private def jsonObj(m: Map[String, Long]): String =
+    m.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+
   private def toks = queries.TextMedia.toks
 
   /** Fresh full-corpus curation. The input dir may hold either the
@@ -275,29 +293,27 @@ object Curate {
             when(col("td") === 1, lit(null).cast("string"))
               .otherwise(col("split")))
           .select("doc_id", "digest", "fp", "split")
-        flipped.filter(col("split").isNotNull)
-          .unionByName(flipped.filter(col("split").isNull)
-            .groupBy("digest", "fp").agg(min("doc_id").as("doc_id"))
-            .select(col("doc_id"), col("digest"), col("fp"),
-              lit(null).cast("string").as("split")))
-          .write.mode("overwrite").parquet(s"$outDir/index.parquet")
-        writePacking(kept.withColumn("n_tok", expr(s"size($toks)")),
+        writeIndex(flipped, s"$outDir/index.parquet")
+        writePacking(
+          kept.withColumn("n_tok", expr(s"cast(size($toks) as bigint)")),
           s"$outDir/packing.parquet", packLen, packShards)
         val counts = verdicts.groupBy("verdict").count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val splits = kept.groupBy("split").count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        def obj(m: Map[String, Long]) =
-          m.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }
-            .mkString("{", ",", "}")
         graft.util.Fs.writeStringAtomic(s"$outDir/summary.json",
-          s"""{"verdicts":${obj(counts)},"splits":${obj(splits)},""" +
+          s"""{"verdicts":${jsonObj(counts)},"splits":${jsonObj(splits)},""" +
             s""""min_tokens":${summary.path("min_tokens").asInt(5)},""" +
             s""""pack_len":$packLen,"pack_shards":$packShards}\n""", hc)
         // governance card over what SURVIVES — the numbers shipped with
-        // the post-takedown artifacts
+        // the post-takedown artifacts. A takedown that retracts EVERY
+        // kept doc is legal; the card degenerates to n_docs=0 instead
+        // of tripping dataCard's aggregates-over-nothing NULLs.
+        val cardMetrics =
+          if (splits.values.sum == 0L) Map("n_docs" -> 0L)
+          else graft.report.DataCard.metricsOf(kept)
         graft.util.Fs.writeStringAtomic(s"$outDir/card.json",
-          obj(graft.report.DataCard.metricsOf(kept)) + "\n", hc)
+          jsonObj(cardMetrics) + "\n", hc)
         Result(counts, splits)
       } finally { kept.unpersist(blocking = true); () }
     } finally { verdicts.unpersist(blocking = true); () }
@@ -460,12 +476,7 @@ object Curate {
     val fullIndex = baseIndex
       .map(b => b.select("doc_id", "digest", "fp", "split").union(examinedIndex))
       .getOrElse(examinedIndex)
-    fullIndex.filter(col("split").isNotNull)
-      .unionByName(fullIndex.filter(col("split").isNull)
-        .groupBy("digest", "fp").agg(min("doc_id").as("doc_id"))
-        .select(col("doc_id"), col("digest"), col("fp"),
-          lit(null).cast("string").as("split")))
-      .write.mode("overwrite").parquet(s"$outDir/index.parquet")
+    writeIndex(fullIndex, s"$outDir/index.parquet")
 
     val counts = verdicts.groupBy("verdict").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -476,11 +487,9 @@ object Curate {
       deriveShards(counts.getOrElse("kept", 0L)))
     writePacking(kept, s"$outDir/packing.parquet", cfg.packLen, shards)
 
-    def obj(m: Map[String, Long]) =
-      m.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val hc = spark.sessionState.newHadoopConf()
     graft.util.Fs.writeStringAtomic(s"$outDir/summary.json",
-      s"""{"verdicts":${obj(counts)},"splits":${obj(splits)},""" +
+      s"""{"verdicts":${jsonObj(counts)},"splits":${jsonObj(splits)},""" +
         s""""min_tokens":${cfg.minTokens},"pack_len":${cfg.packLen},""" +
         s""""pack_shards":$shards}\n""", hc)
     // dataset card for the INPUT corpus this run examined — the same
@@ -488,7 +497,7 @@ object Curate {
     // numbers shipped with the artifacts can't drift from the verified
     // query
     graft.util.Fs.writeStringAtomic(s"$outDir/card.json",
-      obj(graft.report.DataCard.metricsOf(docs)) + "\n", hc)
+      jsonObj(graft.report.DataCard.metricsOf(docs)) + "\n", hc)
     Result(counts, splits)
   }
 

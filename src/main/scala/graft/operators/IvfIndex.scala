@@ -109,7 +109,14 @@ object IvfIndex {
     require(meta.lastBatch.isEmpty,
       s"$indexDir is a streaming-layout index (batch-partitioned dirs); " +
         "use appendBatch — a flat append would break partition discovery")
-    val batch = spark.read.parquet(s"$batchDir/embeddings.parquet")
+    val batchAll = spark.read.parquet(s"$batchDir/embeddings.parquet")
+    // tombstoned ids never re-enter (see appendBatch — re-landing would
+    // overstate counts and break the pruning proof)
+    val batch = tombstoneFrame(spark, indexDir) match {
+      case Some(t) => batchAll.join(broadcast(t.select("vec_id")),
+        Seq("vec_id"), "left_anti")
+      case None => batchAll
+    }
     val assigned = IvfAnn.assign(batch, meta.centroids)
       .select(col("vec_id"), col("embedding"), col("label").cast("int").as("cluster"))
     // exact metadata update from the batch side only (O(batch) scan),
@@ -193,13 +200,30 @@ object IvfIndex {
           "existing index, or two queries sharing it) — use a new indexDir " +
           "or restore the original checkpoint")
     if (batchId == last) return false // committed replay: data is complete
+    // a tombstoned id must never re-enter: if it landed again, its data
+    // row would be counted while the tombstone both subtracts one count
+    // AND anti-joins every copy — a net count OVERSTATEMENT, which
+    // tightens the prune threshold and silently breaks exactness (the
+    // one direction the conservative-stats design must never move).
+    // Filtering the batch keeps "deleted until compact clears the
+    // tombstone" literal: the row never lands.
+    val batch0 = tombstoneFrame(spark, indexDir) match {
+      case Some(t) => batch.join(broadcast(t.select("vec_id")),
+        Seq("vec_id"), "left_anti")
+      case None => batch
+    }
     // ONE materialization of the caller's batch plan feeds BOTH the
     // pruning stats and the data write: evaluating it twice would let a
     // nondeterministic input (a re-evaluated sample, a re-read mutable
     // source) write vectors the published radius/maxNorm never covered,
-    // silently voiding searchExact's pruning proof. persist + the stats
-    // collect pins the row set before the write re-reads it from cache.
-    val assigned = IvfAnn.assign(batch, meta.centroids)
+    // silently voiding searchExact's pruning proof. localCheckpoint,
+    // not persist: persist still RECOMPUTES evicted or lost blocks from
+    // the source plan — the same double-evaluation through a side door.
+    // Checkpointing truncates lineage, so block loss fails the batch
+    // loudly (and the streaming runtime redelivers it) instead of
+    // silently writing unmeasured rows. Blocks release through the
+    // ContextCleaner once the frame is unreachable.
+    val assigned = IvfAnn.assign(batch0, meta.centroids)
       .withColumn("d", sqrt(graft.functions.ArrayMath.l2sq(
         col("embedding").cast("array<double>"),
         centLit(meta.centroids))))
@@ -208,28 +232,26 @@ object IvfIndex {
         col("embedding").cast("array<double>"))))
       .select(col("vec_id"), col("embedding"),
         col("label").cast("int").as("cluster"), col("d"), col("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val upd = assigned
-        .groupBy("cluster").agg(max("d").as("r"), max("nrm").as("mx"),
-          count(lit(1)).as("n"))
-        .collect()
-      val radius = meta.radius.clone()
-      val counts = meta.counts.clone()
-      var maxNorm = meta.maxNorm
-      upd.foreach { r =>
-        val c = r.getInt(0)
-        radius(c) = math.max(radius(c), r.getDouble(1))
-        counts(c) += r.getLong(3)
-        maxNorm = math.max(maxNorm, r.getDouble(2))
-      }
-      writeMeta(indexDir, meta.copy(radius = radius, maxNorm = maxNorm), conf)
-      assigned.select("vec_id", "embedding", "cluster")
-        .write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$indexDir/data/batch_id=$batchId")
-      writeMeta(indexDir, meta.copy(radius = radius, counts = counts,
-        maxNorm = maxNorm, lastBatch = Some(batchId)), conf)
-    } finally { assigned.unpersist(blocking = true); () }
+      .localCheckpoint(true)
+    val upd = assigned
+      .groupBy("cluster").agg(max("d").as("r"), max("nrm").as("mx"),
+        count(lit(1)).as("n"))
+      .collect()
+    val radius = meta.radius.clone()
+    val counts = meta.counts.clone()
+    var maxNorm = meta.maxNorm
+    upd.foreach { r =>
+      val c = r.getInt(0)
+      radius(c) = math.max(radius(c), r.getDouble(1))
+      counts(c) += r.getLong(3)
+      maxNorm = math.max(maxNorm, r.getDouble(2))
+    }
+    writeMeta(indexDir, meta.copy(radius = radius, maxNorm = maxNorm), conf)
+    assigned.select("vec_id", "embedding", "cluster")
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$indexDir/data/batch_id=$batchId")
+    writeMeta(indexDir, meta.copy(radius = radius, counts = counts,
+      maxNorm = maxNorm, lastBatch = Some(batchId)), conf)
     true
   }
 
@@ -272,12 +294,20 @@ object IvfIndex {
     // for good and the exact per-cluster counts are recomputed from
     // what survives. radius/maxNorm stay as stored — bounds of a
     // superset cover the subset, so searchExact's proof is unaffected.
-    val kept = tombstoneFrame(spark, indexDir) match {
-      case Some(t) => all.join(broadcast(t.select("vec_id")),
+    val tombSnap = tombstoneSnapshot(spark, indexDir)
+    val kept = tombSnap match {
+      case Some((_, t)) => all.join(broadcast(t.select("vec_id")),
         Seq("vec_id"), "left_anti")
       case None => all
     }
-    kept.repartition(meta.k, col("cluster"))
+    // dropDuplicates(vec_id): a crashed-then-retried append can leave a
+    // batch's rows twice (parquet append has no cross-job fence); the
+    // duplicates were never double-counted (counts publish once, after
+    // the data) but a search would emit the candidate twice — compact
+    // is the documented heal, and the recount below republishes the
+    // exact post-dedup totals
+    kept.dropDuplicates("vec_id")
+      .repartition(meta.k, col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(staged)
     val newCounts = new Array[Long](meta.k)
     spark.read.parquet(staged)
@@ -297,7 +327,8 @@ object IvfIndex {
     // meaningless): drop last_batch so appendBatch rejects a resumed
     // stream loudly — MinHashIndex.compactStreaming's handoff.
     writeMeta(indexDir, meta.copy(counts = newCounts, lastBatch = None), conf)
-    Fs.deleteTree(s"$indexDir/tombstones", conf)
+    tombSnap.foreach { case (files, _) =>
+      clearTombstoneFiles(spark, indexDir, files) }
   }
 
   /** Re-cluster the CURRENT corpus — the answer to [[append]]'s
@@ -333,11 +364,13 @@ object IvfIndex {
     Fs.deleteTree(old, conf)
     Fs.deleteTree(staged, conf)
     val all = spark.read.parquet(data).select("vec_id", "embedding")
-    val kept = tombstoneFrame(spark, indexDir) match {
-      case Some(t) => all.join(broadcast(t.select("vec_id")),
+    val tombSnap = tombstoneSnapshot(spark, indexDir)
+    val kept0 = tombSnap match {
+      case Some((_, t)) => all.join(broadcast(t.select("vec_id")),
         Seq("vec_id"), "left_anti")
       case None => all
     }
+    val kept = kept0.dropDuplicates("vec_id") // compact's crash-retry heal
     val cents = IvfAnn.trainCentroids(kept, k, iters)
     val stats = IvfAnn.clusterStats(kept, cents)
     IvfAnn.assign(kept, cents)
@@ -350,7 +383,8 @@ object IvfIndex {
     Fs.deleteTree(old, conf)
     writeMeta(indexDir, Meta(k, cents.head.length, stats.maxNorm, cents,
       stats.radius, stats.count), conf)
-    Fs.deleteTree(s"$indexDir/tombstones", conf)
+    tombSnap.foreach { case (files, _) =>
+      clearTombstoneFiles(spark, indexDir, files) }
   }
 
   /** O(deletions) takedown: record `ids` (a vec_id frame) as TOMBSTONES
@@ -382,9 +416,13 @@ object IvfIndex {
     * centroids — exactly how every ingest path ([[write]]/[[append]]/
     * [[appendBatch]]) and [[retrain]]'s rewrite placed the row, so the
     * tombstone lands on the row's true cluster without touching the
-    * corpus. Ids not in the index produce tombstones that exclude
-    * nothing (vec_id anti-join misses) and whose count subtraction is
-    * clamped — conservative, never inexact. */
+    * corpus — PROVIDED the supplied embeddings are the ones INGESTED
+    * (a drifted embedding would tombstone the wrong cluster,
+    * overstating the true cluster's count — the inexact direction;
+    * when in doubt use the id-only [[delete]], which reads the truth
+    * from the index). Ids not in the index produce tombstones that
+    * exclude nothing (vec_id anti-join misses) and whose count
+    * subtraction is clamped — conservative, never inexact. */
   def deleteVectors(spark: SparkSession, indexDir: String,
       vectors: DataFrame): Unit = {
     val conf = spark.sessionState.newHadoopConf()
@@ -400,12 +438,38 @@ object IvfIndex {
     * nothing was ever deleted (the common case pays one existence
     * check, no scan). */
   private def tombstoneFrame(spark: SparkSession,
-      indexDir: String): Option[DataFrame] = {
+      indexDir: String): Option[DataFrame] =
+    tombstoneSnapshot(spark, indexDir).map(_._2)
+
+  /** Tombstones pinned to the FILES present right now: compaction folds
+    * and later clears exactly this snapshot, so a takedown committed
+    * concurrently (a delete() landing after the snapshot) survives to
+    * the next fold instead of being wiped UNFOLDED by a whole-dir
+    * delete — which would silently resurrect a legally-retracted
+    * document. */
+  private def tombstoneSnapshot(spark: SparkSession, indexDir: String)
+      : Option[(Seq[String], DataFrame)] = {
     val c = spark.sessionState.newHadoopConf()
-    if (Fs.exists(s"$indexDir/tombstones", c))
-      Some(spark.read.parquet(s"$indexDir/tombstones")
-        .select(col("vec_id"), col("cluster")).distinct())
-    else None
+    val dir = s"$indexDir/tombstones"
+    if (!Fs.exists(dir, c)) None
+    else {
+      // explicit part-file listing, not a dir read: after a snapshot
+      // clear the dir can legitimately hold only _SUCCESS markers, and
+      // a dir-level parquet read of that throws instead of meaning
+      // "no tombstones"
+      val files = Fs.listParts(dir, c).map(_.getPath.toString)
+      if (files.isEmpty) None
+      else Some((files, spark.read.parquet(files: _*)
+        .select(col("vec_id"), col("cluster")).distinct()))
+    }
+  }
+
+  /** Clear exactly a snapshot's files (never the dir): later-arriving
+    * tombstones stay live for search and for the next fold. */
+  private def clearTombstoneFiles(spark: SparkSession, indexDir: String,
+      files: Seq[String]): Unit = {
+    val c = spark.sessionState.newHadoopConf()
+    files.foreach(Fs.deleteTree(_, c))
   }
 
   /** Drop tombstoned probes from an index-derived probe frame (external

@@ -264,7 +264,8 @@ object MinHashIndex {
     require(meta.contains("last_batch"),
       s"$indexDir is not a streaming-layout index; only appendBatch " +
         "indexes need compaction to the bucketed batch layout")
-    val tomb = tombstoneFrame(spark, indexDir)
+    val tombSnap = tombstoneSnapshot(spark, indexDir)
+    val tomb = tombSnap.map(_._2)
     swapIn(indexDir, "signatures", c) { staged =>
       val all = spark.read.parquet(s"$indexDir/signatures")
         .select("doc_id", "sh")
@@ -276,7 +277,8 @@ object MinHashIndex {
     }
     rewriteBandsBucketed(spark, indexDir, bandBuckets, c, tomb)
     writeMeta(spark, indexDir, bandBuckets, c) // commits the batch layout
-    graft.util.Fs.deleteTree(s"$indexDir/tombstones", c)
+    tombSnap.foreach { case (files, _) =>
+      files.foreach(graft.util.Fs.deleteTree(_, c)) }
   }
 
   /** O(deletions) takedown — the GDPR/retraction path: record `ids`
@@ -301,12 +303,28 @@ object MinHashIndex {
   /** The live tombstone set, or None when nothing was ever deleted
     * (the common case pays one existence check, no scan). */
   private def tombstoneFrame(spark: SparkSession,
-      indexDir: String): Option[DataFrame] = {
+      indexDir: String): Option[DataFrame] =
+    tombstoneSnapshot(spark, indexDir).map(_._2)
+
+  /** Tombstones pinned to the FILES present right now (IvfIndex's
+    * discipline): compaction folds and later clears exactly this
+    * snapshot, so a takedown committed concurrently survives to the
+    * next fold instead of being wiped UNFOLDED by a whole-dir delete —
+    * which would silently resurrect a legally-retracted document.
+    * Explicit part-file listing, not a dir read: post-clear the dir
+    * can hold only _SUCCESS markers, which must mean "no tombstones",
+    * not a schema-inference error. */
+  private def tombstoneSnapshot(spark: SparkSession, indexDir: String)
+      : Option[(Seq[String], DataFrame)] = {
     val c = spark.sessionState.newHadoopConf()
-    if (graft.util.Fs.exists(s"$indexDir/tombstones", c))
-      Some(spark.read.parquet(s"$indexDir/tombstones")
-        .select("doc_id").distinct())
-    else None
+    val dir = s"$indexDir/tombstones"
+    if (!graft.util.Fs.exists(dir, c)) None
+    else {
+      val files = graft.util.Fs.listParts(dir, c).map(_.getPath.toString)
+      if (files.isEmpty) None
+      else Some((files, spark.read.parquet(files: _*)
+        .select("doc_id").distinct()))
+    }
   }
 
   /** Batch-layout maintenance: rewrite `signatures/` and `bands/` minus
@@ -324,7 +342,8 @@ object MinHashIndex {
     val meta = graft.util.Fs.readString(s"$indexDir/meta.json", c)
     require(!meta.contains("last_batch"),
       s"$indexDir is a streaming-layout index; use compactStreaming")
-    val tomb = tombstoneFrame(spark, indexDir)
+    val tombSnap = tombstoneSnapshot(spark, indexDir)
+    val tomb = tombSnap.map(_._2)
     swapIn(indexDir, "signatures", c) { staged =>
       val all = spark.read.parquet(s"$indexDir/signatures")
         .select("doc_id", "sh")
@@ -336,7 +355,8 @@ object MinHashIndex {
     }
     rewriteBandsBucketed(spark, indexDir, bandBuckets, c, tomb)
     writeMeta(spark, indexDir, bandBuckets, c) // n_docs recounts, pre-clear
-    graft.util.Fs.deleteTree(s"$indexDir/tombstones", c)
+    tombSnap.foreach { case (files, _) =>
+      files.foreach(graft.util.Fs.deleteTree(_, c)) }
   }
 
   /** One-shot migration of a legacy pre-bucketing index (flat `bands/`,

@@ -1076,8 +1076,9 @@ object Relational {
     // crossed under the grouped aggregate (q09/q22's pattern applied
     // to agg-vs-agg), so the fact table is scanned once for the
     // groups and once for the total — never once per group. The
-    // threshold is mean-relative (rev·n·10 > 13·total, exact integer
-    // cross-multiplication), so the selected tail is SF-invariant
+    // threshold is mean-relative (rev·n·10 > 13·total, exact DECIMAL(38)
+    // cross-multiplication — BIGINT would wrap at realistic SFs), so
+    // the selected tail is SF-invariant
     // where a fixed fraction-of-total cutoff would silently empty at
     // 10x the part count.
     "q33_value_concentration" -> QueryDef(
@@ -1087,10 +1088,17 @@ object Relational {
             (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("r"))
           .groupBy("l_partkey")
           .agg(sumMinor(col("r"), 6).as("rev"))
-        val tot = pv.agg(sum(col("rev")).as("t"),
+        // DECIMAL(38) cross-multiplication, not Long: rev·n·10 wraps a
+        // BIGINT at realistic SFs (rev ~5e12 minor units x n ~2e5 parts
+        // already passes 2^63) and non-ANSI Spark would wrap SILENTLY
+        // while DuckDB's HUGEINT does not — the exact silent-divergence
+        // class the minor-units convention exists to prevent. 38 digits
+        // give headroom past any reachable corpus.
+        val tot = pv.agg(sum(col("rev").cast("decimal(38,0)")).as("t"),
           count(lit(1)).as("n"))
         pv.crossJoin(broadcast(tot))
-          .filter(col("rev") * col("n") * lit(10) > col("t") * lit(13))
+          .filter(col("rev").cast("decimal(38,0)") * col("n") * lit(10) >
+            col("t") * lit(13))
           .select(col("l_partkey"), col("rev"))
           .orderBy(col("rev").desc, col("l_partkey"))
       },
@@ -1099,10 +1107,10 @@ object Relational {
           SELECT l_partkey,
                  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev
           FROM lineitem GROUP BY l_partkey),
-        tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS t, COUNT(*) AS n FROM pv)
+        tot AS (SELECT SUM(CAST(rev AS HUGEINT)) AS t, COUNT(*) AS n FROM pv)
         SELECT l_partkey, rev
         FROM pv, tot
-        WHERE rev * n * 10 > 13 * t
+        WHERE CAST(rev AS HUGEINT) * n * 10 > 13 * t
         ORDER BY rev DESC, l_partkey"""))
   )
 }

@@ -91,6 +91,15 @@ object Similarity {
   private[graft] def minhashBands(spark: SparkSession, dir: String): DataFrame =
     graft.operators.MinHashIndex.bands(shingled(spark, dir))
 
+  /** Local-FS recursive delete for bench scratch/caches (ONE definition
+    * for every temp-dir cleanup in this file). */
+  private def rmTree(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(go)); f.delete(); ()
+    }
+    go(new java.io.File(path))
+  }
+
   /** Cheap freshness token for a bench source table: name+size+mtime of
     * its parquet file(s). The process-lifetime caches below key on it,
     * so a WITHIN-JVM regeneration of the table rebuilds the index
@@ -124,12 +133,7 @@ object Similarity {
       case _ =>
         val out = java.nio.file.Files
           .createTempDirectory("graft_ivfindex_bench_").toString
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(new java.io.File(out))
-        }
+        sys.addShutdownHook { rmTree(out) }
         graft.operators.IvfIndex.write(spark, dir, out)
         benchIndexDirs.put(dir, (stamp, out))
         out
@@ -150,12 +154,7 @@ object Similarity {
       case _ =>
         val out = java.nio.file.Files
           .createTempDirectory("graft_mhindex_bench_once_").toString + "/idx"
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(new java.io.File(out).getParentFile)
-        }
+        sys.addShutdownHook { rmTree(new java.io.File(out).getParent) }
         graft.operators.MinHashIndex.write(spark,
           QueryDef.spread(spark, dir, "documents")
             .filter(col("doc_id") % 5 =!= 0), out)
@@ -198,12 +197,7 @@ object Similarity {
       case _ =>
         val out = java.nio.file.Files
           .createTempDirectory("graft_ivfstream_bench_").toString + "/idx"
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(new java.io.File(out).getParentFile)
-        }
+        sys.addShutdownHook { rmTree(new java.io.File(out).getParent) }
         graft.operators.IvfIndex.initStreaming(spark, dir, out)
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         (0 to 2).foreach { b =>
@@ -226,12 +220,7 @@ object Similarity {
       case _ =>
         val out = java.nio.file.Files
           .createTempDirectory("graft_mhstream_bench_").toString + "/idx"
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(new java.io.File(out).getParentFile)
-        }
+        sys.addShutdownHook { rmTree(new java.io.File(out).getParent) }
         val base = QueryDef.spread(spark, dir, "documents")
           .filter(col("doc_id") % 5 =!= 0)
         (0 to 2).foreach { b =>
@@ -452,12 +441,7 @@ object Similarity {
         // for concurrent drivers on one machine to collide on
         val idxDir = java.nio.file.Files
           .createTempDirectory("graft_mhindex_bench_").toString + "/idx"
-        QueryDef.deferCleanup(() => {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(new java.io.File(idxDir).getParentFile)
-        })
+        QueryDef.deferCleanup(() => rmTree(new java.io.File(idxDir).getParent))
         graft.operators.MinHashIndex.write(spark,
           docs.filter(col("doc_id") % 5 =!= 0), idxDir)
         val batchSigs = graft.operators.MinHashIndex
@@ -506,12 +490,7 @@ object Similarity {
         val streamed = benchStreamedMhIndex(spark, dir)
         val scratch = java.nio.file.Files
           .createTempDirectory("graft_mhcompact_bench_").toString
-        QueryDef.deferCleanup(() => {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(new java.io.File(scratch))
-        })
+        QueryDef.deferCleanup(() => rmTree(scratch))
         val idx = s"$scratch/idx"
         copyTree(streamed, idx)
         graft.operators.MinHashIndex.compactStreaming(spark, idx)
@@ -541,12 +520,7 @@ object Similarity {
         val streamed = benchMhIndex(spark, dir)
         val scratch = java.nio.file.Files
           .createTempDirectory("graft_mhdelete_bench_").toString
-        QueryDef.deferCleanup(() => {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(new java.io.File(scratch))
-        })
+        QueryDef.deferCleanup(() => rmTree(scratch))
         val idx = s"$scratch/idx"
         copyTree(streamed, idx)
         val docs = QueryDef.spread(spark, dir, "documents")
@@ -576,12 +550,7 @@ object Similarity {
         val base = benchIndex(spark, dir)
         val scratch = java.nio.file.Files
           .createTempDirectory("graft_ivfdelete_bench_").toString
-        QueryDef.deferCleanup(() => {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(new java.io.File(scratch))
-        })
+        QueryDef.deferCleanup(() => rmTree(scratch))
         val idx = s"$scratch/idx"
         copyTree(base, idx)
         val emb = QueryDef.spread(spark, dir, "embeddings")
@@ -670,12 +639,7 @@ object Similarity {
       build = (spark, dir) => {
         val out = java.nio.file.Files
           .createTempDirectory("graft_ivfindex_bench_").toString
-        QueryDef.deferCleanup(() => {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(new java.io.File(out))
-        })
+        QueryDef.deferCleanup(() => rmTree(out))
         graft.operators.IvfIndex.write(spark, dir, out)
         graft.operators.IvfIndex.searchExact(spark, out, col("vec_id") < 8)
       },
@@ -722,12 +686,7 @@ object Similarity {
         val streamed = benchStreamedIvfIndex(spark, dir)
         val scratch = java.nio.file.Files
           .createTempDirectory("graft_ivfcompact_bench_").toString
-        QueryDef.deferCleanup(() => {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(new java.io.File(scratch))
-        })
+        QueryDef.deferCleanup(() => rmTree(scratch))
         val idx = s"$scratch/idx"
         copyTree(streamed, idx)
         graft.operators.IvfIndex.compact(spark, idx)

@@ -882,7 +882,7 @@ object TextMedia {
         val frames = (0 until 4).map { f =>
           val base = pay(baseKey, f)
           val fam = when(m === f + 1,
-            concat(lit(""), base.substr(lit(2), lit(35)))).otherwise(base)
+            concat(lit("\u0001"), base.substr(lit(2), lit(35)))).otherwise(base)
           when(m >= 5, pay(col("text"), f)).otherwise(fam)
         }
         val media = docs.select(col("doc_id"),

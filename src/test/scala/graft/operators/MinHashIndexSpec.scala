@@ -146,7 +146,9 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(got === Set.empty, "tombstoned base doc still probed")
     // compact folds the deletion into the files and stays bucketed
     MinHashIndex.compact(spark, idx)
-    assert(!new java.io.File(s"$idx/tombstones").exists())
+    assert(Option(new java.io.File(s"$idx/tombstones").listFiles())
+      .map(_.count(_.getName.startsWith("part-"))).getOrElse(0) === 0,
+      "compact must clear the folded tombstone files (dir may remain)")
     assert(got === Set.empty)
     val meta = graft.util.Fs.readString(s"$idx/meta.json",
       spark.sessionState.newHadoopConf())

@@ -176,6 +176,33 @@ class StreamingIvfProbeSpec extends AnyFunSuite {
       "tombstoned doc 1 must vanish from probe candidates")
   }
 
+  test("re-ingesting a tombstoned id never lands it (counts stay exact)") {
+    import spark.implicits._
+    val idx = tmp("sivfri") + "/idx"
+    IvfIndex.initStreaming(spark, bootstrap(), idx, k = 2, iters = 2)
+    val b0 = Seq((1L, vec(0, 0.5)), (2L, vec(1, 0.5))).toDF("vec_id", "embedding")
+    assert(StreamingIvfProbe.processBatch(spark, idx, b0, 0L, 1).count() === 0L)
+    IvfIndex.delete(spark, idx, Seq(1L).toDF("vec_id"))
+    // batch 1 RE-DELIVERS doc 1 beside a fresh doc: if the tombstoned
+    // row landed again, its data row would be counted while the
+    // tombstone both subtracts one count and anti-joins every copy —
+    // net count OVERSTATEMENT, the direction that silently breaks the
+    // pruning proof. The append must drop it instead.
+    val b1 = Seq((1L, vec(0, 0.5)), (3L, vec(0, 0.6))).toDF("vec_id", "embedding")
+    val got = pairsOf(StreamingIvfProbe.processBatch(spark, idx, b1, 1L, 1))
+    // both batch docs PROBE (external probe frames are the caller's —
+    // retraction governs the index side), but the tombstoned doc 1 is
+    // no candidate for doc 3: both fall through to the cross-axis doc 2
+    assert(got === Set((1L, 2L, 1L), (3L, 2L, 1L)),
+      "deleted doc 1 must not be a candidate")
+    val data = spark.read.parquet(s"$idx/data")
+    assert(data.filter(col("vec_id") === 1L).count() === 1L,
+      "the tombstoned id must not land a second data row")
+    // and the published counts cover exactly the landed rows
+    val meta = IvfIndex.readMeta(idx, spark.sessionState.newHadoopConf())
+    assert(meta.counts.sum === data.count())
+  }
+
   test("a fully streamed index searches identically to a one-shot build") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
