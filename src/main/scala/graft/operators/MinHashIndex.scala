@@ -232,9 +232,17 @@ object MinHashIndex {
           "existing index, or two queries sharing it) — use a new indexDir " +
           "or restore the original checkpoint")
     if (batchId == last) return false // committed replay: data is complete
-    val n = sigs.count()
-    sigs.write.mode("overwrite").parquet(s"$indexDir/signatures/batch_id=$batchId")
-    bands(sigs).write.mode("overwrite").parquet(s"$indexDir/bands/batch_id=$batchId")
+    // ONE materialization feeds the count and BOTH writes (IvfIndex
+    // appendBatch's discipline): persist would recompute evicted/lost
+    // blocks from the source plan, so a nondeterministic source could
+    // commit an n_docs that disagrees with the written rows — or
+    // signatures that disagree with bands. localCheckpoint truncates
+    // lineage; block loss fails the batch loudly and the stream
+    // redelivers it.
+    val pinned = sigs.localCheckpoint(true)
+    val n = pinned.count()
+    pinned.write.mode("overwrite").parquet(s"$indexDir/signatures/batch_id=$batchId")
+    bands(pinned).write.mode("overwrite").parquet(s"$indexDir/bands/batch_id=$batchId")
     graft.util.Fs.writeStringAtomic(metaPath,
       s"""{"scheme":"minhash-3gram-6x3","n_docs":${nDocs + n},"last_batch":$batchId}""", c)
     true
@@ -276,9 +284,17 @@ object MinHashIndex {
       kept.write.mode("overwrite").parquet(staged)
     }
     rewriteBandsBucketed(spark, indexDir, bandBuckets, c, tomb)
-    writeMeta(spark, indexDir, bandBuckets, c) // commits the batch layout
+    // clear the folded snapshot files BEFORE the layout commit: a crash
+    // in between leaves a still-streaming index whose re-run converges
+    // (the fold already happened; absent tombstones fold nothing),
+    // whereas clearing after would strand a crash window in which the
+    // documented recovery — re-running compactStreaming — trips its own
+    // layout require. MinHash has no pruning-counts math, so there is
+    // no counts-vs-tombstones ordering constraint here (unlike
+    // IvfIndex.compact, where reduced counts must publish first).
     tombSnap.foreach { case (files, _) =>
       files.foreach(graft.util.Fs.deleteTree(_, c)) }
+    writeMeta(spark, indexDir, bandBuckets, c) // commits the batch layout
   }
 
   /** O(deletions) takedown — the GDPR/retraction path: record `ids`

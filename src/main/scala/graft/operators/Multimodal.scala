@@ -158,8 +158,11 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val bytes = if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx)
         decode(bytes) match {
+          // LONG product: stub headers are attacker/corruption input,
+          // and an Int w*h wraps (65536x65536 -> 0) past this guard
+          // into out-of-bounds pixel reads — quarantine, never crash
           case Some(d) if d.kind == "IMG" && d.width > 0 && d.height > 0 &&
-              d.payload.length == d.width * d.height =>
+              d.payload.length.toLong == d.width.toLong * d.height =>
             Some(Row(id, outW, outH,
               boxResize(d.payload, d.width, d.height, outW, outH)))
           case _ => None
@@ -292,27 +295,41 @@ object Multimodal {
     * unrelated images must generate ≪ n² candidates, the invariant the
     * Hamming filter's correctness silently masks. */
   private[graft] def dHashCandidates(hashes: DataFrame, hashBits: Int,
-      bands: Int): DataFrame = {
+      bands: Int): DataFrame =
+    bandedHammingPairs(hashes, hashBits, bands, Nil)
+
+  /** THE banded-Hamming candidate join — one definition for the image
+    * ([[dHashCandidates]]) and video ([[videoNearDup]]) paths, so the
+    * banding scheme and its pigeonhole-recall argument cannot drift
+    * between them. Explodes each row into (bi, bv) band keys — by
+    * UNSIGNED shift + mask, not div/mod: a 64-bit hash with the top
+    * bit set is a NEGATIVE long, and arithmetic div would corrupt its
+    * band values — and joins rows sharing a band, ordered
+    * media_id < media_id. `carry` columns ride through as
+    * `<name>_a`/`<name>_b` beside (id_a, id_b, hamming). */
+  private def bandedHammingPairs(hashes: DataFrame, hashBits: Int,
+      bands: Int, carry: Seq[String]): DataFrame = {
     require(hashBits >= 1 && hashBits <= 64,
       s"hashBits $hashBits must be in [1, 64]")
     require(bands >= 1 && hashBits % bands == 0,
       s"bands $bands must divide hashBits $hashBits")
     val width = hashBits / bands
-    // unsigned shift + mask, not div/mod: a 64-bit hash with the top
-    // bit set is a NEGATIVE long, and arithmetic div would corrupt its
-    // band values
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val banded = hashes.select(col("media_id"), col("dhash"),
-      explode(expr(s"transform(sequence(0, ${bands - 1}), " +
-        s"b -> struct(b as bi, " +
-        s"shiftrightunsigned(dhash, b * $width) & ${mask}L as bv))")).as("band"))
-      .select(col("media_id"), col("dhash"),
-        col("band.bi").as("bi"), col("band.bv").as("bv"))
+    val banded = hashes.select(
+      (Seq(col("media_id"), col("dhash")) ++ carry.map(col) :+
+        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> struct(b as bi, " +
+          s"shiftrightunsigned(dhash, b * $width) & ${mask}L as bv))"))
+          .as("band")): _*)
+      .select((Seq(col("media_id"), col("dhash")) ++ carry.map(col) ++
+        Seq(col("band.bi").as("bi"), col("band.bv").as("bv"))): _*)
     banded.as("x").join(banded.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
           col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
-        expr("bit_count(x.dhash ^ y.dhash)").cast("bigint").as("hamming"))
+      .select((Seq(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        expr("bit_count(x.dhash ^ y.dhash)").cast("bigint").as("hamming")) ++
+        carry.flatMap(c =>
+          Seq(col(s"x.$c").as(s"${c}_a"), col(s"y.$c").as(s"${c}_b")))): _*)
   }
 
   /** Per-frame perceptual hashes of a VIDEO column: decode the
@@ -344,9 +361,14 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val bytes = if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx)
         decode(bytes) match {
+          // LONG frame size: an Int w*h wraps on corrupt headers
+          // (65536x65536 -> 0 -> modulo-by-zero; 65537x65536 -> false
+          // pass -> out-of-bounds frame reads) — quarantine, never
+          // crash. A frame must also individually fit an array.
           case Some(d) if d.kind == "VID" && d.width > 0 && d.height > 0 &&
+              d.width.toLong * d.height <= Int.MaxValue &&
               d.payload.length > 0 &&
-              d.payload.length % (d.width * d.height) == 0 =>
+              d.payload.length.toLong % (d.width.toLong * d.height) == 0 =>
             val fSize = d.width * d.height
             val n = d.payload.length / fSize
             (0 until n by stride).iterator.map { f =>
@@ -382,21 +404,11 @@ object Multimodal {
     require(maxHamming < bands,
       s"maxHamming $maxHamming needs < $bands bands for guaranteed recall")
     require(minMatches >= 1, s"minMatches $minMatches")
-    val width = hashBits / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
-    val banded = frameHashes.select(col("media_id"), col("frame_no"),
-      col("dhash"),
-      explode(expr(s"transform(sequence(0, ${bands - 1}), " +
-        s"b -> struct(b as bi, " +
-        s"shiftrightunsigned(dhash, b * $width) & ${mask}L as bv))")).as("band"))
-      .select(col("media_id"), col("frame_no"), col("dhash"),
-        col("band.bi").as("bi"), col("band.bv").as("bv"))
-    banded.as("x").join(banded.as("y"),
-        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
-          col("x.media_id") < col("y.media_id"))
-      .filter(expr("bit_count(x.dhash ^ y.dhash)") <= maxHamming)
-      .select(col("x.media_id").as("vid_a"), col("x.frame_no").as("fa"),
-        col("y.media_id").as("vid_b"), col("y.frame_no").as("fb"))
+    bandedHammingPairs(frameHashes, hashBits, bands, Seq("frame_no"))
+      // Hamming filter BEFORE the distinct's shuffle, as in dHashNearDup
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a").as("vid_a"), col("frame_no_a").as("fa"),
+        col("id_b").as("vid_b"), col("frame_no_b").as("fb"))
       .distinct()
       .groupBy("vid_a", "vid_b")
       .agg(org.apache.spark.sql.functions.count(
@@ -528,6 +540,7 @@ object Multimodal {
     * frames; the partition/batch shape is identical. */
   def frameSample(df: DataFrame, idCol: String, mediaCol: String,
       every: Int): DataFrame = {
+    require(every >= 1, s"every $every must be positive")
     val spark = df.sparkSession
     val idIdx = df.columns.indexOf(idCol)
     val mIdx = df.columns.indexOf(mediaCol)

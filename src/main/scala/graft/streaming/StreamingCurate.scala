@@ -27,9 +27,10 @@ import graft.util.Fs
   *
   * Replay discipline (the other streaming loops', applied at pipeline
   * granularity):
-  *   - a re-delivered COMMITTED batch (id == LATEST.batch) is a no-op —
-  *     its generation is already complete and later batches chain off
-  *     it;
+  *   - a re-delivered COMMITTED batch (id == LATEST.batch) runs
+  *     nothing but RE-EMITS the generation's totals (at-least-once
+  *     onResult — a crash between the LATEST commit and the stream
+  *     checkpoint must not swallow a committed callback);
   *   - a crashed partial generation leaves LATEST on the previous
   *     generation; re-delivery deletes the partial dir and re-runs the
   *     whole generation (convergent — each generation is a pure
@@ -58,9 +59,12 @@ object StreamingCurate {
       }
       .start()
 
-  /** One micro-batch → one generation. Returns None for a committed
-    * replay (nothing ran), Some(result) otherwise. Exposed for direct
-    * testing, like the other streaming loops. */
+  /** One micro-batch → one generation. A COMMITTED replay runs nothing
+    * but still returns the generation's totals (rebuilt from its
+    * summary.json), so `onResult` delivery is at-least-once — a crash
+    * between the LATEST commit and Spark's checkpoint commit must not
+    * silently swallow a committed generation's callback (the other
+    * streaming loops' replay posture). Exposed for direct testing. */
   def processBatch(spark: SparkSession, batch: DataFrame, rootDir: String,
       batchId: Long, cfg: Curate.Config = Curate.Config())
       : Option[Curate.Result] = {
@@ -68,8 +72,9 @@ object StreamingCurate {
     Fs.mkdirs(rootDir, hc)
     val latest = readLatest(spark, rootDir)
     latest match {
-      case Some((_, committed)) if batchId == committed =>
-        return None // committed replay: the generation is complete
+      case Some((gen, committed)) if batchId == committed =>
+        // committed replay: nothing runs; re-emit the totals
+        return Some(readResult(spark, s"$rootDir/$gen"))
       case Some((_, committed)) if batchId < committed =>
         throw new IllegalStateException(
           s"StreamingCurate batch $batchId but $rootDir already committed " +
@@ -99,6 +104,20 @@ object StreamingCurate {
     Some(r)
   }
 
+  /** A committed generation's Result, rebuilt from its summary.json
+    * (the artifact curate wrote at commit time — replays must re-emit
+    * exactly what the first delivery reported). */
+  private def readResult(spark: SparkSession, genDir: String)
+      : Curate.Result = {
+    val hc = spark.sessionState.newHadoopConf()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Fs.readString(s"$genDir/summary.json", hc))
+    import scala.jdk.CollectionConverters._
+    def toMap(node: com.fasterxml.jackson.databind.JsonNode) =
+      node.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    Curate.Result(toMap(root.get("verdicts")), toMap(root.get("splits")))
+  }
+
   /** The committed (generation dir name, batch id), if any. */
   def readLatest(spark: SparkSession, rootDir: String)
       : Option[(String, Long)] = {
@@ -123,16 +142,23 @@ object StreamingCurate {
       case Some((_, committed)) =>
         val p = new org.apache.hadoop.fs.Path(rootDir)
         val fs = p.getFileSystem(hc)
-        val gens = fs.listStatus(p).toSeq.map(_.getPath.getName)
-          .flatMap { n =>
-            if (n.startsWith("gen_")) n.stripPrefix("gen_").toLongOption
-            else None
-          }
-          .filter(_ <= committed).sorted.reverse
-        gens.drop(keep).foreach { g =>
-          Fs.deleteTree(s"$rootDir/gen_$g", hc)
+        val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
+        def ids(prefix: String) = names.flatMap { n =>
+          if (n.startsWith(prefix)) n.stripPrefix(prefix).toLongOption
+          else None
+        }
+        val gens = ids("gen_").filter(_ <= committed).sorted.reverse
+        val doomed = gens.drop(keep).toSet
+        // batch inputs delete FIRST (a crash between the two deletes
+        // must not orphan the raw documents — the content prune was
+        // asked to drop), and batch dirs whose generation is already
+        // gone (a previous prune's crash window) are swept too
+        val keptGens = gens.take(keep).toSet
+        (ids("batch_").filter(b => b <= committed && !keptGens.contains(b))
+          .toSet ++ doomed).foreach { g =>
           Fs.deleteTree(s"$rootDir/batch_$g", hc)
         }
+        doomed.foreach(g => Fs.deleteTree(s"$rootDir/gen_$g", hc))
     }
   }
 }

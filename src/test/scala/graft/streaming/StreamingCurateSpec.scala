@@ -65,8 +65,10 @@ class StreamingCurateSpec extends AnyFunSuite {
       .map(_.counts) === Some(Map("kept" -> 2L)))
     val first = StreamingCurate.processBatch(spark, b1, root, 1L)
     assert(first.map(_.counts) === Some(Map("dup_of_base" -> 1L, "kept" -> 1L)))
-    // committed replay: nothing runs, pointer stable
-    assert(StreamingCurate.processBatch(spark, b1, root, 1L) === None)
+    // committed replay: nothing runs, pointer stable, and the totals
+    // RE-EMIT (at-least-once onResult — rebuilt from summary.json)
+    assert(StreamingCurate.processBatch(spark, b1, root, 1L)
+      .map(_.counts) === first.map(_.counts))
     assert(StreamingCurate.readLatest(spark, root).map(_._2) === Some(1L))
     // crash simulation: a partial NEXT generation (dir exists, LATEST
     // not advanced) is deleted and fully re-run on re-delivery
