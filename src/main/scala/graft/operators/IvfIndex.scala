@@ -387,6 +387,32 @@ object IvfIndex {
       clearTombstoneFiles(spark, indexDir, files) }
   }
 
+  /** Maintenance summary — the measured inputs to the compact/retrain
+    * decision: data rows vs the published pruning counts, live
+    * tombstones awaiting a fold, duplicate-id rows (the fingerprint of
+    * a crashed-then-retried append — [[compact]] heals them), and the
+    * cluster-size imbalance factor (max/mean — drifting ingest skews
+    * lists, degrading pruning until a [[retrain]]). One scan over the
+    * data; O(k) driver rows. */
+  final case class Health(clusters: Int, rows: Long, publishedCount: Long,
+      tombstones: Long, duplicateIds: Long, imbalance: Double)
+
+  def health(spark: SparkSession, indexDir: String): Health = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = readMeta(indexDir, conf)
+    val byCluster = spark.read.parquet(s"$indexDir/data")
+      .groupBy("cluster").agg(count(lit(1)).as("n"),
+        countDistinct("vec_id").as("nd"))
+      .collect()
+    val rows = byCluster.map(_.getLong(1)).sum
+    val distinct = byCluster.map(_.getLong(2)).sum
+    val tomb = tombstoneFrame(spark, indexDir).map(_.count()).getOrElse(0L)
+    val maxN = if (byCluster.isEmpty) 0L else byCluster.map(_.getLong(1)).max
+    val mean = rows.toDouble / meta.k
+    Health(meta.k, rows, meta.counts.sum, tomb, rows - distinct,
+      if (mean == 0) 0.0 else maxN / mean)
+  }
+
   /** O(deletions) takedown: record `ids` (a vec_id frame) as TOMBSTONES
     * beside the data — the GDPR/retraction path. Deleted vectors stop
     * appearing as probes or candidates immediately (every search

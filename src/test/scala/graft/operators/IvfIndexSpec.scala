@@ -279,6 +279,36 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally { rm(a); rm(b) }
   }
 
+  test("health reports rows/counts/tombstones/dups — and compact resets them") {
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir()
+    val oddSrc = tmpDir()
+    try {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val odds = emb.filter(col("vec_id") % 2 === 1)
+      odds.write.mode("overwrite").parquet(s"$oddSrc/embeddings.parquet")
+      IvfIndex.write(spark, dir, out)
+      val h1 = IvfIndex.health(spark, out)
+      assert(h1.rows === emb.count() && h1.publishedCount === h1.rows)
+      assert(h1.tombstones === 0L && h1.duplicateIds === 0L)
+      assert(h1.imbalance >= 1.0)
+      // a duplicate append + a pending takedown show up as the
+      // maintenance signals they are
+      IvfIndex.append(spark, oddSrc, out)
+      IvfIndex.delete(spark, out,
+        emb.filter(col("vec_id") % 9 === 2).select("vec_id"))
+      val h2 = IvfIndex.health(spark, out)
+      assert(h2.duplicateIds === odds.count())
+      assert(h2.tombstones === emb.filter(col("vec_id") % 9 === 2).count())
+      // compact folds + heals; the published counts match the rows again
+      IvfIndex.compact(spark, out)
+      val h3 = IvfIndex.health(spark, out)
+      assert(h3.duplicateIds === 0L && h3.tombstones === 0L)
+      assert(h3.publishedCount === h3.rows)
+      assert(h3.rows === emb.count() - h2.tombstones)
+    } finally { rm(out); rm(oddSrc) }
+  }
+
   test("retrain re-clusters the drifted corpus; search stays exact") {
     val dir = "/root/testdata/sf0.001"
     val out = tmpDir()
