@@ -281,9 +281,11 @@ object MinHashIndex {
         case Some(t) => all.join(broadcast(t), Seq("doc_id"), "left_anti")
         case None => all
       }
-      kept.write.mode("overwrite").parquet(staged)
+      kept.dropDuplicates("doc_id").write.mode("overwrite").parquet(staged)
     }
-    rewriteBandsBucketed(spark, indexDir, bandBuckets, c, tomb)
+    // bands rebuild from the compacted signatures (see compact)
+    writeBandsBucketed(spark, indexDir, bandBuckets, c,
+      bands(spark.read.parquet(s"$indexDir/signatures")))
     // clear the folded snapshot files BEFORE the layout commit: a crash
     // in between leaves a still-streaming index whose re-run converges
     // (the fold already happened; absent tombstones fold nothing),
@@ -295,6 +297,48 @@ object MinHashIndex {
     tombSnap.foreach { case (files, _) =>
       files.foreach(graft.util.Fs.deleteTree(_, c)) }
     writeMeta(spark, indexDir, bandBuckets, c) // commits the batch layout
+  }
+
+  /** Maintenance summary — [[IvfIndex.health]]'s text-side twin: doc
+    * totals vs the published n_docs, duplicate signature rows (a
+    * crashed-then-retried flat append's fingerprint — probe already
+    * collapses them, [[compact]] heals them), live tombstones awaiting
+    * a fold, and signature↔band consistency (docs on one side only —
+    * the fingerprint of a crash between the two writes; probes of such
+    * docs under- or never match until a [[compact]]/[[write]] heals
+    * the pair). Plus the layout facts the maintenance choice needs. */
+  final case class Health(docs: Long, publishedDocs: Long,
+      duplicateRows: Long, tombstones: Long, orphanBandDocs: Long,
+      missingBandDocs: Long, streaming: Boolean, bandBuckets: Int)
+
+  def health(spark: SparkSession, indexDir: String): Health = {
+    val c = spark.sessionState.newHadoopConf()
+    val meta = graft.util.Fs.readString(s"$indexDir/meta.json", c)
+    val published = """"n_docs":(\d+)""".r.findFirstMatchIn(meta)
+      .map(_.group(1).toLong).getOrElse(0L)
+    val sig = spark.read.parquet(s"$indexDir/signatures").select("doc_id")
+    val sigIds = sig.distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nIds = sigIds.count()
+      val bandIds = spark.read.parquet(s"$indexDir/bands")
+        .select("doc_id").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        Health(
+          docs = nIds,
+          publishedDocs = published,
+          duplicateRows = sig.count() - nIds,
+          tombstones = tombstoneFrame(spark, indexDir)
+            .map(_.count()).getOrElse(0L),
+          orphanBandDocs = bandIds.join(sigIds, Seq("doc_id"), "left_anti")
+            .count(),
+          missingBandDocs = sigIds.join(bandIds, Seq("doc_id"), "left_anti")
+            .count(),
+          streaming = meta.contains("last_batch"),
+          bandBuckets = bandBucketsOf(meta))
+      } finally { bandIds.unpersist(blocking = false); () }
+    } finally { sigIds.unpersist(blocking = false); () }
   }
 
   /** O(deletions) takedown — the GDPR/retraction path: record `ids`
@@ -367,9 +411,19 @@ object MinHashIndex {
         case Some(t) => all.join(broadcast(t), Seq("doc_id"), "left_anti")
         case None => all
       }
-      kept.write.mode("overwrite").parquet(staged)
+      // dropDuplicates: a crashed-then-retried append leaves a batch's
+      // bit-identical rows twice; compact is the heal ([[health]]
+      // surfaces the signal)
+      kept.dropDuplicates("doc_id").write.mode("overwrite").parquet(staged)
     }
-    rewriteBandsBucketed(spark, indexDir, bandBuckets, c, tomb)
+    // bands REBUILD from the compacted signatures (not a rewrite of the
+    // old band rows): bands are a pure function of signatures, so this
+    // also heals orphan/missing band docs — the fingerprint of a crash
+    // between the two append writes. Costs one minhash pass over the
+    // stored shingle sets, the right price for a maintenance op that
+    // rewrites everything anyway.
+    writeBandsBucketed(spark, indexDir, bandBuckets, c,
+      bands(spark.read.parquet(s"$indexDir/signatures")))
     writeMeta(spark, indexDir, bandBuckets, c) // n_docs recounts, pre-clear
     tombSnap.foreach { case (files, _) =>
       files.foreach(graft.util.Fs.deleteTree(_, c)) }
@@ -402,17 +456,30 @@ object MinHashIndex {
   private def rewriteBandsBucketed(spark: SparkSession, indexDir: String,
       bandBuckets: Int, c: org.apache.hadoop.conf.Configuration,
       minus: Option[DataFrame] = None): Unit = {
+    val all = spark.read.parquet(s"$indexDir/bands")
+      .select("doc_id", "bi", "bh")
+    val kept = minus match {
+      case Some(t) => all.join(broadcast(t.select("doc_id")),
+        Seq("doc_id"), "left_anti")
+      case None => all
+    }
+    writeBandsBucketed(spark, indexDir, bandBuckets, c, kept)
+  }
+
+  /** Staged bucketed write of a (doc_id, bi, bh) frame into `bands/` +
+    * in-place swap + catalog refresh — the one bucketing writer behind
+    * [[rewriteBandsBucketed]] (reads the old band rows — layout
+    * migration) and the compaction paths (which REBUILD the rows from
+    * the compacted signatures — bands are a pure function of
+    * signatures, so rebuilding heals duplicate rows and
+    * signature↔band inconsistencies in the same stroke). */
+  private def writeBandsBucketed(spark: SparkSession, indexDir: String,
+      bandBuckets: Int, c: org.apache.hadoop.conf.Configuration,
+      rows: DataFrame): Unit = {
     val stgTbl = bandsTable(indexDir) + "_stg"
     swapIn(indexDir, "bands", c) { staged =>
       spark.sql(s"DROP TABLE IF EXISTS $stgTbl")
-      val all = spark.read.parquet(s"$indexDir/bands")
-        .select("doc_id", "bi", "bh")
-      val kept = minus match {
-        case Some(t) => all.join(broadcast(t.select("doc_id")),
-          Seq("doc_id"), "left_anti")
-        case None => all
-      }
-      kept.write.mode("overwrite").format("parquet")
+      rows.write.mode("overwrite").format("parquet")
         .bucketBy(bandBuckets, "bi", "bh").sortBy("bi", "bh")
         .option("path", staged).saveAsTable(stgTbl)
     }

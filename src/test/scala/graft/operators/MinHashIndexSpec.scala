@@ -163,6 +163,35 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(again.contains((1L, 3L)))
   }
 
+  test("health reports docs/dups/tombstones/orphans; compact resets them") {
+    import spark.implicits._
+    val (base, batch, _) = fixture
+    val idx = tmp()
+    MinHashIndex.write(spark, base.toDF("doc_id", "text"), idx)
+    val h1 = MinHashIndex.health(spark, idx)
+    assert(h1.docs === 2L && h1.publishedDocs === 2L)
+    assert(h1.duplicateRows === 0L && h1.tombstones === 0L)
+    assert(h1.orphanBandDocs === 0L && h1.missingBandDocs === 0L)
+    assert(!h1.streaming && h1.bandBuckets === 32)
+    // a duplicate append (crash-retry fingerprint) + a pending
+    // takedown + a signatures/bands inconsistency all surface
+    MinHashIndex.append(spark, base.toDF("doc_id", "text"), idx)
+    MinHashIndex.delete(spark, idx, Seq(2L).toDF("doc_id"))
+    MinHashIndex.bands(
+        MinHashIndex.signatures(batch.take(1).toDF("doc_id", "text")))
+      .write.mode("append").parquet(s"$idx/bands") // band-only doc 3
+    val h2 = MinHashIndex.health(spark, idx)
+    assert(h2.duplicateRows === 2L, h2.toString)
+    assert(h2.tombstones === 1L)
+    assert(h2.orphanBandDocs === 1L, "band rows without signatures")
+    // compact heals everything it can see
+    MinHashIndex.compact(spark, idx)
+    val h3 = MinHashIndex.health(spark, idx)
+    assert(h3.duplicateRows === 0L && h3.tombstones === 0L)
+    assert(h3.orphanBandDocs === 0L && h3.missingBandDocs === 0L)
+    assert(h3.docs === 1L && h3.publishedDocs === 1L) // doc 2 folded out
+  }
+
   test("rebucket migrates a legacy flat index; probes identical, plan bucketed") {
     import spark.implicits._
     val (base, batch, _) = fixture
