@@ -179,15 +179,18 @@ object Curate {
         spark.sessionState.newHadoopConf()))
       queries.QueryDef.spread(spark, inDir, "documents")
     else {
-      val (good, bad) = sources.jsonl.JsonlDocs.read(spark, inDir)
-      val nBad = bad.count()
+      // readCounted: ONE whole-corpus parse yields both quarantine
+      // counts (the separate bad.count()/good.count() guards used to
+      // pay a full re-parse each)
+      val (good, nGood, nBad) =
+        sources.jsonl.JsonlDocs.readCounted(spark, inDir)
       if (nBad > 0) {
         System.err.println(s"[curate] quarantined $nBad malformed JSONL line(s) from $inDir")
         // fail-loud guard: a mistyped path or a dir of non-JSONL files
         // parses to ZERO good docs with everything quarantined —
         // curating an empty corpus to a normal-looking outDir would
         // hide that. An actually-empty input (no lines) still proceeds.
-        require(good.count() > 0,
+        require(nGood > 0,
           s"$inDir parsed 0 valid JSONL documents ($nBad quarantined) — " +
             "is this actually a JSONL corpus drop?")
       }

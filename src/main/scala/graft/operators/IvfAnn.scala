@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
-  /** Shared with IvfPq: the e01 quantization contract — any drift here
-    * breaks the cross-operator recall comparisons. */
-  private[operators] val quant =
+  /** THE e01 quantization contract, shared with IvfPq AND the query
+    * surface (Similarity aliases it, MinHashIndex.shingleExpr's
+    * pattern) — any drift here breaks the cross-operator recall
+    * comparisons and the brute-force oracles in one stroke. */
+  private[graft] val quant =
     "transform(embedding, x -> cast(floor(cast(x as double) * 1048576D) as bigint))"
-  private[operators] def qdot(a: String, b: String): Column =
+  private[graft] def qdot(a: String, b: String): Column =
     graft.functions.ArrayMath.dot(col(a), col(b))
 
   /** Squared L2 distance from the embedding column to a centroid literal

@@ -117,18 +117,21 @@ object IvfIndex {
         Seq("vec_id"), "left_anti")
       case None => batchAll
     }
+    // ONE materialization (appendBatch's discipline — localCheckpoint,
+    // not two independent plans): the stats and the written rows MUST
+    // come from the same evaluation, or a source re-read between them
+    // publishes bounds that never covered the data
     val assigned = IvfAnn.assign(batch, meta.centroids)
-      .select(col("vec_id"), col("embedding"), col("label").cast("int").as("cluster"))
-    // exact metadata update from the batch side only (O(batch) scan),
-    // computed BEFORE any mutation so the staged publishes are pure
-    val upd = IvfAnn.assign(batch, meta.centroids)
-      .select(col("label").cast("int").as("cluster"),
-        sqrt(graft.functions.ArrayMath.l2sq(
-          col("embedding").cast("array<double>"),
-          centLit(meta.centroids))).as("d"),
-        sqrt(graft.functions.ArrayMath.dot(
-          col("embedding").cast("array<double>"),
-          col("embedding").cast("array<double>"))).as("nrm"))
+      .withColumn("d", sqrt(graft.functions.ArrayMath.l2sq(
+        col("embedding").cast("array<double>"),
+        centLit(meta.centroids))))
+      .withColumn("nrm", sqrt(graft.functions.ArrayMath.dot(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>"))))
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("int").as("cluster"), col("d"), col("nrm"))
+      .localCheckpoint(true)
+    val upd = assigned
       .groupBy("cluster").agg(max("d").as("r"), max("nrm").as("mx"),
         count(lit(1)).as("n"))
       .collect()
@@ -143,7 +146,8 @@ object IvfIndex {
     }
     // (1) bounds lead the data (old counts), (2) data, (3) counts trail
     writeMeta(indexDir, meta.copy(radius = radius, maxNorm = maxNorm), conf)
-    assigned.write.mode("append").partitionBy("cluster")
+    assigned.select("vec_id", "embedding", "cluster")
+      .write.mode("append").partitionBy("cluster")
       .parquet(s"$indexDir/data")
     writeMeta(indexDir, meta.copy(radius = radius, counts = counts,
       maxNorm = maxNorm), conf)
@@ -273,49 +277,32 @@ object IvfIndex {
     * per-batch commit dirs it fenced no longer exist). */
   def compact(spark: SparkSession, indexDir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val data = s"$indexDir/data"
-    val old = s"$indexDir/data_old"
-    val staged = s"$indexDir/data_compacting"
-    // leftover-state audit before touching anything: a prior compact
-    // that crashed between its two renames leaves data/ MISSING with
-    // the only complete copy in data_old — refuse and name the one
-    // recovering rename rather than plow a new compact into it. A
-    // data_old BESIDE an intact data/ is the post-swap window (crash
-    // before cleanup): data/ is complete, the leftover is garbage.
-    if (!Fs.exists(data, conf) && Fs.exists(old, conf))
-      throw new IllegalStateException(
-        s"$indexDir: interrupted compact — recover with: rename $old -> $data")
-    Fs.deleteTree(old, conf)
-    Fs.deleteTree(staged, conf)
     val meta = readMeta(indexDir, conf)
-    val all = spark.read.parquet(data)
-      .select("vec_id", "embedding", "cluster") // drops streaming batch_id
-    // compaction FOLDS tombstones: deleted rows leave the data files
-    // for good and the exact per-cluster counts are recomputed from
-    // what survives. radius/maxNorm stay as stored — bounds of a
-    // superset cover the subset, so searchExact's proof is unaffected.
-    val tombSnap = tombstoneSnapshot(spark, indexDir)
-    val kept = tombSnap match {
-      case Some((_, t)) => all.join(broadcast(t.select("vec_id")),
-        Seq("vec_id"), "left_anti")
-      case None => all
-    }
-    // dropDuplicates(vec_id): a crashed-then-retried append can leave a
-    // batch's rows twice (parquet append has no cross-job fence); the
-    // duplicates were never double-counted (counts publish once, after
-    // the data) but a search would emit the candidate twice — compact
-    // is the documented heal, and the recount below republishes the
-    // exact post-dedup totals
-    kept.dropDuplicates("vec_id")
-      .repartition(meta.k, col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(staged)
     val newCounts = new Array[Long](meta.k)
-    spark.read.parquet(staged)
-      .groupBy("cluster").agg(count(lit(1)).as("n")).collect()
-      .foreach(r => newCounts(r.getInt(0)) = r.getLong(1))
-    Fs.rename(data, old, conf)
-    Fs.rename(staged, data, conf)
-    Fs.deleteTree(old, conf)
+    val tombSnap = tombstoneSnapshot(spark, indexDir)
+    stagedDataSwap(spark, indexDir, conf) { (all, staged) =>
+      // compaction FOLDS tombstones: deleted rows leave the data files
+      // for good and the exact per-cluster counts are recomputed from
+      // what survives. radius/maxNorm stay as stored — bounds of a
+      // superset cover the subset, so searchExact's proof holds.
+      val kept = tombSnap match {
+        case Some((_, t)) => all.join(broadcast(t.select("vec_id")),
+          Seq("vec_id"), "left_anti")
+        case None => all
+      }
+      // dropDuplicates(vec_id): a crashed-then-retried append can leave
+      // a batch's rows twice (parquet append has no cross-job fence);
+      // the duplicates were never double-counted (counts publish once,
+      // after the data) but a search would emit the candidate twice —
+      // compact is the documented heal, and the recount republishes the
+      // exact post-dedup totals
+      kept.dropDuplicates("vec_id")
+        .repartition(meta.k, col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(staged)
+      spark.read.parquet(staged)
+        .groupBy("cluster").agg(count(lit(1)).as("n")).collect()
+        .foreach(r => newCounts(r.getInt(0)) = r.getLong(1))
+    }
     // commit order matters for exactness under a crash: publish the
     // REDUCED counts while the tombstones still exist (a crash between
     // the two steps double-subtracts — clamped at 0, only loosens
@@ -329,6 +316,35 @@ object IvfIndex {
     writeMeta(indexDir, meta.copy(counts = newCounts, lastBatch = None), conf)
     tombSnap.foreach { case (files, _) =>
       clearTombstoneFiles(spark, indexDir, files) }
+  }
+
+  /** The staged `data/` replacement shared by [[compact]] and
+    * [[retrain]] — ONE definition of the crash-recovery protocol:
+    * leftover-state audit (a crash between the renames leaves data/
+    * missing with the complete copy in data_old — refuse and name the
+    * one recovering rename; a data_old BESIDE an intact data/ is just
+    * post-swap garbage), stale staging cleanup, the staged write
+    * (callback receives the CURRENT rows and the staging path), then
+    * rename data→old, staged→data, drop old. */
+  private def stagedDataSwap(spark: SparkSession, indexDir: String,
+      conf: Configuration)(
+      writeStaged: (DataFrame, String) => Unit): Unit = {
+    val data = s"$indexDir/data"
+    val old = s"$indexDir/data_old"
+    val staged = s"$indexDir/data_compacting"
+    if (!Fs.exists(data, conf) && Fs.exists(old, conf))
+      throw new IllegalStateException(
+        s"$indexDir: interrupted compact — recover with: rename $old -> $data")
+    require(Fs.exists(data, conf),
+      s"$indexDir has no data/ yet (streaming index before its first " +
+        "batch) — nothing to rewrite")
+    Fs.deleteTree(old, conf)
+    Fs.deleteTree(staged, conf)
+    writeStaged(spark.read.parquet(data)
+      .select("vec_id", "embedding", "cluster"), staged)
+    Fs.rename(data, old, conf)
+    Fs.rename(staged, data, conf)
+    Fs.deleteTree(old, conf)
   }
 
   /** Re-cluster the CURRENT corpus — the answer to [[append]]'s
@@ -354,35 +370,26 @@ object IvfIndex {
   def retrain(spark: SparkSession, indexDir: String, k: Int = 16,
       iters: Int = 2): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val data = s"$indexDir/data"
-    val old = s"$indexDir/data_old"
-    val staged = s"$indexDir/data_compacting"
-    if (!Fs.exists(data, conf) && Fs.exists(old, conf))
-      throw new IllegalStateException(
-        s"$indexDir: interrupted compact/retrain — recover with: " +
-          s"rename $old -> $data")
-    Fs.deleteTree(old, conf)
-    Fs.deleteTree(staged, conf)
-    val all = spark.read.parquet(data).select("vec_id", "embedding")
     val tombSnap = tombstoneSnapshot(spark, indexDir)
-    val kept0 = tombSnap match {
-      case Some((_, t)) => all.join(broadcast(t.select("vec_id")),
-        Seq("vec_id"), "left_anti")
-      case None => all
+    var newMeta: Option[Meta] = None
+    stagedDataSwap(spark, indexDir, conf) { (all, staged) =>
+      val kept0 = tombSnap match {
+        case Some((_, t)) => all.join(broadcast(t.select("vec_id")),
+          Seq("vec_id"), "left_anti")
+        case None => all
+      }
+      val kept = kept0.dropDuplicates("vec_id") // compact's crash-retry heal
+      val cents = IvfAnn.trainCentroids(kept, k, iters)
+      val stats = IvfAnn.clusterStats(kept, cents)
+      IvfAnn.assign(kept, cents)
+        .select(col("vec_id"), col("embedding"),
+          col("label").cast("int").as("cluster"))
+        .repartition(k, col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(staged)
+      newMeta = Some(Meta(k, cents.head.length, stats.maxNorm, cents,
+        stats.radius, stats.count))
     }
-    val kept = kept0.dropDuplicates("vec_id") // compact's crash-retry heal
-    val cents = IvfAnn.trainCentroids(kept, k, iters)
-    val stats = IvfAnn.clusterStats(kept, cents)
-    IvfAnn.assign(kept, cents)
-      .select(col("vec_id"), col("embedding"),
-        col("label").cast("int").as("cluster"))
-      .repartition(k, col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(staged)
-    Fs.rename(data, old, conf)
-    Fs.rename(staged, data, conf)
-    Fs.deleteTree(old, conf)
-    writeMeta(indexDir, Meta(k, cents.head.length, stats.maxNorm, cents,
-      stats.radius, stats.count), conf)
+    writeMeta(indexDir, newMeta.get, conf)
     tombSnap.foreach { case (files, _) =>
       clearTombstoneFiles(spark, indexDir, files) }
   }
@@ -400,6 +407,12 @@ object IvfIndex {
   def health(spark: SparkSession, indexDir: String): Health = {
     val conf = spark.sessionState.newHadoopConf()
     val meta = readMeta(indexDir, conf)
+    // a freshly initStreaming'd index has meta but no data/ until its
+    // first batch — a legitimate state health must report, not crash on
+    if (!Fs.exists(s"$indexDir/data", conf))
+      return Health(meta.k, 0L, meta.counts.sum,
+        tombstoneFrame(spark, indexDir).map(_.count()).getOrElse(0L),
+        0L, 0.0)
     val byCluster = spark.read.parquet(s"$indexDir/data")
       .groupBy("cluster").agg(count(lit(1)).as("n"),
         countDistinct("vec_id").as("nd"))
@@ -618,7 +631,12 @@ object IvfIndex {
   /** EXACT top-k search for an EXTERNAL probe frame (vec_id,
     * embedding) — vectors that are not (or not yet) in the index: the
     * streaming-ingestion probe shape, where each arriving batch asks
-    * for its nearest EARLIER vectors. `excludeCands` (ids frame)
+    * for its nearest EARLIER vectors. `excludeCands` — a (vec_id,
+    * embedding) frame: the embeddings are REQUIRED, the exact count
+    * subtraction re-assigns them to the frozen centroids (an ids-only
+    * frame would force a silent no-subtraction fallback that breaks
+    * the replay-identical guarantee; searchApproxFrame, with no counts
+    * math, is the ids-only-friendly sibling) —
     * removes vectors from the CANDIDATE side exactly — their
     * per-cluster assignment counts are subtracted from the pruning
     * stats before the threshold is computed (clamped at 0;

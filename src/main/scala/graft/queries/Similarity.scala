@@ -35,12 +35,14 @@ object Similarity {
   private[graft] def shingles: String =
     graft.operators.MinHashIndex.shingleExpr
 
-  /** Quantized embedding: floor(x·2^20) per element, exact in double. */
-  private val quant =
-    "transform(embedding, x -> cast(floor(cast(x as double) * 1048576D) as bigint))"
+  /** Quantized embedding — floor(x·2^20) per element, exact in double.
+    * ONE definition, owned by [[graft.operators.IvfAnn]] (the
+    * shingleExpr pattern): the queries here are the ORACLES of the IVF
+    * operators, so the two sides must be structurally unable to drift. */
+  private def quant: String = graft.operators.IvfAnn.quant
   /** Exact integer dot product of two quantized vectors. */
   private def qdot(a: String, b: String): org.apache.spark.sql.Column =
-    graft.functions.ArrayMath.dot(col(a), col(b))
+    graft.operators.IvfAnn.qdot(a, b)
 
   /** Brute-force top-10-by-quantized-dot for the 8 fixed probes — the
     * shared DuckDB oracle of e01 and of the exact-mode ANN paths
@@ -171,7 +173,10 @@ object Similarity {
   private def copyTree(src: String, dst: String): Unit = {
     val s = java.nio.file.Paths.get(src)
     val d = java.nio.file.Paths.get(dst)
-    java.nio.file.Files.walk(s).forEach { p =>
+    // Files.walk holds open directory handles until CLOSED — leaked
+    // per bench pass they accumulate toward fd caps on CI hosts
+    val walk = java.nio.file.Files.walk(s)
+    try walk.forEach { p =>
       val t = d.resolve(s.relativize(p))
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.createDirectories(t)
@@ -180,7 +185,7 @@ object Similarity {
         java.nio.file.Files.copy(p, t)
         ()
       }
-    }
+    } finally walk.close()
   }
 
   /** Process-cached STREAMING-layout IVF index over the full embeddings

@@ -29,20 +29,45 @@ object JsonlDocs {
     * without the id check would quarantine nothing. */
   def read(spark: SparkSession, path: String,
       schema: StructType = documentsSchema): (DataFrame, DataFrame) = {
-    val withCorrupt = StructType(
-      schema.fields :+ StructField("__corrupt", StringType))
-    val raw = spark.read
-      .schema(withCorrupt)
+    val raw = rawRead(spark, path, schema)
+    (goodOf(raw, schema), raw.filter(badCond(schema))
+      .select(col("__corrupt").as("raw_line")))
+  }
+
+  /** read() plus both counts from ONE whole-corpus parse: the
+    * permissive frame is cached just long enough for a single
+    * (total, bad) aggregation — quarantine ACCOUNTING (Curate's
+    * ingest) otherwise pays one full re-parse per count. Returns
+    * (good frame, good count, bad count); the good frame recomputes
+    * lazily downstream like read()'s. */
+  def readCounted(spark: SparkSession, path: String,
+      schema: StructType = documentsSchema): (DataFrame, Long, Long) = {
+    val raw = rawRead(spark, path, schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val r = raw.agg(count(lit(1)).as("n"),
+        sum(when(badCond(schema), 1L).otherwise(0L)).as("nbad")).head()
+      val total = r.getLong(0)
+      val nBad = if (r.isNullAt(1)) 0L else r.getLong(1) // sum over 0 rows
+      (goodOf(raw, schema), total - nBad, nBad)
+    } finally { raw.unpersist(blocking = false); () }
+  }
+
+  private def rawRead(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(StructType(
+        schema.fields :+ StructField("__corrupt", StringType)))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "__corrupt")
       .json(path)
-    val idCol = schema.fields.head.name
-    val good = raw.filter(col("__corrupt").isNull && col(idCol).isNotNull)
+
+  private def badCond(schema: StructType) =
+    col("__corrupt").isNotNull || col(schema.fields.head.name).isNull
+
+  private def goodOf(raw: DataFrame, schema: StructType): DataFrame =
+    raw.filter(!badCond(schema))
       .select(schema.fields.map(f => col(f.name)).toIndexedSeq: _*)
-    val bad = raw.filter(col("__corrupt").isNotNull || col(idCol).isNull)
-      .select(col("__corrupt").as("raw_line"))
-    (good, bad)
-  }
 
   /** Export as a JSONL shard directory (distributed — the shape corpus
     * releases actually take; one file per partition). */

@@ -43,6 +43,28 @@ this is not json
     } finally rm(dir)
   }
 
+  test("readCounted agrees with read()'s frames in one parse") {
+    val dir = tmpDir()
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/in.jsonl"),
+        """{"doc_id": 1, "text": "a", "lang": "en", "source": "s"}
+{"doc_id": 2, "text": "b", "lang": "en", "source": "s"}
+nope
+{"text": "no id", "lang": "en", "source": "s"}
+""")
+      val (good, nGood, nBad) = JsonlDocs.readCounted(spark, s"$dir/in.jsonl")
+      assert((nGood, nBad) === (2L, 2L))
+      assert(good.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        === Seq(1L, 2L))
+      // empty input: zero/zero, no NULL-aggregate crash
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/empty.jsonl"), "")
+      val (_, g0, b0) = JsonlDocs.readCounted(spark, s"$dir/empty.jsonl")
+      assert((g0, b0) === (0L, 0L))
+    } finally rm(dir)
+  }
+
   test("documents round-trip through write + read") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = tmpDir()
