@@ -85,6 +85,29 @@ class StreamingCurateSpec extends AnyFunSuite {
     assert(e.getMessage.contains("restarted"))
   }
 
+  test("takedown composes with the chain: retracted content stays suppressed") {
+    import spark.implicits._
+    val root = tmp("scur4")
+    StreamingCurate.processBatch(spark, docsDf(Seq((1L, longA), (2L, longB))),
+      root, 0L)
+    // right-to-be-forgotten against the COMMITTED generation, written
+    // as the next generation by hand (takedown is an operator action,
+    // not a stream batch) — then point the chain at it via LATEST
+    val r = Curate.runTakedown(spark, s"$root/gen_0", s"$root/gen_1",
+      Seq(2L).toDF("doc_id"))
+    assert(r.counts === Map("kept" -> 1L, "taken_down" -> 1L))
+    graft.util.Fs.writeStringAtomic(s"$root/LATEST",
+      """{"gen":"gen_1","batch":1}""" + "\n",
+      spark.sessionState.newHadoopConf())
+    // the stream continues off the post-takedown generation: doc 2's
+    // content redelivered in the next batch is NOT re-admitted (the
+    // NULL-split suppressor survived the takedown), fresh content is
+    val r2 = StreamingCurate.processBatch(spark,
+      docsDf(Seq((10L, longB), (11L, longC))), root, 2L)
+    assert(r2.map(_.counts) ===
+      Some(Map("dup_of_base" -> 1L, "kept" -> 1L)))
+  }
+
   test("prune bounds the generation trail, never the committed gen") {
     val root = tmp("scur3")
     StreamingCurate.processBatch(spark, docsDf(Seq((1L, longA))), root, 0L)
