@@ -270,10 +270,17 @@ object Curate {
 
     val takedown = ids.select(col("doc_id")).distinct()
       .withColumn("td", lit(1))
+    // the verdict flips only from 'kept': a doc the original run already
+    // dropped/shortened keeps its verdict (the documented no-op — its
+    // content never reached the artifacts, so there is nothing to
+    // retract and the summary's verdict histogram must not shift
+    // between categories); the split clears for ANY named id, which is
+    // a no-op for non-kept docs (their split is already NULL)
     val verdicts = spark.read.parquet(s"$baseDir/verdicts.parquet")
       .join(broadcast(takedown), Seq("doc_id"), "left")
       .withColumn("verdict",
-        when(col("td") === 1, lit("taken_down")).otherwise(col("verdict")))
+        when(col("td") === 1 && col("verdict") === "kept", lit("taken_down"))
+          .otherwise(col("verdict")))
       .withColumn("split",
         when(col("td") === 1, lit(null).cast("string")).otherwise(col("split")))
       .select("doc_id", "verdict", "split")

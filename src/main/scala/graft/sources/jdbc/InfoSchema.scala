@@ -297,14 +297,70 @@ final class MySqlJdbcCatalog(spark: SparkSession, url: String,
 object JdbcData {
 
   /** Partitioned table read (numPartitions-way on partitionCol when the
-    * caller knows a numeric key; single-stream otherwise). */
+    * caller knows a numeric key; single-stream otherwise).
+    *
+    * Bounds discipline: Spark's stride partitioning is only as good as its
+    * lower/upper bounds — a fixed guess like [0, 2^40) puts a serial PK
+    * topping out at a few million entirely inside stride 0 while the other
+    * N-1 partitions issue empty-range queries, silently serializing the
+    * read (rows are never lost; parallelism is). So when the caller does
+    * not supply `bounds`, we pay ONE cheap `SELECT MIN, MAX` probe (the
+    * standard Sqoop/Spark pattern) and derive explicit per-partition WHERE
+    * predicates that are non-degenerate by construction: every range
+    * intersects the probed [min, max], the first predicate is unbounded
+    * below and catches NULL keys, the last is unbounded above so rows
+    * inserted after the probe still land somewhere. Empty tables and
+    * single-valued keys fall back to a single-stream read. */
   def readTable(spark: SparkSession, url: String, props: java.util.Properties,
       table: String, partitionCol: Option[String] = None,
-      numPartitions: Int = 8, lower: Long = 0, upper: Long = 1L << 40): DataFrame =
+      numPartitions: Int = 8, bounds: Option[(Long, Long)] = None): DataFrame =
     partitionCol match {
-      case Some(c) => spark.read.jdbc(url, table, c, lower, upper, numPartitions, props)
-      case None    => spark.read.jdbc(url, table, props)
+      case Some(c) =>
+        bounds.orElse(probeBounds(spark, url, props, table, c)) match {
+          case Some((lo, hi)) =>
+            val preds = partitionPredicates(c, lo, hi, numPartitions)
+            if (preds.isEmpty) spark.read.jdbc(url, table, props)
+            else spark.read.jdbc(url, table, preds.toArray, props)
+          case None => spark.read.jdbc(url, table, props) // empty table
+        }
+      case None => spark.read.jdbc(url, table, props)
     }
+
+  /** One-row MIN/MAX probe over the partition column — the bound source
+    * for [[readTable]] when the caller has none. Runs through the same
+    * JDBC session config as the data read; `table` may itself be a
+    * derived-table expression (the S9 spatial projection), every dialect
+    * in scope nests those. None ⇔ the table has no non-NULL keys. */
+  def probeBounds(spark: SparkSession, url: String,
+      props: java.util.Properties, table: String, col: String): Option[(Long, Long)] = {
+    val probe =
+      s"(SELECT MIN($col) AS graft_lo, MAX($col) AS graft_hi FROM $table) AS graft_bounds"
+    val row = spark.read.jdbc(url, probe, props).collect()(0)
+    (row.get(0), row.get(1)) match {
+      case (lo: Number, hi: Number) => Some((lo.longValue, hi.longValue))
+      case _                        => None
+    }
+  }
+
+  /** Explicit partition predicates over integer key range [lo, hi]:
+    * `requested` clamped to the key-span so no partition's range is empty,
+    * boundaries evenly spread (BigInt math — a full-Long span must not
+    * overflow), first predicate also admits NULL keys (Spark's own stride
+    * partitioner does the same), first/last unbounded outward. Empty
+    * result means "don't partition" (span 1, or requested ≤ 1). */
+  def partitionPredicates(col: String, lo: Long, hi: Long, requested: Int): Seq[String] = {
+    require(hi >= lo, s"bounds inverted: [$lo, $hi]")
+    val span = BigInt(hi) - BigInt(lo) + 1
+    val n = span.min(BigInt(math.max(1, requested))).toInt
+    if (n <= 1) return Seq.empty
+    val cuts = (1 until n).map(i => (BigInt(lo) + span * i / n).toLong)
+    val first = s"$col < ${cuts.head} OR $col IS NULL"
+    val middle = cuts.sliding(2).collect {
+      case Seq(a, b) => s"$col >= $a AND $col < $b"
+    }.toSeq
+    val last = s"$col >= ${cuts.last}"
+    (first +: middle) :+ last
+  }
 
   /** S9: MySQL spatial types whose default SELECT form is WKB bytes that
     * would miscast downstream (reference: mysql/mysqldump.go:41). */
@@ -336,7 +392,7 @@ object JdbcData {
   def readMySqlTable(spark: SparkSession, url: String,
       props: java.util.Properties, table: SourceTable,
       partitionCol: Option[String] = None, numPartitions: Int = 8,
-      lower: Long = 0, upper: Long = 1L << 40): DataFrame = {
+      bounds: Option[(Long, Long)] = None): DataFrame = {
     val colsTypes = table.colNames.map(c => c -> table.colDefs(c).tpe.name)
     val qualified = table.name.split("\\.", 2) match {
       case Array(db, t) => bq(db) + "." + bq(t)
@@ -346,7 +402,7 @@ object JdbcData {
       if (colsTypes.exists { case (_, t) => isSpatial(t) })
         s"(SELECT ${mySqlColProjection(colsTypes)} FROM $qualified) AS sub"
       else qualified
-    readTable(spark, url, props, dbtable, partitionCol, numPartitions, lower, upper)
+    readTable(spark, url, props, dbtable, partitionCol, numPartitions, bounds)
   }
 
   /** C13 (postgres/infoschema.go:535-613 cvtSQLScalar, Spark-shaped):

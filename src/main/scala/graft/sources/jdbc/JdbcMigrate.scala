@@ -23,7 +23,12 @@ import graft.types.{MySqlTypeMapper, PostgresTypeMapper}
   * `partitionHints` names a numeric column per SOURCE table to split
   * its read `numPartitions`-ways (S7's parallel scan); tables without a
   * hint read as a single JDBC cursor — correct, but serial, so hint
-  * every big table.
+  * every big table. Stride bounds come from `partitionBounds` when the
+  * caller knows the key range, otherwise from a per-table MIN/MAX probe
+  * inside [[JdbcData.readTable]] — one cheap extra query that keeps a
+  * serial PK (values ≪ any fixed guess) from collapsing all rows into
+  * stride 0 and serializing the very read this path exists to
+  * parallelize.
   */
 object JdbcMigrate {
 
@@ -38,7 +43,8 @@ object JdbcMigrate {
   def run(spark: SparkSession, driver: String, url: String,
       props: java.util.Properties, dbName: Option[String], outDir: String,
       partitionHints: Map[String, String] = Map.empty,
-      numPartitions: Int = 8): Result = {
+      numPartitions: Int = 8,
+      partitionBounds: Map[String, (Long, Long)] = Map.empty): Result = {
     val (cat, mapper, sysSchemas) = driver match {
       case "postgres" =>
         (new PgJdbcCatalog(spark, url, props), PostgresTypeMapper,
@@ -75,9 +81,9 @@ object JdbcMigrate {
       val srcTable = tables(src)
       val df = driver match {
         case "mysql" => JdbcData.readMySqlTable(spark, url, props, srcTable,
-          partitionHints.get(src), numPartitions)
+          partitionHints.get(src), numPartitions, partitionBounds.get(src))
         case _ => JdbcData.readTable(spark, url, props, pgQuote(src),
-          partitionHints.get(src), numPartitions)
+          partitionHints.get(src), numPartitions, partitionBounds.get(src))
       }
       val sp = plan.toSpannerTable(src)
       JdbcData.toSpanner(df, plan, src)

@@ -264,13 +264,18 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     val longB = (1 to 40).map(i => s"beta$i").mkString(" ")
     val longC = (1 to 40).map(i => s"gamma$i").mkString(" ")
     try {
-      writeDocs(s"$root/base", Seq((1L, longA), (2L, longB), (3L, longC)))
+      writeDocs(s"$root/base",
+        Seq((1L, longA), (2L, longB), (3L, longC), (4L, "tiny doc")))
       val base = Curate.run(spark, s"$root/base", s"$root/out0")
-      assert(base.counts === Map("kept" -> 3L))
-      // retract doc 2 (+ an unknown id: no-op)
+      assert(base.counts === Map("kept" -> 3L, "low_quality" -> 1L))
+      // retract doc 2 (+ an unknown id and an already-dropped id: both
+      // no-ops — in particular doc 4 KEEPS its low_quality verdict, so
+      // the histogram never shifts between categories for a doc whose
+      // content never reached the artifacts)
       val r = Curate.runTakedown(spark, s"$root/out0", s"$root/out1",
-        Seq(2L, 999L).toDF("doc_id"))
-      assert(r.counts === Map("kept" -> 2L, "taken_down" -> 1L))
+        Seq(2L, 4L, 999L).toDF("doc_id"))
+      assert(r.counts ===
+        Map("kept" -> 2L, "taken_down" -> 1L, "low_quality" -> 1L))
       // gone from curated + packing bookkeeping, verdict flipped
       val curated = spark.read.parquet(s"$root/out1/curated.parquet")
       assert(curated.select("doc_id").collect().map(_.getLong(0)).toSet ===
@@ -278,6 +283,9 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       val v = spark.read.parquet(s"$root/out1/verdicts.parquet")
       assert(v.filter(col("verdict") === "taken_down")
         .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L))
+      assert(v.filter(col("doc_id") === 4L).select("verdict")
+        .collect().head.getString(0) === "low_quality",
+        "an already-dropped doc named in a takedown keeps its verdict")
       assert(v.filter(col("doc_id") === 2L).select("split")
         .collect().head.isNullAt(0), "retracted doc must leave its split")
       // packing re-derives from the survivors: token totals reconcile

@@ -72,6 +72,15 @@ class JdbcIntegrationSpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("name") === "bo'b")
     assert(rows(0).getAs[java.math.BigDecimal]("balance")
       .compareTo(new java.math.BigDecimal("10.50")) === 0)
+    // S7's headline claim over the reference's serial loop
+    // (postgres/infoschema.go:76-126): the MIN/MAX-probed stride bounds
+    // must actually spread a live serial-PK read across >1 non-empty
+    // partition — the old [0, 2^40) default served everything from one.
+    val part = JdbcData.readTable(spark, url, new java.util.Properties(),
+      "it_orders", partitionCol = Some("oid"), numPartitions = 3)
+    val sizes = part.rdd.mapPartitionsWithIndex((i, it) => Iterator(i -> it.size))
+      .collect().toMap
+    assert(sizes.count(_._2 > 0) > 1, s"degenerate live partitions: $sizes")
   }
 
   test("mysql: live schema+data migrate, spatial-free happy path") {
