@@ -29,6 +29,23 @@ import graft.util.Fs
   * bounded probe set (its cluster fan-out ≤ k) and the member rows of
   * the clusters the bound admits. The needed-cluster union collected
   * on the driver is O(probes × k) ints — metadata, not data.
+  *
+  * CROSS-PROCESS MAINTENANCE CONTRACT (single maintainer): the
+  * rewriting operations — [[compact]], [[foldStreaming]], [[retrain]],
+  * [[retrainStreaming]] — share one staged-swap protocol
+  * ([[stagedDataSwap]]) plus, for the retrains, the RETRAINING marker
+  * fence. That protects against CRASHES (every intermediate state is a
+  * complete layout; an interrupted swap is detected and refused with
+  * the recovering rename named; an interrupted retrain fences all
+  * reads until a re-run) — not against CONCURRENT maintainers: two
+  * processes rewriting one index dir can interleave their renames into
+  * a mixed-generation layout. Exactly ONE process may run maintenance
+  * on an index dir at a time — for a streaming index, the stream's own
+  * foreachBatch (where [[maintain]] runs), which serializes
+  * maintenance against appends by construction. Concurrent SEARCHES
+  * during a compact are safe-but-loud (complete layout or
+  * FILE_NOT_EXIST, never silently mixed files); during a retrain they
+  * refuse via the marker.
   */
 object IvfIndex {
 
@@ -61,10 +78,35 @@ object IvfIndex {
       stats.radius, stats.count), spark.sessionState.newHadoopConf())
   }
 
+  /** The in-progress-retrain fence: present from just before
+    * [[retrain]]'s data swap until after its meta publish. While it
+    * exists the index may hold NEW cluster assignments under the OLD
+    * meta — centroids/radius/counts that no longer describe the data —
+    * so a search pruning with them would be silently inexact with no
+    * on-disk trace. [[readMeta]] refuses while the marker exists, which
+    * makes every public entry point (search, append, delete, compact,
+    * health) refuse loudly; only a retrain re-run clears it. */
+  private def retrainMarker(indexDir: String) = s"$indexDir/RETRAINING"
+
   /** All file IO goes through the Hadoop FileSystem of the path's
     * scheme ([[graft.util.Fs]]) — an index dir can be `hdfs://…` or
-    * `s3a://…`, same as the parquet data beside it. */
+    * `s3a://…`, same as the parquet data beside it.
+    *
+    * Refuses while a [[retrain]] is in flight or died mid-publish (the
+    * RETRAINING marker exists): the stored meta may describe a
+    * clustering the data no longer has, and pruning with it is the
+    * silent-inexactness direction. Recovery is stated in the error —
+    * re-run retrain, which converges from any intermediate state. */
   def readMeta(indexDir: String, c: Configuration): Meta = {
+    if (Fs.exists(retrainMarker(indexDir), c))
+      throw new IllegalStateException(
+        s"$indexDir: interrupted retrain (RETRAINING marker present) — " +
+          "the data/meta pair may be mixed-generation; re-run " +
+          "IvfIndex.retrain to converge before searching or mutating")
+    readMetaRaw(indexDir, c)
+  }
+
+  private def readMetaRaw(indexDir: String, c: Configuration): Meta = {
     val node = mapper.readTree(Fs.readString(s"$indexDir/meta.json", c))
     import scala.jdk.CollectionConverters._
     Meta(
@@ -318,6 +360,80 @@ object IvfIndex {
       clearTombstoneFiles(spark, indexDir, files) }
   }
 
+  /** Mid-stream compaction — [[compact]]'s fold for a LIVE streaming
+    * index: tombstones leave the files for good, crash-retry duplicate
+    * rows heal, the run of per-batch small dirs collapses into ONE
+    * `batch_id=<last_batch>` subtree, and the exact per-cluster counts
+    * republish — but meta KEEPS `last_batch`, so the owning stream's
+    * next [[appendBatch]] lands beside the folded subtree unbroken
+    * (same two-level layout, so partition discovery never sees mixed
+    * schemas). [[compact]] remains the END-of-stream handoff that
+    * finalizes into the batch layout; this is the maintenance
+    * primitive [[maintain]] fires BETWEEN micro-batches. Commit order
+    * is compact's: reduced counts publish while the tombstone snapshot
+    * still exists (a crash between double-subtracts, clamped —
+    * conservative, never inexact). Single-maintainer contract: run it
+    * from the stream's own foreachBatch, never from a second process. */
+  def foldStreaming(spark: SparkSession, indexDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = readMeta(indexDir, conf)
+    val last = meta.lastBatch.getOrElse(throw new IllegalArgumentException(
+      s"$indexDir is a batch-layout index; use compact"))
+    val newCounts = new Array[Long](meta.k)
+    val tombSnap = tombstoneSnapshot(spark, indexDir)
+    stagedDataSwap(spark, indexDir, conf) { (all, staged) =>
+      val kept = tombSnap match {
+        case Some((_, t)) => all.join(broadcast(t.select("vec_id")),
+          Seq("vec_id"), "left_anti")
+        case None => all
+      }
+      kept.dropDuplicates("vec_id")
+        .withColumn("batch_id", lit(last))
+        .repartition(meta.k, col("cluster"))
+        .write.mode("overwrite").partitionBy("batch_id", "cluster")
+        .parquet(staged)
+      spark.read.parquet(staged)
+        .groupBy("cluster").agg(count(lit(1)).as("n")).collect()
+        .foreach(r => newCounts(r.getInt(0)) = r.getLong(1))
+    }
+    writeMeta(indexDir, meta.copy(counts = newCounts), conf) // last_batch kept
+    tombSnap.foreach { case (files, _) =>
+      clearTombstoneFiles(spark, indexDir, files) }
+  }
+
+  /** Turn [[health]]'s measurements into at most ONE maintenance action
+    * under [[MaintenancePolicy]]'s dials, layout-aware (a live
+    * streaming index folds/retrains IN layout; a batch index uses
+    * [[compact]]/[[retrain]]). Returns "retrain", "compact", or "none".
+    *
+    * Precedence: imbalance wins — retrain also folds tombstones and
+    * heals duplicates, so when both dials trip one retrain suffices.
+    * Below `minRows`, nothing fires: a rewrite of a small index costs
+    * more than the degradation it heals, and early-ingest shapes
+    * (every vector in one of two clusters) read as "imbalance" without
+    * being drift. Idempotent by construction: after an action the
+    * signals it keyed on are back under their dials, so a replayed
+    * check returns "none". Single-maintainer contract: one process —
+    * for a streaming index, the stream's own foreachBatch — owns
+    * maintenance on an index dir. */
+  def maintain(spark: SparkSession, indexDir: String,
+      policy: MaintenancePolicy): String = {
+    val h = health(spark, indexDir)
+    if (h.rows < policy.minRows) return "none"
+    val streaming =
+      readMeta(indexDir, spark.sessionState.newHadoopConf()).lastBatch.isDefined
+    if (h.imbalance > policy.maxImbalance) {
+      if (streaming) retrainStreaming(spark, indexDir)
+      else retrain(spark, indexDir)
+      "retrain"
+    } else if (h.tombstones * 1000L > policy.maxTombstonePermille * h.rows ||
+        h.duplicateIds * 1000L > policy.maxDuplicatePermille * h.rows) {
+      if (streaming) foldStreaming(spark, indexDir)
+      else compact(spark, indexDir)
+      "compact"
+    } else "none"
+  }
+
   /** The staged `data/` replacement shared by [[compact]] and
     * [[retrain]] — ONE definition of the crash-recovery protocol:
     * leftover-state audit (a crash between the renames leaves data/
@@ -358,20 +474,74 @@ object IvfIndex {
     * the batch layout (compact's handoff).
     *
     * Concurrency/crash contract — STRICTER than compact's, because the
-    * cluster ids change meaning: searches must not run during the
-    * swap-to-meta window, and a retrain that crashes mid-swap must be
-    * re-run (or compact + recover per its message) BEFORE searching.
-    * Re-running always converges: retrain consumes only (vec_id,
+    * cluster ids change meaning. The swap-to-meta window is fenced by
+    * an on-disk RETRAINING marker (atomic create before the swap,
+    * removed after the meta publish AND the late-tombstone
+    * re-resolution below): while it exists, [[readMeta]] — and with it
+    * every search, append, delete, compact and health call — refuses
+    * loudly, so a crash in the window cannot produce a silently
+    * inexact search. The only way to clear the marker is a retrain
+    * re-run, which always converges: retrain consumes only (vec_id,
     * embedding), which every intermediate state preserves as a set.
+    * (If the crash also interrupted the swap itself, the re-run's
+    * stagedDataSwap audit names the one recovering rename first.)
+    *
+    * Tombstones committed DURING the retrain (after its snapshot)
+    * carry cluster ids of the PRE-retrain clustering; left as-is,
+    * search would subtract their counts from the wrong new cluster —
+    * understating one (conservative) but leaving the true cluster's
+    * count OVERSTATED, the direction that breaks the pruning proof. So
+    * after the meta publish, any late tombstone files are rewritten
+    * with clusters re-derived from the NEW data (the same one-scan
+    * join [[delete]] uses) before the marker clears. Re-derived rows
+    * are written before the stale files are removed: an overlap window
+    * subtracts from both the old and new cluster of the same row —
+    * clamped, conservative, never inexact.
+    *
     * Exactness after a COMPLETED retrain needs no new proof — the
     * bound never depended on which cluster a vector sits in, only on
     * the published stats matching the published assignment, which they
-    * do by construction here. */
-  def retrain(spark: SparkSession, indexDir: String, k: Int = 16,
-      iters: Int = 2): Unit = {
+    * do by construction here.
+    *
+    * `k = 0` (the default) preserves the index's current cluster
+    * count — a bare maintenance `retrain()` never reshapes the index
+    * as a side effect; pass an explicit k to resize. */
+  def retrain(spark: SparkSession, indexDir: String, k: Int = 0,
+      iters: Int = 2): Unit =
+    retrainHooked(spark, indexDir, k, iters, () => (), keepStreaming = false)
+
+  /** [[retrain]] for a LIVE streaming index — the mid-stream drift
+    * answer [[maintain]] fires between micro-batches: same re-cluster,
+    * fold, and marker fence, but the rewrite lands under ONE
+    * `batch_id=<last_batch>` subtree and meta KEEPS `last_batch`, so
+    * the owning stream's next [[appendBatch]] (which re-reads meta and
+    * therefore assigns against the NEW centroids) continues unbroken.
+    * Single-maintainer contract: call it from the stream's own
+    * foreachBatch (between batches), never from a second process. */
+  def retrainStreaming(spark: SparkSession, indexDir: String, k: Int = 0,
+      iters: Int = 2): Unit =
+    retrainHooked(spark, indexDir, k, iters, () => (), keepStreaming = true)
+
+  /** [[retrain]] with a test seam: `lateWindow` runs after the meta
+    * publish and snapshot clear, just before the late-tombstone
+    * re-resolution — the only way a spec can deterministically land a
+    * "concurrent" delete inside the window the re-resolution exists
+    * for (a real concurrent delete refuses once the marker is up, so
+    * only a delete that STARTED before the marker can race in). */
+  private[operators] def retrainHooked(spark: SparkSession, indexDir: String,
+      k: Int, iters: Int, lateWindow: () => Unit,
+      keepStreaming: Boolean = false): Unit = {
     val conf = spark.sessionState.newHadoopConf()
+    val meta0 = readMetaRaw(indexDir, conf)
+    val kk = if (k > 0) k else meta0.k
+    val last =
+      if (!keepStreaming) None
+      else Some(meta0.lastBatch.getOrElse(throw new IllegalArgumentException(
+        s"$indexDir is a batch-layout index; use retrain")))
     val tombSnap = tombstoneSnapshot(spark, indexDir)
     var newMeta: Option[Meta] = None
+    Fs.writeStringAtomic(retrainMarker(indexDir),
+      "retrain in flight — re-run IvfIndex.retrain to converge\n", conf)
     stagedDataSwap(spark, indexDir, conf) { (all, staged) =>
       val kept0 = tombSnap match {
         case Some((_, t)) => all.join(broadcast(t.select("vec_id")),
@@ -379,19 +549,39 @@ object IvfIndex {
         case None => all
       }
       val kept = kept0.dropDuplicates("vec_id") // compact's crash-retry heal
-      val cents = IvfAnn.trainCentroids(kept, k, iters)
+      val cents = IvfAnn.trainCentroids(kept, kk, iters)
       val stats = IvfAnn.clusterStats(kept, cents)
-      IvfAnn.assign(kept, cents)
+      val assigned = IvfAnn.assign(kept, cents)
         .select(col("vec_id"), col("embedding"),
           col("label").cast("int").as("cluster"))
-        .repartition(k, col("cluster"))
-        .write.mode("overwrite").partitionBy("cluster").parquet(staged)
-      newMeta = Some(Meta(k, cents.head.length, stats.maxNorm, cents,
-        stats.radius, stats.count))
+        .repartition(kk, col("cluster"))
+      last match {
+        case Some(b) => assigned.withColumn("batch_id", lit(b))
+          .write.mode("overwrite").partitionBy("batch_id", "cluster")
+          .parquet(staged)
+        case None => assigned
+          .write.mode("overwrite").partitionBy("cluster").parquet(staged)
+      }
+      newMeta = Some(Meta(kk, cents.head.length, stats.maxNorm, cents,
+        stats.radius, stats.count, lastBatch = last))
     }
     writeMeta(indexDir, newMeta.get, conf)
     tombSnap.foreach { case (files, _) =>
       clearTombstoneFiles(spark, indexDir, files) }
+    lateWindow()
+    // late tombstones (committed after the snapshot): their rows
+    // SURVIVED into the new data (only snapshot tombstones were
+    // folded), so the data join re-derives each one's new cluster
+    tombstoneSnapshot(spark, indexDir).foreach { case (lateFiles, late) =>
+      spark.read.parquet(s"$indexDir/data")
+        .join(broadcast(late.select("vec_id")), Seq("vec_id"))
+        .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+        .distinct()
+        .coalesce(1)
+        .write.mode("append").parquet(s"$indexDir/tombstones")
+      clearTombstoneFiles(spark, indexDir, lateFiles)
+    }
+    Fs.deleteTree(retrainMarker(indexDir), conf)
   }
 
   /** Maintenance summary — the measured inputs to the compact/retrain

@@ -47,6 +47,22 @@ import org.apache.spark.sql.functions._
   * pair (the m01 rerank shape); `append` is an O(batch) bucket-aligned
   * append. The streaming layout trades this for idempotent per-batch
   * commits and gets it back via [[compactStreaming]].
+  *
+  * CROSS-PROCESS MAINTENANCE CONTRACT (single maintainer): the
+  * rewriting operations — [[compact]], [[compactStreaming]],
+  * [[foldStreaming]], [[rebucket]] — stage their replacement and swap
+  * it in with two renames, which protects against CRASHES (every
+  * intermediate state is a complete layout, and a swap that died
+  * between its renames is detected and refused with the one recovering
+  * rename named — spec-pinned), not against CONCURRENT maintainers:
+  * two processes rewriting one index dir can interleave their renames
+  * into a live layout built from mixed generations. Exactly ONE
+  * process may run maintenance on an index dir at a time — for a
+  * streaming index, the stream's own foreachBatch (where [[maintain]]
+  * runs), which serializes maintenance against appends by
+  * construction. Concurrent PROBES during a swap are safe-but-loud:
+  * they read a complete layout or fail with FILE_NOT_EXIST and retry;
+  * they never read mixed files silently.
   */
 object MinHashIndex {
 
@@ -297,6 +313,83 @@ object MinHashIndex {
     tombSnap.foreach { case (files, _) =>
       files.foreach(graft.util.Fs.deleteTree(_, c)) }
     writeMeta(spark, indexDir, bandBuckets, c) // commits the batch layout
+  }
+
+  /** Mid-stream compaction — the fold for a LIVE streaming index:
+    * tombstoned docs leave the files for good, duplicate signature rows
+    * heal, bands REBUILD from the folded signatures (healing
+    * orphan/missing band docs — bands are a pure function of
+    * signatures), and the run of per-batch small dirs collapses into
+    * ONE `batch_id=<last_batch>` subtree on each side — but meta KEEPS
+    * `last_batch`, so the owning stream's next [[appendBatch]] lands
+    * beside the folded subtrees unbroken. [[compactStreaming]] remains
+    * the END-of-stream handoff that finalizes into the bucketed batch
+    * layout (per-batch dirs and one bucketed table are different
+    * layouts, so a live stream cannot have bucketed bands); this is
+    * the maintenance primitive [[maintain]] fires BETWEEN
+    * micro-batches. Tombstones clear only after BOTH swaps (a crash
+    * between leaves them live — probes stay exact, the re-run folds
+    * again); `n_docs` recounts from the folded signatures.
+    * Single-maintainer contract: run it from the stream's own
+    * foreachBatch, never from a second process. */
+  def foldStreaming(spark: SparkSession, indexDir: String): Unit = {
+    val c = spark.sessionState.newHadoopConf()
+    val meta = graft.util.Fs.readString(s"$indexDir/meta.json", c)
+    val last = """"last_batch":(-?\d+)""".r.findFirstMatchIn(meta)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$indexDir is a batch-layout index; use compact"))
+    val tombSnap = tombstoneSnapshot(spark, indexDir)
+    val tomb = tombSnap.map(_._2)
+    swapIn(indexDir, "signatures", c) { staged =>
+      val all = spark.read.parquet(s"$indexDir/signatures")
+        .select("doc_id", "sh")
+      val kept = tomb match {
+        case Some(t) => all.join(broadcast(t), Seq("doc_id"), "left_anti")
+        case None => all
+      }
+      kept.dropDuplicates("doc_id")
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(last))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(staged)
+    }
+    swapIn(indexDir, "bands", c) { staged =>
+      bands(spark.read.parquet(s"$indexDir/signatures")
+          .select("doc_id", "sh"))
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(last))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(staged)
+    }
+    tombSnap.foreach { case (files, _) =>
+      files.foreach(graft.util.Fs.deleteTree(_, c)) }
+    val n = spark.read.parquet(s"$indexDir/signatures").count()
+    graft.util.Fs.writeStringAtomic(s"$indexDir/meta.json",
+      s"""{"scheme":"minhash-3gram-6x3","n_docs":$n,"last_batch":$last}""", c)
+  }
+
+  /** Turn [[health]]'s measurements into at most ONE maintenance action
+    * under [[MaintenancePolicy]]'s dials, layout-aware — [[IvfIndex
+    * .maintain]]'s text-side twin. MinHash has no cluster stats, so
+    * `maxImbalance` is ignored; instead ANY signature↔band
+    * inconsistency (orphan or missing band docs — the crash fingerprint
+    * that makes probes of those docs under- or never match) trips a
+    * fold regardless of fraction, because the heal is the same rewrite
+    * and the degradation is silent misses, not just cost. Returns
+    * "compact" or "none". Idempotent: after a fold every signal is
+    * back under its dial. Single-maintainer contract as
+    * [[foldStreaming]]. */
+  def maintain(spark: SparkSession, indexDir: String,
+      policy: MaintenancePolicy): String = {
+    val h = health(spark, indexDir)
+    if (h.docs < policy.minRows) return "none"
+    val trip =
+      h.tombstones * 1000L > policy.maxTombstonePermille * h.docs ||
+      h.duplicateRows * 1000L > policy.maxDuplicatePermille * h.docs ||
+      h.orphanBandDocs > 0 || h.missingBandDocs > 0
+    if (!trip) "none"
+    else {
+      if (h.streaming) foldStreaming(spark, indexDir)
+      else compact(spark, indexDir)
+      "compact"
+    }
   }
 
   /** Maintenance summary — [[IvfIndex.health]]'s text-side twin: doc

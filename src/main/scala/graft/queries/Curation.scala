@@ -647,6 +647,72 @@ object Curation {
           .toDF("bucket", "n_docs").orderBy("bucket")
       },
       oracle = None,
+      headline = true),
+
+    // ---------------------------------------------------------------- c19
+    // Pipeline-level right-to-be-forgotten PRICED: Curate.runTakedown
+    // rewrites a COMPLETED curation's artifacts (curated + verdicts +
+    // index + token-exact repacking + summary/card) with a batch of ids
+    // retracted — the cost a deployment pays per legal request, which
+    // m06/e17 (index deletes) and m05/e16 (index compaction) do not
+    // cover. The base curation builds once per process (c14 already
+    // prices the build); each pass pays ONLY the takedown rewrite into
+    // a scratch dir. The takedown set is a real slice of the KEPT docs
+    // (every 23rd), so the retraction path is non-vacuous — verdicts
+    // flip, packing re-derives, suppressors survive. Rows-only like
+    // c14: the output is the post-takedown verdict/split histogram, a
+    // composition whose stages are individually oracled (and whose
+    // artifact semantics CurateSpec pins).
+    "c19_takedown_rewrite" -> QueryDef(
+      build = (spark, dir) => {
+        import spark.implicits._
+        val base = benchCuratedBase(spark, dir)
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_takedown_bench_").toString
+        QueryDef.deferCleanup(() => rmTree(out))
+        val ids = spark.read.parquet(s"$base/curated.parquet")
+          .filter(col("doc_id") % 23 === 0).select("doc_id")
+        val res = graft.Curate.runTakedown(spark, base, out, ids)
+        (res.counts.toSeq.map { case (k, v) => (s"count:$k", v) } ++
+          res.splits.toSeq.map { case (k, v) => (s"split:$k", v) })
+          .toDF("bucket", "n_docs").orderBy("bucket")
+      },
+      oracle = None,
       headline = true)
   )
+
+  private def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** One completed curation per (process, sf dir) — the amortized BASE
+    * c19's takedown rewrites. Freshness-stamped on the source table
+    * like Similarity.benchIndex (a stale base would silently price the
+    * takedown against yesterday's corpus); the build itself is priced
+    * separately by c14. */
+  private val benchCurateDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def benchCuratedBase(spark: SparkSession, dir: String): String =
+    synchronized {
+      val f = new java.io.File(dir, "documents.parquet")
+      def one(x: java.io.File) = s"${x.getName}:${x.length}:${x.lastModified}"
+      val stamp =
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+            .sortBy(_.getName).map(one).mkString(";")
+        else one(f)
+      benchCurateDirs.get(dir) match {
+        case Some((s, out)) if s == stamp => out
+        case _ =>
+          val out = java.nio.file.Files
+            .createTempDirectory("graft_takedown_base_").toString
+          sys.addShutdownHook { rmTree(out) }
+          graft.Curate.run(spark, dir, out)
+          benchCurateDirs.put(dir, (stamp, out))
+          out
+      }
+    }
 }

@@ -152,6 +152,56 @@ object Documents {
              CAST(SUM(length(s) - length(replace(s, chr(1), ''))) AS BIGINT) AS n_bpe_tokens
       FROM enc GROUP BY doc_id ORDER BY doc_id"""
   }
+  /** How many leading merges d17b cross-checks in DuckDB. Each merge
+    * unrolls to three MATERIALIZED CTEs; 8 keeps the oracle ~linear
+    * (materialization matters: scalar subqueries on b_i appear three
+    * times each, so un-materialized CTEs re-expand the whole chain
+    * 3^K times — measured as a too-many-open-files blowup). */
+  private val d17bK = 8
+
+  /** DuckDB oracle for d17b: K iterations of BPE's (pair-count →
+    * argmax → greedy merge) loop, unrolled. The vocabulary rides as
+    * d21's bracketed-symbol strings (chr(1)<sym>chr(2)); per iteration
+    * the adjacent-pair counts come from splitting on the bracket seam
+    * (every adjacent occurrence counts, OVERLAPPING included — exactly
+    * trainRescan's zip-with-tail statistic), the winner is argmax on
+    * (count DESC, left, right) — DuckDB compares strings bytewise like
+    * Spark's UTF8String binary order — and the merge applies as ONE
+    * replace() (greedy leftmost-non-overlapping ≡ mergeOnce; d21's
+    * exactness argument). The c >= 2 guard is train's minPairCount. */
+  private val d17bOracle: String = {
+    def step(i: Int) = raw"""
+      p$i AS MATERIALIZED (
+        SELECT syms[CAST(u.i AS INT)] AS l, syms[CAST(u.i AS INT)+1] AS r,
+               CAST(SUM(n) AS BIGINT) AS c
+        FROM (SELECT n, string_split(s[2:length(s)-1], chr(2)||chr(1)) AS syms
+              FROM v${i - 1} WHERE length(s) > 0) t,
+             LATERAL unnest(range(1, len(syms))) AS u(i)
+        GROUP BY 1, 2),
+      b$i AS MATERIALIZED (
+        SELECT l, r, c FROM p$i WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1),
+      v$i AS MATERIALIZED (
+        SELECT n, replace(s,
+          chr(1)||(SELECT l FROM b$i)||chr(2)||chr(1)||(SELECT r FROM b$i)||chr(2),
+          chr(1)||(SELECT l FROM b$i)||(SELECT r FROM b$i)||chr(2)) AS s
+        FROM v${i - 1})"""
+    val out = (1 to d17bK).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, l AS left, r AS right, " +
+        s"c AS pair_freq FROM b$i").mkString(" UNION ALL ")
+    raw"""
+      WITH tkn AS (
+        SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '')) AS term
+        FROM documents),
+      tf AS (SELECT term, COUNT(*) AS n FROM tkn GROUP BY 1),
+      v0 AS MATERIALIZED (
+        SELECT n, concat(chr(1),
+                 array_to_string(list_transform(range(1, length(term)+1),
+                   i -> term[CAST(i AS INT):CAST(i AS INT)]), chr(2)||chr(1)),
+                 chr(2)) AS s
+        FROM tf),""" + (1 to d17bK).map(step).mkString(",") + s"""
+      SELECT * FROM ($out) ORDER BY rank"""
+  }
+
   /** Bag-of-words content fingerprint: md5 over the sorted distinct token
     * set — catches reordered/duplicated-content documents that raw-text
     * hashing misses. Pure per-row expression → embarrassingly parallel. */
@@ -819,6 +869,29 @@ object Documents {
       },
       oracle = None,
       headline = true),
+
+    // ---------------------------------------------------------------- d17b
+    // The first K merges of the d17 training loop, CROSS-ENGINE
+    // oracled: DuckDB replays the (pair-count → argmax → greedy merge)
+    // iteration K times over the bracketed-symbol vocabulary (see
+    // d17bOracle). d17 stays the full-length rows-only run (200 merges
+    // don't unroll into sane SQL); this entry closes its last oracle
+    // corner — the merge ORDER itself now has a green hash, not just
+    // the spec pin, so a tie-break or counting drift between the
+    // incremental trainer and the published statistic would go red at
+    // the driver instead of relying on the ScalaTest fixture.
+    "d17b_bpe_first_merges" -> QueryDef(
+      build = (spark, dir) => {
+        import spark.implicits._
+        val docs = QueryDef.spread(spark, dir, "documents")
+        graft.operators.BpeTrainer
+          .train(spark, docs, nMerges = d17bK, minPairCount = 2L)
+          .zipWithIndex
+          .map { case (m, i) => (i + 1L, m.left, m.right, m.count) }
+          .toDF("rank", "left", "right", "pair_freq")
+          .orderBy("rank")
+      },
+      oracle = Some(d17bOracle)),
 
     // ---------------------------------------------------------------- d21
     // BPE ENCODE under a fixed merge list: per-doc token count — the

@@ -46,16 +46,20 @@ import graft.util.Fs
 object StreamingCurate {
 
   /** Start continuous curation over a streaming (doc_id, text, lang,
-    * source) frame. `onResult` sees each committed generation's verdict
-    * and split totals. */
+    * source) frame. `onResult(generationId, result)` sees each
+    * committed generation's verdict and split totals. Delivery is
+    * AT-LEAST-ONCE (a committed replay re-emits the totals — see
+    * [[processBatch]]); the generation id is the idempotence token: a
+    * re-emission carries the SAME id as first delivery, so a consumer
+    * aggregating totals dedups on it instead of double-counting. */
   def start(docs: DataFrame, rootDir: String, checkpointDir: String,
       cfg: Curate.Config = Curate.Config(),
-      onResult: Curate.Result => Unit = _ => ()): StreamingQuery =
+      onResult: (Long, Curate.Result) => Unit = (_, _) => ()): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, rootDir, batchId, cfg)
-          .foreach(onResult)
+          .foreach(r => onResult(batchId, r))
       }
       .start()
 

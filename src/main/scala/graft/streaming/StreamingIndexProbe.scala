@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.operators.MinHashIndex
+import graft.operators.{MaintenancePolicy, MinHashIndex}
 import graft.util.Fs
 
 /** Streaming corpus ingestion with near-dedup against the PERSISTED
@@ -41,15 +41,33 @@ object StreamingIndexProbe {
   /** Start the ingestion query over a streaming (doc_id, text) frame.
     * `onPairs` receives each micro-batch's verified near-dup pairs
     * (possibly empty); the frame is released after the callback
-    * returns. */
+    * returns.
+    *
+    * `maintenance` makes the ingest SELF-MAINTAINING
+    * ([[StreamingIvfProbe.start]]'s contract on the text side): every
+    * `policy.checkEvery` batches, health is evaluated and at most one
+    * [[MinHashIndex.foldStreaming]] fires — folding tombstone debt,
+    * duplicate rows, signature↔band inconsistencies, and the
+    * accumulated per-batch small files, while the stream keeps
+    * appending. Inside foreachBatch ⇒ maintenance and appends never
+    * overlap (the single-maintainer contract by construction). Actions
+    * report through `onMaintain(batchId, action)`. */
   def start(docs: DataFrame, indexDir: String, checkpointDir: String,
-      onPairs: DataFrame => Unit, minPermille: Int = 500): StreamingQuery =
+      onPairs: DataFrame => Unit, minPermille: Int = 500,
+      maintenance: Option[MaintenancePolicy] = None,
+      onMaintain: (Long, String) => Unit = (_, _) => ()): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val pairs = processBatch(batch.sparkSession, indexDir, batch, batchId,
           minPermille)
         try onPairs(pairs) finally { pairs.unpersist(false); () }
+        maintenance.foreach { p =>
+          if ((batchId + 1) % p.checkEvery == 0) {
+            val act = MinHashIndex.maintain(batch.sparkSession, indexDir, p)
+            if (act != "none") onMaintain(batchId, act)
+          }
+        }
       }
       .start()
 

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.operators.IvfIndex
+import graft.operators.{IvfIndex, MaintenancePolicy}
 import graft.util.Fs
 
 /** Streaming EMBEDDING ingestion with exact kNN against the persisted
@@ -42,16 +42,36 @@ object StreamingIvfProbe {
   /** Start the ingestion query over a streaming (vec_id, embedding)
     * frame. `onPairs` receives each micro-batch's exact top-k pairs
     * (possibly empty); the frame is released after the callback
-    * returns. */
+    * returns.
+    *
+    * `maintenance` makes the ingest SELF-MAINTAINING: every
+    * `policy.checkEvery` batches (after the batch commits and its
+    * pairs are delivered) the index's health is evaluated against the
+    * policy's dials and at most one layout-preserving action fires —
+    * [[IvfIndex.foldStreaming]] for tombstone/duplicate debt,
+    * [[IvfIndex.retrainStreaming]] for cluster-size drift (which the
+    * frozen assignment otherwise accumulates forever). Running inside
+    * foreachBatch keeps the single-maintainer contract by
+    * construction: maintenance and appends never overlap. Actions are
+    * reported through `onMaintain(batchId, action)`; a replayed check
+    * after a crash re-measures a healthy index and no-ops. */
   def start(embeddings: DataFrame, indexDir: String, checkpointDir: String,
       onPairs: DataFrame => Unit, topK: Int = 10,
-      nprobe: Option[Int] = None): StreamingQuery =
+      nprobe: Option[Int] = None,
+      maintenance: Option[MaintenancePolicy] = None,
+      onMaintain: (Long, String) => Unit = (_, _) => ()): StreamingQuery =
     embeddings.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val pairs = processBatch(batch.sparkSession, indexDir, batch, batchId,
           topK, nprobe)
         try onPairs(pairs) finally { pairs.unpersist(false); () }
+        maintenance.foreach { p =>
+          if ((batchId + 1) % p.checkEvery == 0) {
+            val act = IvfIndex.maintain(batch.sparkSession, indexDir, p)
+            if (act != "none") onMaintain(batchId, act)
+          }
+        }
       }
       .start()
 

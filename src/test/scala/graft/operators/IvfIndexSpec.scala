@@ -410,4 +410,147 @@ class IvfIndexSpec extends AnyFunSuite {
       assert(n.get < listed, s"no pruning: needed ${n.get} of $listed lists\n${scannedParts.get}")
     } finally { rm(src); rm(out) }
   }
+
+  test("bare retrain preserves the cluster count; explicit k reshapes") {
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir()
+    try {
+      val hc = spark.sessionState.newHadoopConf()
+      IvfIndex.write(spark, dir, out, k = 8)
+      IvfIndex.retrain(spark, out) // maintenance call: no shape change
+      assert(IvfIndex.readMeta(out, hc).k === 8,
+        "a bare retrain() must not reshape the index")
+      IvfIndex.retrain(spark, out, k = 4) // explicit resize
+      val meta = IvfIndex.readMeta(out, hc)
+      assert(meta.k === 4 && meta.counts.length === 4)
+      // still exact after both
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val got = IvfIndex.searchExact(spark, out, col("vec_id") < 8)
+        .collect().toSeq.map(_.toSeq)
+      assert(got === brute(emb))
+    } finally rm(out)
+  }
+
+  test("RETRAINING marker fences every entry point until a re-run clears it") {
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir()
+    try {
+      import spark.implicits._
+      val hc = spark.sessionState.newHadoopConf()
+      IvfIndex.write(spark, dir, out)
+      // simulate a retrain that died between its data swap and its
+      // marker clear: the data/meta pair may be mixed-generation
+      graft.util.Fs.writeStringAtomic(s"$out/RETRAINING", "crashed\n", hc)
+      def refuses(body: => Any): Unit = {
+        val e = intercept[IllegalStateException](body)
+        assert(e.getMessage.contains("RETRAINING"), e.getMessage)
+      }
+      refuses(IvfIndex.readMeta(out, hc))
+      refuses(IvfIndex.searchExact(spark, out, col("vec_id") < 8).collect())
+      refuses(IvfIndex.searchApprox(spark, out, col("vec_id") < 8).collect())
+      refuses(IvfIndex.delete(spark, out, Seq(1L).toDF("vec_id")))
+      refuses(IvfIndex.compact(spark, out))
+      refuses(IvfIndex.health(spark, out))
+      // the documented recovery: re-run retrain — it converges and
+      // clears the marker, restoring exact search
+      IvfIndex.retrain(spark, out)
+      assert(!new java.io.File(s"$out/RETRAINING").exists())
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val got = IvfIndex.searchExact(spark, out, col("vec_id") < 8)
+        .collect().toSeq.map(_.toSeq)
+      assert(got === brute(emb))
+    } finally rm(out)
+  }
+
+  test("lifecycle: append×2 → delete → retrain matches a fresh rebuild's approx recall") {
+    // e14's recall gate holds at BUILD time (the searchApprox test
+    // above); this walks the full maintenance cycle a deployment
+    // actually runs — appends under the frozen assignment (drift),
+    // a takedown, then the retrain that answers the drift — and
+    // re-measures nprobe-default recall at the END. Append's frozen
+    // assignment and retrain's re-clustering move recall in opposite
+    // directions; the floor must survive their composition.
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir()
+    val parts = (0 until 3).map(_ => tmpDir())
+    try {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      (0 until 3).foreach { m =>
+        emb.filter(col("vec_id") % 3 === m)
+          .write.mode("overwrite").parquet(s"${parts(m)}/embeddings.parquet")
+      }
+      IvfIndex.write(spark, parts(0), out)      // build on a third
+      IvfIndex.append(spark, parts(1), out)     // drift in two appends
+      IvfIndex.append(spark, parts(2), out)
+      IvfIndex.delete(spark, out,               // ~11% takedown
+        emb.filter(col("vec_id") % 9 === 2).select("vec_id"))
+      IvfIndex.retrain(spark, out)
+      def recallOf(idx: String): Double = {
+        val exact = IvfIndex.searchExact(spark, idx, col("vec_id") < 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val approx = IvfIndex.searchApprox(spark, idx, col("vec_id") < 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(exact.nonEmpty)
+        (exact & approx).size.toDouble / exact.size
+      }
+      val after = recallOf(out)
+      // the honest comparator is a FRESH build over the SAME survivors:
+      // it isolates "what maintenance cost" from "what this corpus's
+      // clustering gives" (absolute recall on the near-random driver
+      // corpus wobbles a few points between equally-good clusterings —
+      // retrain ≈ rebuild up to FP-sum combine order in Lloyd's avg)
+      val kept = emb.filter(col("vec_id") % 9 =!= 2)
+      val freshSrc = tmpDir()
+      val fresh = tmpDir()
+      try {
+        kept.write.mode("overwrite").parquet(s"$freshSrc/embeddings.parquet")
+        IvfIndex.write(spark, freshSrc, fresh)
+        val rebuilt = recallOf(fresh)
+        info(f"post-maintenance recall $after%.3f vs fresh-rebuild $rebuilt%.3f")
+        assert(after >= rebuilt - 0.05,
+          f"maintenance cost recall: $after%.3f vs fresh rebuild $rebuilt%.3f")
+        assert(after >= 0.4, f"recall $after%.3f below the sanity floor")
+      } finally { rm(freshSrc); rm(fresh) }
+      // and the exact path stayed a proof across the whole cycle
+      assert(IvfIndex.searchExact(spark, out, col("vec_id") < 8)
+        .collect().toSeq.map(_.toSeq) === brute(kept))
+    } finally { rm(out); parts.foreach(rm) }
+  }
+
+  test("a delete racing a retrain is re-derived under the NEW clustering") {
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir()
+    try {
+      import spark.implicits._
+      val hc = spark.sessionState.newHadoopConf()
+      IvfIndex.write(spark, dir, out, k = 8)
+      val target = 17L
+      // the lateWindow seam lands a tombstone exactly where a real
+      // concurrent delete() could: committed after retrain's snapshot
+      // (so not folded), carrying a cluster id of the WRONG clustering
+      IvfIndex.retrainHooked(spark, out, 0, 2, () => {
+        val newCluster = spark.read.parquet(s"$out/data")
+          .filter(col("vec_id") === target).select("cluster")
+          .collect().head.getInt(0)
+        Seq((target, (newCluster + 1) % 8))
+          .toDF("vec_id", "cluster")
+          .coalesce(1).write.mode("append").parquet(s"$out/tombstones")
+      })
+      // re-resolution rewrote the tombstone with the cluster the NEW
+      // data actually holds the row in — the count subtraction lands on
+      // the right list, keeping the pruning bound a proof
+      val tomb = spark.read.parquet(s"$out/tombstones").collect()
+      assert(tomb.length === 1 && tomb.head.getLong(0) === target)
+      val newCluster = spark.read.parquet(s"$out/data")
+        .filter(col("vec_id") === target).select("cluster")
+        .collect().head.getInt(0)
+      assert(tomb.head.getInt(1) === newCluster,
+        s"tombstone cluster ${tomb.head.getInt(1)} != data cluster $newCluster")
+      // and the deleted row is excluded from search, exactly
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val got = IvfIndex.searchExact(spark, out, col("vec_id") < 8)
+        .collect().toSeq.map(_.toSeq)
+      assert(got === brute(emb.filter(col("vec_id") =!= target)))
+    } finally rm(out)
+  }
 }

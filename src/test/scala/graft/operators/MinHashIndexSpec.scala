@@ -325,4 +325,36 @@ class MinHashIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after.contains((1L, 3L))) // the copy is findable from the other side
   }
+
+  test("compact refuses the interrupted-swap crash state instead of destroying it") {
+    // IvfIndexSpec's crash-state audit, MinHash side: a compact that
+    // died between its two renames leaves the only complete copy in
+    // <name>_old — the next rewrite must refuse and NAME the one
+    // recovering rename, never delete the orphan and rebuild from a
+    // missing live dir
+    import spark.implicits._
+    val (base, _, _) = fixture
+    val idx = tmp()
+    MinHashIndex.write(spark, base.toDF("doc_id", "text"), idx)
+    val before = MinHashIndex.probe(spark, idx,
+        MinHashIndex.signatures(Seq((9L, (1 to 20).map(i => s"w$i")
+          .mkString(" "))).toDF("doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before === Set((9L, 1L)))
+    assert(new java.io.File(s"$idx/signatures")
+      .renameTo(new java.io.File(s"$idx/signatures_old")))
+    val e = intercept[IllegalStateException](MinHashIndex.compact(spark, idx))
+    assert(e.getMessage.contains("interrupted compact"), e.getMessage)
+    assert(e.getMessage.contains("signatures_old"), e.getMessage)
+    // the recovery the message names actually works, and the healed
+    // index compacts and probes as before
+    assert(new java.io.File(s"$idx/signatures_old")
+      .renameTo(new java.io.File(s"$idx/signatures")))
+    MinHashIndex.compact(spark, idx)
+    val after = MinHashIndex.probe(spark, idx,
+        MinHashIndex.signatures(Seq((9L, (1 to 20).map(i => s"w$i")
+          .mkString(" "))).toDF("doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before)
+  }
 }

@@ -32,10 +32,12 @@ class StreamingCurateSpec extends AnyFunSuite {
     val root = tmp("scur")
     val in = MemoryStream[(Long, String, String, String)]
     val results = scala.collection.mutable.ArrayBuffer[Curate.Result]()
+    val genIds = scala.collection.mutable.ArrayBuffer[Long]()
     val q = StreamingCurate.start(
       in.toDF.toDF("doc_id", "text", "lang", "source")
         .withColumn("n_chars", length(col("text")).cast("long")),
-      root, tmp("scurchk"), onResult = r => { results += r; () })
+      root, tmp("scurchk"),
+      onResult = (g, r) => { genIds += g; results += r; () })
     try {
       in.addData((1L, longA, "en", "s"), (2L, longB, "en", "s"))
       q.processAllAvailable()
@@ -54,7 +56,42 @@ class StreamingCurateSpec extends AnyFunSuite {
       // output holds only the batch's survivors
       assert(StreamingCurate.readLatest(spark, root).map(_._2) === Some(2L))
       assert(spark.read.parquet(s"$root/gen_2/index.parquet").count() === 5L)
+      assert(genIds.toSeq === Seq(0L, 1L, 2L),
+        "onResult must carry each generation's id")
     } finally q.stop()
+  }
+
+  test("a committed replay's callback carries the SAME generation id (dedup token)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("scur5")
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Curate.Result)]()
+    def stream(chk: String) = {
+      val in = MemoryStream[(Long, String, String, String)]
+      val q = StreamingCurate.start(
+        in.toDF.toDF("doc_id", "text", "lang", "source")
+          .withColumn("n_chars", length(col("text")).cast("long")),
+        root, chk, onResult = (g, r) => { got += ((g, r)); () })
+      (in, q)
+    }
+    val (in1, q1) = stream(tmp("scur5chk1"))
+    try {
+      in1.addData((1L, longA, "en", "s"), (2L, longB, "en", "s"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(got.toSeq.map(_._1) === Seq(0L))
+    // a fresh checkpoint restarts the id space at the committed fence:
+    // batch 0 is a COMMITTED replay — nothing runs, but the totals
+    // re-emit under the SAME generation id, so an at-least-once
+    // consumer dedups on it instead of double-counting
+    val (in2, q2) = stream(tmp("scur5chk2"))
+    try {
+      in2.addData((1L, longA, "en", "s"), (2L, longB, "en", "s"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(got.toSeq.map(_._1) === Seq(0L, 0L),
+      "replay must re-emit under the first delivery's generation id")
+    assert(got(1) === got(0), "same id, same totals — the dedup key holds")
   }
 
   test("committed replay no-ops; partial generation heals; restarts fail") {
