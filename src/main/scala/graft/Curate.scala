@@ -274,15 +274,19 @@ object Curate {
     // dropped/shortened keeps its verdict (the documented no-op — its
     // content never reached the artifacts, so there is nothing to
     // retract and the summary's verdict histogram must not shift
-    // between categories); the split clears for ANY named id, which is
-    // a no-op for non-kept docs (their split is already NULL)
+    // between categories). The split clears only for the rows that
+    // FLIPPED: verdicts.parquet carries the provisional split for
+    // every doc (kept or not — curateInner assigns before verdicts
+    // partition), so an ungated clear would mutate a non-kept doc's
+    // row, contradicting the same no-op contract.
     val verdicts = spark.read.parquet(s"$baseDir/verdicts.parquet")
       .join(broadcast(takedown), Seq("doc_id"), "left")
       .withColumn("verdict",
         when(col("td") === 1 && col("verdict") === "kept", lit("taken_down"))
           .otherwise(col("verdict")))
       .withColumn("split",
-        when(col("td") === 1, lit(null).cast("string")).otherwise(col("split")))
+        when(col("verdict") === "taken_down", lit(null).cast("string"))
+          .otherwise(col("split")))
       .select("doc_id", "verdict", "split")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

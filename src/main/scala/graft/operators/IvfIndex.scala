@@ -88,23 +88,55 @@ object IvfIndex {
     * health) refuse loudly; only a retrain re-run clears it. */
   private def retrainMarker(indexDir: String) = s"$indexDir/RETRAINING"
 
+  /** The in-progress-fold fence — the same window for the COUNTS-only
+    * rewrites ([[foldStreaming]], and [[compact]] on a streaming
+    * layout): their dedup heal REDUCES data rows, so a crash between
+    * the data swap and the counts publish leaves meta.counts
+    * overstating the data — the prune-threshold direction that breaks
+    * exactness. (The batch layout never needs this: [[append]]'s
+    * counts publish LAST, so its crash-retry duplicate rows were never
+    * counted and the old counts match the deduped data exactly;
+    * [[appendBatch]] counts every batch row, so a cross-batch
+    * re-ingested id IS double-counted until a fold.) Weaker than the
+    * retrain fence: meta's centroids/radius still describe the data,
+    * only counts diverge, so a fold/compact re-run OR a retrain
+    * converges. */
+  private def foldMarker(indexDir: String) = s"$indexDir/FOLDING"
+
   /** All file IO goes through the Hadoop FileSystem of the path's
     * scheme ([[graft.util.Fs]]) — an index dir can be `hdfs://…` or
     * `s3a://…`, same as the parquet data beside it.
     *
-    * Refuses while a [[retrain]] is in flight or died mid-publish (the
-    * RETRAINING marker exists): the stored meta may describe a
-    * clustering the data no longer has, and pruning with it is the
-    * silent-inexactness direction. Recovery is stated in the error —
-    * re-run retrain, which converges from any intermediate state. */
+    * Refuses while a [[retrain]] or a streaming fold/compact is in
+    * flight or died mid-publish (marker present): the stored meta may
+    * describe a clustering (RETRAINING) or counts (FOLDING) the data
+    * no longer has, and pruning with them is the silent-inexactness
+    * direction. Recovery is stated in each error; both re-runs
+    * converge from any intermediate state. */
   def readMeta(indexDir: String, c: Configuration): Meta = {
     if (Fs.exists(retrainMarker(indexDir), c))
       throw new IllegalStateException(
         s"$indexDir: interrupted retrain (RETRAINING marker present) — " +
           "the data/meta pair may be mixed-generation; re-run " +
           "IvfIndex.retrain to converge before searching or mutating")
+    if (Fs.exists(foldMarker(indexDir), c))
+      throw new IllegalStateException(
+        s"$indexDir: interrupted fold/compact (FOLDING marker present) — " +
+          "meta.counts may overstate the deduped data; re-run " +
+          "IvfIndex.foldStreaming (or compact, or retrain) to converge " +
+          "before searching or mutating")
     readMetaRaw(indexDir, c)
   }
+
+  /** Entry check for the fold-class rewrites: they tolerate their OWN
+    * crashed marker (the re-run is the recovery) but must refuse a
+    * crashed RETRAIN — folding mixed-generation data would recount
+    * rows under centroids that do not describe them. */
+  private def refuseIfRetraining(indexDir: String, c: Configuration): Unit =
+    if (Fs.exists(retrainMarker(indexDir), c))
+      throw new IllegalStateException(
+        s"$indexDir: interrupted retrain (RETRAINING marker present) — " +
+          "only a retrain re-run converges from this state")
 
   private def readMetaRaw(indexDir: String, c: Configuration): Meta = {
     val node = mapper.readTree(Fs.readString(s"$indexDir/meta.json", c))
@@ -319,9 +351,26 @@ object IvfIndex {
     * per-batch commit dirs it fenced no longer exist). */
   def compact(spark: SparkSession, indexDir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val meta = readMeta(indexDir, conf)
+    // tolerate a crashed fold/compact's own FOLDING marker (this re-run
+    // IS the documented recovery) but never a crashed retrain's
+    refuseIfRetraining(indexDir, conf)
+    val meta = readMetaRaw(indexDir, conf)
+    val streaming = meta.lastBatch.isDefined
     val newCounts = new Array[Long](meta.k)
     val tombSnap = tombstoneSnapshot(spark, indexDir)
+    // the dedup heal REDUCES rows; whether the published counts then
+    // overstate the data under a crash depends on the layout. Batch
+    // layout: append's counts publish LAST, so crash-retry duplicate
+    // rows were never counted — old counts equal the deduped data and
+    // an unfenced crash window stays exact. Streaming layout:
+    // appendBatch counts EVERY batch row, so a vec_id re-ingested
+    // across batches IS double-counted until this fold — a crash
+    // between the swap and the counts publish would leave overstated
+    // counts (the prune-threshold direction that breaks exactness), so
+    // that window is fenced by the FOLDING marker.
+    if (streaming)
+      Fs.writeStringAtomic(foldMarker(indexDir),
+        "fold/compact in flight — re-run to converge\n", conf)
     stagedDataSwap(spark, indexDir, conf) { (all, staged) =>
       // compaction FOLDS tombstones: deleted rows leave the data files
       // for good and the exact per-cluster counts are recomputed from
@@ -332,12 +381,10 @@ object IvfIndex {
           Seq("vec_id"), "left_anti")
         case None => all
       }
-      // dropDuplicates(vec_id): a crashed-then-retried append can leave
-      // a batch's rows twice (parquet append has no cross-job fence);
-      // the duplicates were never double-counted (counts publish once,
-      // after the data) but a search would emit the candidate twice —
-      // compact is the documented heal, and the recount republishes the
-      // exact post-dedup totals
+      // dropDuplicates(vec_id): crashed-retry appends (batch layout) or
+      // cross-batch re-ingests (streaming layout) leave an id twice —
+      // a search would emit the candidate twice; compact is the
+      // documented heal, and the recount republishes exact totals
       kept.dropDuplicates("vec_id")
         .repartition(meta.k, col("cluster"))
         .write.mode("overwrite").partitionBy("cluster").parquet(staged)
@@ -358,6 +405,10 @@ object IvfIndex {
     writeMeta(indexDir, meta.copy(counts = newCounts, lastBatch = None), conf)
     tombSnap.foreach { case (files, _) =>
       clearTombstoneFiles(spark, indexDir, files) }
+    // unconditional: a crashed STREAMING compact re-runs as a BATCH one
+    // (last_batch already dropped at its writeMeta), and the stale
+    // marker from the first attempt must still clear
+    Fs.deleteTree(foldMarker(indexDir), conf)
   }
 
   /** Mid-stream compaction — [[compact]]'s fold for a LIVE streaming
@@ -372,15 +423,25 @@ object IvfIndex {
     * primitive [[maintain]] fires BETWEEN micro-batches. Commit order
     * is compact's: reduced counts publish while the tombstone snapshot
     * still exists (a crash between double-subtracts, clamped —
-    * conservative, never inexact). Single-maintainer contract: run it
-    * from the stream's own foreachBatch, never from a second process. */
+    * conservative, never inexact); the swap-to-counts window — where a
+    * crash would leave counts OVERSTATING the dedup-healed data (the
+    * inexact direction, since appendBatch double-counts cross-batch
+    * re-ingests) — is fenced by the FOLDING marker, which [[readMeta]]
+    * refuses and a fold/compact/retrain re-run clears. Single-
+    * maintainer contract: run it from the stream's own foreachBatch,
+    * never from a second process. */
   def foldStreaming(spark: SparkSession, indexDir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val meta = readMeta(indexDir, conf)
+    // tolerate our own crashed marker (the re-run is the recovery),
+    // refuse a crashed retrain's (only retrain converges from that)
+    refuseIfRetraining(indexDir, conf)
+    val meta = readMetaRaw(indexDir, conf)
     val last = meta.lastBatch.getOrElse(throw new IllegalArgumentException(
       s"$indexDir is a batch-layout index; use compact"))
     val newCounts = new Array[Long](meta.k)
     val tombSnap = tombstoneSnapshot(spark, indexDir)
+    Fs.writeStringAtomic(foldMarker(indexDir),
+      "fold in flight — re-run IvfIndex.foldStreaming to converge\n", conf)
     stagedDataSwap(spark, indexDir, conf) { (all, staged) =>
       val kept = tombSnap match {
         case Some((_, t)) => all.join(broadcast(t.select("vec_id")),
@@ -399,6 +460,7 @@ object IvfIndex {
     writeMeta(indexDir, meta.copy(counts = newCounts), conf) // last_batch kept
     tombSnap.foreach { case (files, _) =>
       clearTombstoneFiles(spark, indexDir, files) }
+    Fs.deleteTree(foldMarker(indexDir), conf)
   }
 
   /** Turn [[health]]'s measurements into at most ONE maintenance action
@@ -420,15 +482,13 @@ object IvfIndex {
       policy: MaintenancePolicy): String = {
     val h = health(spark, indexDir)
     if (h.rows < policy.minRows) return "none"
-    val streaming =
-      readMeta(indexDir, spark.sessionState.newHadoopConf()).lastBatch.isDefined
     if (h.imbalance > policy.maxImbalance) {
-      if (streaming) retrainStreaming(spark, indexDir)
+      if (h.streaming) retrainStreaming(spark, indexDir)
       else retrain(spark, indexDir)
       "retrain"
     } else if (h.tombstones * 1000L > policy.maxTombstonePermille * h.rows ||
         h.duplicateIds * 1000L > policy.maxDuplicatePermille * h.rows) {
-      if (streaming) foldStreaming(spark, indexDir)
+      if (h.streaming) foldStreaming(spark, indexDir)
       else compact(spark, indexDir)
       "compact"
     } else "none"
@@ -539,6 +599,32 @@ object IvfIndex {
       else Some(meta0.lastBatch.getOrElse(throw new IllegalArgumentException(
         s"$indexDir is a batch-layout index; use retrain")))
     val tombSnap = tombstoneSnapshot(spark, indexDir)
+    // deterministic-failure pre-flight BEFORE the fence goes up: the
+    // marker's recovery instruction is "re-run retrain", so a failure
+    // the re-run would deterministically repeat (no data/ yet on a
+    // pre-first-batch streaming index; an interrupted swap awaiting
+    // its recovering rename; a fully-tombstoned corpus with nothing to
+    // cluster) must throw while the index is still readable — fencing
+    // first would brick it behind an unfollowable instruction.
+    // Mid-swap failures after the fence (OOM, disk full) are the
+    // transient kind the re-run genuinely converges from.
+    if (!Fs.exists(s"$indexDir/data", conf) &&
+        Fs.exists(s"$indexDir/data_old", conf))
+      throw new IllegalStateException(
+        s"$indexDir: interrupted compact — recover with: rename " +
+          s"$indexDir/data_old -> $indexDir/data")
+    require(Fs.exists(s"$indexDir/data", conf),
+      s"$indexDir has no data/ yet (streaming index before its first " +
+        "batch) — nothing to retrain")
+    val preKept = tombSnap match {
+      case Some((_, t)) => spark.read.parquet(s"$indexDir/data")
+        .join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti")
+      case None => spark.read.parquet(s"$indexDir/data")
+    }
+    if (preKept.isEmpty)
+      throw new IllegalStateException(
+        s"$indexDir: every row is tombstoned — nothing to re-cluster; " +
+          "compact (folding the deletions) or delete the index instead")
     var newMeta: Option[Meta] = None
     Fs.writeStringAtomic(retrainMarker(indexDir),
       "retrain in flight — re-run IvfIndex.retrain to converge\n", conf)
@@ -571,15 +657,44 @@ object IvfIndex {
     lateWindow()
     // late tombstones (committed after the snapshot): their rows
     // SURVIVED into the new data (only snapshot tombstones were
-    // folded), so the data join re-derives each one's new cluster
-    tombstoneSnapshot(spark, indexDir).foreach { case (lateFiles, late) =>
-      spark.read.parquet(s"$indexDir/data")
-        .join(broadcast(late.select("vec_id")), Seq("vec_id"))
-        .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
-        .distinct()
-        .coalesce(1)
-        .write.mode("append").parquet(s"$indexDir/tombstones")
-      clearTombstoneFiles(spark, indexDir, lateFiles)
+    // folded), so the data join re-derives each one's new cluster.
+    // DRAINED in a loop, not one pass: only deletes that passed their
+    // readMeta check BEFORE the marker went up can still commit (the
+    // fence refuses new ones), so the in-flight set is finite and each
+    // iteration clears what landed since the previous snapshot — the
+    // loop terminates when a snapshot comes back empty. Residual
+    // window, documented honestly: a pre-fence delete whose write
+    // commits AFTER the final empty snapshot (a stalled job landing
+    // minutes later) keeps its pre-retrain cluster id until the next
+    // fold/compact/retrain re-derives it — overstating one new
+    // cluster's count until then.
+    // `rederived` tracks THIS loop's own outputs so the next snapshot
+    // doesn't re-process them forever; re-deriving an already-derived
+    // file would be idempotent (same data join), only termination
+    // needs the bookkeeping. A racing arrival that lands between our
+    // write and the post-write listing is misclassified as ours —
+    // that's the residual window above, nothing new.
+    var rederived = Set.empty[String]
+    var drained = false
+    while (!drained) {
+      tombstoneSnapshot(spark, indexDir) match {
+        case None => drained = true
+        case Some((files, late)) =>
+          val pending = files.filterNot(rederived)
+          if (pending.isEmpty) drained = true
+          else {
+            spark.read.parquet(s"$indexDir/data")
+              .join(broadcast(late.select("vec_id")), Seq("vec_id"))
+              .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+              .distinct()
+              .coalesce(1)
+              .write.mode("append").parquet(s"$indexDir/tombstones")
+            val after = Fs.listParts(s"$indexDir/tombstones", conf)
+              .map(_.getPath.toString)
+            rederived ++= after.toSet -- files.toSet
+            clearTombstoneFiles(spark, indexDir, pending)
+          }
+      }
     }
     Fs.deleteTree(retrainMarker(indexDir), conf)
   }
@@ -592,17 +707,19 @@ object IvfIndex {
     * lists, degrading pruning until a [[retrain]]). One scan over the
     * data; O(k) driver rows. */
   final case class Health(clusters: Int, rows: Long, publishedCount: Long,
-      tombstones: Long, duplicateIds: Long, imbalance: Double)
+      tombstones: Long, duplicateIds: Long, imbalance: Double,
+      streaming: Boolean = false)
 
   def health(spark: SparkSession, indexDir: String): Health = {
     val conf = spark.sessionState.newHadoopConf()
     val meta = readMeta(indexDir, conf)
+    val streaming = meta.lastBatch.isDefined // the layout fact maintain keys on
     // a freshly initStreaming'd index has meta but no data/ until its
     // first batch — a legitimate state health must report, not crash on
     if (!Fs.exists(s"$indexDir/data", conf))
       return Health(meta.k, 0L, meta.counts.sum,
         tombstoneFrame(spark, indexDir).map(_.count()).getOrElse(0L),
-        0L, 0.0)
+        0L, 0.0, streaming)
     val byCluster = spark.read.parquet(s"$indexDir/data")
       .groupBy("cluster").agg(count(lit(1)).as("n"),
         countDistinct("vec_id").as("nd"))
@@ -613,7 +730,7 @@ object IvfIndex {
     val maxN = if (byCluster.isEmpty) 0L else byCluster.map(_.getLong(1)).max
     val mean = rows.toDouble / meta.k
     Health(meta.k, rows, meta.counts.sum, tomb, rows - distinct,
-      if (mean == 0) 0.0 else maxN / mean)
+      if (mean == 0) 0.0 else maxN / mean, streaming)
   }
 
   /** O(deletions) takedown: record `ids` (a vec_id frame) as TOMBSTONES

@@ -386,8 +386,13 @@ object MinHashIndex {
       h.orphanBandDocs > 0 || h.missingBandDocs > 0
     if (!trip) "none"
     else {
+      // preserve the index's bucket count: a maintenance call must not
+      // reshape the physical layout as a side effect (IvfIndex's
+      // bare-retrain rule). A legacy flat index (bandBuckets 0) takes
+      // compact's default — compact subsumes rebucket by design there.
       if (h.streaming) foldStreaming(spark, indexDir)
-      else compact(spark, indexDir)
+      else compact(spark, indexDir,
+        if (h.bandBuckets > 0) h.bandBuckets else 32)
       "compact"
     }
   }

@@ -681,12 +681,7 @@ object Curation {
       headline = true)
   )
 
-  private def rmTree(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(path))
-  }
+  private def rmTree(path: String): Unit = QueryDef.rmTree(path)
 
   /** One completed curation per (process, sf dir) — the amortized BASE
     * c19's takedown rewrites. Freshness-stamped on the source table
@@ -697,13 +692,7 @@ object Curation {
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private def benchCuratedBase(spark: SparkSession, dir: String): String =
     synchronized {
-      val f = new java.io.File(dir, "documents.parquet")
-      def one(x: java.io.File) = s"${x.getName}:${x.length}:${x.lastModified}"
-      val stamp =
-        if (f.isDirectory)
-          Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
-            .sortBy(_.getName).map(one).mkString(";")
-        else one(f)
+      val stamp = QueryDef.sourceStamp(dir, "documents")
       benchCurateDirs.get(dir) match {
         case Some((s, out)) if s == stamp => out
         case _ =>

@@ -38,6 +38,32 @@ object QueryDef {
 
   def deferCleanup(f: () => Unit): Unit = pendingCleanups.add(f)
 
+  /** Local-FS recursive delete for bench scratch/caches — ONE
+    * definition for every temp-dir cleanup in the query modules
+    * (Similarity's indexes, Curation's takedown base). */
+  private[queries] def rmTree(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(go)); f.delete(); ()
+    }
+    go(new java.io.File(path))
+  }
+
+  /** Cheap freshness token for a bench source table: name+size+mtime of
+    * its parquet file(s). The query modules' process-lifetime caches
+    * key on it, so a WITHIN-JVM regeneration of the table rebuilds the
+    * cached artifact instead of silently serving a stale one
+    * (cross-process staleness is already impossible — the caches live
+    * in process-owned temp dirs). ONE definition: stamp-semantics fixes
+    * must not diverge between the caches. */
+  private[queries] def sourceStamp(dir: String, tableName: String): String = {
+    val f = new java.io.File(dir, s"$tableName.parquet")
+    def one(x: java.io.File) = s"${x.getName}:${x.length}:${x.lastModified}"
+    if (f.isDirectory)
+      Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .sortBy(_.getName).map(one).mkString(";")
+    else one(f)
+  }
+
   def drainCleanups(): Unit = {
     var f = pendingCleanups.poll()
     while (f != null) {

@@ -93,28 +93,11 @@ object Similarity {
   private[graft] def minhashBands(spark: SparkSession, dir: String): DataFrame =
     graft.operators.MinHashIndex.bands(shingled(spark, dir))
 
-  /** Local-FS recursive delete for bench scratch/caches (ONE definition
-    * for every temp-dir cleanup in this file). */
-  private def rmTree(path: String): Unit = {
-    def go(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(go)); f.delete(); ()
-    }
-    go(new java.io.File(path))
-  }
-
-  /** Cheap freshness token for a bench source table: name+size+mtime of
-    * its parquet file(s). The process-lifetime caches below key on it,
-    * so a WITHIN-JVM regeneration of the table rebuilds the index
-    * instead of silently serving a stale one (cross-process staleness
-    * is already impossible — indexes live in process-owned temp dirs). */
-  private def sourceStamp(dir: String, tableName: String): String = {
-    val f = new java.io.File(dir, s"$tableName.parquet")
-    def one(x: java.io.File) = s"${x.getName}:${x.length}:${x.lastModified}"
-    if (f.isDirectory)
-      Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
-        .sortBy(_.getName).map(one).mkString(";")
-    else one(f)
-  }
+  /** Shared bench-scratch helpers (ONE definition across the query
+    * modules — see QueryDef). */
+  private def rmTree(path: String): Unit = QueryDef.rmTree(path)
+  private def sourceStamp(dir: String, tableName: String): String =
+    QueryDef.sourceStamp(dir, tableName)
 
   /** Build (once per process per sf dir) the persisted IVF index used
     * by the prebuilt-index entries (e13b/e14/e17) — p03's generate-once

@@ -337,9 +337,35 @@ object JdbcData {
       s"(SELECT MIN($col) AS graft_lo, MAX($col) AS graft_hi FROM $table) AS graft_bounds"
     val row = spark.read.jdbc(url, probe, props).collect()(0)
     (row.get(0), row.get(1)) match {
-      case (lo: Number, hi: Number) => Some((lo.longValue, hi.longValue))
+      case (lo: Number, hi: Number) => Some((clampToLong(lo), clampToLong(hi)))
       case _                        => None
     }
+  }
+
+  /** Narrow a probed MIN/MAX to Long SATURATING, never wrapping: MySQL
+    * BIGINT UNSIGNED and wide DECIMAL PKs come back as BigDecimal, and
+    * `Number.longValue` on a value past Long.MaxValue wraps NEGATIVE —
+    * inverting the bounds and failing the whole read that the old
+    * fixed-stride default handled (merely lopsidedly). Clamped bounds
+    * stay correct by the same argument as caller-supplied narrow
+    * bounds: the first/last partition predicates are unbounded
+    * outward, so rows beyond the clamp still land somewhere. */
+  private[jdbc] def clampToLong(n: Number): Long = n match {
+    case b: java.math.BigDecimal =>
+      if (b.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) > 0) Long.MaxValue
+      else if (b.compareTo(java.math.BigDecimal.valueOf(Long.MinValue)) < 0) Long.MinValue
+      else b.longValue
+    case b: java.math.BigInteger =>
+      if (b.compareTo(java.math.BigInteger.valueOf(Long.MaxValue)) > 0) Long.MaxValue
+      else if (b.compareTo(java.math.BigInteger.valueOf(Long.MinValue)) < 0) Long.MinValue
+      else b.longValue
+    case d: java.lang.Double =>
+      // floating PKs are unusual but legal probe outputs; Double→Long
+      // saturates in the JVM spec already, make it explicit anyway
+      if (d >= Long.MaxValue.toDouble) Long.MaxValue
+      else if (d <= Long.MinValue.toDouble) Long.MinValue
+      else d.longValue
+    case other => other.longValue // Byte/Short/Int/Long: always in range
   }
 
   /** Explicit partition predicates over integer key range [lo, hi]:

@@ -286,6 +286,17 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(v.filter(col("doc_id") === 4L).select("verdict")
         .collect().head.getString(0) === "low_quality",
         "an already-dropped doc named in a takedown keeps its verdict")
+      // ...and its whole verdicts row: the provisional split assigned
+      // at curation time must survive too — the no-op contract is
+      // row-level, not just verdict-level (a consumer diffing base vs
+      // post-takedown verdicts must see doc 4 untouched)
+      val base4 = spark.read.parquet(s"$root/out0/verdicts.parquet")
+        .filter(col("doc_id") === 4L).select("split").collect().head
+      val after4 = v.filter(col("doc_id") === 4L).select("split")
+        .collect().head
+      assert(!base4.isNullAt(0), "fixture: non-kept docs carry a provisional split")
+      assert(after4.getString(0) === base4.getString(0),
+        "an already-dropped doc named in a takedown keeps its split")
       assert(v.filter(col("doc_id") === 2L).select("split")
         .collect().head.isNullAt(0), "retracted doc must leave its split")
       // packing re-derives from the survivors: token totals reconcile

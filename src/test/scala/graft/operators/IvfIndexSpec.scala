@@ -517,6 +517,77 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally { rm(out); parts.foreach(rm) }
   }
 
+  test("FOLDING marker fences readers; a fold re-run converges and clears it") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir()
+    val src = tmpDir()
+    try {
+      val hc = spark.sessionState.newHadoopConf()
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      emb.write.mode("overwrite").parquet(s"$src/embeddings.parquet")
+      IvfIndex.initStreaming(spark, src, out, k = 4)
+      IvfIndex.appendBatch(spark, emb, out, 0L)
+      // the SAME vec_ids land again in a later batch: the streaming
+      // layout double-counts them — exactly the debt whose fold-crash
+      // window the marker fences
+      IvfIndex.appendBatch(spark, emb.filter(col("vec_id") % 2 === 1), out, 1L)
+      // simulate a foldStreaming that died between its swap and its
+      // counts publish
+      graft.util.Fs.writeStringAtomic(s"$out/FOLDING", "crashed\n", hc)
+      val e = intercept[IllegalStateException](IvfIndex.readMeta(out, hc))
+      assert(e.getMessage.contains("FOLDING"), e.getMessage)
+      intercept[IllegalStateException](
+        IvfIndex.searchExact(spark, out, col("vec_id") < 8).collect())
+      // the documented recovery: re-run the fold — it tolerates its own
+      // marker, converges, and clears it
+      IvfIndex.foldStreaming(spark, out)
+      assert(!new java.io.File(s"$out/FOLDING").exists())
+      val h = IvfIndex.health(spark, out)
+      assert(h.duplicateIds === 0L && h.publishedCount === h.rows)
+      assert(h.streaming, "fold must keep the streaming layout")
+      // compact (the finalizing fold) is the other documented recovery:
+      // crash it again and recover through compact
+      graft.util.Fs.writeStringAtomic(s"$out/FOLDING", "crashed\n", hc)
+      IvfIndex.compact(spark, out)
+      assert(!new java.io.File(s"$out/FOLDING").exists())
+      assert(!IvfIndex.health(spark, out).streaming, "compact finalizes")
+      val got = IvfIndex.searchExact(spark, out, col("vec_id") < 8)
+        .collect().toSeq.map(_.toSeq)
+      assert(got === brute(emb))
+    } finally { rm(out); rm(src) }
+  }
+
+  test("retrain pre-flight failures refuse BEFORE fencing — the index stays readable") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val hc = spark.sessionState.newHadoopConf()
+    // (a) a streaming index before its first batch: nothing to retrain
+    val empty = tmpDir()
+    try {
+      IvfIndex.initStreaming(spark, dir, empty, k = 4)
+      intercept[IllegalArgumentException](IvfIndex.retrainStreaming(spark, empty))
+      assert(!new java.io.File(s"$empty/RETRAINING").exists(),
+        "a deterministic pre-flight failure must not brick the index")
+      IvfIndex.readMeta(empty, hc) // still readable
+    } finally rm(empty)
+    // (b) a fully-tombstoned corpus: nothing to re-cluster
+    val out = tmpDir()
+    try {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      IvfIndex.write(spark, dir, out, k = 4)
+      IvfIndex.delete(spark, out, emb.select("vec_id"))
+      val e = intercept[IllegalStateException](IvfIndex.retrain(spark, out))
+      assert(e.getMessage.contains("tombstoned"), e.getMessage)
+      assert(!new java.io.File(s"$out/RETRAINING").exists())
+      IvfIndex.readMeta(out, hc) // still readable
+      // and searches over the emptied corpus still answer (exactly:
+      // zero candidates), because nothing was fenced
+      assert(IvfIndex.searchExact(spark, out, col("vec_id") < 8)
+        .collect().isEmpty)
+    } finally rm(out)
+  }
+
   test("a delete racing a retrain is re-derived under the NEW clustering") {
     val dir = "/root/testdata/sf0.001"
     val out = tmpDir()

@@ -326,6 +326,38 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(after.contains((1L, 3L))) // the copy is findable from the other side
   }
 
+  test("maintain preserves a custom bucket count and folds mid-stream") {
+    import spark.implicits._
+    // batch layout, non-default buckets: a tombstone-tripped maintain
+    // must compact WITHOUT reshaping the physical layout (compact's
+    // bare default would silently reset 16 -> 32)
+    val (base, batch, _) = fixture
+    val idx = tmp()
+    MinHashIndex.write(spark,
+      (base ++ batch).toDF("doc_id", "text"), idx, bandBuckets = 16)
+    MinHashIndex.delete(spark, idx, Seq(2L, 5L).toDF("doc_id"))
+    val policy = MaintenancePolicy(checkEvery = 1, maxTombstonePermille = 100,
+      minRows = 1)
+    assert(MinHashIndex.maintain(spark, idx, policy) === "compact")
+    val h = MinHashIndex.health(spark, idx)
+    assert(h.tombstones === 0L && h.bandBuckets === 16,
+      s"maintenance must not reshape the index: $h")
+    assert(MinHashIndex.maintain(spark, idx, policy) === "none",
+      "a healthy index must not be rewritten again")
+    // streaming layout: maintain routes to foldStreaming and the
+    // stream fence survives
+    val sidx = tmp()
+    MinHashIndex.appendBatch(spark,
+      MinHashIndex.signatures(base.toDF("doc_id", "text")), sidx, 0L)
+    MinHashIndex.delete(spark, sidx, Seq(1L).toDF("doc_id"))
+    assert(MinHashIndex.maintain(spark, sidx, policy) === "compact")
+    val hs = MinHashIndex.health(spark, sidx)
+    assert(hs.streaming && hs.tombstones === 0L && hs.docs === 1L)
+    // the stream continues on the folded index
+    assert(MinHashIndex.appendBatch(spark,
+      MinHashIndex.signatures(batch.toDF("doc_id", "text")), sidx, 1L))
+  }
+
   test("compact refuses the interrupted-swap crash state instead of destroying it") {
     // IvfIndexSpec's crash-state audit, MinHash side: a compact that
     // died between its two renames leaves the only complete copy in

@@ -59,6 +59,40 @@ class JdbcPartitioningSpec extends AnyFunSuite {
     }
   }
 
+  test("probed values beyond Long saturate instead of wrapping") {
+    // MySQL BIGINT UNSIGNED / wide DECIMAL PKs come back as BigDecimal;
+    // Number.longValue past Long.MaxValue wraps NEGATIVE — inverting
+    // the bounds and failing the very read the old fixed default
+    // handled. Saturation keeps them ordered; the unbounded end
+    // predicates keep coverage total for rows beyond the clamp.
+    val big = new java.math.BigDecimal("18446744073709551615") // 2^64-1
+    val negBig = new java.math.BigDecimal("-99999999999999999999")
+    assert(JdbcData.clampToLong(big) === Long.MaxValue)
+    assert(JdbcData.clampToLong(negBig) === Long.MinValue)
+    assert(JdbcData.clampToLong(new java.math.BigDecimal("42")) === 42L)
+    assert(JdbcData.clampToLong(
+      new java.math.BigInteger("18446744073709551615")) === Long.MaxValue)
+    assert(JdbcData.clampToLong(java.lang.Double.valueOf(1e30)) === Long.MaxValue)
+    assert(JdbcData.clampToLong(java.lang.Long.valueOf(-7L)) === -7L)
+    // derivation over saturated bounds stays valid (no inversion throw)
+    assert(JdbcData.partitionPredicates("id", 1L, Long.MaxValue, 4).size === 4)
+  }
+
+  test("a DECIMAL key wider than Long probes to saturated, ordered bounds") {
+    val url = "jdbc:derby:memory:graftwide;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try {
+        st.execute("CREATE TABLE wide_pk (id DECIMAL(24,0), v VARCHAR(8))")
+        st.execute("INSERT INTO wide_pk VALUES (1, 'a'), " +
+          "(18446744073709551615, 'b')") // 2^64-1 > Long.MaxValue
+      } finally st.close()
+    } finally c.close()
+    assert(JdbcData.probeBounds(spark, url, new java.util.Properties(),
+      "wide_pk", "id") === Some((1L, Long.MaxValue)))
+  }
+
   // --- end-to-end against embedded Derby ---------------------------------
 
   private lazy val derbyUrl = {
