@@ -1111,6 +1111,178 @@ object Relational {
         SELECT l_partkey, rev
         FROM pv, tot
         WHERE CAST(rev AS HUGEINT) * n * 10 > 13 * t
-        ORDER BY rev DESC, l_partkey"""))
+        ORDER BY rev DESC, l_partkey""")),
+
+    // ---------------------------------------------------------------- q34
+    // Promotion revenue share (TPC-H Q14 shape): one scan, one
+    // conditional aggregate — the promo numerator rides as a CASE
+    // inside the same SUM pass, never a second scan or a self-join.
+    // The share is emitted as an exact integer permille (BIGINT DIV on
+    // minor units), not a float division — the q27/q33 decimal
+    // discipline applied to a ratio.
+    "q34_promo_revenue" -> QueryDef(
+      build = (spark, dir) => {
+        val li = table(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        val prt = table(spark, dir, "part")
+          .select(col("p_partkey"), col("p_type"))
+        li.join(prt, col("l_partkey") === col("p_partkey"))
+          .agg(
+            sumMinor(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .otherwise(lit(0.0)), 6).as("promo_revenue"),
+            sumMinor(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+              .as("total_revenue"))
+          .select(col("promo_revenue"), col("total_revenue"),
+            expr("promo_revenue * 1000 DIV total_revenue")
+              .as("promo_permille"))
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS BIGINT) AS promo_revenue,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS total_revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01')
+        SELECT promo_revenue, total_revenue,
+               promo_revenue * 1000 // total_revenue AS promo_permille
+        FROM q""")),
+
+    // ---------------------------------------------------------------- q35
+    // Top supplier (TPC-H Q15 shape): the classic revenue VIEW whose
+    // max selects the winner — an aggregate equi-filtered against the
+    // GLOBAL max of the same aggregate. Optimizer shape: the per-
+    // supplier revenue frame is computed ONCE, its 1-row max broadcast-
+    // crosses back under it (q33's agg-vs-global-agg pattern with
+    // equality instead of a threshold), so the fact table scans twice
+    // (groups + max-of-groups), never once per supplier. Equality on
+    // exact BIGINT minor units — float revenue would make "the max"
+    // engine-dependent; ties (all suppliers at the max) are returned,
+    // Q15's documented semantics.
+    "q35_top_supplier" -> QueryDef(
+      build = (spark, dir) => {
+        val rev = table(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sumMinor(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+            .as("total_revenue"))
+        val top = rev.agg(max(col("total_revenue")).as("mx"))
+        rev.crossJoin(broadcast(top))
+          .filter(col("total_revenue") === col("mx"))
+          .join(table(spark, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      oracle = Some("""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s_suppkey""")),
+
+    // ---------------------------------------------------------------- q36
+    // Small-quantity revenue (TPC-H Q17 shape): rows whose quantity is
+    // below HALF the per-part average — the classic correlated scalar
+    // subquery, DECORRELATED by hand into one per-part aggregate
+    // joined back on the part key (what a good optimizer does to the
+    // correlated form; writing it decorrelated pins the plan we want:
+    // an equi-join against a grouped frame, never a per-row re-scan).
+    // The avg comparison is exact integer cross-multiplication on
+    // quantity minor units — qty < total/(2n) ⇔ 2·qty·n < total —
+    // never a float division. Long suffices here (unlike q33's
+    // rev·n·10): 2 · qty_minor(≤5000) · per-part row count stays 9+
+    // orders under 2^63 even at 1000× the corpus.
+    "q36_small_quantity_revenue" -> QueryDef(
+      build = (spark, dir) => {
+        val li = table(spark, dir, "lineitem")
+          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        val stats = li.groupBy(col("l_partkey").as("pk"))
+          .agg(sumMinor(col("l_quantity"), 2).as("qty_total"),
+            count(lit(1)).as("n"))
+        val prt = table(spark, dir, "part")
+          .filter(col("p_brand") === "Brand#13")
+          .select(col("p_partkey"))
+        li.join(prt, col("l_partkey") === col("p_partkey"))
+          .join(stats, col("l_partkey") === col("pk"))
+          .filter((dec(col("l_quantity"), 2) * lit(100)).cast("bigint")
+            * col("n") * lit(2) < col("qty_total"))
+          .agg(count(lit(1)).as("n_small"),
+            sumMinor(col("l_extendedprice"), 6).as("small_revenue"))
+      },
+      oracle = Some("""
+        WITH stats AS (
+          SELECT l_partkey AS pk,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_total,
+                 COUNT(*) AS n
+          FROM lineitem GROUP BY l_partkey)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS small_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN stats ON l_partkey = pk
+        WHERE p_brand = 'Brand#13'
+          AND CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) * n * 2 < qty_total""")),
+
+    // ---------------------------------------------------------------- q37
+    // Part-promotion suppliers (TPC-H Q20 shape): the nested IN chain —
+    // suppliers IN (part-supplier pairs whose shipped volume clears a
+    // floor, for parts IN (a name-prefix family)). Both membership
+    // tests are LEFT SEMI joins over ID-ONLY frames (the inner one
+    // feeds the grouped volume frame, the outer one probes supplier),
+    // so no dedup-then-join explosion and supplier's wide rows move
+    // only for the winners. The floor is RELATIVE — pair volume above
+    // 3x the mean pair volume, exact integer cross-multiplication on
+    // quantity minor units (q33's SF-invariance lesson: a fixed
+    // absolute floor selects everything at one scale factor and
+    // nothing at another; the mean-relative form keeps a hot tail at
+    // every corpus size). The 1-row mean broadcasts under the pair
+    // frame; HUGEINT-class care is unnecessary here only because
+    // vol·n stays 9+ orders under 2^63 at any reachable SF — the
+    // DECIMAL(38) escalation is q33's, documented there.
+    "q37_promotable_suppliers" -> QueryDef(
+      build = (spark, dir) => {
+        val family = table(spark, dir, "part")
+          .filter(col("p_name").startsWith("large"))
+          .select(col("p_partkey"))
+        val vol = table(spark, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+          .join(family, col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sumMinor(col("l_quantity"), 2).as("v"))
+        val m = vol.agg(sum(col("v").cast("decimal(38,0)")).as("t"),
+          count(lit(1)).as("n"))
+        val hot = vol.crossJoin(broadcast(m))
+          .filter(col("v").cast("decimal(38,0)") * col("n") > col("t") * lit(3))
+          .select(col("l_suppkey")).distinct()
+        table(spark, dir, "supplier")
+          .join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy("s_suppkey")
+      },
+      oracle = Some("""
+        WITH vol AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+          GROUP BY l_partkey, l_suppkey),
+        m AS (SELECT SUM(CAST(v AS HUGEINT)) AS t, COUNT(*) AS n FROM vol)
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM vol, m WHERE CAST(v AS HUGEINT) * n > 3 * t)
+        ORDER BY s_suppkey"""))
   )
 }

@@ -251,4 +251,54 @@ class PlanShapeSpec extends AnyFunSuite {
         s"wide lineitem columns entered a join: $l")
     }
   }
+
+  test("q34 promo share: ONE fact scan, numerator as conditional agg") {
+    val df = Relational.defs("q34_promo_revenue").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the promo numerator must ride inside the same aggregate pass —
+    // a second lineitem scan (or a self-join) to split promo/total
+    // doubles the 100 TB read for a CASE's worth of work
+    val scans = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("lineitem.parquet"))
+      .size
+    assert(scans === 1, s"expected one lineitem scan, got $scans:\n$plan")
+    // the quarter filter reaches the scan
+    val li = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("lineitem.parquet"))
+      .toSeq.head
+    assert(li.contains("PushedFilters") && li.contains("l_shipdate"),
+      s"shipdate window not pushed: $li")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q36 decorrelated avg: per-part stats equi-join back, never a per-row re-scan") {
+    val df = Relational.defs("q36_small_quantity_revenue").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the correlated form would re-scan lineitem per outer row; the
+    // decorrelated plan has exactly two fact scans (rows + stats) and
+    // joins them hash-equi on the part key
+    val scans = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("lineitem.parquet"))
+      .size
+    assert(scans === 2, s"expected rows + stats scans, got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the threshold must join on the part key, not re-scan:\n$plan")
+  }
+
+  test("q37 nested IN chain: two semi joins over id-only frames") {
+    val df = Relational.defs("q37_promotable_suppliers").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val semis = plan.linesIterator.count(_.contains("LeftSemi"))
+    assert(semis >= 2, s"expected the family AND supplier semi joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the supplier probe side must be id-only: no volume or quantity
+    // columns may ride into the outer semi join
+    val joinLines = plan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("s_suppkey")).toSeq
+    joinLines.foreach { l =>
+      assert(!l.contains("l_quantity") && !l.contains(" v#"),
+        s"non-id columns entered the supplier semi join: $l")
+    }
+  }
 }
