@@ -1136,7 +1136,13 @@ object Relational {
             sumMinor(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
               .as("total_revenue"))
           .select(col("promo_revenue"), col("total_revenue"),
-            expr("promo_revenue * 1000 DIV total_revenue")
+            // DECIMAL(38) cross-multiplication, q33's rule: revenue
+            // minor units (x10^6) times 1000 leaves only ~50x Long
+            // headroom at sf0.1 — at SF ~5 Spark (non-ANSI) would wrap
+            // SILENTLY while DuckDB's overflow throws, the exact
+            // silent-divergence class the minor-units discipline
+            // exists to prevent
+            expr("CAST(promo_revenue AS DECIMAL(38,0)) * 1000 DIV total_revenue")
               .as("promo_permille"))
       },
       oracle = Some("""
@@ -1149,7 +1155,7 @@ object Relational {
           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
             AND l_shipdate <  TIMESTAMP '1996-04-01')
         SELECT promo_revenue, total_revenue,
-               promo_revenue * 1000 // total_revenue AS promo_permille
+               CAST(CAST(promo_revenue AS HUGEINT) * 1000 // total_revenue AS BIGINT) AS promo_permille
         FROM q""")),
 
     // ---------------------------------------------------------------- q35
@@ -1208,12 +1214,19 @@ object Relational {
       build = (spark, dir) => {
         val li = table(spark, dir, "lineitem")
           .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-        val stats = li.groupBy(col("l_partkey").as("pk"))
-          .agg(sumMinor(col("l_quantity"), 2).as("qty_total"),
-            count(lit(1)).as("n"))
         val prt = table(spark, dir, "part")
           .filter(col("p_brand") === "Brand#13")
           .select(col("p_partkey"))
+        // the correlation filter pushes INTO the aggregate side (what
+        // textbook decorrelation actually does): stats aggregate only
+        // the brand's parts — a per-part average is unchanged by
+        // dropping other parts' groups, and the stats-side shuffle
+        // carries 1/25th of the part domain instead of all of it
+        val stats = li
+          .join(prt, col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(sumMinor(col("l_quantity"), 2).as("qty_total"),
+            count(lit(1)).as("n"))
         li.join(prt, col("l_partkey") === col("p_partkey"))
           .join(stats, col("l_partkey") === col("pk"))
           .filter((dec(col("l_quantity"), 2) * lit(100)).cast("bigint")
@@ -1263,9 +1276,12 @@ object Relational {
           .agg(sumMinor(col("l_quantity"), 2).as("v"))
         val m = vol.agg(sum(col("v").cast("decimal(38,0)")).as("t"),
           count(lit(1)).as("n"))
+        // no distinct: the semi join below already deduplicates its
+        // probe side — an explicit dedup here would just add an
+        // exchange + hash-aggregate stage for nothing
         val hot = vol.crossJoin(broadcast(m))
           .filter(col("v").cast("decimal(38,0)") * col("n") > col("t") * lit(3))
-          .select(col("l_suppkey")).distinct()
+          .select(col("l_suppkey"))
         table(spark, dir, "supplier")
           .join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
           .select(col("s_suppkey"), col("s_name"))
