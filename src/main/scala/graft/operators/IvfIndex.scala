@@ -138,6 +138,28 @@ object IvfIndex {
         s"$indexDir: interrupted retrain (RETRAINING marker present) — " +
           "only a retrain re-run converges from this state")
 
+  /** A fold/compact whose tombstone fold would leave ZERO rows is
+    * refused: the rewrite would produce a parquet-less data/ that every
+    * subsequent read (search, health, the recount itself) crashes on
+    * with an unable-to-infer-schema error instead of answering
+    * "empty". Nothing is lost by refusing — the retraction is already
+    * fully effective at search time (every row is tombstone-excluded);
+    * the remaining operator action for a fully-retracted corpus is
+    * deleting the index directory, not maintaining it. [[maintain]]
+    * skips this state instead of tripping it. */
+  private def refuseEmptyingFold(spark: SparkSession, indexDir: String,
+      tombSnap: Option[(Seq[String], DataFrame)], op: String): Unit =
+    tombSnap.foreach { case (_, t) =>
+      val kept = spark.read.parquet(s"$indexDir/data")
+        .join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti")
+      if (kept.isEmpty)
+        throw new IllegalStateException(
+          s"$indexDir: $op would empty the index — every row is " +
+            "tombstoned. Retraction is already complete (searches " +
+            "exclude all rows); delete the index directory to reclaim " +
+            "the space instead")
+    }
+
   private def readMetaRaw(indexDir: String, c: Configuration): Meta = {
     val node = mapper.readTree(Fs.readString(s"$indexDir/meta.json", c))
     import scala.jdk.CollectionConverters._
@@ -358,6 +380,7 @@ object IvfIndex {
     val streaming = meta.lastBatch.isDefined
     val newCounts = new Array[Long](meta.k)
     val tombSnap = tombstoneSnapshot(spark, indexDir)
+    refuseEmptyingFold(spark, indexDir, tombSnap, "compact")
     // the dedup heal REDUCES rows; whether the published counts then
     // overstate the data under a crash depends on the layout. Batch
     // layout: append's counts publish LAST, so crash-retry duplicate
@@ -440,6 +463,7 @@ object IvfIndex {
       s"$indexDir is a batch-layout index; use compact"))
     val newCounts = new Array[Long](meta.k)
     val tombSnap = tombstoneSnapshot(spark, indexDir)
+    refuseEmptyingFold(spark, indexDir, tombSnap, "foldStreaming")
     Fs.writeStringAtomic(foldMarker(indexDir),
       "fold in flight — re-run IvfIndex.foldStreaming to converge\n", conf)
     stagedDataSwap(spark, indexDir, conf) { (all, staged) =>
@@ -482,6 +506,14 @@ object IvfIndex {
       policy: MaintenancePolicy): String = {
     val h = health(spark, indexDir)
     if (h.rows < policy.minRows) return "none"
+    // a fully-retracted corpus is NOT a maintenance state: the fold
+    // would empty the index (refused — see refuseEmptyingFold) and the
+    // retrain has nothing to cluster. Searches already exclude every
+    // row; deleting the dir is an operator action, so the policy skips
+    // rather than crashing a self-maintaining stream. (tombstones can
+    // exceed rows when foreign ids were deleted — same skip, same
+    // rationale, conservatively even if a few true rows survive.)
+    if (h.tombstones >= h.rows) return "none"
     if (h.imbalance > policy.maxImbalance) {
       if (h.streaming) retrainStreaming(spark, indexDir)
       else retrain(spark, indexDir)

@@ -289,6 +289,7 @@ object MinHashIndex {
       s"$indexDir is not a streaming-layout index; only appendBatch " +
         "indexes need compaction to the bucketed batch layout")
     val tombSnap = tombstoneSnapshot(spark, indexDir)
+    refuseEmptyingFold(spark, indexDir, tombSnap, "compactStreaming")
     val tomb = tombSnap.map(_._2)
     swapIn(indexDir, "signatures", c) { staged =>
       val all = spark.read.parquet(s"$indexDir/signatures")
@@ -340,6 +341,7 @@ object MinHashIndex {
       .getOrElse(throw new IllegalArgumentException(
         s"$indexDir is a batch-layout index; use compact"))
     val tombSnap = tombstoneSnapshot(spark, indexDir)
+    refuseEmptyingFold(spark, indexDir, tombSnap, "foldStreaming")
     val tomb = tombSnap.map(_._2)
     swapIn(indexDir, "signatures", c) { staged =>
       val all = spark.read.parquet(s"$indexDir/signatures")
@@ -380,6 +382,12 @@ object MinHashIndex {
       policy: MaintenancePolicy): String = {
     val h = health(spark, indexDir)
     if (h.docs < policy.minRows) return "none"
+    // a fully-retracted corpus is not a maintenance state (the fold
+    // would empty the index and is refused — see refuseEmptyingFold);
+    // probes already exclude every doc, deleting the dir is an
+    // operator action, so the policy skips instead of crashing a
+    // self-maintaining stream
+    if (h.tombstones >= h.docs) return "none"
     val trip =
       h.tombstones * 1000L > policy.maxTombstonePermille * h.docs ||
       h.duplicateRows * 1000L > policy.maxDuplicatePermille * h.docs ||
@@ -501,6 +509,7 @@ object MinHashIndex {
     require(!meta.contains("last_batch"),
       s"$indexDir is a streaming-layout index; use compactStreaming")
     val tombSnap = tombstoneSnapshot(spark, indexDir)
+    refuseEmptyingFold(spark, indexDir, tombSnap, "compact")
     val tomb = tombSnap.map(_._2)
     swapIn(indexDir, "signatures", c) { staged =>
       val all = spark.read.parquet(s"$indexDir/signatures")
@@ -592,6 +601,27 @@ object MinHashIndex {
         org.apache.spark.sql.catalyst.TableIdentifier(live)))
       spark.catalog.refreshTable(live)
   }
+
+  /** A fold/compact whose tombstone fold would leave ZERO docs is
+    * refused — [[IvfIndex]]'s rule, same rationale: the rewrite would
+    * produce a parquet-less signatures/ that every subsequent read
+    * (probe, health, the n_docs recount itself) crashes on instead of
+    * answering "empty". Retraction is already effective (probes
+    * exclude every doc); deleting the index dir is the operator action
+    * for a fully-retracted corpus. [[maintain]] skips this state. */
+  private def refuseEmptyingFold(spark: SparkSession, indexDir: String,
+      tombSnap: Option[(Seq[String], DataFrame)], op: String): Unit =
+    tombSnap.foreach { case (_, t) =>
+      val kept = spark.read.parquet(s"$indexDir/signatures")
+        .select("doc_id")
+        .join(broadcast(t), Seq("doc_id"), "left_anti")
+      if (kept.isEmpty)
+        throw new IllegalStateException(
+          s"$indexDir: $op would empty the index — every doc is " +
+            "tombstoned. Retraction is already complete (probes " +
+            "exclude all docs); delete the index directory to reclaim " +
+            "the space instead")
+    }
 
   /** Write a staged replacement for `indexDir/name`, then swap it in
     * (write → rename live→old → rename staged→live → drop old). A crash

@@ -585,6 +585,15 @@ class IvfIndexSpec extends AnyFunSuite {
       // zero candidates), because nothing was fenced
       assert(IvfIndex.searchExact(spark, out, col("vec_id") < 8)
         .collect().isEmpty)
+      // compact refuses too — folding to zero rows would write a
+      // parquet-less data/ that every later read crashes on — and the
+      // maintenance policy SKIPS the state instead of tripping it (a
+      // self-maintaining stream must not crash on full retraction)
+      val e2 = intercept[IllegalStateException](IvfIndex.compact(spark, out))
+      assert(e2.getMessage.contains("would empty"), e2.getMessage)
+      assert(IvfIndex.maintain(spark, out,
+        MaintenancePolicy(maxTombstonePermille = 1, minRows = 1)) === "none")
+      IvfIndex.readMeta(out, hc) // the index survived all of it
     } finally rm(out)
   }
 

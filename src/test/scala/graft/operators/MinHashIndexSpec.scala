@@ -356,6 +356,18 @@ class MinHashIndexSpec extends AnyFunSuite {
     // the stream continues on the folded index
     assert(MinHashIndex.appendBatch(spark,
       MinHashIndex.signatures(batch.toDF("doc_id", "text")), sidx, 1L))
+    // full retraction: a fold that would empty the index is refused
+    // (the rewrite would leave a parquet-less signatures/ that every
+    // later probe crashes on), and maintain SKIPS the state — probes
+    // already exclude every doc, deleting the dir is the operator move
+    MinHashIndex.delete(spark, sidx,
+      (base ++ batch).map(_._1).toDF("doc_id"))
+    val e = intercept[IllegalStateException](
+      MinHashIndex.foldStreaming(spark, sidx))
+    assert(e.getMessage.contains("would empty"), e.getMessage)
+    assert(MinHashIndex.maintain(spark, sidx, policy) === "none")
+    assert(MinHashIndex.probe(spark, sidx,
+      MinHashIndex.signatures(base.toDF("doc_id", "text"))).count() === 0L)
   }
 
   test("compact refuses the interrupted-swap crash state instead of destroying it") {
