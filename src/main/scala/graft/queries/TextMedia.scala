@@ -143,19 +143,52 @@ object TextMedia {
       .distinct()
   }
 
-  /** Recursive-CTE transitive closure over the `neardup` pair relation,
-    * ending in `prop(v, label)` — shared by the c01/c12/d11 oracles so
-    * the textbook cluster definition is maintained in ONE place. Must
-    * appear under a WITH RECURSIVE together with [[simhashCtes]]. */
-  private val closureCtes = """
+  /** Connected components over the `neardup` pair relation for the
+    * c01/c12/d11 oracles, ending in `prop(v, label)` (one row per
+    * vertex, label = component min) — the textbook cluster definition
+    * maintained in ONE place.
+    *
+    * NOT the recursive-CTE transitive closure any more: that enumerates
+    * every (vertex, reachable-label) pair — O(cluster_size²) rows,
+    * measured >55 CPU-minutes in DuckDB at sf0.1, which is why the
+    * full-scale oracle sweep had to skip these three queries. Instead,
+    * K unrolled rounds of min-label propagation (label(v) ← min over
+    * v's closed neighborhood), each MATERIALIZED (the steps reference
+    * their predecessor several times — un-materialized CTEs re-expand
+    * the chain exponentially, d17b's lesson) and each O(E): ~1 s at
+    * sf0.01, ~20 s at sf0.1.
+    *
+    * Correctness: a FIXPOINT of this monotone iteration is exact — at
+    * a fixpoint label(v) ≤ label(u) holds along every edge in both
+    * directions, so labels are constant per component, and since
+    * labels start as vertex ids and only ever decrease toward ids
+    * present in the component, the constant is the component min.
+    * Convergence needs rounds ≥ the min vertex's eccentricity —
+    * measured 6 at sf0.01 and 7 at sf0.1 on the banded near-dup
+    * graph — so K=16 carries >2x margin. The failure direction is
+    * LOUD: too-few rounds leaves some label above its component min
+    * and the driver's hash compare goes red; a silent false-green is
+    * impossible. Equivalence with the recursive closure verified
+    * bit-exactly at sf0.01. */
+  private val closureRounds = 16
+  private val closureCtes: String = {
+    val steps = (1 to closureRounds).map { i =>
+      s"""
+        l$i AS MATERIALIZED (
+          SELECT v, MIN(label) AS label FROM (
+            SELECT v, label FROM l${i - 1}
+            UNION ALL
+            SELECT s.dst AS v, l.label FROM l${i - 1} l JOIN sym s ON s.src = l.v
+          ) GROUP BY v)"""
+    }.mkString(",")
+    s"""
         sym AS (
           SELECT doc_a AS src, doc_b AS dst FROM neardup
           UNION
           SELECT doc_b AS src, doc_a AS dst FROM neardup),
-        prop AS (
-          SELECT src AS v, src AS label FROM sym
-          UNION
-          SELECT s.dst AS v, p.label FROM prop p JOIN sym s ON s.src = p.v)"""
+        l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM sym),$steps,
+        prop AS (SELECT v, label FROM l$closureRounds)"""
+  }
 
   /** The matching DuckDB CTE chain ending in a `neardup(doc_a, doc_b,
     * hamming)` relation. */
@@ -296,7 +329,7 @@ object TextMedia {
     "c01_dup_clusters" -> QueryDef(
       build = (spark, dir) => dupClusters(spark, dir),
       oracle = Some(s"""
-        WITH RECURSIVE $simhashCtes, $closureCtes
+        WITH $simhashCtes, $closureCtes
         SELECT v AS doc_id, MIN(label) AS cluster_id,
                CAST(v = MIN(label) AS BIGINT) AS keep
         FROM prop GROUP BY v
@@ -330,7 +363,7 @@ object TextMedia {
           .orderBy("doc_id")
       },
       oracle = Some(s"""
-        WITH RECURSIVE $simhashCtes, $closureCtes,
+        WITH $simhashCtes, $closureCtes,
         labels AS (SELECT v AS doc_id, MIN(label) AS cluster_id FROM prop GROUP BY v),
         assigned AS (
           SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
@@ -413,7 +446,7 @@ object TextMedia {
           .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
           .orderBy("sz"),
       oracle = Some(s"""
-        WITH RECURSIVE $simhashCtes, $closureCtes,
+        WITH $simhashCtes, $closureCtes,
         labels AS (SELECT v, MIN(label) AS cluster_id FROM prop GROUP BY v),
         sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY 1)
         SELECT sz, COUNT(*) AS n_clusters
