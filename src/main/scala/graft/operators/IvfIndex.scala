@@ -138,6 +138,19 @@ object IvfIndex {
         s"$indexDir: interrupted retrain (RETRAINING marker present) — " +
           "only a retrain re-run converges from this state")
 
+  /** Would folding the live tombstones leave ZERO rows? The EXACT
+    * anti-join test (isEmpty short-circuits at the first surviving
+    * row, so the healthy-path cost is a partial scan) — count proxies
+    * are wrong in both directions: tombstones include foreign ids
+    * (never in data) and rows include crash-retry duplicates. */
+  private def foldWouldEmpty(spark: SparkSession, indexDir: String,
+      tombSnap: Option[(Seq[String], DataFrame)]): Boolean =
+    tombSnap.exists { case (_, t) =>
+      spark.read.parquet(s"$indexDir/data")
+        .join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti")
+        .isEmpty
+    }
+
   /** A fold/compact whose tombstone fold would leave ZERO rows is
     * refused: the rewrite would produce a parquet-less data/ that every
     * subsequent read (search, health, the recount itself) crashes on
@@ -149,16 +162,12 @@ object IvfIndex {
     * skips this state instead of tripping it. */
   private def refuseEmptyingFold(spark: SparkSession, indexDir: String,
       tombSnap: Option[(Seq[String], DataFrame)], op: String): Unit =
-    tombSnap.foreach { case (_, t) =>
-      val kept = spark.read.parquet(s"$indexDir/data")
-        .join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti")
-      if (kept.isEmpty)
-        throw new IllegalStateException(
-          s"$indexDir: $op would empty the index — every row is " +
-            "tombstoned. Retraction is already complete (searches " +
-            "exclude all rows); delete the index directory to reclaim " +
-            "the space instead")
-    }
+    if (foldWouldEmpty(spark, indexDir, tombSnap))
+      throw new IllegalStateException(
+        s"$indexDir: $op would empty the index — every row is " +
+          "tombstoned. Retraction is already complete (searches " +
+          "exclude all rows); delete the index directory to reclaim " +
+          "the space instead")
 
   private def readMetaRaw(indexDir: String, c: Configuration): Meta = {
     val node = mapper.readTree(Fs.readString(s"$indexDir/meta.json", c))
@@ -506,24 +515,33 @@ object IvfIndex {
       policy: MaintenancePolicy): String = {
     val h = health(spark, indexDir)
     if (h.rows < policy.minRows) return "none"
+    val wantRetrain = h.imbalance > policy.maxImbalance
+    val wantFold =
+      h.tombstones * 1000L > policy.maxTombstonePermille * h.rows ||
+      h.duplicateIds * 1000L > policy.maxDuplicatePermille * h.rows
+    if (!wantRetrain && !wantFold) return "none"
     // a fully-retracted corpus is NOT a maintenance state: the fold
     // would empty the index (refused — see refuseEmptyingFold) and the
     // retrain has nothing to cluster. Searches already exclude every
     // row; deleting the dir is an operator action, so the policy skips
-    // rather than crashing a self-maintaining stream. (tombstones can
-    // exceed rows when foreign ids were deleted — same skip, same
-    // rationale, conservatively even if a few true rows survive.)
-    if (h.tombstones >= h.rows) return "none"
-    if (h.imbalance > policy.maxImbalance) {
+    // rather than crashing a self-maintaining stream. The EXACT
+    // anti-join test, evaluated only once a dial trips — a count proxy
+    // (tombstones >= rows) is wrong in BOTH directions: foreign-id
+    // tombstones inflate the left side (permanently latching the skip
+    // and disabling all maintenance while most docs are live), and
+    // crash-retry duplicate rows inflate the right side (letting a
+    // fully-retracted index slip past into the refusal crash).
+    if (foldWouldEmpty(spark, indexDir, tombstoneSnapshot(spark, indexDir)))
+      return "none"
+    if (wantRetrain) {
       if (h.streaming) retrainStreaming(spark, indexDir)
       else retrain(spark, indexDir)
       "retrain"
-    } else if (h.tombstones * 1000L > policy.maxTombstonePermille * h.rows ||
-        h.duplicateIds * 1000L > policy.maxDuplicatePermille * h.rows) {
+    } else {
       if (h.streaming) foldStreaming(spark, indexDir)
       else compact(spark, indexDir)
       "compact"
-    } else "none"
+    }
   }
 
   /** The staged `data/` replacement shared by [[compact]] and
@@ -648,15 +666,14 @@ object IvfIndex {
     require(Fs.exists(s"$indexDir/data", conf),
       s"$indexDir has no data/ yet (streaming index before its first " +
         "batch) — nothing to retrain")
-    val preKept = tombSnap match {
-      case Some((_, t)) => spark.read.parquet(s"$indexDir/data")
-        .join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti")
-      case None => spark.read.parquet(s"$indexDir/data")
+    val wouldEmpty = tombSnap match {
+      case None => spark.read.parquet(s"$indexDir/data").isEmpty
+      case some => foldWouldEmpty(spark, indexDir, some) // ONE definition
     }
-    if (preKept.isEmpty)
+    if (wouldEmpty)
       throw new IllegalStateException(
-        s"$indexDir: every row is tombstoned — nothing to re-cluster; " +
-          "compact (folding the deletions) or delete the index instead")
+        s"$indexDir: every row is tombstoned (or the corpus is empty) — " +
+          "nothing to re-cluster; delete the index instead")
     var newMeta: Option[Meta] = None
     Fs.writeStringAtomic(retrainMarker(indexDir),
       "retrain in flight — re-run IvfIndex.retrain to converge\n", conf)

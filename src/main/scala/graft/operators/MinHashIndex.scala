@@ -382,17 +382,22 @@ object MinHashIndex {
       policy: MaintenancePolicy): String = {
     val h = health(spark, indexDir)
     if (h.docs < policy.minRows) return "none"
-    // a fully-retracted corpus is not a maintenance state (the fold
-    // would empty the index and is refused — see refuseEmptyingFold);
-    // probes already exclude every doc, deleting the dir is an
-    // operator action, so the policy skips instead of crashing a
-    // self-maintaining stream
-    if (h.tombstones >= h.docs) return "none"
     val trip =
       h.tombstones * 1000L > policy.maxTombstonePermille * h.docs ||
       h.duplicateRows * 1000L > policy.maxDuplicatePermille * h.docs ||
       h.orphanBandDocs > 0 || h.missingBandDocs > 0
     if (!trip) "none"
+    // a fully-retracted corpus is not a maintenance state (the fold
+    // would empty the index and is refused — see refuseEmptyingFold);
+    // probes already exclude every doc, deleting the dir is an
+    // operator action, so the policy skips instead of crashing a
+    // self-maintaining stream. The EXACT anti-join test, evaluated
+    // only once a dial trips — a count proxy (tombstones >= docs)
+    // latches permanently when an upstream takedown feed deletes
+    // foreign ids (delete documents them as harmless), disabling ALL
+    // maintenance including the silent-probe-miss band heals
+    else if (foldWouldEmpty(spark, indexDir,
+        tombstoneSnapshot(spark, indexDir))) "none"
     else {
       // preserve the index's bucket count: a maintenance call must not
       // reshape the physical layout as a side effect (IvfIndex's
@@ -602,6 +607,19 @@ object MinHashIndex {
       spark.catalog.refreshTable(live)
   }
 
+  /** Would folding the live tombstones leave ZERO docs? Exact
+    * anti-join test (isEmpty short-circuits at the first survivor) —
+    * count proxies are wrong in both directions, see
+    * [[IvfIndex.foldWouldEmpty]]'s twin. */
+  private def foldWouldEmpty(spark: SparkSession, indexDir: String,
+      tombSnap: Option[(Seq[String], DataFrame)]): Boolean =
+    tombSnap.exists { case (_, t) =>
+      spark.read.parquet(s"$indexDir/signatures")
+        .select("doc_id")
+        .join(broadcast(t), Seq("doc_id"), "left_anti")
+        .isEmpty
+    }
+
   /** A fold/compact whose tombstone fold would leave ZERO docs is
     * refused — [[IvfIndex]]'s rule, same rationale: the rewrite would
     * produce a parquet-less signatures/ that every subsequent read
@@ -611,17 +629,12 @@ object MinHashIndex {
     * for a fully-retracted corpus. [[maintain]] skips this state. */
   private def refuseEmptyingFold(spark: SparkSession, indexDir: String,
       tombSnap: Option[(Seq[String], DataFrame)], op: String): Unit =
-    tombSnap.foreach { case (_, t) =>
-      val kept = spark.read.parquet(s"$indexDir/signatures")
-        .select("doc_id")
-        .join(broadcast(t), Seq("doc_id"), "left_anti")
-      if (kept.isEmpty)
-        throw new IllegalStateException(
-          s"$indexDir: $op would empty the index — every doc is " +
-            "tombstoned. Retraction is already complete (probes " +
-            "exclude all docs); delete the index directory to reclaim " +
-            "the space instead")
-    }
+    if (foldWouldEmpty(spark, indexDir, tombSnap))
+      throw new IllegalStateException(
+        s"$indexDir: $op would empty the index — every doc is " +
+          "tombstoned. Retraction is already complete (probes " +
+          "exclude all docs); delete the index directory to reclaim " +
+          "the space instead")
 
   /** Write a staged replacement for `indexDir/name`, then swap it in
     * (write → rename live→old → rename staged→live → drop old). A crash

@@ -165,11 +165,13 @@ object TextMedia {
     * present in the component, the constant is the component min.
     * Convergence needs rounds ≥ the min vertex's eccentricity —
     * measured 6 at sf0.01 and 7 at sf0.1 on the banded near-dup
-    * graph — so K=16 carries >2x margin. The failure direction is
-    * LOUD: too-few rounds leaves some label above its component min
-    * and the driver's hash compare goes red; a silent false-green is
-    * impossible. Equivalence with the recursive closure verified
-    * bit-exactly at sf0.01. */
+    * graph — so K=16 carries >2x margin, AND the final CTE asserts the
+    * fixpoint itself: if the last two rounds differ, the oracle raises
+    * error('closure not converged') instead of emitting
+    * under-converged labels — so a too-small K at some future scale
+    * surfaces as a self-describing oracle error, never as a hash
+    * mismatch blamed on the (correct) Spark side. Equivalence with the
+    * recursive closure verified bit-exactly at sf0.01. */
   private val closureRounds = 16
   private val closureCtes: String = {
     val steps = (1 to closureRounds).map { i =>
@@ -181,13 +183,22 @@ object TextMedia {
             SELECT s.dst AS v, l.label FROM l${i - 1} l JOIN sym s ON s.src = l.v
           ) GROUP BY v)"""
     }.mkString(",")
+    val k = closureRounds
     s"""
         sym AS (
           SELECT doc_a AS src, doc_b AS dst FROM neardup
           UNION
           SELECT doc_b AS src, doc_a AS dst FROM neardup),
         l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM sym),$steps,
-        prop AS (SELECT v, label FROM l$closureRounds)"""
+        notconv AS MATERIALIZED (
+          SELECT COUNT(*) AS d FROM (
+            SELECT * FROM l${k - 1} EXCEPT SELECT * FROM l$k)),
+        prop AS (
+          SELECT v,
+                 CASE WHEN (SELECT d FROM notconv) > 0
+                      THEN error('oracle closure not converged at $k rounds — raise closureRounds')
+                      ELSE label END AS label
+          FROM l$k)"""
   }
 
   /** The matching DuckDB CTE chain ending in a `neardup(doc_a, doc_b,

@@ -571,11 +571,16 @@ class IvfIndexSpec extends AnyFunSuite {
         "a deterministic pre-flight failure must not brick the index")
       IvfIndex.readMeta(empty, hc) // still readable
     } finally rm(empty)
-    // (b) a fully-tombstoned corpus: nothing to re-cluster
+    // (b) a fully-tombstoned corpus: nothing to re-cluster. The corpus
+    // also carries crash-retry DUPLICATE rows (append of the same src),
+    // so raw row count exceeds the tombstone count — the count proxy
+    // that would let this state slip into the refusal crash; the exact
+    // anti-join check must still classify it as empty
     val out = tmpDir()
     try {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       IvfIndex.write(spark, dir, out, k = 4)
+      IvfIndex.append(spark, dir, out) // duplicates every vec_id
       IvfIndex.delete(spark, out, emb.select("vec_id"))
       val e = intercept[IllegalStateException](IvfIndex.retrain(spark, out))
       assert(e.getMessage.contains("tombstoned"), e.getMessage)
@@ -595,6 +600,30 @@ class IvfIndexSpec extends AnyFunSuite {
         MaintenancePolicy(maxTombstonePermille = 1, minRows = 1)) === "none")
       IvfIndex.readMeta(out, hc) // the index survived all of it
     } finally rm(out)
+    // (c) FOREIGN-id tombstones (deleteVectors of never-ingested
+    // vectors) inflate the tombstone count past the live-row count —
+    // the proxy that would permanently LATCH the maintenance skip.
+    // With survivors present, maintenance must still act.
+    val out2 = tmpDir()
+    try {
+      import spark.implicits._
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      IvfIndex.write(spark, dir, out2, k = 4)
+      // foreign set larger than the corpus (ids offset out of range)
+      IvfIndex.deleteVectors(spark, out2, emb
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      IvfIndex.delete(spark, out2, // plus a REAL 20% takedown
+        emb.filter(col("vec_id") % 5 === 0).select("vec_id"))
+      val h = IvfIndex.health(spark, out2)
+      assert(h.tombstones > h.rows, s"fixture must inflate tombstones: $h")
+      assert(IvfIndex.maintain(spark, out2,
+        MaintenancePolicy(maxTombstonePermille = 100, minRows = 1)) === "compact",
+        "foreign tombstones must not latch the maintenance skip")
+      val h2 = IvfIndex.health(spark, out2)
+      assert(h2.tombstones === 0L &&
+        h2.rows === n - emb.filter(col("vec_id") % 5 === 0).count())
+    } finally rm(out2)
   }
 
   test("a delete racing a retrain is re-derived under the NEW clustering") {

@@ -356,6 +356,17 @@ class MinHashIndexSpec extends AnyFunSuite {
     // the stream continues on the folded index
     assert(MinHashIndex.appendBatch(spark,
       MinHashIndex.signatures(batch.toDF("doc_id", "text")), sidx, 1L))
+    // FOREIGN-id tombstones (delete's doc says unknown ids are
+    // harmless) inflate the tombstone count past the doc count — the
+    // proxy that would permanently LATCH the maintenance skip. With
+    // survivors present, maintenance must still fold.
+    MinHashIndex.delete(spark, sidx,
+      (100L to 120L).toDF("doc_id")) // 21 foreign vs 4 live docs
+    MinHashIndex.delete(spark, sidx, Seq(3L).toDF("doc_id")) // 1 real
+    assert(MinHashIndex.maintain(spark, sidx, policy) === "compact",
+      "foreign tombstones must not latch the maintenance skip")
+    val hf = MinHashIndex.health(spark, sidx)
+    assert(hf.tombstones === 0L && hf.docs === 3L, s"$hf")
     // full retraction: a fold that would empty the index is refused
     // (the rewrite would leave a parquet-less signatures/ that every
     // later probe crashes on), and maintain SKIPS the state — probes
