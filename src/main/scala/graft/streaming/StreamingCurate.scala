@@ -51,17 +51,32 @@ object StreamingCurate {
     * AT-LEAST-ONCE (a committed replay re-emits the totals — see
     * [[processBatch]]); the generation id is the idempotence token: a
     * re-emission carries the SAME id as first delivery, so a consumer
-    * aggregating totals dedups on it instead of double-counting. */
+    * aggregating totals dedups on it instead of double-counting.
+    *
+    * `pruneKeep` makes the chain SELF-BOUNDING (the index probes'
+    * maintenance posture applied to the audit trail): after each
+    * commit, [[prune]] drops all but the newest `pruneKeep` committed
+    * generations and their batch inputs. Without it a year-long stream
+    * accumulates a full artifact set per micro-batch — unbounded
+    * storage for a chain that only ever READS the latest generation.
+    * Pruning inside foreachBatch serializes it against commits (the
+    * single-maintainer posture); the committed generation itself is
+    * never deleted, so a crash mid-prune converges on re-run. */
   def start(docs: DataFrame, rootDir: String, checkpointDir: String,
       cfg: Curate.Config = Curate.Config(),
-      onResult: (Long, Curate.Result) => Unit = (_, _) => ()): StreamingQuery =
+      onResult: (Long, Curate.Result) => Unit = (_, _) => (),
+      pruneKeep: Option[Int] = None): StreamingQuery = {
+    pruneKeep.foreach(k => require(k >= 1,
+      s"pruneKeep $k must retain at least the committed generation"))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, rootDir, batchId, cfg)
           .foreach(r => onResult(batchId, r))
+        pruneKeep.foreach(k => prune(batch.sparkSession, rootDir, k))
       }
       .start()
+  }
 
   /** One micro-batch → one generation. A COMMITTED replay runs nothing
     * but still returns the generation's totals (rebuilt from its

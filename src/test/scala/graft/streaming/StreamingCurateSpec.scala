@@ -145,6 +145,40 @@ class StreamingCurateSpec extends AnyFunSuite {
       Some(Map("dup_of_base" -> 1L, "kept" -> 1L)))
   }
 
+  test("pruneKeep makes the streaming chain self-bounding") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("scur6")
+    val in = MemoryStream[(Long, String, String, String)]
+    val results = scala.collection.mutable.ArrayBuffer[Curate.Result]()
+    val q = StreamingCurate.start(
+      in.toDF.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long")),
+      root, tmp("scur6chk"),
+      onResult = (_, r) => { results += r; () },
+      pruneKeep = Some(1))
+    try {
+      in.addData((1L, longA, "en", "s"))
+      q.processAllAvailable()
+      in.addData((2L, longB, "en", "s"))
+      q.processAllAvailable()
+      in.addData((3L, longC, "en", "s"))
+      q.processAllAvailable()
+      val hc = spark.sessionState.newHadoopConf()
+      // only the committed generation (and its batch input) survives
+      assert(graft.util.Fs.exists(s"$root/gen_2", hc))
+      assert(!graft.util.Fs.exists(s"$root/gen_0", hc) &&
+        !graft.util.Fs.exists(s"$root/gen_1", hc),
+        "old generations must prune as the stream advances")
+      assert(!graft.util.Fs.exists(s"$root/batch_0", hc))
+      // the pruned chain still curates: cross-batch suppression through
+      // the surviving generation's index works (copy of batch-2 content)
+      in.addData((4L, longC, "en", "s"))
+      q.processAllAvailable()
+      assert(results.last.counts === Map("dup_of_base" -> 1L))
+    } finally q.stop()
+  }
+
   test("prune bounds the generation trail, never the committed gen") {
     val root = tmp("scur3")
     StreamingCurate.processBatch(spark, docsDf(Seq((1L, longA))), root, 0L)
