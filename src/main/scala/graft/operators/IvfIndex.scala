@@ -138,6 +138,27 @@ object IvfIndex {
         s"$indexDir: interrupted retrain (RETRAINING marker present) — " +
           "only a retrain re-run converges from this state")
 
+  /** The interrupted-swap audit every fold-class rewrite runs BEFORE
+    * its first read of `data/` as parquet: a crash between
+    * [[stagedDataSwap]]'s two renames leaves `data/` missing with the
+    * complete copy in `data_old`, and reading `data/` then (the
+    * would-empty check, the fold itself) throws an
+    * unable-to-infer-schema error instead of naming the one recovering
+    * rename. stagedDataSwap repeats the audit, but by the time it runs
+    * the earlier reads have already crashed uninformatively. `op`
+    * names the caller in the no-data message. */
+  private def auditInterruptedSwap(indexDir: String, c: Configuration,
+      op: String): Unit = {
+    if (!Fs.exists(s"$indexDir/data", c) &&
+        Fs.exists(s"$indexDir/data_old", c))
+      throw new IllegalStateException(
+        s"$indexDir: interrupted compact — recover with: rename " +
+          s"$indexDir/data_old -> $indexDir/data")
+    require(Fs.exists(s"$indexDir/data", c),
+      s"$indexDir has no data/ yet (streaming index before its first " +
+        s"batch) — nothing to $op")
+  }
+
   /** Would folding the live tombstones leave ZERO rows? The EXACT
     * anti-join test (isEmpty short-circuits at the first surviving
     * row, so the healthy-path cost is a partial scan) — count proxies
@@ -385,6 +406,7 @@ object IvfIndex {
     // tolerate a crashed fold/compact's own FOLDING marker (this re-run
     // IS the documented recovery) but never a crashed retrain's
     refuseIfRetraining(indexDir, conf)
+    auditInterruptedSwap(indexDir, conf, "compact")
     val meta = readMetaRaw(indexDir, conf)
     val streaming = meta.lastBatch.isDefined
     val newCounts = new Array[Long](meta.k)
@@ -467,6 +489,7 @@ object IvfIndex {
     // tolerate our own crashed marker (the re-run is the recovery),
     // refuse a crashed retrain's (only retrain converges from that)
     refuseIfRetraining(indexDir, conf)
+    auditInterruptedSwap(indexDir, conf, "fold")
     val meta = readMetaRaw(indexDir, conf)
     val last = meta.lastBatch.getOrElse(throw new IllegalArgumentException(
       s"$indexDir is a batch-layout index; use compact"))
@@ -658,14 +681,7 @@ object IvfIndex {
     // first would brick it behind an unfollowable instruction.
     // Mid-swap failures after the fence (OOM, disk full) are the
     // transient kind the re-run genuinely converges from.
-    if (!Fs.exists(s"$indexDir/data", conf) &&
-        Fs.exists(s"$indexDir/data_old", conf))
-      throw new IllegalStateException(
-        s"$indexDir: interrupted compact — recover with: rename " +
-          s"$indexDir/data_old -> $indexDir/data")
-    require(Fs.exists(s"$indexDir/data", conf),
-      s"$indexDir has no data/ yet (streaming index before its first " +
-        "batch) — nothing to retrain")
+    auditInterruptedSwap(indexDir, conf, "retrain")
     val wouldEmpty = tombSnap match {
       case None => spark.read.parquet(s"$indexDir/data").isEmpty
       case some => foldWouldEmpty(spark, indexDir, some) // ONE definition
@@ -745,7 +761,40 @@ object IvfIndex {
           }
       }
     }
+    // a completed retrain also resolves a crashed fold's concern — the
+    // republished counts are exact over the rewritten data — and
+    // readMeta's FOLDING recovery names retrain as a convergence path,
+    // so a stale fold fence must not survive it (it would keep every
+    // reader refusing after a successful recovery, and retrain re-runs
+    // would loop forever without ever clearing it)
+    Fs.deleteTree(foldMarker(indexDir), conf)
     Fs.deleteTree(retrainMarker(indexDir), conf)
+  }
+
+  /** Converge a crashed fold THIS maintainer left behind — the
+    * self-recovery hook [[graft.streaming.StreamingIvfProbe]] runs at
+    * the top of each micro-batch. A process that died inside its own
+    * [[foldStreaming]] (or a streaming [[compact]]) leaves the FOLDING
+    * marker, and on restart the replayed batch's search/append — via
+    * [[readMeta]] — would refuse forever, even though the documented
+    * recovery (re-running the fold) is exactly what the maintenance
+    * slot the caller owns may do; without this, "self-maintaining"
+    * degrades to operator intervention for a state maintenance itself
+    * created. No-op without the marker (one exists-check per call).
+    * Still REFUSES on RETRAINING: the fold-class re-run is cheap and
+    * meaning-preserving, but a retrain re-clusters the whole corpus —
+    * a deterministic retrain failure re-fired implicitly at every
+    * stream restart would loop that bill forever, so the stronger
+    * fence stays an explicit operator decision. Returns the converging
+    * action ("fold" or "compact" — a crashed streaming compact re-runs
+    * as a batch one, having already dropped last_batch) or "none". */
+  def recoverFold(spark: SparkSession, indexDir: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    if (!Fs.exists(foldMarker(indexDir), conf)) return "none"
+    refuseIfRetraining(indexDir, conf)
+    if (readMetaRaw(indexDir, conf).lastBatch.isDefined) {
+      foldStreaming(spark, indexDir); "fold"
+    } else { compact(spark, indexDir); "compact" }
   }
 
   /** Maintenance summary — the measured inputs to the compact/retrain

@@ -54,7 +54,12 @@ object StreamingIvfProbe {
     * foreachBatch keeps the single-maintainer contract by
     * construction: maintenance and appends never overlap. Actions are
     * reported through `onMaintain(batchId, action)`; a replayed check
-    * after a crash re-measures a healthy index and no-ops. */
+    * after a crash re-measures a healthy index and no-ops. If a
+    * previous run of this stream died INSIDE its own fold, the next
+    * batch first converges the crashed fold ([[IvfIndex.recoverFold]];
+    * reported as `"recover-fold"`/`"recover-compact"`) instead of
+    * refusing forever on the FOLDING fence; an interrupted RETRAIN
+    * still refuses loudly — that recovery stays an operator call. */
   def start(embeddings: DataFrame, indexDir: String, checkpointDir: String,
       onPairs: DataFrame => Unit, topK: Int = 10,
       nprobe: Option[Int] = None,
@@ -63,6 +68,16 @@ object StreamingIvfProbe {
     embeddings.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // self-recovery before anything reads meta: a crash inside our
+        // OWN foldStreaming leaves the FOLDING marker, and the replayed
+        // batch's search/append would refuse forever on restart — but
+        // this foreachBatch IS the single maintainer entitled to run
+        // the documented recovery (the fold re-run). A RETRAINING
+        // marker still refuses loudly (recoverFold throws): re-firing
+        // a re-cluster implicitly at every restart could loop a
+        // deterministic failure forever, so that stays an operator call.
+        val rec = IvfIndex.recoverFold(batch.sparkSession, indexDir)
+        if (rec != "none") onMaintain(batchId, s"recover-$rec")
         val pairs = processBatch(batch.sparkSession, indexDir, batch, batchId,
           topK, nprobe)
         try onPairs(pairs) finally { pairs.unpersist(false); () }

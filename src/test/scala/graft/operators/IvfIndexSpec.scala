@@ -558,6 +558,70 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally { rm(out); rm(src) }
   }
 
+  test("retrain is a real convergence path for a crashed fold: it clears FOLDING") {
+    // readMeta's FOLDING recovery names "foldStreaming (or compact, or
+    // retrain)" — following it with a retrain must actually converge:
+    // the retrain completes (it reads meta raw), republishes exact
+    // counts, and must NOT leave the stale fold fence behind (which
+    // would keep every reader refusing after a successful recovery,
+    // with retrain re-runs looping forever)
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir()
+    val src = tmpDir()
+    try {
+      val hc = spark.sessionState.newHadoopConf()
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      emb.write.mode("overwrite").parquet(s"$src/embeddings.parquet")
+      IvfIndex.initStreaming(spark, src, out, k = 4)
+      IvfIndex.appendBatch(spark, emb, out, 0L)
+      graft.util.Fs.writeStringAtomic(s"$out/FOLDING", "crashed\n", hc)
+      IvfIndex.retrainStreaming(spark, out)
+      assert(!new java.io.File(s"$out/FOLDING").exists(),
+        "a completed retrain must clear the fold fence it resolves")
+      assert(!new java.io.File(s"$out/RETRAINING").exists())
+      val h = IvfIndex.health(spark, out) // readMeta no longer refuses
+      assert(h.publishedCount === h.rows && h.streaming)
+    } finally { rm(out); rm(src) }
+  }
+
+  test("fold-class pre-flight names the interrupted-swap recovery despite live tombstones") {
+    // a crash between stagedDataSwap's two renames leaves data/ missing
+    // beside a complete data_old. With live tombstones, the would-empty
+    // check reads data/ as parquet BEFORE the swap's own audit — without
+    // the pre-flight that read crashes with an unable-to-infer-schema
+    // error instead of naming the one recovering rename
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir()
+    try {
+      val hc = spark.sessionState.newHadoopConf()
+      IvfIndex.write(spark, dir, out, k = 4)
+      IvfIndex.delete(spark, out, Seq(1L).toDF("vec_id")) // live tombstone
+      graft.util.Fs.rename(s"$out/data", s"$out/data_old", hc)
+      val e = intercept[IllegalStateException](IvfIndex.compact(spark, out))
+      assert(e.getMessage.contains("rename"), e.getMessage)
+      // recover exactly as instructed, then the fold completes
+      graft.util.Fs.rename(s"$out/data_old", s"$out/data", hc)
+      IvfIndex.compact(spark, out)
+      assert(IvfIndex.health(spark, out).tombstones === 0L)
+    } finally rm(out)
+    // same window on the streaming fold
+    val sOut = tmpDir()
+    try {
+      val hc = spark.sessionState.newHadoopConf()
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      IvfIndex.initStreaming(spark, dir, sOut, k = 4)
+      IvfIndex.appendBatch(spark, emb, sOut, 0L)
+      IvfIndex.delete(spark, sOut, Seq(1L).toDF("vec_id"))
+      graft.util.Fs.rename(s"$sOut/data", s"$sOut/data_old", hc)
+      val e = intercept[IllegalStateException](IvfIndex.foldStreaming(spark, sOut))
+      assert(e.getMessage.contains("rename"), e.getMessage)
+      graft.util.Fs.rename(s"$sOut/data_old", s"$sOut/data", hc)
+      IvfIndex.foldStreaming(spark, sOut)
+      assert(IvfIndex.health(spark, sOut).tombstones === 0L)
+    } finally rm(sOut)
+  }
+
   test("retrain pre-flight failures refuse BEFORE fencing — the index stays readable") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"

@@ -125,6 +125,49 @@ class StreamingMaintenanceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("IVF: the stream converges its own crashed fold instead of refusing forever") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = tmp("maintrecov") + "/idx"
+    IvfIndex.initStreaming(spark, bootstrap(mixed = true), idx, k = 2)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val actions = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    // NO maintenance policy: recovery is not gated on one — the fence
+    // blocks appendBatch/search regardless, so the stream must converge
+    // its own crashed fold before processing either way
+    val q = StreamingIvfProbe.start(
+      in.toDF.toDF("vec_id", "embedding"), idx, tmp("maintrecovchk"),
+      _ => (), topK = 1,
+      onMaintain = (b, a) => { actions += ((b, a)); () })
+    try {
+      in.addData((0L, vec(0, 0.1)), (1L, vec(1, 0.1)))
+      q.processAllAvailable()
+      // the maintainer dies mid-fold between batches: FOLDING remains.
+      // Without self-recovery the next batch's readMeta refuses and the
+      // stream fails permanently — for a state its own maintenance
+      // slot created and can converge
+      graft.util.Fs.writeStringAtomic(s"$idx/FOLDING", "crashed\n",
+        spark.sessionState.newHadoopConf())
+      in.addData((2L, vec(0, 0.2)))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+      assert(actions.toSeq === Seq((1L, "recover-fold")), s"got $actions")
+      assert(!new java.io.File(s"$idx/FOLDING").exists())
+      val h = IvfIndex.health(spark, idx)
+      assert(h.rows === 3L && h.publishedCount === 3L)
+      assert(IvfIndex.readMeta(idx, spark.sessionState.newHadoopConf())
+        .lastBatch === Some(1L), "the stream fence must keep advancing")
+      // a RETRAINING fence is NOT self-recovered: the stream refuses
+      // loudly rather than implicitly re-firing a re-cluster forever
+      graft.util.Fs.writeStringAtomic(s"$idx/RETRAINING", "crashed\n",
+        spark.sessionState.newHadoopConf())
+      in.addData((3L, vec(1, 0.3)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q.processAllAvailable())
+      assert(e.getMessage.contains("RETRAINING"), e.getMessage)
+    } finally q.stop()
+  }
+
   test("MinHash: tombstone debt triggers exactly one mid-stream fold; probes stay exact") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
