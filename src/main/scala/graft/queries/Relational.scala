@@ -1299,6 +1299,149 @@ object Relational {
         FROM supplier
         WHERE s_suppkey IN (
           SELECT l_suppkey FROM vol, m WHERE CAST(v AS HUGEINT) * n > 3 * t)
-        ORDER BY s_suppkey"""))
+        ORDER BY s_suppkey""")),
+
+    // ---------------------------------------------------------------- q38
+    // Volume shipping (TPC-H Q7 shape): revenue flowing between TWO
+    // trading nations keyed by (supplier nation, customer nation, ship
+    // year) — the classic twice-aliased-dimension join. nation joins
+    // BOTH fact sides as two separate broadcast copies, each
+    // pre-filtered to the two partners (the IN pushes to the 25-row
+    // dim scan), so the pair disjunction ((A,B) ∪ (B,A)) collapses to
+    // one inequality over the two surviving keys — no OR reaches the
+    // join. The only corpus-scale shuffle is lineitem ⋈ orders;
+    // customer/supplier hash-join on their keys (AQE promotes them to
+    // broadcast at gate SFs). The ship-year window prunes the fact
+    // scan (PushedFilters) before anything joins.
+    "q38_volume_shipping" -> QueryDef(
+      build = (spark, dir) => {
+        val n1 = table(spark, dir, "nation")
+          .filter(col("n_nationkey").isin(7, 12))
+          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+        val n2 = table(spark, dir, "nation")
+          .filter(col("n_nationkey").isin(7, 12))
+          .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+        val li = table(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+        val ord = table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cust = table(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val supp = table(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("sk"))
+          .join(broadcast(n2), col("c_nationkey") === col("ck"))
+          .filter(col("sk") =!= col("ck"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sumMinor(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+            .as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      oracle = Some("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_nationkey IN (7, 12) AND n2.n_nationkey IN (7, 12)
+          AND n1.n_nationkey <> n2.n_nationkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""")),
+
+    // ---------------------------------------------------------------- q39
+    // Product-type profit (TPC-H Q9 shape, adapted: this corpus has no
+    // partsupp table, so supply cost is proxied at a fixed 80% of the
+    // part's retail price — the shape under test is the part-family
+    // filter + multi-fact join + profit expression + (nation, year)
+    // rollup, not the cost model). The name filter prunes part BEFORE
+    // its join (pushed to the scan: ~13% of parts survive), lineitem ⋈
+    // part shuffles on partkey, orders arrives on the orderkey
+    // shuffle, supplier/nation ride as broadcasts (supplier is the
+    // smallest SF-scaled table, 600x under lineitem). Profit is the
+    // DIFFERENCE of two exact BIGINT minor-unit sums, each
+    // decimal-cast per row before scaling; headroom at 100x the bench
+    // SF stays >3 orders under 2^63 (~1e15 per sum at sf10).
+    "q39_product_profit" -> QueryDef(
+      build = (spark, dir) => {
+        val part = table(spark, dir, "part")
+          .filter(col("p_name").contains("red"))
+          .select(col("p_partkey"), col("p_retailprice"))
+        val li = table(spark, dir, "lineitem")
+        val ord = table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val supp = table(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val nation = table(spark, dir, "nation")
+        li.join(part, col("l_partkey") === col("p_partkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg((sumMinor(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+            - sumMinor(col("p_retailprice") * lit(0.8) * col("l_quantity"), 6))
+            .as("profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      oracle = Some("""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                  - CAST(SUM(CAST(p_retailprice * 0.8 * l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS BIGINT) AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, o_year
+        ORDER BY n_name, o_year DESC""")),
+
+    // ---------------------------------------------------------------- q40
+    // Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    // join customer → a filtered orders subset, COUNT the match column
+    // per customer (NULL-safe — zero-match customers survive with
+    // count 0, the bucket an inner join silently drops), then a second
+    // aggregation folds customers into the (c_count, custdist)
+    // histogram. Q13's o_comment anti-pattern filter adapts to this
+    // corpus as status 'P' (~a third of orders), leaving a real zero
+    // bucket. Corpus-scale data moves ONCE (the per-customer shuffle);
+    // the histogram's second shuffle sees one row per customer.
+    // Filtering orders BEFORE the join is exactly the ON-clause
+    // predicate of the reference form — for a left outer join the two
+    // are equivalent and the pre-filter keeps the pushed scan.
+    "q40_order_count_distribution" -> QueryDef(
+      build = (spark, dir) => {
+        val cust = table(spark, dir, "customer").select(col("c_custkey"))
+        val ord = table(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "P")
+          .select(col("o_orderkey"), col("o_custkey"))
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      oracle = Some("""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderstatus = 'P'
+          GROUP BY c_custkey) co
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC"""))
   )
 }

@@ -301,4 +301,49 @@ class PlanShapeSpec extends AnyFunSuite {
         s"non-id columns entered the supplier semi join: $l")
     }
   }
+
+  test("q38 twice-aliased nation dims broadcast; ship window reaches the fact scan") {
+    val df = Relational.defs("q38_volume_shipping").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // two nation copies, each a broadcast hash join — if either falls
+    // back to a shuffle, 25 dim rows reshuffle the whole fact stream
+    val nationScans = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("nation.parquet"))
+      .size
+    assert(nationScans === 2, s"expected two aliased nation scans:\n$plan")
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"both nation joins must broadcast, saw $bhj:\n$plan")
+    val li = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("lineitem.parquet"))
+      .toSeq
+    assert(li.size === 1, s"expected one lineitem scan:\n$plan")
+    assert(li.head.contains("PushedFilters") && li.head.contains("l_shipdate"),
+      s"ship-year window not pushed: ${li.head}")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q39 profit: both sums ride ONE aggregate over one fact scan") {
+    val df = Relational.defs("q39_product_profit").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // revenue and cost are a difference of two SUMs over the same
+    // joined rows — a plan that scans lineitem twice (self-join or
+    // per-term pass) doubles the 100 TB read
+    val scans = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("lineitem.parquet"))
+      .size
+    assert(scans === 1, s"expected one lineitem scan, got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q40 distribution keeps the LEFT OUTER join (zero bucket survives)") {
+    val df = Relational.defs("q40_order_count_distribution").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the zero-order bucket exists ONLY if the outer join survives
+    // optimization — count(match_col) must not let Catalyst rewrite it
+    // to inner; and the histogram is two hash aggregates, never a
+    // dedup/explode pair
+    assert(plan.contains("LeftOuter"), s"outer join rewritten away:\n$plan")
+    assert(!plan.contains("Deduplicate") && !plan.contains("CartesianProduct"),
+      plan)
+  }
 }
