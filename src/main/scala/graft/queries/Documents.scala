@@ -1055,6 +1055,140 @@ object Documents {
                CAST(SUM(CASE WHEN n * 30 < mx THEN c ELSE 0 END) AS BIGINT) * 1000
                  // CAST(SUM(c) AS BIGINT) AS rare_permille
         FROM dt JOIN tf USING (term) CROSS JOIN mx
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- d22
+    // PII scrubbing — the redaction stage every production corpus
+    // pipeline runs before training. The synthetic corpus carries no
+    // organic PII, so the fixture PLANTS it deterministically from
+    // doc_id (emails on the %5 residue, phone numbers on %7 — both
+    // engines derive the identical planted corpus, the b04/b05 planted-
+    // family pattern), and the operator under test is the scrub:
+    // regex redaction to <EMAIL>/<PHONE> placeholders plus per-doc
+    // redaction counts (the audit trail a takedown/compliance report
+    // needs). Pure per-row expressions — zero shuffle besides the
+    // output sort; at 100 TB this is a map-only pass that pipelines
+    // into whatever stage follows. Regex parity: explicit ASCII
+    // classes only (Java regex vs RE2 agree), no \d/\w/\b
+    // metacharacters, quantifiers {4}/{2,} are common syntax.
+    "d22_pii_scrub" -> QueryDef(
+      build = (spark, dir) => {
+        val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phonePat = "555-[0-9]{4}"
+        val docs = QueryDef.spread(spark, dir, "documents")
+        docs.select(col("doc_id"),
+            concat(col("text"),
+              when(col("doc_id") % 5 === 0,
+                concat(lit(" contact user"), col("doc_id").cast("string"),
+                  lit("@example.com"))).otherwise(lit("")),
+              when(col("doc_id") % 7 === 0,
+                concat(lit(" call 555-"),
+                  lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+                .otherwise(lit(""))).as("ptext"))
+          .select(col("doc_id"),
+            regexp_count(col("ptext"), lit(emailPat)).cast("bigint")
+              .as("n_emails"),
+            regexp_count(col("ptext"), lit(phonePat)).cast("bigint")
+              .as("n_phones"),
+            md5(regexp_replace(
+              regexp_replace(col("ptext"), emailPat, "<EMAIL>"),
+              phonePat, "<PHONE>")).as("scrubbed_h"))
+          .filter(col("n_emails") + col("n_phones") > 0)
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         ELSE '' END AS ptext
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(ptext, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+                 md5(regexp_replace(
+                   regexp_replace(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '555-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_h
+          FROM p)
+        SELECT doc_id, n_emails, n_phones, scrubbed_h
+        FROM s WHERE n_emails + n_phones > 0 ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- d23
+    // Boilerplate line removal — Dolma/CCNet-style paragraph-level
+    // dedup: lines that recur across a large fraction of the corpus
+    // (copyright headers, unsubscribe footers) are stripped and each
+    // document reassembled in original line order. The corpus has no
+    // line structure, so the fixture plants a per-source header and
+    // footer around every document (both engines derive the identical
+    // planted corpus). The boilerplate floor is RELATIVE — a line in
+    // MORE THAN 1/40th of all docs, exact integer cross-multiplication
+    // (absolute doc-count floors are SF-fragile, q33's lesson; the
+    // planted headers scale with the corpus so the floor trips at
+    // every SF). Shuffle shape at 100 TB: line-frequency counts group
+    // on md5(line) — a fixed 32-char key instead of arbitrary-length
+    // text, map-side combined; the qualifying set is structurally tiny
+    // (a line needs > total/40 distinct docs, so at most 40x the mean
+    // lines-per-doc qualify) and BROADCASTS to mark lines without
+    // shuffling the corpus; reassembly is the one unavoidable
+    // corpus-scale shuffle (per-doc grouping carries the kept text).
+    "d23_boilerplate_lines" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = QueryDef.spread(spark, dir, "documents")
+        val planted = docs.select(col("doc_id"),
+          concat(lit("COPYRIGHT "), col("source"), lit(" ALL RIGHTS RESERVED"),
+            lit("\n"), col("text"), lit("\n"),
+            lit("footer "), col("source"), lit(" unsubscribe")).as("ptext"))
+        val lines = planted
+          .select(col("doc_id"), posexplode(split(col("ptext"), "\n")))
+          .select(col("doc_id"), col("pos"), col("col").as("line"),
+            md5(col("col")).as("lh"))
+        val total = planted.agg(count(lit(1)).as("n"))
+        val boiler = lines.groupBy("lh")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .crossJoin(broadcast(total))
+          .filter(col("nd") * 40 > col("n"))
+          .select(col("lh"), lit(true).as("b"))
+        lines.join(broadcast(boiler), Seq("lh"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("b"), 1L).otherwise(0L)).as("removed_lines"),
+            // collect_list drops NULLs: only kept lines enter, sorted
+            // back to original order by pos (unique per doc)
+            md5(array_join(transform(
+              array_sort(collect_list(when(col("b").isNull,
+                struct(col("pos"), col("line"))))),
+              x => x.getField("line")), "\n")).as("cleaned_h"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 'COPYRIGHT ' || source || ' ALL RIGHTS RESERVED' || chr(10)
+                 || text || chr(10)
+                 || 'footer ' || source || ' unsubscribe' AS ptext
+          FROM documents),
+        tot AS (SELECT COUNT(*) AS n FROM p),
+        l AS (
+          SELECT doc_id,
+                 unnest(string_split(ptext, chr(10))) AS line,
+                 unnest(generate_series(1, len(string_split(ptext, chr(10))))) AS pos
+          FROM p),
+        b AS (
+          SELECT line FROM (
+            SELECT line, COUNT(DISTINCT doc_id) AS nd FROM l GROUP BY 1), tot
+          WHERE nd * 40 > n),
+        m AS (
+          SELECT doc_id, pos, line,
+                 line IN (SELECT line FROM b) AS is_b
+          FROM l)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS removed_lines,
+               md5(COALESCE(string_agg(CASE WHEN NOT is_b THEN line END, chr(10) ORDER BY pos), '')) AS cleaned_h
+        FROM m GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -335,6 +335,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("d22 PII scrub is a map-only pass: no joins, no aggregate exchange") {
+    val df = Documents.defs("d22_pii_scrub").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // redaction is per-row regex work — any join or aggregate in this
+    // plan means the scrub stopped pipelining at 100 TB. The only
+    // exchange allowed is the output sort's range partitioning.
+    assert(!plan.contains("Join"), s"scrub must not join:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"scrub must not aggregate:\n$plan")
+    val scans = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("documents.parquet"))
+      .size
+    assert(scans === 1, s"expected one documents scan:\n$plan")
+  }
+
+  test("d23 boilerplate marking joins the corpus against a BROADCAST line set") {
+    val df = Documents.defs("d23_boilerplate_lines").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the qualifying set is structurally tiny (> total/40 distinct docs
+    // per line caps it at 40x mean lines-per-doc), so marking must be a
+    // broadcast join — a sort-merge join here reshuffles every line of
+    // the corpus against a <100-row table
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side reshuffle against a tiny line set:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q40 distribution keeps the LEFT OUTER join (zero bucket survives)") {
     val df = Relational.defs("q40_order_count_distribution").build(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
