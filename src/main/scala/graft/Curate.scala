@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   *   components) → quality gate → leakage-free split → per-split
   *   sequence packing → curated parquet + manifest + summary.
   *
-  * Usage: runMain graft.Curate <sfDir> <outDir> [minTokens] [--rep=N]
-  *        runMain graft.Curate <batchDir> <outDir> <minTokens> <baseDir> [--rep=N]
+  * Usage: runMain graft.Curate <sfDir> <outDir> [minTokens] [--rep=N] [--scrub-pii]
+  *        runMain graft.Curate <batchDir> <outDir> <minTokens> <baseDir> [--rep=N] [--scrub-pii]
   *        runMain graft.Curate --takedown=<ids> <baseDir> <outDir>
   *
   * `--rep=N` (position-independent) switches on the d18-backed
   * repetition gate at N permille (Config.maxRep2gramPermille).
+  * `--scrub-pii` switches on the d22-backed PII redaction at ingestion
+  * (Config.scrubPii — keep it constant across an incremental chain).
   *
   * The 4-arg form is the INCREMENTAL mode: curate a new batch against a
   * previous run's output (baseDir). The base corpus always wins — a
@@ -112,7 +114,20 @@ object Curate {
     *                       oracle-verified d18 signal, SAME expression)
     *                       exceeds this permille are low_quality and
     *                       excluded from canonical election. None (the
-    *                       default) reproduces historical behavior */
+    *                       default) reproduces historical behavior
+    * @param scrubPii       opt-in PII redaction at INGESTION: every
+    *                       downstream signal (digests, fingerprints,
+    *                       token counts, verdicts, curated text,
+    *                       packing) sees the redacted corpus — the
+    *                       oracle-verified d22 scheme, SAME expression
+    *                       ([[queries.Documents.scrubPii]]), so two
+    *                       docs differing only in PII values dedup as
+    *                       the exact copies they are. Keep the dial
+    *                       constant across an incremental/streaming
+    *                       chain: the base index's digests were
+    *                       computed from the text the base run saw, so
+    *                       flipping it mid-chain breaks redelivery
+    *                       suppression (the minTokens consistency rule) */
   final case class Config(
       minTokens: Int = 5,
       testSixteenths: Int = 1,
@@ -120,7 +135,8 @@ object Curate {
       baseHamming: Int = 2,
       packLen: Int = 512,
       packShards: Option[Int] = None,
-      maxRep2gramPermille: Option[Int] = None) {
+      maxRep2gramPermille: Option[Int] = None,
+      scrubPii: Boolean = false) {
     require(minTokens >= 0, s"minTokens $minTokens")
     maxRep2gramPermille.foreach(t => require(t >= 0 && t <= 1000,
       s"maxRep2gramPermille must be a permille, got $t"))
@@ -349,9 +365,19 @@ object Curate {
     }
   }
 
-  private def curateInner(spark: SparkSession, docs: DataFrame,
+  private def curateInner(spark: SparkSession, docs0: DataFrame,
       baseIndex: Option[DataFrame], outDir: String, cfg: Config,
       cleanups: scala.collection.mutable.ArrayBuffer[() => Unit]): Result = {
+
+    // PII redaction happens ONCE, at ingestion, so every signal below
+    // operates on the corpus that will actually be trained on — the
+    // d22-oracled scrub expression (shared definition, cannot drift).
+    // A map-only column rewrite: no extra shuffle, pipelines into the
+    // digest/fingerprint scans
+    val docs =
+      if (cfg.scrubPii)
+        docs0.withColumn("text", queries.Documents.scrubPii(col("text")))
+      else docs0
 
     // digest frame is consumed by the exact-dup self-join, the index
     // artifact, and (incrementally) the base probe — persist the
@@ -502,10 +528,12 @@ object Curate {
     writePacking(kept, s"$outDir/packing.parquet", cfg.packLen, shards)
 
     val hc = spark.sessionState.newHadoopConf()
+    // scrub_pii rides in the summary so a chain consumer can AUDIT the
+    // keep-the-dial-constant rule across generations
     graft.util.Fs.writeStringAtomic(s"$outDir/summary.json",
       s"""{"verdicts":${jsonObj(counts)},"splits":${jsonObj(splits)},""" +
         s""""min_tokens":${cfg.minTokens},"pack_len":${cfg.packLen},""" +
-        s""""pack_shards":$shards}\n""", hc)
+        s""""pack_shards":$shards,"scrub_pii":${cfg.scrubPii}}\n""", hc)
     // dataset card for the INPUT corpus this run examined — the same
     // oracle-checked c15 relation (report.DataCard), so the governance
     // numbers shipped with the artifacts can't drift from the verified
@@ -541,6 +569,8 @@ object Curate {
   /** CLI argument split: `--key=value` flags (position-independent)
     * vs positionals. Supported flags: `--rep=<permille>` turns on the
     * d18-backed repetition gate ([[Config.maxRep2gramPermille]]);
+    * `--scrub-pii` turns on the d22-backed PII redaction
+    * ([[Config.scrubPii]] — keep it constant across a chain);
     * `--takedown=<ids>` switches the run to [[runTakedown]] (the
     * positionals become baseDir outDir; <ids> is a parquet dir with a
     * doc_id column, or a text file of one id per line). Unknown flags
@@ -554,10 +584,13 @@ object Curate {
     flags.foreach {
       case f if f.startsWith("--rep=") =>
         cfg = cfg.copy(maxRep2gramPermille = Some(f.stripPrefix("--rep=").toInt))
+      case "--scrub-pii" =>
+        cfg = cfg.copy(scrubPii = true)
       case f if f.startsWith("--takedown=") =>
         takedown = Some(f.stripPrefix("--takedown="))
       case f => throw new IllegalArgumentException(
-        s"unknown flag $f (supported: --rep=<permille>, --takedown=<ids>)")
+        s"unknown flag $f (supported: --rep=<permille>, --scrub-pii, " +
+          "--takedown=<ids>)")
     }
     (pos, cfg, takedown)
   }

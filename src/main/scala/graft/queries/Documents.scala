@@ -58,6 +58,22 @@ object Documents {
                    * 1000 div CAST(size(s) AS BIGINT)), 1)
                END), 1)"""
 
+  /** d22's PII scheme, factored like [[dup2gramPermilleExpr]] so the
+    * oracled query and any consumer (Curate's `--scrub-pii` stage)
+    * compute the SAME redaction. ASCII-explicit classes only — Java
+    * regex (Spark) and RE2 (DuckDB) agree on every construct used; no
+    * \d/\w/\b metacharacters. */
+  private[graft] val piiEmailPattern =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val piiPhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact PII in place: emails first, then phones — one definition
+    * of the order, because a pattern change that made them overlap
+    * would otherwise produce consumer-dependent output. */
+  private[graft] def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, piiEmailPattern, "<EMAIL>"),
+      piiPhonePattern, "<PHONE>")
+
   /** d21's fixed merge list (learned order) — ONE constant feeds both
     * the Spark query and the generated oracle SQL, so the two cannot
     * drift. English-frequent pairs incl. two second-order merges
@@ -1073,8 +1089,6 @@ object Documents {
     // metacharacters, quantifiers {4}/{2,} are common syntax.
     "d22_pii_scrub" -> QueryDef(
       build = (spark, dir) => {
-        val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val phonePat = "555-[0-9]{4}"
         val docs = QueryDef.spread(spark, dir, "documents")
         docs.select(col("doc_id"),
             concat(col("text"),
@@ -1082,17 +1096,15 @@ object Documents {
                 concat(lit(" contact user"), col("doc_id").cast("string"),
                   lit("@example.com"))).otherwise(lit("")),
               when(col("doc_id") % 7 === 0,
-                concat(lit(" call 555-"),
+                concat(lit(" call 555-314-"),
                   lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
                 .otherwise(lit(""))).as("ptext"))
           .select(col("doc_id"),
-            regexp_count(col("ptext"), lit(emailPat)).cast("bigint")
+            regexp_count(col("ptext"), lit(piiEmailPattern)).cast("bigint")
               .as("n_emails"),
-            regexp_count(col("ptext"), lit(phonePat)).cast("bigint")
+            regexp_count(col("ptext"), lit(piiPhonePattern)).cast("bigint")
               .as("n_phones"),
-            md5(regexp_replace(
-              regexp_replace(col("ptext"), emailPat, "<EMAIL>"),
-              phonePat, "<PHONE>")).as("scrubbed_h"))
+            md5(scrubPii(col("ptext"))).as("scrubbed_h"))
           .filter(col("n_emails") + col("n_phones") > 0)
           .orderBy("doc_id")
       },
@@ -1104,16 +1116,16 @@ object Documents {
                          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
                          ELSE '' END
                  || CASE WHEN doc_id % 7 = 0
-                         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         THEN ' call 555-314-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                          ELSE '' END AS ptext
           FROM documents),
         s AS (
           SELECT doc_id,
                  CAST(len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-                 CAST(len(regexp_extract_all(ptext, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+                 CAST(len(regexp_extract_all(ptext, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
                  md5(regexp_replace(
                    regexp_replace(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                   '555-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_h
+                   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_h
           FROM p)
         SELECT doc_id, n_emails, n_phones, scrubbed_h
         FROM s WHERE n_emails + n_phones > 0 ORDER BY doc_id""")),

@@ -438,4 +438,62 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       rm(new java.io.File(in)); rm(new java.io.File(outDir))
     }
   }
+
+  test("--scrub-pii redacts at ingestion: clean curated text, PII-variant dups fold") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_curate_pii").toString
+    try {
+      val docs = Seq(
+        // 1 & 2 are identical up to the email ADDRESS: redaction makes
+        // them exact copies, so the scrub-on run must fold them as
+        // exact_dup — the dedup consequence of scrubbing at ingestion,
+        // not at output
+        (1L, "alpha beta gamma delta epsilon zeta eta theta reach alice@example.com thanks",
+          "en", "s0", 76L),
+        (2L, "alpha beta gamma delta epsilon zeta eta theta reach bob@other.org thanks",
+          "en", "s0", 73L),
+        (3L, "one two three four five six seven eight call 415-555-0199 now",
+          "en", "s0", 62L),
+        (4L, "nine ten eleven twelve thirteen fourteen fifteen sixteen",
+          "en", "s0", 57L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.mode("overwrite").parquet(s"$root/in/documents.parquet")
+      // the CLI flag wires the dial
+      val (_, cfg, _) = Curate.parseArgs(Array("a", "b", "--scrub-pii"))
+      assert(cfg.scrubPii)
+      val r = Curate.run(spark, s"$root/in", s"$root/on", cfg)
+      assert(r.counts.getOrElse("exact_dup", 0L) === 1L,
+        s"PII-variant twins must fold under scrub: ${r.counts}")
+      val onTexts = spark.read.parquet(s"$root/on/curated.parquet")
+        .select("text").as[String].collect().toSeq
+      // nothing matching either PII pattern survives anywhere
+      onTexts.foreach { t =>
+        assert(!queries.Documents.piiEmailPattern.r.findFirstIn(t).isDefined &&
+          !queries.Documents.piiPhonePattern.r.findFirstIn(t).isDefined,
+          s"PII survived curation: $t")
+      }
+      assert(onTexts.exists(_.contains("<EMAIL>")))
+      assert(onTexts.exists(_.contains("<PHONE>")))
+      // the exact redaction is the d22-oracled expression (shared
+      // definition): doc 3's curated text is the literal redaction
+      assert(onTexts.contains(
+        "one two three four five six seven eight call <PHONE> now"))
+      // the dial rides in summary.json so a chain can audit consistency
+      assert(Files.readString(java.nio.file.Paths.get(s"$root/on/summary.json"))
+        .contains(""""scrub_pii":true"""))
+      // flag OFF reproduces historical behavior: originals untouched,
+      // the twins are NOT exact dups (SimHash may still call them near)
+      val r2 = Curate.run(spark, s"$root/in", s"$root/off")
+      assert(r2.counts.getOrElse("exact_dup", 0L) === 0L, s"${r2.counts}")
+      val offTexts = spark.read.parquet(s"$root/off/curated.parquet")
+        .select("text").as[String].collect().toSeq
+      assert(offTexts.exists(_.contains("alice@example.com")),
+        s"scrub-off must preserve original text: $offTexts")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+  }
 }
