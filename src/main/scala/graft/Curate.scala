@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   * repetition gate at N permille (Config.maxRep2gramPermille).
   * `--scrub-pii` switches on the d22-backed PII redaction at ingestion
   * (Config.scrubPii — keep it constant across an incremental chain).
+  * `--strip-boilerplate=N` strips lines present in more than 1/N of the
+  * batch's docs (Config.stripBoilerplateDenom, the d23 scheme; applied
+  * after the scrub; same chain-consistency rule).
   *
   * The 4-arg form is the INCREMENTAL mode: curate a new batch against a
   * previous run's output (baseDir). The base corpus always wins — a
@@ -127,7 +130,20 @@ object Curate {
     *                       chain: the base index's digests were
     *                       computed from the text the base run saw, so
     *                       flipping it mid-chain breaks redelivery
-    *                       suppression (the minTokens consistency rule) */
+    *                       suppression (the minTokens consistency rule)
+    * @param stripBoilerplateDenom opt-in boilerplate removal at
+    *                       ingestion (after the PII scrub, so a footer
+    *                       whose only variation was PII folds): lines
+    *                       in MORE THAN 1/denom of the batch's docs are
+    *                       stripped — the oracle-verified d23 scheme,
+    *                       SAME definition
+    *                       ([[queries.Documents.markedBoilerplateLines]]).
+    *                       Docs differing only in boilerplate then
+    *                       dedup exactly. Same keep-it-constant chain
+    *                       rule as scrubPii — and note the floor is
+    *                       relative to EACH RUN's batch, so what counts
+    *                       as boilerplate legitimately depends on the
+    *                       batch composition (document, don't surprise) */
   final case class Config(
       minTokens: Int = 5,
       testSixteenths: Int = 1,
@@ -136,7 +152,8 @@ object Curate {
       packLen: Int = 512,
       packShards: Option[Int] = None,
       maxRep2gramPermille: Option[Int] = None,
-      scrubPii: Boolean = false) {
+      scrubPii: Boolean = false,
+      stripBoilerplateDenom: Option[Int] = None) {
     require(minTokens >= 0, s"minTokens $minTokens")
     maxRep2gramPermille.foreach(t => require(t >= 0 && t <= 1000,
       s"maxRep2gramPermille must be a permille, got $t"))
@@ -148,6 +165,12 @@ object Curate {
         "candidate collisions for Hamming <= 3")
     require(packLen > 0, s"packLen $packLen")
     require(packShards.forall(_ > 0), s"packShards $packShards")
+    // denom 1 can never trip (a line's distinct-doc count nd <= total,
+    // so nd * 1 > total is unsatisfiable) — asking for the stage and
+    // silently stripping nothing is a misconfiguration; 0/negative
+    // would invert the comparison entirely
+    stripBoilerplateDenom.foreach(d => require(d >= 2,
+      s"stripBoilerplateDenom must be >= 2, got $d"))
   }
 
   /** Default shard count: one packing window per ~64k kept docs with a
@@ -374,10 +397,25 @@ object Curate {
     // d22-oracled scrub expression (shared definition, cannot drift).
     // A map-only column rewrite: no extra shuffle, pipelines into the
     // digest/fingerprint scans
-    val docs =
+    val scrubbed =
       if (cfg.scrubPii)
         docs0.withColumn("text", queries.Documents.scrubPii(col("text")))
       else docs0
+    // boilerplate stripping AFTER the scrub (a footer whose only
+    // variation was PII folds into one line and trips the floor) — the
+    // d23-oracled scheme (shared definition). Unlike the scrub this
+    // costs a line-count pass + a reassembly shuffle, and the result
+    // feeds several consumers below (digests, fingerprints, verdict
+    // projection, card metrics) — persist it or each consumer re-pays
+    // the rewrite
+    val docs = cfg.stripBoilerplateDenom match {
+      case None => scrubbed
+      case Some(d) =>
+        val s = queries.Documents.stripBoilerplate(scrubbed, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cleanups += (() => { s.unpersist(false); () })
+        s
+    }
 
     // digest frame is consumed by the exact-dup self-join, the index
     // artifact, and (incrementally) the base probe — persist the
@@ -528,12 +566,14 @@ object Curate {
     writePacking(kept, s"$outDir/packing.parquet", cfg.packLen, shards)
 
     val hc = spark.sessionState.newHadoopConf()
-    // scrub_pii rides in the summary so a chain consumer can AUDIT the
-    // keep-the-dial-constant rule across generations
+    // the ingestion dials ride in the summary so a chain consumer can
+    // AUDIT the keep-them-constant rule across generations (0 = off)
     graft.util.Fs.writeStringAtomic(s"$outDir/summary.json",
       s"""{"verdicts":${jsonObj(counts)},"splits":${jsonObj(splits)},""" +
         s""""min_tokens":${cfg.minTokens},"pack_len":${cfg.packLen},""" +
-        s""""pack_shards":$shards,"scrub_pii":${cfg.scrubPii}}\n""", hc)
+        s""""pack_shards":$shards,"scrub_pii":${cfg.scrubPii},""" +
+        s""""strip_boilerplate":${cfg.stripBoilerplateDenom.getOrElse(0)}}\n""",
+      hc)
     // dataset card for the INPUT corpus this run examined — the same
     // oracle-checked c15 relation (report.DataCard), so the governance
     // numbers shipped with the artifacts can't drift from the verified
@@ -571,6 +611,8 @@ object Curate {
     * d18-backed repetition gate ([[Config.maxRep2gramPermille]]);
     * `--scrub-pii` turns on the d22-backed PII redaction
     * ([[Config.scrubPii]] — keep it constant across a chain);
+    * `--strip-boilerplate=<denom>` turns on the d23-backed boilerplate
+    * line removal ([[Config.stripBoilerplateDenom]], same chain rule);
     * `--takedown=<ids>` switches the run to [[runTakedown]] (the
     * positionals become baseDir outDir; <ids> is a parquet dir with a
     * doc_id column, or a text file of one id per line). Unknown flags
@@ -586,11 +628,14 @@ object Curate {
         cfg = cfg.copy(maxRep2gramPermille = Some(f.stripPrefix("--rep=").toInt))
       case "--scrub-pii" =>
         cfg = cfg.copy(scrubPii = true)
+      case f if f.startsWith("--strip-boilerplate=") =>
+        cfg = cfg.copy(stripBoilerplateDenom =
+          Some(f.stripPrefix("--strip-boilerplate=").toInt))
       case f if f.startsWith("--takedown=") =>
         takedown = Some(f.stripPrefix("--takedown="))
       case f => throw new IllegalArgumentException(
         s"unknown flag $f (supported: --rep=<permille>, --scrub-pii, " +
-          "--takedown=<ids>)")
+          "--strip-boilerplate=<denom>, --takedown=<ids>)")
     }
     (pos, cfg, takedown)
   }

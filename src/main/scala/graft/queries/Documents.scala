@@ -74,6 +74,51 @@ object Documents {
     regexp_replace(regexp_replace(c, piiEmailPattern, "<EMAIL>"),
       piiPhonePattern, "<PHONE>")
 
+  /** d23's boilerplate scheme, factored like [[scrubPii]] so the
+    * oracled query and any consumer (Curate's `--strip-boilerplate`
+    * stage) mark the SAME lines: split on newline, key line-frequency
+    * counts by md5(line) (fixed 32-char shuffle key instead of
+    * arbitrary-length text), and flag lines present in MORE THAN
+    * 1/denom of all docs — exact integer cross-multiplication, the
+    * SF-invariant relative floor. Returns (doc_id, pos, line, b) with
+    * b true on boilerplate rows; the qualifying set is structurally
+    * tiny (> total/denom distinct docs per line caps it at denom x
+    * mean lines-per-doc) and broadcasts. */
+  private[graft] def markedBoilerplateLines(docs: DataFrame,
+      denom: Int = 40): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .select(col("doc_id"), col("pos"), col("col").as("line"),
+        md5(col("col")).as("lh"))
+    val total = docs.agg(count(lit(1)).as("n"))
+    val boiler = lines.groupBy("lh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .crossJoin(broadcast(total))
+      .filter(col("nd") * denom > col("n"))
+      .select(col("lh"), lit(true).as("b"))
+    lines.join(broadcast(boiler), Seq("lh"), "left")
+      .select(col("doc_id"), col("pos"), col("line"), col("b"))
+  }
+
+  /** Strip boilerplate lines and reassemble each doc in original line
+    * order, preserving every other column — the Curate ingestion
+    * stage. A fully-boilerplate doc comes back as "" (its n_tok 0 then
+    * fails any quality gate, the verdict that reconciles). Reassembly
+    * is the one corpus-scale shuffle (per-doc grouping carries the
+    * kept text); the join back to `docs` is id-keyed. */
+  private[graft] def stripBoilerplate(docs: DataFrame,
+      denom: Int = 40): DataFrame = {
+    val cleaned = markedBoilerplateLines(docs, denom)
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(when(col("b").isNull,
+          struct(col("pos"), col("line"))))),
+        x => x.getField("line")), "\n").as("boiler_clean_text"))
+    docs.join(cleaned, Seq("doc_id"), "left")
+      .withColumn("text", coalesce(col("boiler_clean_text"), lit("")))
+      .drop("boiler_clean_text")
+  }
+
   /** d21's fixed merge list (learned order) — ONE constant feeds both
     * the Spark query and the generated oracle SQL, so the two cannot
     * drift. English-frequent pairs incl. two second-order merges
@@ -1148,24 +1193,17 @@ object Documents {
     // lines-per-doc qualify) and BROADCASTS to mark lines without
     // shuffling the corpus; reassembly is the one unavoidable
     // corpus-scale shuffle (per-doc grouping carries the kept text).
+    // The scheme lives ONCE in [[markedBoilerplateLines]] — Curate's
+    // --strip-boilerplate stage consumes the same definition, so the
+    // oracled signal and the pipeline rewrite cannot drift.
     "d23_boilerplate_lines" -> QueryDef(
       build = (spark, dir) => {
         val docs = QueryDef.spread(spark, dir, "documents")
         val planted = docs.select(col("doc_id"),
           concat(lit("COPYRIGHT "), col("source"), lit(" ALL RIGHTS RESERVED"),
             lit("\n"), col("text"), lit("\n"),
-            lit("footer "), col("source"), lit(" unsubscribe")).as("ptext"))
-        val lines = planted
-          .select(col("doc_id"), posexplode(split(col("ptext"), "\n")))
-          .select(col("doc_id"), col("pos"), col("col").as("line"),
-            md5(col("col")).as("lh"))
-        val total = planted.agg(count(lit(1)).as("n"))
-        val boiler = lines.groupBy("lh")
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .crossJoin(broadcast(total))
-          .filter(col("nd") * 40 > col("n"))
-          .select(col("lh"), lit(true).as("b"))
-        lines.join(broadcast(boiler), Seq("lh"), "left")
+            lit("footer "), col("source"), lit(" unsubscribe")).as("text"))
+        markedBoilerplateLines(planted) // the shared d23/Curate scheme
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_lines"),
             sum(when(col("b"), 1L).otherwise(0L)).as("removed_lines"),

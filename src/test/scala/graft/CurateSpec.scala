@@ -496,4 +496,55 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       rm(new java.io.File(root))
     }
   }
+
+  test("--strip-boilerplate removes recurring lines; boilerplate-only variants fold") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_curate_boiler").toString
+    try {
+      val header = "COPYRIGHT ACME ALL RIGHTS RESERVED"
+      val footer = "unsubscribe at the usual place"
+      def wrap(body: String) = s"$header\n$body\n$footer"
+      val bodies = (0 until 10).map(i =>
+        s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i")
+      val docs = (
+        bodies.zipWithIndex.map { case (b, i) => (i.toLong, wrap(b)) } :+
+        // 100 & 101: identical body, DIFFERENT trailing boilerplate
+        // state (101 lacks the footer) — stripping makes them exact
+        // copies, so strip-on curation folds them
+        (100L, wrap("omega one two three four five six seven")) :+
+        (101L, s"$header\nomega one two three four five six seven"))
+        .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.mode("overwrite").parquet(s"$root/in/documents.parquet")
+      val (_, cfg, _) = Curate.parseArgs(Array("a", "b", "--strip-boilerplate=4"))
+      assert(cfg.stripBoilerplateDenom === Some(4))
+      val r = Curate.run(spark, s"$root/in", s"$root/on", cfg)
+      assert(r.counts.getOrElse("exact_dup", 0L) === 1L,
+        s"boilerplate-only variants must fold under strip: ${r.counts}")
+      val onTexts = spark.read.parquet(s"$root/on/curated.parquet")
+        .select("text").as[String].collect().toSeq
+      onTexts.foreach { t =>
+        assert(!t.contains(header) && !t.contains(footer),
+          s"boilerplate survived curation: $t")
+      }
+      // bodies are intact and in place (not just deleted docs)
+      assert(onTexts.exists(_.startsWith("alpha0 ")), s"$onTexts")
+      assert(Files.readString(java.nio.file.Paths.get(s"$root/on/summary.json"))
+        .contains(""""strip_boilerplate":4"""))
+      // flag OFF: originals preserved, the variants do NOT exact-fold
+      val r2 = Curate.run(spark, s"$root/in", s"$root/off")
+      assert(r2.counts.getOrElse("exact_dup", 0L) === 0L, s"${r2.counts}")
+      assert(spark.read.parquet(s"$root/off/curated.parquet")
+        .select("text").as[String].collect().exists(_.contains(header)))
+      // a nonsensical denominator refuses loudly instead of silently
+      // stripping nothing
+      intercept[IllegalArgumentException](Curate.Config(
+        stripBoilerplateDenom = Some(1)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+  }
 }
