@@ -354,10 +354,17 @@ object Curate {
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val splits = kept.groupBy("split").count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // the ingestion dials carry through from the base summary: a
+        // takedown output is a valid baseDir for later incremental
+        // runs, and dropping the keys here would break the
+        // keep-the-dial-constant audit record mid-chain
         graft.util.Fs.writeStringAtomic(s"$outDir/summary.json",
           s"""{"verdicts":${jsonObj(counts)},"splits":${jsonObj(splits)},""" +
             s""""min_tokens":${summary.path("min_tokens").asInt(5)},""" +
-            s""""pack_len":$packLen,"pack_shards":$packShards}\n""", hc)
+            s""""pack_len":$packLen,"pack_shards":$packShards,""" +
+            s""""scrub_pii":${summary.path("scrub_pii").asBoolean(false)},""" +
+            s""""strip_boilerplate":${summary.path("strip_boilerplate").asInt(0)}}\n""",
+          hc)
         // governance card over what SURVIVES — the numbers shipped with
         // the post-takedown artifacts. A takedown that retracts EVERY
         // kept doc is legal; the card degenerates to n_docs=0 instead
@@ -407,11 +414,21 @@ object Curate {
     // costs a line-count pass + a reassembly shuffle, and the result
     // feeds several consumers below (digests, fingerprints, verdict
     // projection, card metrics) — persist it or each consumer re-pays
-    // the rewrite
+    // the rewrite. When BOTH dials are on, the scrubbed input is
+    // persisted too: the strip consumes it three times (line explode,
+    // doc count, join-back), and each consumption would otherwise
+    // re-run the corpus-scale regex rewrites
     val docs = cfg.stripBoilerplateDenom match {
       case None => scrubbed
       case Some(d) =>
-        val s = queries.Documents.stripBoilerplate(scrubbed, d)
+        val src =
+          if (cfg.scrubPii) {
+            val p = scrubbed
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            cleanups += (() => { p.unpersist(false); () })
+            p
+          } else scrubbed
+        val s = queries.Documents.stripBoilerplate(src, d, f => cleanups += f)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cleanups += (() => { s.unpersist(false); () })
         s

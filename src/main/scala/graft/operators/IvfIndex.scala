@@ -149,10 +149,14 @@ object IvfIndex {
     * names the caller in the no-data message. */
   private def auditInterruptedSwap(indexDir: String, c: Configuration,
       op: String): Unit = {
+    // the state does not identify WHICH fold-class op crashed (compact,
+    // fold, and retrain share stagedDataSwap), so the message names the
+    // state, never a guessed operation
     if (!Fs.exists(s"$indexDir/data", c) &&
         Fs.exists(s"$indexDir/data_old", c))
       throw new IllegalStateException(
-        s"$indexDir: interrupted compact — recover with: rename " +
+        s"$indexDir: interrupted compact/fold/retrain (staged data swap " +
+          s"died between its renames) — recover with: rename " +
           s"$indexDir/data_old -> $indexDir/data")
     require(Fs.exists(s"$indexDir/data", c),
       s"$indexDir has no data/ yet (streaming index before its first " +
@@ -583,7 +587,8 @@ object IvfIndex {
     val staged = s"$indexDir/data_compacting"
     if (!Fs.exists(data, conf) && Fs.exists(old, conf))
       throw new IllegalStateException(
-        s"$indexDir: interrupted compact — recover with: rename $old -> $data")
+        s"$indexDir: interrupted compact/fold/retrain (staged data swap " +
+          s"died between its renames) — recover with: rename $old -> $data")
     require(Fs.exists(data, conf),
       s"$indexDir has no data/ yet (streaming index before its first " +
         "batch) — nothing to rewrite")

@@ -80,18 +80,30 @@ object Documents {
     * counts by md5(line) (fixed 32-char shuffle key instead of
     * arbitrary-length text), and flag lines present in MORE THAN
     * 1/denom of all docs — exact integer cross-multiplication, the
-    * SF-invariant relative floor. Returns (doc_id, pos, line, b) with
-    * b true on boilerplate rows; the qualifying set is structurally
-    * tiny (> total/denom distinct docs per line caps it at denom x
-    * mean lines-per-doc) and broadcasts. */
+    * SF-invariant relative floor. EMPTY lines never qualify: in any
+    * multi-paragraph corpus the "" separator trivially clears the
+    * floor, and marking it would strip every paragraph break
+    * corpus-wide (and fold docs differing only in break placement) —
+    * the reason Dolma/CCNet-class schemes exclude empty/short lines
+    * from the candidate set. Returns (doc_id, pos, line, b) with b
+    * true on boilerplate rows; the qualifying set is structurally tiny
+    * (> total/denom distinct docs per line caps it at denom x mean
+    * lines-per-doc) and broadcasts. `registerCleanup` receives the
+    * release of the internal lines persist — the frame feeds both the
+    * frequency aggregation (the broadcast-side job) and the mark join,
+    * and without the persist the doc scan + line explode + md5 run
+    * once per job. */
   private[graft] def markedBoilerplateLines(docs: DataFrame,
-      denom: Int = 40): DataFrame = {
+      denom: Int = 40,
+      registerCleanup: (() => Unit) => Unit = _ => ()): DataFrame = {
     val lines = docs
       .select(col("doc_id"), posexplode(split(col("text"), "\n")))
       .select(col("doc_id"), col("pos"), col("col").as("line"),
         md5(col("col")).as("lh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCleanup(() => { lines.unpersist(false); () })
     val total = docs.agg(count(lit(1)).as("n"))
-    val boiler = lines.groupBy("lh")
+    val boiler = lines.filter(col("line") =!= "").groupBy("lh")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .crossJoin(broadcast(total))
       .filter(col("nd") * denom > col("n"))
@@ -103,19 +115,24 @@ object Documents {
   /** Strip boilerplate lines and reassemble each doc in original line
     * order, preserving every other column — the Curate ingestion
     * stage. A fully-boilerplate doc comes back as "" (its n_tok 0 then
-    * fails any quality gate, the verdict that reconciles). Reassembly
-    * is the one corpus-scale shuffle (per-doc grouping carries the
-    * kept text); the join back to `docs` is id-keyed. */
+    * fails any quality gate, the verdict that reconciles); a NULL-text
+    * doc STAYS NULL (posexplode drops it, the left join misses, and
+    * the text column is taken from the miss) — coalescing it to ""
+    * would give every NULL-text doc the identical md5 digest and
+    * reclassify the quarantine class as exact dups of each other.
+    * Reassembly is the one corpus-scale shuffle (per-doc grouping
+    * carries the kept text); the join back to `docs` is id-keyed. */
   private[graft] def stripBoilerplate(docs: DataFrame,
-      denom: Int = 40): DataFrame = {
-    val cleaned = markedBoilerplateLines(docs, denom)
+      denom: Int = 40,
+      registerCleanup: (() => Unit) => Unit = _ => ()): DataFrame = {
+    val cleaned = markedBoilerplateLines(docs, denom, registerCleanup)
       .groupBy("doc_id")
       .agg(array_join(transform(
         array_sort(collect_list(when(col("b").isNull,
           struct(col("pos"), col("line"))))),
         x => x.getField("line")), "\n").as("boiler_clean_text"))
     docs.join(cleaned, Seq("doc_id"), "left")
-      .withColumn("text", coalesce(col("boiler_clean_text"), lit("")))
+      .withColumn("text", col("boiler_clean_text"))
       .drop("boiler_clean_text")
   }
 
@@ -1203,7 +1220,10 @@ object Documents {
           concat(lit("COPYRIGHT "), col("source"), lit(" ALL RIGHTS RESERVED"),
             lit("\n"), col("text"), lit("\n"),
             lit("footer "), col("source"), lit(" unsubscribe")).as("text"))
-        markedBoilerplateLines(planted) // the shared d23/Curate scheme
+        // the shared d23/Curate scheme; its internal persist releases
+        // through the harness queue like every other query-held cache
+        markedBoilerplateLines(planted,
+            registerCleanup = f => QueryDef.deferCleanup(f))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_lines"),
             sum(when(col("b"), 1L).otherwise(0L)).as("removed_lines"),
@@ -1230,7 +1250,8 @@ object Documents {
           FROM p),
         b AS (
           SELECT line FROM (
-            SELECT line, COUNT(DISTINCT doc_id) AS nd FROM l GROUP BY 1), tot
+            SELECT line, COUNT(DISTINCT doc_id) AS nd FROM l
+            WHERE line <> '' GROUP BY 1), tot
           WHERE nd * 40 > n),
         m AS (
           SELECT doc_id, pos, line,

@@ -77,6 +77,19 @@ object StreamingIvfProbe {
         // a re-cluster implicitly at every restart could loop a
         // deterministic failure forever, so that stays an operator call.
         val rec = IvfIndex.recoverFold(batch.sparkSession, indexDir)
+        // "compact" means the crash was an END-OF-STREAM compact that
+        // had already finalized the layout (last_batch dropped): the
+        // INDEX is now converged and searchable, but no recovery can
+        // let this stream keep appending to it — stop with the real
+        // diagnosis instead of reporting success and then tripping
+        // appendBatch's generic layouts-must-not-mix rejection
+        if (rec == "compact")
+          throw new IllegalStateException(
+            s"$indexDir: recovered a crashed END-OF-STREAM compact — the " +
+              "index is finalized into the batch layout and converged, but " +
+              "a finalized index cannot take further streamed batches; " +
+              "retire this stream (its corpus is fully indexed) or " +
+              "initStreaming a new directory")
         if (rec != "none") onMaintain(batchId, s"recover-$rec")
         val pairs = processBatch(batch.sparkSession, indexDir, batch, batchId,
           topK, nprobe)

@@ -512,8 +512,14 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
         // state (101 lacks the footer) — stripping makes them exact
         // copies, so strip-on curation folds them
         (100L, wrap("omega one two three four five six seven")) :+
-        (101L, s"$header\nomega one two three four five six seven"))
-        .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+        (101L, s"$header\nomega one two three four five six seven") :+
+        // 200 & 201: NULL text — the strip must PRESERVE the NULL
+        // (not coalesce to ""), or the two would md5-collide into a
+        // false exact-dup pair instead of the low_quality quarantine
+        (200L, null.asInstanceOf[String]) :+
+        (201L, null.asInstanceOf[String]))
+        .map { case (id, t) =>
+          (id, t, "en", "s0", Option(t).map(_.length.toLong).getOrElse(0L)) }
         .toDF("doc_id", "text", "lang", "source", "n_chars")
       docs.write.mode("overwrite").parquet(s"$root/in/documents.parquet")
       val (_, cfg, _) = Curate.parseArgs(Array("a", "b", "--strip-boilerplate=4"))
@@ -521,6 +527,15 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       val r = Curate.run(spark, s"$root/in", s"$root/on", cfg)
       assert(r.counts.getOrElse("exact_dup", 0L) === 1L,
         s"boilerplate-only variants must fold under strip: ${r.counts}")
+      // BOTH NULL-text docs stay quarantined — a "" coercion would
+      // have made one of them the other's exact_dup
+      assert(r.counts.getOrElse("low_quality", 0L) === 2L, s"${r.counts}")
+      val nullVerdicts = spark.read.parquet(s"$root/on/verdicts.parquet")
+        .filter(col("doc_id") >= 200L)
+        .select("verdict").as[String].collect().toSeq
+      assert(nullVerdicts === Seq("low_quality", "low_quality") ||
+        nullVerdicts === Seq("low_quality", "low_quality").reverse,
+        s"NULL-text docs must quarantine, got $nullVerdicts")
       val onTexts = spark.read.parquet(s"$root/on/curated.parquet")
         .select("text").as[String].collect().toSeq
       onTexts.foreach { t =>

@@ -168,6 +168,39 @@ class StreamingMaintenanceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("IVF: a crashed END-OF-STREAM compact converges the index but stops the stream loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hc = spark.sessionState.newHadoopConf()
+    val idx = tmp("maintfinal") + "/idx"
+    IvfIndex.initStreaming(spark, bootstrap(mixed = true), idx, k = 2)
+    IvfIndex.appendBatch(spark,
+      (0 until 6).map(i => (i.toLong, vec(i % 2, 0.1 * i)))
+        .toDF("vec_id", "embedding"), idx, 0L)
+    // the retiring compact finalized the layout (last_batch dropped)
+    // but died before clearing its FOLDING marker
+    IvfIndex.compact(spark, idx)
+    graft.util.Fs.writeStringAtomic(s"$idx/FOLDING", "crashed\n", hc)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingIvfProbe.start(
+      in.toDF.toDF("vec_id", "embedding"), idx, tmp("maintfinalchk"),
+      _ => (), topK = 1)
+    try {
+      in.addData((50L, vec(0, 0.5)))
+      // the stream must NOT report a recovery success and then trip
+      // appendBatch's generic layout rejection: it converges the index
+      // and stops with the real diagnosis
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q.processAllAvailable())
+      assert(e.getMessage.contains("finalized"), e.getMessage)
+      assert(!new java.io.File(s"$idx/FOLDING").exists(),
+        "the index itself must converge (marker cleared)")
+      // and it is searchable again — the recovery was real
+      assert(IvfIndex.searchExact(spark, idx, col("vec_id") < 2)
+        .collect().nonEmpty)
+    } finally q.stop()
+  }
+
   test("MinHash: tombstone debt triggers exactly one mid-stream fold; probes stay exact") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
