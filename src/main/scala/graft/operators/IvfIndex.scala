@@ -1038,6 +1038,32 @@ object IvfIndex {
       dropTombstonedProbes(spark, indexDir, data.filter(probePred)), topK, None)
   }
 
+  /** DIVERSITY-aware search: exact top-`m` candidates (searchExact's
+    * provably-pruned scan), then operators.Mmr greedily re-ranks each
+    * query's pool down to `k` — λ·relevance minus (1−λ)·max-similarity
+    * to the already-selected set, the Carbonell–Goldstein MMR rule —
+    * so the k results aren't k copies of the same neighborhood. ONE
+    * kernel definition with the oracled `e18_mmr_rerank` query
+    * (IvfIndexSpec pins this path ≡ the e18 relation on the same
+    * probes). Extra cost over searchExact: the candidate rows (M per
+    * query) join back to the index for their quantized vectors — the
+    * index side prunes to the candidate ids via a broadcast of the
+    * M·|probes|-row pool, never a corpus shuffle.
+    *
+    * @return (query_id, step, cand_id, mmr_score) in greedy trajectory
+    *         order, step 1..k. */
+  def searchDiverse(spark: SparkSession, indexDir: String, probePred: Column,
+      k: Int = 8, m: Int = 24, lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+    require(m >= k, s"candidate pool m=$m must be >= k=$k")
+    val topm = searchExact(spark, indexDir, probePred, m)
+      .select("query_id", "cand_id", "dot")
+    val qvs = spark.read.parquet(s"$indexDir/data")
+      .select(col("vec_id").as("cand_id"), expr(IvfAnn.quant).as("qv"))
+    val cands = qvs.join(broadcast(topm), Seq("cand_id"))
+      .select("query_id", "cand_id", "dot", "qv")
+    Mmr.rerank(cands, k, lamNum, lamDen)
+  }
+
   /** EXACT top-k search for an EXTERNAL probe frame (vec_id,
     * embedding) — vectors that are not (or not yet) in the index: the
     * streaming-ingestion probe shape, where each arriving batch asks

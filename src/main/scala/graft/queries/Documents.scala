@@ -563,6 +563,209 @@ object Documents {
                  AS alloc_tokens
         FROM ranked ORDER BY lang""")),
 
+    // ---------------------------------------------------------------- c21
+    // Token-budget EPOCH PLANNER — the step after c17's temperature
+    // mix: a quota above a stratum's corpus mass means that stratum
+    // REPEATS (the LLaMA/PaLM up-sampling schedule: low-resource
+    // sources run multiple epochs while the head source runs a
+    // fraction of one). For each language: the exact largest-remainder
+    // quota under the sqrt-temperature weights (c17's machinery,
+    // budget 100k tokens), the epoch count ceil(quota/n_tok), and how
+    // much of the final epoch is consumed (integer permille; a quota
+    // that divides exactly is a full last epoch). Everything integer:
+    // ceil is (a+b-1) div b, the permille is cross-multiplication —
+    // no float schedule math to drift cross-engine.
+    //
+    // 100 TB shape: identical to c04/c17 — one distributed scan→agg
+    // for the per-language token masses; the planner arithmetic runs
+    // on the language-sized frame where single-partition windows are
+    // deliberate.
+    "c21_epoch_plan" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 100000L
+        val docs = QueryDef.spread(spark, dir, "documents")
+        val tot = docs.groupBy("lang")
+          .agg(sum(expr(s"size($toks)")).cast("long").as("n_tok"))
+          .withColumn("w", expr(
+            "cast(floor(sqrt(cast(n_tok as double)) * 1000000D) as bigint)"))
+        val all = Window.partitionBy()
+        tot
+          .withColumn("grand", sum("w").over(all))
+          .withColumn("base",
+            expr(s"cast((cast($budget as decimal(21,0)) * w) div grand as bigint)"))
+          .withColumn("rem",
+            expr(s"cast((cast($budget as decimal(21,0)) * w) % grand as bigint)"))
+          .withColumn("rk",
+            row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+          .withColumn("deficit", expr(s"$budget - sum(base) over ()"))
+          .withColumn("quota_tokens",
+            col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+          .select(col("lang"), col("n_tok"), col("quota_tokens"),
+            expr("cast((quota_tokens + n_tok - 1) div n_tok as bigint)")
+              .as("epochs"),
+            expr("""cast(CASE WHEN quota_tokens = 0 THEN 0
+                              WHEN quota_tokens % n_tok = 0 THEN 1000
+                              ELSE (quota_tokens % n_tok) * 1000 div n_tok
+                         END as bigint)""").as("last_epoch_permille"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH tot AS (
+          SELECT lang, CAST(SUM(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                 t -> t <> ''))) AS BIGINT) AS n_tok
+          FROM documents GROUP BY lang),
+        wt AS (
+          SELECT lang, n_tok,
+                 CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1000000) AS BIGINT) AS w
+          FROM tot),
+        calc AS (
+          SELECT lang, n_tok, w,
+                 CAST(100000::HUGEINT * w // SUM(w) OVER () AS BIGINT) AS base,
+                 CAST(100000::HUGEINT * w % SUM(w) OVER () AS BIGINT) AS rem
+          FROM wt),
+        ranked AS (
+          SELECT lang, n_tok, base,
+                 row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+                 100000 - SUM(base) OVER () AS deficit
+          FROM calc),
+        quota AS (
+          SELECT lang, n_tok,
+                 base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS quota_tokens
+          FROM ranked)
+        SELECT lang, n_tok, CAST(quota_tokens AS BIGINT) AS quota_tokens,
+               CAST((quota_tokens + n_tok - 1) // n_tok AS BIGINT) AS epochs,
+               CAST(CASE WHEN quota_tokens = 0 THEN 0
+                         WHEN quota_tokens % n_tok = 0 THEN 1000
+                         ELSE quota_tokens % n_tok * 1000 // n_tok
+                    END AS BIGINT) AS last_epoch_permille
+        FROM quota ORDER BY lang""")),
+
+    // ---------------------------------------------------------------- d24
+    // Per-source contribution cap — the C4/CCNet anti-spam rule: no
+    // single source (domain) may contribute more than a RELATIVE share
+    // of the corpus (here 30 permille of total docs; absolute caps are
+    // SF-fragile, q33's lesson). Retention within an over-cap source is
+    // hash-ordered (c02's reproducible uniform down-sample — a
+    // length-ordered cut would bias the survivors); the output is the
+    // ENFORCEMENT LIST, the docs a curation pass must drop, with their
+    // over-cap rank and the cap itself.
+    //
+    // 100 TB shape: sources are counted first (map-side-combined agg)
+    // and only OVER-CAP sources join back (broadcast — the source list
+    // is domain-sized), so under-cap sources never enter the rank
+    // window; the per-source rank is the unavoidable cost of a
+    // deterministic cut inside an over-cap source, and the dynamic
+    // (data-derived) threshold is why WindowGroupLimit cannot
+    // pre-truncate it.
+    "d24_source_caps" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = table(spark, dir, "documents")
+        // ONE counting scan: the corpus total is the sum of the
+        // source-sized per-source counts, not a second corpus agg;
+        // persisted so its two consumers don't re-scan the corpus
+        val perSrc = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_src"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        QueryDef.deferCleanup(() => { perSrc.unpersist(blocking = true); () })
+        val total = perSrc.groupBy().agg(sum("n_src").as("n_total"))
+        val overCap = perSrc
+          .crossJoin(broadcast(total))
+          .filter(expr("n_src * 1000 > n_total * 30"))
+          .select(col("source"), col("n_total"))
+        docs.select(col("doc_id"), col("source"),
+            md5(col("doc_id").cast("string")).as("hk"))
+          .join(broadcast(overCap), Seq("source"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("source").orderBy("hk")).cast("long"))
+          // rk cast BEFORE the cross-multiplication: row_number is a
+          // 32-bit int and rk*1000 wraps beyond ~2.1M docs in one
+          // source — routine at corpus scale
+          .filter(expr("rk * 1000 > n_total * 30"))
+          .select(col("doc_id"), col("source"), col("rk"),
+            expr("cast(n_total * 30 div 1000 as bigint)").as("cap"))
+          .orderBy("source", "rk")
+      },
+      oracle = Some("""
+        WITH tot AS (SELECT COUNT(*) AS n_total FROM documents),
+        ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+          FROM documents)
+        SELECT doc_id, source, CAST(rk AS BIGINT) AS rk,
+               CAST(n_total * 30 // 1000 AS BIGINT) AS cap
+        FROM ranked, tot WHERE rk * 1000 > n_total * 30
+        ORDER BY source, rk""")),
+
+    // ---------------------------------------------------------------- d25
+    // Corpus composition DRIFT between two snapshots — the monitoring
+    // report a generation-over-generation ingest (StreamingCurate's
+    // world) runs before accepting a new crawl: per-language share in
+    // each snapshot (parts-per-million, exact integer), the signed
+    // per-language delta, and a '_TOTAL' row whose delta is the total
+    // variation distance (half the L1) between the two distributions.
+    // The corpus has one snapshot, so doc_id parity is the
+    // deterministic stand-in for old/new (both engines derive the
+    // identical split; the operator's real input is two generation
+    // dirs). '_' sorts before every lowercase lang code in binary
+    // collation on both engines, so the summary row's position is
+    // deterministic.
+    //
+    // 100 TB shape: ONE corpus scan → one (lang, parity) map-side-
+    // combined aggregate; every downstream op (shares, deltas, the TVD
+    // fold) runs on the language-sized frame against a 1-row broadcast
+    // total.
+    "d25_composition_drift" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+          .select(col("lang"), (col("doc_id") % 2 === 0).as("is_old"))
+        // the lang-sized aggregate feeds four branches (shares, the
+        // 1-row totals, and the summary's re-aggregation) — persist it
+        // so the CORPUS scan runs once, not once per branch; release
+        // through the harness queue like every query-held cache
+        val perLang = docs.groupBy("lang")
+          .agg(sum(when(col("is_old"), 1L).otherwise(0L)).as("old_n"),
+            sum(when(!col("is_old"), 1L).otherwise(0L)).as("new_n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        QueryDef.deferCleanup(() => { perLang.unpersist(blocking = true); () })
+        val tot = perLang.groupBy()
+          .agg(sum("old_n").as("old_t"), sum("new_n").as("new_t"))
+        val shares = perLang.crossJoin(broadcast(tot))
+          .select(col("lang"), col("old_n"), col("new_n"),
+            expr("old_n * 1000000 div old_t").as("old_ppm"),
+            expr("new_n * 1000000 div new_t").as("new_ppm"))
+          .withColumn("delta_ppm", col("new_ppm") - col("old_ppm"))
+        val summary = shares.groupBy()
+          .agg(sum("old_n").as("old_n"), sum("new_n").as("new_n"),
+            sum(abs(col("delta_ppm"))).as("l1"))
+          .select(lit("_TOTAL").as("lang"), col("old_n"), col("new_n"),
+            lit(1000000L).as("old_ppm"), lit(1000000L).as("new_ppm"),
+            expr("l1 div 2").as("delta_ppm"))
+        shares.unionByName(summary).orderBy("lang")
+      },
+      oracle = Some("""
+        WITH pl AS (
+          SELECT lang,
+                 CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS old_n,
+                 CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS new_n
+          FROM documents GROUP BY lang),
+        tot AS (SELECT SUM(old_n) AS old_t, SUM(new_n) AS new_t FROM pl),
+        sh AS (
+          SELECT lang, old_n, new_n,
+                 CAST(old_n * 1000000 // old_t AS BIGINT) AS old_ppm,
+                 CAST(new_n * 1000000 // new_t AS BIGINT) AS new_ppm,
+                 CAST(new_n * 1000000 // new_t - old_n * 1000000 // old_t AS BIGINT) AS delta_ppm
+          FROM pl, tot)
+        SELECT lang, old_n, new_n, old_ppm, new_ppm, delta_ppm FROM sh
+        UNION ALL
+        SELECT '_TOTAL', SUM(old_n), SUM(new_n),
+               CAST(1000000 AS BIGINT), CAST(1000000 AS BIGINT),
+               CAST(SUM(abs(delta_ppm)) // 2 AS BIGINT)
+        FROM sh
+        ORDER BY lang""")),
+
     // ---------------------------------------------------------------- c05
     // Text-normalization pass: lowercase, strip ASCII punctuation,
     // collapse whitespace — the canonical pre-dedup cleanup. Reported as

@@ -1009,6 +1009,91 @@ object Similarity {
           FROM probes p JOIN q c ON p.query_id <> c.vec_id)
         SELECT query_id, cand_id, dot8,
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot8 DESC, cand_id) AS BIGINT) AS rnk
-        FROM dots QUALIFY rnk <= 10 ORDER BY query_id, rnk"""))
+        FROM dots QUALIFY rnk <= 10 ORDER BY query_id, rnk""")),
+
+    // ---------------------------------------------------------------- e18
+    // MMR diversity re-rank (Carbonell & Goldstein 1998) — the
+    // selection rule diverse-sampling and retrieval stages use so the
+    // chosen k aren't k copies of the same neighborhood: greedily pick
+    // argmax of λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s). λ=0.7 in
+    // integers (score = 7·dot_rel − 3·max_dot_sel over the exact
+    // quantized dots — quant products stay ≤ 2^46, ×7 ≤ 2^49), ties to
+    // the smaller cand_id, so the greedy trajectory is engine-exact.
+    //
+    // 100 TB shape: the corpus pays only e01's broadcast-probe scan +
+    // partial top-M (M=24 per query); the greedy O(k·M) inner loop is
+    // operators.Mmr — ONE definition, shared with
+    // IvfIndex.searchDiverse so the oracled trajectory and the
+    // index-backed path cannot drift. The oracle derives the same
+    // trajectory RELATIONALLY: a materialized candidate-pair dot table
+    // + k unrolled argmax CTE steps (d17b's unrolled-iteration
+    // technique), so the array-fold implementation is checked against
+    // the textbook recurrence, not a mirror of itself.
+    "e18_mmr_rerank" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = QueryDef.spread(spark, dir, "embeddings")
+          .select(col("vec_id"), expr(quant).as("qv"))
+        val probes = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("qv").as("pq"))
+        val dots = emb.join(broadcast(probes), col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("cand_id"), col("qv"),
+            qdot("pq", "qv").as("dot"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("dot").desc, col("cand_id"))
+        val topm = dots.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 24)
+          .select("query_id", "cand_id", "dot", "qv")
+        graft.operators.Mmr.rerank(topm, k = 8, lamNum = 7, lamDen = 10)
+      },
+      oracle = Some {
+        val steps = (2 to 8).map { i =>
+          s"""
+        s$i AS MATERIALIZED (
+          SELECT query_id, cand_id, CAST($i AS BIGINT) AS step, score FROM (
+            SELECT query_id, cand_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, cand_id) AS rn
+            FROM (
+              SELECT t.query_id, t.cand_id, 7 * t.dot - 3 * MAX(c.d) AS score
+              FROM topm t
+              JOIN cd c ON c.query_id = t.query_id AND c.ca = t.cand_id
+              JOIN sel${i - 1} sl ON sl.query_id = c.query_id AND sl.cand_id = c.cb
+              WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+                                WHERE x.query_id = t.query_id
+                                  AND x.cand_id = t.cand_id)
+              GROUP BY t.query_id, t.cand_id, t.dot))
+          WHERE rn = 1),
+        sel$i AS MATERIALIZED (
+          SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)"""
+        }.mkString(",")
+        s"""
+        WITH q AS (
+          SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
+          FROM embeddings),
+        probes AS (SELECT vec_id AS query_id, qv AS pq FROM q WHERE vec_id < 8),
+        alldots AS (
+          SELECT query_id, c.vec_id AS cand_id, c.qv,
+                 CAST(list_sum([pq[i] * c.qv[i] for i in range(1, len(pq)+1)]) AS BIGINT) AS dot
+          FROM probes p JOIN q c ON p.query_id <> c.vec_id),
+        topm AS MATERIALIZED (
+          SELECT query_id, cand_id, qv, dot FROM alldots
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dot DESC, cand_id) <= 24),
+        cd AS MATERIALIZED (
+          SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+                 CAST(list_sum([a.qv[i] * b.qv[i] for i in range(1, len(a.qv)+1)]) AS BIGINT) AS d
+          FROM topm a JOIN topm b
+            ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+        s1 AS MATERIALIZED (
+          SELECT query_id, cand_id, CAST(1 AS BIGINT) AS step, 7 * dot AS score
+          FROM topm
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dot DESC, cand_id) = 1),
+        sel1 AS (SELECT * FROM s1),$steps
+        SELECT query_id, step, cand_id, CAST(score AS BIGINT) AS mmr_score
+        FROM sel8 ORDER BY query_id, step"""
+      },
+      headline = true)
   )
 }

@@ -463,6 +463,51 @@ object TextMedia {
         SELECT sz, COUNT(*) AS n_clusters
         FROM sizes GROUP BY sz ORDER BY sz""")),
 
+    // ---------------------------------------------------------------- c20
+    // Canonical-document selection per duplicate cluster — the KEEP
+    // POLICY step after c01's clustering. c01's keep = min doc_id is
+    // the arbitrary-but-deterministic baseline; production dedup keeps
+    // the BEST member (Dolma and the Lee et al. 2022 dedup pipeline
+    // keep the longest), so this entry selects per cluster the member
+    // with max n_chars, ties to the smaller doc_id.
+    //
+    // 100 TB shape: the argmax is ONE map-side-combinable aggregate —
+    // max(struct(n_chars, -doc_id)) — over the (doc_id, cluster_id)
+    // labels joined to a 2-column pruned documents scan; no window, no
+    // per-cluster sort, so a pathological million-member cluster costs
+    // the same shuffle row as a pair. The oracle derives the same
+    // relation from the textbook side: recursive-closure labels + a
+    // per-cluster rank window.
+    "c20_canonical_docs" -> QueryDef(
+      build = (spark, dir) => {
+        val labels = dupClusters(spark, dir).select("doc_id", "cluster_id")
+        val chars = table(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        labels.join(chars, Seq("doc_id"))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_members"),
+            max(struct(col("n_chars"),
+              (-col("doc_id")).as("neg_id"))).as("best"))
+          .select(col("cluster_id"), col("n_members"),
+            (-col("best.neg_id")).as("keep_doc"),
+            col("best.n_chars").as("kept_chars"))
+          .orderBy("cluster_id")
+      },
+      oracle = Some(s"""
+        WITH $simhashCtes, $closureCtes,
+        labels AS (SELECT v AS doc_id, MIN(label) AS cluster_id FROM prop GROUP BY v),
+        j AS (SELECT l.cluster_id, l.doc_id, d.n_chars
+              FROM labels l JOIN documents d ON l.doc_id = d.doc_id),
+        sel AS (
+          SELECT cluster_id, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY n_chars DESC, doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+          FROM j)
+        SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+               doc_id AS keep_doc, CAST(n_chars AS BIGINT) AS kept_chars
+        FROM sel WHERE rk = 1 ORDER BY cluster_id""")),
+
     // ---------------------------------------------------------------- e04
     // Embedding-cosine near-dup — operator in CosineNearDup (multi-band
     // hyperplane-LSH candidate union, exact-integer verify; bits/tables

@@ -45,6 +45,34 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally rm(out)
   }
 
+  test("searchDiverse over the index equals the oracled e18 MMR trajectory") {
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir()
+    try {
+      IvfIndex.write(spark, dir, out)
+      val viaIndex = IvfIndex.searchDiverse(spark, out, col("vec_id") < 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val viaQuery = graft.queries.Similarity.defs("e18_mmr_rerank")
+        .build(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(viaIndex.nonEmpty)
+      assert(viaIndex.toSeq === viaQuery.toSeq)
+      // the diversity term must be LIVE on this corpus: the MMR
+      // selection differs from the plain top-k head for at least one
+      // probe (otherwise the kernel parity above proves nothing about
+      // the similarity penalty)
+      val topk = IvfIndex.searchExact(spark, out, col("vec_id") < 8, topK = 8)
+        .select("query_id", "cand_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val mmrSel = viaIndex.map(t => (t._1, t._3)).toSet
+      assert(mmrSel !== topk,
+        "MMR never diverged from plain top-k — diversity term inert on the fixture")
+    } finally {
+      rm(out)
+      graft.queries.QueryDef.drainCleanups()
+    }
+  }
+
   test("meta.json round-trips centroids and pruning stats bit-exactly") {
     val dir = "/root/testdata/sf0.001"
     val out = tmpDir()

@@ -373,4 +373,65 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Deduplicate") && !plan.contains("CartesianProduct"),
       plan)
   }
+
+  test("c20 canonical selection: the per-cluster argmax is an aggregate, never a window") {
+    val df = TextMedia.defs("c20_canonical_docs").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // keep-longest must ride max(struct(n_chars, -doc_id)) — a
+    // map-side-combinable aggregate. A Window here means a full
+    // per-cluster sort, which a million-member cluster turns into the
+    // query's bottleneck at 100x.
+    assert(!plan.contains("Window"),
+      s"per-cluster argmax compiled to a window sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    graft.queries.QueryDef.drainCleanups()
+  }
+
+  test("d24 source caps: over-cap set broadcasts; no corpus-side sort-merge join") {
+    val df = Documents.defs("d24_source_caps").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the source list is domain-sized: the corpus joins it as a
+    // broadcast — an SMJ here shuffles the full corpus twice (once for
+    // the join, once for the rank window) instead of once
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"over-cap source set entered a shuffle join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    graft.queries.QueryDef.drainCleanups()
+  }
+
+  test("d25 drift: every branch reads the cached lang aggregate — no direct corpus leaf") {
+    val df = Documents.defs("d25_composition_drift").build(spark, dir)
+    // four consumers (shares, totals, and the summary's re-aggregation)
+    // must all read the persisted lang-sized frame: every LEAF of the
+    // optimized plan is the InMemoryRelation — a LogicalRelation leaf
+    // here means some branch re-scans the corpus (once per branch at
+    // 100x). The one real file scan lives inside the cached relation's
+    // build plan, executed exactly once. (String-counting "FileScan"
+    // is a trap: each InMemoryTableScan PRINTS its cached build plan.)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty)
+    val offenders = leaves.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+    assert(offenders.isEmpty,
+      s"branches bypassed the cached aggregate: ${offenders.map(_.nodeName)}")
+    // and it still runs
+    assert(df.count() >= 2)
+    graft.queries.QueryDef.drainCleanups()
+  }
+
+  test("e18 MMR: probes broadcast; greedy fold adds no exchange after the top-M") {
+    val df = Similarity.defs("e18_mmr_rerank").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the probe side must broadcast (e01's contract)...
+    assert(plan.contains("BroadcastExchange"), plan)
+    // ...and the per-query greedy chain is projection-only: the plan's
+    // shuffles are the top-M window, the candidate-array groupBy, and
+    // the output sort — nothing per-step. One exchange per step (8
+    // extra) would put 8 barriers into a per-row fold.
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 3,
+      s"greedy fold introduced per-step exchanges ($exchanges):\n$plan")
+  }
 }
