@@ -25,6 +25,9 @@ import org.apache.spark.sql.functions._
   * `--strip-boilerplate=N` strips lines present in more than 1/N of the
   * batch's docs (Config.stripBoilerplateDenom, the d23 scheme; applied
   * after the scrub; same chain-consistency rule).
+  * `--source-cap=N` caps each source at N permille of the run's kept
+  * docs (Config.sourceCapPermille, the d24 scheme; applied after every
+  * other verdict — see the Config doc for the per-generation semantics).
   *
   * The 4-arg form is the INCREMENTAL mode: curate a new batch against a
   * previous run's output (baseDir). The base corpus always wins — a
@@ -52,6 +55,12 @@ import org.apache.spark.sql.functions._
   *   low_quality   fewer than minTokens whitespace tokens (default 5),
   *                 or — when cfg.maxRep2gramPermille is set — d18's
   *                 duplicate-2gram occupancy above the ceiling
+  *   source_capped (only when cfg.sourceCapPermille is set) a doc that
+  *                 passed every rule above but fell beyond its source's
+  *                 relative cap — hash-ordered retention inside the
+  *                 over-cap source, the d24 scheme; applied over the
+  *                 kept set LAST so dedup/quality drops don't consume
+  *                 cap slots
   *   kept          everything else; assigned a split by md5 of its
   *                 dup-cluster id (c12 rule: near-dups never straddle
   *                 splits, singletons hash their own id)
@@ -143,7 +152,21 @@ object Curate {
     *                       rule as scrubPii — and note the floor is
     *                       relative to EACH RUN's batch, so what counts
     *                       as boilerplate legitimately depends on the
-    *                       batch composition (document, don't surprise) */
+    *                       batch composition (document, don't surprise)
+    * @param sourceCapPermille opt-in per-source contribution cap (the
+    *                       C4/CCNet anti-spam rule, the oracle-verified
+    *                       d24 scheme, SAME definition
+    *                       ([[queries.Documents.sourceCapDrops]])):
+    *                       after every other verdict, each source may
+    *                       keep at most this permille of the run's KEPT
+    *                       docs; hash-ordered survivors inside an
+    *                       over-cap source, the rest flip to
+    *                       'source_capped'. The cap base is each run's
+    *                       kept set — in an incremental/streaming chain
+    *                       it bounds every GENERATION's contribution,
+    *                       not the all-time total (a global cap would
+    *                       need cross-generation source counts the
+    *                       O(batch) index deliberately doesn't carry) */
   final case class Config(
       minTokens: Int = 5,
       testSixteenths: Int = 1,
@@ -153,7 +176,8 @@ object Curate {
       packShards: Option[Int] = None,
       maxRep2gramPermille: Option[Int] = None,
       scrubPii: Boolean = false,
-      stripBoilerplateDenom: Option[Int] = None) {
+      stripBoilerplateDenom: Option[Int] = None,
+      sourceCapPermille: Option[Int] = None) {
     require(minTokens >= 0, s"minTokens $minTokens")
     maxRep2gramPermille.foreach(t => require(t >= 0 && t <= 1000,
       s"maxRep2gramPermille must be a permille, got $t"))
@@ -171,6 +195,11 @@ object Curate {
     // would invert the comparison entirely
     stripBoilerplateDenom.foreach(d => require(d >= 2,
       s"stripBoilerplateDenom must be >= 2, got $d"))
+    // 1000 can never trip (every source is <= 1000 permille of the
+    // corpus); 0/negative would cap everything — both are
+    // misconfigurations, not dials
+    sourceCapPermille.foreach(p => require(p >= 1 && p <= 999,
+      s"sourceCapPermille must be in [1,999], got $p"))
   }
 
   /** Default shard count: one packing window per ~64k kept docs with a
@@ -543,10 +572,38 @@ object Curate {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cleanups += (() => { verdicts.unpersist(false); () })
 
-    verdicts.select("doc_id", "verdict", "split")
+    // per-source contribution cap LAST (opt-in): each source may keep
+    // at most sourceCapPermille of THIS run's kept docs — the
+    // d24-oracled scheme, SAME definition (sourceCapDrops), applied
+    // over the kept set so dedup/quality drops don't consume cap
+    // slots. Only previously-'kept' docs can flip (the drop list is
+    // computed from the kept set), so every other verdict — and the
+    // takedown no-op contract — is untouched. The flip happens BEFORE
+    // any artifact is written: curated, packing, the index's
+    // NULL-split suppressors, and the summary all see the capped
+    // corpus. Persisted: four consumers below would otherwise re-run
+    // the rank window per read.
+    val finalVerdicts = cfg.sourceCapPermille match {
+      case None => verdicts
+      case Some(p) =>
+        val drops = queries.Documents.sourceCapDrops(
+            verdicts.filter(col("verdict") === "kept")
+              .select("doc_id", "source"), p, f => cleanups += f)
+          .select(col("doc_id"), lit(true).as("src_capped"))
+        val v = verdicts.join(drops, Seq("doc_id"), "left")
+          .withColumn("verdict",
+            when(col("src_capped"), lit("source_capped"))
+              .otherwise(col("verdict")))
+          .drop("src_capped")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cleanups += (() => { v.unpersist(false); () })
+        v
+    }
+
+    finalVerdicts.select("doc_id", "verdict", "split")
       .write.mode("overwrite").parquet(s"$outDir/verdicts.parquet")
 
-    val kept = verdicts.filter(col("verdict") === "kept")
+    val kept = finalVerdicts.filter(col("verdict") === "kept")
     kept.select("doc_id", "text", "lang", "source", "split")
       .write.mode("overwrite").partitionBy("split")
       .parquet(s"$outDir/curated.parquet")
@@ -561,7 +618,7 @@ object Curate {
     // redelivery (same content, fresh doc_ids daily) would grow the
     // index without bound. Kept rows stay un-compacted — split
     // bookkeeping needs every kept doc_id
-    val examinedIndex = verdicts
+    val examinedIndex = finalVerdicts
       .select(col("doc_id"),
         when(col("verdict") === "kept", col("split"))
           .otherwise(lit(null).cast("string")).as("split"))
@@ -573,7 +630,7 @@ object Curate {
       .getOrElse(examinedIndex)
     writeIndex(fullIndex, s"$outDir/index.parquet")
 
-    val counts = verdicts.groupBy("verdict").count()
+    val counts = finalVerdicts.groupBy("verdict").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val splits = kept.groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -589,7 +646,8 @@ object Curate {
       s"""{"verdicts":${jsonObj(counts)},"splits":${jsonObj(splits)},""" +
         s""""min_tokens":${cfg.minTokens},"pack_len":${cfg.packLen},""" +
         s""""pack_shards":$shards,"scrub_pii":${cfg.scrubPii},""" +
-        s""""strip_boilerplate":${cfg.stripBoilerplateDenom.getOrElse(0)}}\n""",
+        s""""strip_boilerplate":${cfg.stripBoilerplateDenom.getOrElse(0)},""" +
+        s""""source_cap":${cfg.sourceCapPermille.getOrElse(0)}}\n""",
       hc)
     // dataset card for the INPUT corpus this run examined — the same
     // oracle-checked c15 relation (report.DataCard), so the governance
@@ -648,11 +706,15 @@ object Curate {
       case f if f.startsWith("--strip-boilerplate=") =>
         cfg = cfg.copy(stripBoilerplateDenom =
           Some(f.stripPrefix("--strip-boilerplate=").toInt))
+      case f if f.startsWith("--source-cap=") =>
+        cfg = cfg.copy(sourceCapPermille =
+          Some(f.stripPrefix("--source-cap=").toInt))
       case f if f.startsWith("--takedown=") =>
         takedown = Some(f.stripPrefix("--takedown="))
       case f => throw new IllegalArgumentException(
         s"unknown flag $f (supported: --rep=<permille>, --scrub-pii, " +
-          "--strip-boilerplate=<denom>, --takedown=<ids>)")
+          "--strip-boilerplate=<denom>, --source-cap=<permille>, " +
+          "--takedown=<ids>)")
     }
     (pos, cfg, takedown)
   }

@@ -136,6 +136,46 @@ object Documents {
       .drop("boiler_clean_text")
   }
 
+  /** d24's per-source contribution cap, factored to ONE definition so
+    * the oracled query and Curate's --source-cap stage cannot drift:
+    * each source may contribute at most `permille`/1000 of the INPUT
+    * frame's rows; retention inside an over-cap source is hash-ordered
+    * by md5(doc_id) (the c02 reproducible uniform down-sample — a
+    * quality-ordered cut would bias the survivors). Returns the DROP
+    * list (doc_id, source, rk, cap).
+    *
+    * Shuffle shape: ONE counting scan (the corpus total is the sum of
+    * the source-sized per-source counts — persisted, released through
+    * `registerCleanup`); only OVER-CAP sources join back by broadcast,
+    * so under-cap sources never enter the rank window. The window's
+    * dynamic (data-derived) threshold is why WindowGroupLimit cannot
+    * pre-truncate it. rk is cast to BIGINT BEFORE the
+    * cross-multiplication — row_number is a 32-bit int and rk*1000
+    * wraps beyond ~2.1M docs in one source. */
+  private[graft] def sourceCapDrops(docs: DataFrame, permille: Int,
+      registerCleanup: (() => Unit) => Unit = _ => ()): DataFrame = {
+    require(permille >= 1 && permille <= 999,
+      s"source cap must be a permille in [1,999], got $permille")
+    import org.apache.spark.sql.expressions.Window
+    val perSrc = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCleanup(() => { perSrc.unpersist(false); () })
+    val total = perSrc.groupBy().agg(sum("n_src").as("n_total"))
+    val overCap = perSrc
+      .crossJoin(broadcast(total))
+      .filter(expr(s"n_src * 1000 > n_total * $permille"))
+      .select(col("source"), col("n_total"))
+    docs.select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("hk"))
+      .join(broadcast(overCap), Seq("source"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("hk")).cast("long"))
+      .filter(expr(s"rk * 1000 > n_total * $permille"))
+      .select(col("doc_id"), col("source"), col("rk"),
+        expr(s"cast(n_total * $permille div 1000 as bigint)").as("cap"))
+  }
+
   /** d21's fixed merge list (learned order) — ONE constant feeds both
     * the Spark query and the generated oracle SQL, so the two cannot
     * drift. English-frequent pairs incl. two second-order merges
@@ -651,42 +691,15 @@ object Documents {
     // ENFORCEMENT LIST, the docs a curation pass must drop, with their
     // over-cap rank and the cap itself.
     //
-    // 100 TB shape: sources are counted first (map-side-combined agg)
-    // and only OVER-CAP sources join back (broadcast — the source list
-    // is domain-sized), so under-cap sources never enter the rank
-    // window; the per-source rank is the unavoidable cost of a
-    // deterministic cut inside an over-cap source, and the dynamic
-    // (data-derived) threshold is why WindowGroupLimit cannot
-    // pre-truncate it.
+    // Scheme (counting scan, over-cap broadcast, BIGINT rank
+    // cross-multiplication) lives ONCE in [[sourceCapDrops]] — Curate's
+    // --source-cap stage consumes the same definition, so the oracled
+    // drop list and the pipeline verdict cannot drift.
     "d24_source_caps" -> QueryDef(
-      build = (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val docs = table(spark, dir, "documents")
-        // ONE counting scan: the corpus total is the sum of the
-        // source-sized per-source counts, not a second corpus agg;
-        // persisted so its two consumers don't re-scan the corpus
-        val perSrc = docs.groupBy("source")
-          .agg(count(lit(1)).as("n_src"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        QueryDef.deferCleanup(() => { perSrc.unpersist(blocking = true); () })
-        val total = perSrc.groupBy().agg(sum("n_src").as("n_total"))
-        val overCap = perSrc
-          .crossJoin(broadcast(total))
-          .filter(expr("n_src * 1000 > n_total * 30"))
-          .select(col("source"), col("n_total"))
-        docs.select(col("doc_id"), col("source"),
-            md5(col("doc_id").cast("string")).as("hk"))
-          .join(broadcast(overCap), Seq("source"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("source").orderBy("hk")).cast("long"))
-          // rk cast BEFORE the cross-multiplication: row_number is a
-          // 32-bit int and rk*1000 wraps beyond ~2.1M docs in one
-          // source — routine at corpus scale
-          .filter(expr("rk * 1000 > n_total * 30"))
-          .select(col("doc_id"), col("source"), col("rk"),
-            expr("cast(n_total * 30 div 1000 as bigint)").as("cap"))
-          .orderBy("source", "rk")
-      },
+      build = (spark, dir) =>
+        sourceCapDrops(table(spark, dir, "documents"), 30,
+          f => QueryDef.deferCleanup(f))
+          .orderBy("source", "rk"),
       oracle = Some("""
         WITH tot AS (SELECT COUNT(*) AS n_total FROM documents),
         ranked AS (

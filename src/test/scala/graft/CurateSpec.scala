@@ -562,4 +562,64 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       rm(new java.io.File(root))
     }
   }
+
+  test("--source-cap bounds each source's share of the kept set; only kept docs flip") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_curate_srccap").toString
+    try {
+      // 40 unique quality-passing spam docs, 10 ham docs, plus one
+      // LOW-QUALITY spam doc: the cap base is the KEPT set (50), so
+      // cap = floor(50 * 300 / 1000) = 15 per source — spam loses 25,
+      // ham (10 <= 15) is untouched, and the low-quality doc neither
+      // consumes a cap slot nor changes verdict
+      val docs = (
+        (0 until 40).map(i => (i.toLong,
+          s"spam$i alpha$i beta$i gamma$i delta$i epsilon$i", "spam")) ++
+        (100 until 110).map(i => (i.toLong,
+          s"ham$i one$i two$i three$i four$i five$i", "ham")) :+
+        ((200L, "tiny", "spam")))
+        .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.mode("overwrite").parquet(s"$root/in/documents.parquet")
+      val (_, cfg, _) = Curate.parseArgs(Array("a", "b", "--source-cap=300"))
+      assert(cfg.sourceCapPermille === Some(300))
+      val r = Curate.run(spark, s"$root/in", s"$root/on", cfg)
+      assert(r.counts.getOrElse("kept", 0L) === 25L, s"${r.counts}")
+      assert(r.counts.getOrElse("source_capped", 0L) === 25L, s"${r.counts}")
+      assert(r.counts.getOrElse("low_quality", 0L) === 1L, s"${r.counts}")
+      val perSrc = spark.read.parquet(s"$root/on/curated.parquet")
+        .groupBy("source").count()
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(perSrc === Map("spam" -> 15L, "ham" -> 10L), s"$perSrc")
+      // the capped docs' content stays suppressed for future batches:
+      // their index rows carry a NULL split like every other drop
+      val idx = spark.read.parquet(s"$root/on/index.parquet")
+      assert(idx.filter(col("split").isNull).count() >= 25L)
+      assert(Files.readString(java.nio.file.Paths.get(s"$root/on/summary.json"))
+        .contains(""""source_cap":300"""))
+      // determinism: a re-run keeps the SAME survivors (hash order,
+      // not partition order)
+      val r2 = Curate.run(spark, s"$root/in", s"$root/on2", cfg)
+      assert(r2.counts === r.counts)
+      val k1 = spark.read.parquet(s"$root/on/curated.parquet")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val k2 = spark.read.parquet(s"$root/on2/curated.parquet")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(k1 === k2)
+      // flag OFF: nothing capped
+      val r3 = Curate.run(spark, s"$root/in", s"$root/off")
+      assert(r3.counts.getOrElse("source_capped", 0L) === 0L)
+      assert(r3.counts.getOrElse("kept", 0L) === 50L, s"${r3.counts}")
+      // nonsensical permilles refuse loudly
+      intercept[IllegalArgumentException](Curate.Config(
+        sourceCapPermille = Some(0)))
+      intercept[IllegalArgumentException](Curate.Config(
+        sourceCapPermille = Some(1000)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+  }
 }
