@@ -45,13 +45,14 @@ import org.apache.spark.sql.functions._
   *                 base fp
   *   exact_dup     not the min doc_id of its (batch) md5(text) group
   *   near_dup      non-canonical member of a c01 dup cluster, where the
-  *                 canonical is the min doc_id among the cluster's
-  *                 QUALITY-PASSING members (text non-null, n_tok ≥
-  *                 minTokens) — so a cluster whose overall-min member is
-  *                 low-quality still keeps its best representative
-  *                 instead of losing every member; a cluster with no
-  *                 quality-passing member falls through to low_quality
-  *                 for all members
+  *                 canonical is elected among the cluster's QUALITY-
+  *                 PASSING members (text non-null, n_tok ≥ minTokens):
+  *                 min doc_id by default, or the LONGEST member under
+  *                 --keep-longest (c20's convention) — so a cluster
+  *                 whose best candidate is low-quality still keeps its
+  *                 best passing representative instead of losing every
+  *                 member; a cluster with no quality-passing member
+  *                 falls through to low_quality for all members
   *   low_quality   fewer than minTokens whitespace tokens (default 5),
   *                 or — when cfg.maxRep2gramPermille is set — d18's
   *                 duplicate-2gram occupancy above the ceiling
@@ -166,7 +167,18 @@ object Curate {
     *                       it bounds every GENERATION's contribution,
     *                       not the all-time total (a global cap would
     *                       need cross-generation source counts the
-    *                       O(batch) index deliberately doesn't carry) */
+    *                       O(batch) index deliberately doesn't carry)
+    * @param keepLongest    canonical election rule for near-dup
+    *                       clusters: false (default) keeps the min
+    *                       doc_id among quality-passing members; true
+    *                       keeps the LONGEST (max length of the live
+    *                       post-ingestion text, ties to the smaller
+    *                       doc_id) — the Dolma / Lee et al. 2022
+    *                       convention, c20's oracled argmax. Advisory
+    *                       chain rule: keep it constant so generations
+    *                       elect representatives by one policy (flips
+    *                       don't break suppression — every examined
+    *                       doc's digest/fp is indexed either way) */
   final case class Config(
       minTokens: Int = 5,
       testSixteenths: Int = 1,
@@ -177,7 +189,8 @@ object Curate {
       maxRep2gramPermille: Option[Int] = None,
       scrubPii: Boolean = false,
       stripBoilerplateDenom: Option[Int] = None,
-      sourceCapPermille: Option[Int] = None) {
+      sourceCapPermille: Option[Int] = None,
+      keepLongest: Boolean = false) {
     require(minTokens >= 0, s"minTokens $minTokens")
     maxRep2gramPermille.foreach(t => require(t >= 0 && t <= 1000,
       s"maxRep2gramPermille must be a permille, got $t"))
@@ -534,18 +547,30 @@ object Curate {
       .join(exactLosers, Seq("doc_id"), "left")
       .join(clusters.select(col("doc_id"), col("cluster_id")),
         Seq("doc_id"), "left")
-    // canonical election per dup cluster: the min doc_id among QUALITY-
-    // PASSING members, so a cluster whose overall-min member flunks the
-    // quality gate still keeps its best representative (previously the
-    // whole cluster was lost: canonical → low_quality, everyone else →
-    // near_dup). One cluster-keyed aggregation over cluster members
-    // only, joined back on the cluster id — bounded by cluster count,
-    // never corpus-wide
+    // canonical election per dup cluster among QUALITY-PASSING members
+    // (so a cluster whose best candidate flunks the quality gate still
+    // keeps its best passing representative — previously the whole
+    // cluster was lost: canonical → low_quality, everyone else →
+    // near_dup). The election rule is a dial: min doc_id (historical
+    // default) or keep-LONGEST (c20's convention — max length(text),
+    // ties to the smaller doc_id; length is measured on the live
+    // post-scrub/strip text, c20's n_chars semantics). Either way it is
+    // one cluster-keyed map-side-combinable aggregation over cluster
+    // members only, joined back on the cluster id — bounded by cluster
+    // count, never corpus-wide, and never a per-cluster window (c20's
+    // max(struct) argmax)
     val repCeil = cfg.maxRep2gramPermille.map(_.toLong).getOrElse(1001L)
-    val canons = withCluster
+    val qualified = withCluster
       .filter(col("cluster_id").isNotNull && col("text").isNotNull &&
         col("n_tok") >= cfg.minTokens && col("rep2_permille") <= repCeil)
-      .groupBy("cluster_id").agg(min("doc_id").as("canon"))
+    val canons =
+      if (cfg.keepLongest)
+        qualified.groupBy("cluster_id")
+          .agg(max(struct(length(col("text")).as("l"),
+            (-col("doc_id")).as("nid"))).as("best"))
+          .select(col("cluster_id"), (-col("best.nid")).as("canon"))
+      else
+        qualified.groupBy("cluster_id").agg(min("doc_id").as("canon"))
     val joined = withCluster.join(canons, Seq("cluster_id"), "left")
     val withBase = baseVerdicts
       .map(bv => joined.join(bv, Seq("doc_id"), "left"))
@@ -647,7 +672,8 @@ object Curate {
         s""""min_tokens":${cfg.minTokens},"pack_len":${cfg.packLen},""" +
         s""""pack_shards":$shards,"scrub_pii":${cfg.scrubPii},""" +
         s""""strip_boilerplate":${cfg.stripBoilerplateDenom.getOrElse(0)},""" +
-        s""""source_cap":${cfg.sourceCapPermille.getOrElse(0)}}\n""",
+        s""""source_cap":${cfg.sourceCapPermille.getOrElse(0)},""" +
+        s""""keep_longest":${cfg.keepLongest}}\n""",
       hc)
     // dataset card for the INPUT corpus this run examined — the same
     // oracle-checked c15 relation (report.DataCard), so the governance
@@ -709,12 +735,14 @@ object Curate {
       case f if f.startsWith("--source-cap=") =>
         cfg = cfg.copy(sourceCapPermille =
           Some(f.stripPrefix("--source-cap=").toInt))
+      case "--keep-longest" =>
+        cfg = cfg.copy(keepLongest = true)
       case f if f.startsWith("--takedown=") =>
         takedown = Some(f.stripPrefix("--takedown="))
       case f => throw new IllegalArgumentException(
         s"unknown flag $f (supported: --rep=<permille>, --scrub-pii, " +
           "--strip-boilerplate=<denom>, --source-cap=<permille>, " +
-          "--takedown=<ids>)")
+          "--keep-longest, --takedown=<ids>)")
     }
     (pos, cfg, takedown)
   }

@@ -622,4 +622,44 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       rm(new java.io.File(root))
     }
   }
+
+  test("--keep-longest elects the longest cluster member; default stays min doc_id") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_curate_keeplong").toString
+    try {
+      // docs 0 and 1 share the SAME distinct token set (SimHash
+      // hamming 0 → one near-dup cluster) but 1 repeats tokens, so 1
+      // is LONGER while 0 has the smaller id — the two policies elect
+      // different canonicals. Docs 10.. are independent filler.
+      val docs = (Seq(
+        (0L, "kappa lambda mu nu xi omicron"),
+        (1L, "kappa lambda mu nu xi omicron kappa lambda mu nu")) ++
+        (10 until 15).map(i =>
+          (i.toLong, s"filler$i aa$i bb$i cc$i dd$i ee$i")))
+        .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.mode("overwrite").parquet(s"$root/in/documents.parquet")
+      val rMin = Curate.run(spark, s"$root/in", s"$root/min")
+      val keptMin = spark.read.parquet(s"$root/min/curated.parquet")
+        .select("doc_id").as[Long].collect().toSet
+      assert(keptMin.contains(0L) && !keptMin.contains(1L),
+        s"default policy must keep the min id: $keptMin")
+      val (_, cfg, _) = Curate.parseArgs(Array("a", "b", "--keep-longest"))
+      assert(cfg.keepLongest)
+      val rLong = Curate.run(spark, s"$root/in", s"$root/long", cfg)
+      val keptLong = spark.read.parquet(s"$root/long/curated.parquet")
+        .select("doc_id").as[Long].collect().toSet
+      assert(keptLong.contains(1L) && !keptLong.contains(0L),
+        s"--keep-longest must keep the longest member: $keptLong")
+      // the histogram is policy-invariant: one canonical per cluster
+      assert(rMin.counts === rLong.counts, s"${rMin.counts} vs ${rLong.counts}")
+      assert(Files.readString(java.nio.file.Paths.get(s"$root/long/summary.json"))
+        .contains(""""keep_longest":true"""))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+  }
 }
