@@ -176,6 +176,34 @@ object Documents {
         expr(s"cast(n_total * $permille div 1000 as bigint)").as("cap"))
   }
 
+  /** d25's drift arithmetic over a (lang, old_n, new_n) counts frame,
+    * factored to ONE definition so the oracled query and the
+    * generation-monitoring API (report.DataCard.drift) cannot drift:
+    * per-language shares in exact ppm, signed deltas, and a '_TOTAL'
+    * row whose delta is the total-variation distance. The CALLER
+    * persists `perLang` — it feeds the shares branch, the 1-row
+    * totals, and the summary's re-aggregation, and without the persist
+    * whatever produced the counts re-runs once per branch. Output is
+    * ordered by lang ('_' sorts before every lowercase lang code in
+    * binary collation, so the summary row's position is
+    * deterministic). */
+  private[graft] def driftFromCounts(perLang: DataFrame): DataFrame = {
+    val tot = perLang.groupBy()
+      .agg(sum("old_n").as("old_t"), sum("new_n").as("new_t"))
+    val shares = perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("old_n"), col("new_n"),
+        expr("old_n * 1000000 div old_t").as("old_ppm"),
+        expr("new_n * 1000000 div new_t").as("new_ppm"))
+      .withColumn("delta_ppm", col("new_ppm") - col("old_ppm"))
+    val summary = shares.groupBy()
+      .agg(sum("old_n").as("old_n"), sum("new_n").as("new_n"),
+        sum(abs(col("delta_ppm"))).as("l1"))
+      .select(lit("_TOTAL").as("lang"), col("old_n"), col("new_n"),
+        lit(1000000L).as("old_ppm"), lit(1000000L).as("new_ppm"),
+        expr("l1 div 2").as("delta_ppm"))
+    shares.unionByName(summary).orderBy("lang")
+  }
+
   /** d21's fixed merge list (learned order) — ONE constant feeds both
     * the Spark query and the generated oracle SQL, so the two cannot
     * drift. English-frequent pairs incl. two second-order merges
@@ -737,26 +765,15 @@ object Documents {
         // the lang-sized aggregate feeds four branches (shares, the
         // 1-row totals, and the summary's re-aggregation) — persist it
         // so the CORPUS scan runs once, not once per branch; release
-        // through the harness queue like every query-held cache
+        // through the harness queue like every query-held cache. The
+        // drift arithmetic lives ONCE in [[driftFromCounts]], shared
+        // with report.DataCard.drift (the real two-generation API)
         val perLang = docs.groupBy("lang")
           .agg(sum(when(col("is_old"), 1L).otherwise(0L)).as("old_n"),
             sum(when(!col("is_old"), 1L).otherwise(0L)).as("new_n"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         QueryDef.deferCleanup(() => { perLang.unpersist(blocking = true); () })
-        val tot = perLang.groupBy()
-          .agg(sum("old_n").as("old_t"), sum("new_n").as("new_t"))
-        val shares = perLang.crossJoin(broadcast(tot))
-          .select(col("lang"), col("old_n"), col("new_n"),
-            expr("old_n * 1000000 div old_t").as("old_ppm"),
-            expr("new_n * 1000000 div new_t").as("new_ppm"))
-          .withColumn("delta_ppm", col("new_ppm") - col("old_ppm"))
-        val summary = shares.groupBy()
-          .agg(sum("old_n").as("old_n"), sum("new_n").as("new_n"),
-            sum(abs(col("delta_ppm"))).as("l1"))
-          .select(lit("_TOTAL").as("lang"), col("old_n"), col("new_n"),
-            lit(1000000L).as("old_ppm"), lit(1000000L).as("new_ppm"),
-            expr("l1 div 2").as("delta_ppm"))
-        shares.unionByName(summary).orderBy("lang")
+        driftFromCounts(perLang)
       },
       oracle = Some("""
         WITH pl AS (

@@ -20,6 +20,51 @@ object DataCard {
     graft.queries.Curation.dataCard(docs)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  /** Composition DRIFT between two corpus snapshots — the report a
+    * generation-over-generation ingest (StreamingCurate's chained
+    * generations, or any two crawls) runs before accepting the new
+    * one: per-language document shares in exact ppm for each snapshot,
+    * signed deltas, and a '_TOTAL' row whose delta_ppm is the
+    * total-variation distance between the two composition
+    * distributions. The arithmetic is the oracle-verified d25 scheme,
+    * SAME definition ([[graft.queries.Documents.driftFromCounts]]) —
+    * DataCardSpec pins this API bit-exact against the d25 query on the
+    * query's own parity split.
+    *
+    * A language absent from one snapshot appears with a 0 count/share
+    * (full-outer join of the two composition aggregates). An EMPTY
+    * snapshot refuses loudly — every share of the other side would be
+    * a division by zero dressed up as drift.
+    *
+    * Cost: one counting aggregate per snapshot; the drift arithmetic
+    * runs on the language-sized frame, which is persisted only for the
+    * duration of the call (the returned frame is localCheckpoint'ed —
+    * lang-count rows — so no lineage pins the inputs afterwards). */
+  def drift(oldDocs: org.apache.spark.sql.DataFrame,
+      newDocs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val perLang = oldDocs.groupBy("lang").agg(count(lit(1)).as("old_n"))
+      .join(newDocs.groupBy("lang").agg(count(lit(1)).as("new_n")),
+        Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val t = perLang.groupBy()
+        .agg(sum("old_n").as("o"), sum("new_n").as("n")).collect()
+      require(t.nonEmpty && !t(0).isNullAt(0) && t(0).getLong(0) > 0 &&
+        t(0).getLong(1) > 0,
+        "drift needs two non-empty snapshots (an empty side turns every " +
+          "share into a division by zero)")
+      graft.queries.Documents.driftFromCounts(perLang)
+        .localCheckpoint(true)
+    } finally {
+      perLang.unpersist(false); ()
+    }
+  }
+
   /** Write the card JSON (sorted keys — byte-stable across runs). */
   def write(spark: SparkSession, sfDir: String, outPath: String): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -34,4 +34,45 @@ class DataCardSpec extends AnyFunSuite {
       assert(java.nio.file.Files.readString(out) === first)
     } finally java.nio.file.Files.deleteIfExists(out)
   }
+
+  test("drift: hand-computed shares/deltas/TVD, absent langs as zero") {
+    import spark.implicits._
+    // old: en 3, de 1 (4 docs); new: en 1, de 1, fr 2 (4 docs)
+    // old ppm: en 750000, de 250000, fr 0; new: en 250000, de 250000,
+    // fr 500000 → deltas en -500000, de 0, fr +500000; TVD 500000
+    def frame(rows: Seq[(Long, String)]) =
+      rows.map { case (id, l) => (id, s"text $id", l, "s0", 7L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val oldDocs = frame(Seq((0L, "en"), (1L, "en"), (2L, "en"), (3L, "de")))
+    val newDocs = frame(Seq((10L, "en"), (11L, "de"), (12L, "fr"), (13L, "fr")))
+    val got = DataCard.drift(oldDocs, newDocs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      ("_TOTAL", 4L, 4L, 1000000L, 1000000L, 500000L),
+      ("de", 1L, 1L, 250000L, 250000L, 0L),
+      ("en", 3L, 1L, 750000L, 250000L, -500000L),
+      ("fr", 0L, 2L, 0L, 500000L, 500000L)))
+  }
+
+  test("drift IS the oracled d25 relation on d25's own parity split") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val viaApi = DataCard.drift(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0))
+      .collect().map(_.toSeq)
+    val viaQuery = graft.queries.Documents.defs("d25_composition_drift")
+      .build(spark, dir).collect().map(_.toSeq)
+    assert(viaApi.nonEmpty && viaApi.toSeq === viaQuery.toSeq)
+    graft.queries.QueryDef.drainCleanups()
+  }
+
+  test("drift refuses an empty snapshot loudly") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val empty = docs.filter(col("doc_id") < 0)
+    intercept[IllegalArgumentException](DataCard.drift(empty, docs))
+    intercept[IllegalArgumentException](DataCard.drift(docs, empty))
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
