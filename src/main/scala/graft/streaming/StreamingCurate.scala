@@ -18,7 +18,9 @@ import graft.util.Fs
   *
   * Layout under `rootDir` (all Hadoop-FS paths):
   *   - `gen_<batchId>/`    one complete Curate output per committed
-  *     batch (curated/verdicts/index/packing/summary/card) — the audit
+  *     batch (curated/verdicts/index/packing/summary/card, plus — for
+  *     every chained generation — `drift.json`, the DataCard.drift
+  *     composition report vs the previous generation) — the audit
   *     trail a data-governance pipeline wants anyway;
   *   - `batch_<batchId>/`  the batch's raw documents.parquet (what the
   *     generation was curated FROM);
@@ -112,8 +114,21 @@ object StreamingCurate {
     batch.write.mode("overwrite").parquet(s"$batchDir/documents.parquet")
     val r = latest match {
       case Some((prevGen, _)) =>
-        Curate.runIncremental(spark, batchDir, s"$rootDir/$prevGen", genDir, cfg)
+        val res = Curate.runIncremental(spark, batchDir,
+          s"$rootDir/$prevGen", genDir, cfg)
+        // composition drift vs the previous generation — an ARTIFACT of
+        // the new generation (drift.json beside summary.json), not a
+        // callback: written BEFORE the LATEST commit so every committed
+        // chained generation carries it (replay-safe), and computed
+        // while the previous generation is still guaranteed on disk
+        // (prune runs only after the commit). The oracle-coupled
+        // DataCard.drift relation; an empty side (a generation that
+        // kept nothing) records a skip marker instead of failing the
+        // stream — no composition exists to compare against
+        writeDrift(spark, s"$rootDir/$prevGen", genDir)
+        res
       case None =>
+        // first generation: nothing to compare against — no drift.json
         Curate.run(spark, batchDir, genDir, cfg)
     }
     // the ONE commit point — atomic rename; a crash before this line
@@ -122,6 +137,47 @@ object StreamingCurate {
       s"""{"gen":"gen_$batchId","batch":$batchId}""" + "\n", hc)
     Some(r)
   }
+
+  /** Per-generation drift artifact: DataCard.drift of the previous
+    * generation's curated corpus vs the new one, as sorted JSON rows.
+    * Exposed for direct testing. */
+  private[streaming] def writeDrift(spark: SparkSession, prevGenDir: String,
+      genDir: String): Unit = {
+    val hc = spark.sessionState.newHadoopConf()
+    // a generation that kept NOTHING writes a partitioned dir with no
+    // part files — schema inference fails, which is the same "empty
+    // snapshot" case as zero rows
+    def readCurated(dir: String) =
+      try {
+        val df = spark.read.parquet(s"$dir/curated.parquet")
+        if (df.isEmpty) None else Some(df)
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    val prev = readCurated(prevGenDir)
+    val cur = readCurated(genDir)
+    val json =
+      if (prev.isEmpty || cur.isEmpty)
+        """{"skipped":"empty snapshot — no composition to compare"}"""
+      else {
+        val rows = graft.report.DataCard.drift(prev.get, cur.get)
+          .collect().map { r =>
+          s"""{"lang":${jsonStr(r.getString(0))},"old_n":${r.getLong(1)},""" +
+            s""""new_n":${r.getLong(2)},"old_ppm":${r.getLong(3)},""" +
+            s""""new_ppm":${r.getLong(4)},"delta_ppm":${r.getLong(5)}}"""
+        }
+        s"""{"rows":[${rows.mkString(",")}]}"""
+      }
+    Fs.writeStringAtomic(s"$genDir/drift.json", json + "\n", hc)
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   /** A committed generation's Result, rebuilt from its summary.json
     * (the artifact curate wrote at commit time — replays must re-emit

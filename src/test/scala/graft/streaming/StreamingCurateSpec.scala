@@ -196,4 +196,44 @@ class StreamingCurateSpec extends AnyFunSuite {
       docsDf(Seq((4L, longC))), root, 3L)
     assert(r.map(_.counts) === Some(Map("dup_of_base" -> 1L)))
   }
+
+  test("chained generations carry a drift.json artifact; empty sides skip") {
+    val root = tmp("scur6")
+    val hc = spark.sessionState.newHadoopConf()
+    val longD = (1 to 40).map(i => s"delta$i").mkString(" ")
+    def mixedDf(rows: Seq[(Long, String, String)]) = {
+      import spark.implicits._
+      rows.map { case (id, t, l) => (id, t, l, "s") }
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    // gen_0: 2 en docs — the FIRST generation has nothing to compare
+    StreamingCurate.processBatch(spark,
+      mixedDf(Seq((1L, longA, "en"), (2L, longB, "en"))), root, 0L)
+    assert(!graft.util.Fs.exists(s"$root/gen_0/drift.json", hc),
+      "first generation must not carry a drift artifact")
+    // gen_1: 1 en + 1 fr — drift vs gen_0 (all-en): en 1000000→500000,
+    // fr 0→500000, TVD 500000
+    StreamingCurate.processBatch(spark,
+      mixedDf(Seq((10L, longC, "fr"), (11L, longD, "en"))), root, 1L)
+    val drift = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.util.Fs.readString(s"$root/gen_1/drift.json", hc))
+    val rows = drift.get("rows")
+    assert(rows != null && rows.size() === 3, drift.toString)
+    val total = rows.get(0)
+    assert(total.get("lang").asText() === "_TOTAL")
+    assert(total.get("delta_ppm").asLong() === 500000L, drift.toString)
+    val byLang = (0 until rows.size()).map(rows.get)
+      .map(n => n.get("lang").asText() -> n).toMap
+    assert(byLang("en").get("old_ppm").asLong() === 1000000L)
+    assert(byLang("en").get("new_ppm").asLong() === 500000L)
+    assert(byLang("fr").get("old_n").asLong() === 0L)
+    assert(byLang("fr").get("new_ppm").asLong() === 500000L)
+    // gen_2: pure redelivery — everything dup_of_base, curated EMPTY →
+    // the stream must not crash; the artifact records the skip
+    StreamingCurate.processBatch(spark,
+      mixedDf(Seq((20L, longC, "fr"))), root, 2L)
+    val d2 = graft.util.Fs.readString(s"$root/gen_2/drift.json", hc)
+    assert(d2.contains("skipped"), d2)
+  }
 }
