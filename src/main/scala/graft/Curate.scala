@@ -405,7 +405,9 @@ object Curate {
             s""""min_tokens":${summary.path("min_tokens").asInt(5)},""" +
             s""""pack_len":$packLen,"pack_shards":$packShards,""" +
             s""""scrub_pii":${summary.path("scrub_pii").asBoolean(false)},""" +
-            s""""strip_boilerplate":${summary.path("strip_boilerplate").asInt(0)}}\n""",
+            s""""strip_boilerplate":${summary.path("strip_boilerplate").asInt(0)},""" +
+            s""""source_cap":${summary.path("source_cap").asInt(0)},""" +
+            s""""keep_longest":${summary.path("keep_longest").asBoolean(false)}}\n""",
           hc)
         // governance card over what SURVIVES — the numbers shipped with
         // the post-takedown artifacts. A takedown that retracts EVERY

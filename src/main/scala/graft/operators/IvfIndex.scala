@@ -1045,23 +1045,23 @@ object IvfIndex {
     * so the k results aren't k copies of the same neighborhood. ONE
     * kernel definition with the oracled `e18_mmr_rerank` query
     * (IvfIndexSpec pins this path ≡ the e18 relation on the same
-    * probes). Extra cost over searchExact: the candidate rows (M per
-    * query) join back to the index for their quantized vectors — the
-    * index side prunes to the candidate ids via a broadcast of the
-    * M·|probes|-row pool, never a corpus shuffle.
+    * probes). Extra cost over searchExact: none on the corpus side —
+    * the candidates' quantized vectors are already materialized inside
+    * the pruned search for its dot products, so searchCore carries
+    * them through the top-M (keepQv) instead of a second scan
+    * re-fetching them.
     *
     * @return (query_id, step, cand_id, mmr_score) in greedy trajectory
     *         order, step 1..k. */
   def searchDiverse(spark: SparkSession, indexDir: String, probePred: Column,
       k: Int = 8, m: Int = 24, lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
     require(m >= k, s"candidate pool m=$m must be >= k=$k")
-    val topm = searchExact(spark, indexDir, probePred, m)
-      .select("query_id", "cand_id", "dot")
-    val qvs = spark.read.parquet(s"$indexDir/data")
-      .select(col("vec_id").as("cand_id"), expr(IvfAnn.quant).as("qv"))
-    val cands = qvs.join(broadcast(topm), Seq("cand_id"))
+    val data = spark.read.parquet(s"$indexDir/data")
+    val topm = searchCore(spark, indexDir,
+      dropTombstonedProbes(spark, indexDir, data.filter(probePred)), m,
+      None, keepQv = true)
       .select("query_id", "cand_id", "dot", "qv")
-    Mmr.rerank(cands, k, lamNum, lamDen)
+    Mmr.rerank(topm, k, lamNum, lamDen)
   }
 
   /** EXACT top-k search for an EXTERNAL probe frame (vec_id,
@@ -1088,7 +1088,8 @@ object IvfIndex {
 
   private def searchCore(spark: SparkSession, indexDir: String,
       probes: DataFrame, topK: Int,
-      excludeCands: Option[DataFrame]): DataFrame = {
+      excludeCands: Option[DataFrame],
+      keepQv: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val meta = readMeta(indexDir, spark.sessionState.newHadoopConf())
     val tomb = tombstoneFrame(spark, indexDir)
@@ -1152,11 +1153,21 @@ object IvfIndex {
         broadcast(ex.select(col("vec_id").as("cand_id"))),
         Seq("cand_id"), "left_anti")
     }
+    // keepQv: the candidates' quantized vectors are already
+    // materialized for the dot — searchDiverse carries them through
+    // the top-k instead of paying a second corpus scan to re-fetch
+    // them (public searchExact keeps its 4-column schema)
+    val candCols =
+      if (keepQv)
+        Seq(col("query_id"), col("cand_id"),
+          IvfAnn.qdot("pq", "qv").as("dot"), col("qv"))
+      else
+        Seq(col("query_id"), col("cand_id"),
+          IvfAnn.qdot("pq", "qv").as("dot"))
     val cands = probeClusters.join(corpus,
         probeClusters("cluster") === corpus("cluster") &&
           col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        IvfAnn.qdot("pq", "qv").as("dot"))
+      .select(candCols: _*)
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("cand_id"))
     cands.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= topK)

@@ -57,10 +57,18 @@ object Mmr {
     // rank-sort the collected array so cands[0] IS the relevance
     // argmax (ties to smaller cand_id) — step 1 needs no
     // empty-selection special case, and the array order is
-    // deterministic whatever order collect_list saw the rows in
+    // deterministic whatever order collect_list saw the rows in.
+    // Dedup (query, cand) FIRST: a duplicate candidate row (e.g. a
+    // crashed-retry append in an un-compacted index fanning a join
+    // out) would overcount size(cands), defeat the exhaustion guard
+    // below, and append the inner aggregate's NULL init as a hole in
+    // the selection. Duplicates of a real candidate carry the same
+    // (dot, qv), so which row survives is immaterial; the pool is
+    // top-M-bounded, so the dedup is cheap
     val w = Window.partitionBy("query_id")
       .orderBy(col("dot").desc, col("cand_id"))
     val grouped = cands
+      .dropDuplicates("query_id", "cand_id")
       .withColumn("mmr_rnk", row_number().over(w))
       .groupBy("query_id")
       .agg(expr("array_sort(collect_list(struct(mmr_rnk, cand_id, dot, qv)))")

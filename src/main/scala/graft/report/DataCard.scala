@@ -44,9 +44,17 @@ object DataCard {
       newDocs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val perLang = oldDocs.groupBy("lang").agg(count(lit(1)).as("old_n"))
-      .join(newDocs.groupBy("lang").agg(count(lit(1)).as("new_n")),
-        Seq("lang"), "full_outer")
+    // NULL langs fold into one named stratum BEFORE the join: NULL
+    // join keys never match, so a NULL-lang group on each side would
+    // emerge as two unpaired rows (old_n=0 and new_n=0) instead of a
+    // comparison — and a NULL would also sort before '_TOTAL' and
+    // NPE any string consumer. '_unknown' sorts after '_TOTAL'
+    // ('T' < 'u'), keeping the summary row first.
+    def counted(docs: org.apache.spark.sql.DataFrame, as: String) =
+      docs.select(coalesce(col("lang"), lit("_unknown")).as("lang"))
+        .groupBy("lang").agg(count(lit(1)).as(as))
+    val perLang = counted(oldDocs, "old_n")
+      .join(counted(newDocs, "new_n"), Seq("lang"), "full_outer")
       .select(col("lang"),
         coalesce(col("old_n"), lit(0L)).as("old_n"),
         coalesce(col("new_n"), lit(0L)).as("new_n"))

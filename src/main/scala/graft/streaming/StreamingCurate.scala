@@ -156,28 +156,25 @@ object StreamingCurate {
       }
     val prev = readCurated(prevGenDir)
     val cur = readCurated(genDir)
-    val json =
-      if (prev.isEmpty || cur.isEmpty)
-        """{"skipped":"empty snapshot — no composition to compare"}"""
-      else {
-        val rows = graft.report.DataCard.drift(prev.get, cur.get)
-          .collect().map { r =>
-          s"""{"lang":${jsonStr(r.getString(0))},"old_n":${r.getLong(1)},""" +
-            s""""new_n":${r.getLong(2)},"old_ppm":${r.getLong(3)},""" +
-            s""""new_ppm":${r.getLong(4)},"delta_ppm":${r.getLong(5)}}"""
-        }
-        s"""{"rows":[${rows.mkString(",")}]}"""
+    // jackson builds the document (the readResult/DataCard.write
+    // dependency — no hand-rolled string escaping to drift from it)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    if (prev.isEmpty || cur.isEmpty)
+      root.put("skipped", "empty snapshot — no composition to compare")
+    else {
+      val arr = root.putArray("rows")
+      graft.report.DataCard.drift(prev.get, cur.get).collect().foreach { r =>
+        val n = arr.addObject()
+        n.put("lang", r.getString(0))
+        n.put("old_n", r.getLong(1)); n.put("new_n", r.getLong(2))
+        n.put("old_ppm", r.getLong(3)); n.put("new_ppm", r.getLong(4))
+        n.put("delta_ppm", r.getLong(5))
       }
-    Fs.writeStringAtomic(s"$genDir/drift.json", json + "\n", hc)
+    }
+    Fs.writeStringAtomic(s"$genDir/drift.json",
+      mapper.writeValueAsString(root) + "\n", hc)
   }
-
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
 
   /** A committed generation's Result, rebuilt from its summary.json
     * (the artifact curate wrote at commit time — replays must re-emit

@@ -615,6 +615,13 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
         sourceCapPermille = Some(0)))
       intercept[IllegalArgumentException](Curate.Config(
         sourceCapPermille = Some(1000)))
+      // the dial survives a takedown rewrite: a takedown output is a
+      // valid baseDir for later incremental runs, so dropping the key
+      // would break the keep-the-dial-constant audit record mid-chain
+      Curate.runTakedown(spark, s"$root/on", s"$root/td",
+        Seq(0L).toDF("doc_id"))
+      assert(Files.readString(java.nio.file.Paths.get(s"$root/td/summary.json"))
+        .contains(""""source_cap":300"""))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

@@ -65,6 +65,21 @@ class MmrSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 1L, 10L), (2L, 1L, 30L), (2L, 2L, 31L)))
   }
 
+  test("duplicate candidate rows (crash-retry appends) don't punch holes in the selection") {
+    import spark.implicits._
+    val cands = Seq(
+      (1L, 10L, 100L, Seq(10L, 0L)),
+      (1L, 10L, 100L, Seq(10L, 0L)), // duplicate of the same candidate
+      (1L, 11L, 90L, Seq(0L, 10L))
+    ).toDF("query_id", "cand_id", "dot", "qv")
+    // without the pool dedup, size(cands)=3 > size(sel)=2 at step 3
+    // and the exhaustion guard admits a NULL pick into the output
+    val got = Mmr.rerank(cands, k = 3, lamNum = 7, lamDen = 10).collect()
+    assert(got.forall(r => !r.isNullAt(2)), "NULL hole in the selection")
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 10L), (2L, 11L)))
+  }
+
   test("lambda=1 degenerates to plain relevance order") {
     import spark.implicits._
     val cands = Seq(
