@@ -980,7 +980,8 @@ object IvfIndex {
 
   private def approxCore(spark: SparkSession, indexDir: String,
       probes: DataFrame, topK: Int, nprobe: Int,
-      excludeCands: Option[DataFrame]): DataFrame = {
+      excludeCands: Option[DataFrame],
+      keepQv: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the PASSED session's conf, not the thread-local active session's:
     // the parquet scan beside this read resolves through `spark`, and
@@ -1010,11 +1011,19 @@ object IvfIndex {
         broadcast(ex.select(col("vec_id").as("cand_id"))),
         Seq("cand_id"), "left_anti")
     }
+    // keepQv: same carry-through as searchCore's — searchDiverseApprox
+    // re-ranks over these vectors without a second scan
+    val candColsA =
+      if (keepQv)
+        Seq(col("query_id"), col("cand_id"),
+          IvfAnn.qdot("pq", "qv").as("dot"), col("qv"))
+      else
+        Seq(col("query_id"), col("cand_id"),
+          IvfAnn.qdot("pq", "qv").as("dot"))
     val cands = probeClusters.join(corpus,
         probeClusters("cluster") === corpus("cluster") &&
           col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        IvfAnn.qdot("pq", "qv").as("dot"))
+      .select(candColsA: _*)
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("cand_id"))
     cands.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= topK)
@@ -1060,6 +1069,26 @@ object IvfIndex {
     val topm = searchCore(spark, indexDir,
       dropTombstonedProbes(spark, indexDir, data.filter(probePred)), m,
       None, keepQv = true)
+      .select("query_id", "cand_id", "dot", "qv")
+    Mmr.rerank(topm, k, lamNum, lamDen)
+  }
+
+  /** [[searchDiverse]]'s scale dial: the candidate pool comes from the
+    * fixed-nprobe APPROXIMATE search (searchApprox's rationale — at
+    * production nlist the exact bound can touch many clusters; nprobe
+    * bounds the fan-out), then the same Mmr kernel re-ranks it. At
+    * nprobe = k-lists the pool equals searchExact's, so the trajectory
+    * equals searchDiverse's bit-exactly (IvfIndexSpec pins this, e14's
+    * posture); at smaller nprobe the pool — and hence the trajectory —
+    * is approximate by design. */
+  def searchDiverseApprox(spark: SparkSession, indexDir: String,
+      probePred: Column, k: Int = 8, m: Int = 24, nprobe: Int = 4,
+      lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+    require(m >= k, s"candidate pool m=$m must be >= k=$k")
+    val data = spark.read.parquet(s"$indexDir/data")
+    val topm = approxCore(spark, indexDir,
+      dropTombstonedProbes(spark, indexDir, data.filter(probePred)), m,
+      nprobe, None, keepQv = true)
       .select("query_id", "cand_id", "dot", "qv")
     Mmr.rerank(topm, k, lamNum, lamDen)
   }

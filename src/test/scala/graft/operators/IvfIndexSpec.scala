@@ -67,6 +67,13 @@ class IvfIndexSpec extends AnyFunSuite {
       val mmrSel = viaIndex.map(t => (t._1, t._3)).toSet
       assert(mmrSel !== topk,
         "MMR never diverged from plain top-k — diversity term inert on the fixture")
+      // the approximate variant at full fan-out reproduces the exact
+      // trajectory bit-exactly (e14's nprobe = k-lists posture)
+      val meta = IvfIndex.readMeta(out, spark.sessionState.newHadoopConf())
+      val viaApprox = IvfIndex.searchDiverseApprox(spark, out,
+        col("vec_id") < 8, nprobe = meta.centroids.length)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(viaApprox.toSeq === viaIndex.toSeq)
     } finally {
       rm(out)
       graft.queries.QueryDef.drainCleanups()
