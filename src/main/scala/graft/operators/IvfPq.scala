@@ -54,7 +54,7 @@ object IvfPq {
   /** PQ codes column: array<int> of M nearest-codeword indices. Ties
     * break on the lower index (struct sort), so encoding is
     * deterministic. */
-  private def codesCol(cb: Codebooks): Column = {
+  private[operators] def codesCol(cb: Codebooks): Column = {
     val perSub = (0 until cb.m).map { mi =>
       val sub = s"slice(cast(embedding as array<double>), ${mi * cb.subDim + 1}, ${cb.subDim})"
       val dists = cb.books(mi).zipWithIndex.map { case (cw, ki) =>
@@ -68,7 +68,7 @@ object IvfPq {
 
   /** Probe-side ADC table: flat array of M×K dot products between the
     * probe's m-th subvector and codeword k (index m*K + k). */
-  private def adcTableCol(cb: Codebooks): Column = {
+  private[operators] def adcTableCol(cb: Codebooks): Column = {
     val entries = for {
       mi <- 0 until cb.m
       ki <- 0 until cb.k
@@ -82,7 +82,7 @@ object IvfPq {
 
   /** Approximate dot of a probe (ADC table) against a candidate (codes):
     * sum over subspaces of table[m*K + code[m]]. */
-  private def adcScore(k: Int): Column =
+  private[operators] def adcScore(k: Int): Column =
     expr(s"aggregate(zip_with(codes, sequence(0, size(codes) - 1), " +
       s"(c, m) -> element_at(adc, m * $k + c + 1)), 0D, (a, v) -> a + v)")
 
@@ -92,7 +92,7 @@ object IvfPq {
     * ADC error bound: |dot(p,c) − dot(p,q(c))| ≤ ‖p‖·‖c−q(c)‖, which is
     * what lets [[knnExact]] shortlist with a guarantee instead of a
     * fixed factor. */
-  private def reconErrCol(cb: Codebooks): Column = {
+  private[operators] def reconErrCol(cb: Codebooks): Column = {
     val perSub = (0 until cb.m).map { mi =>
       val sub = s"slice(cast(embedding as array<double>), ${mi * cb.subDim + 1}, ${cb.subDim})"
       val dists = cb.books(mi).zipWithIndex.map { case (cw, ki) =>

@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Fs
+
+/** Persisted IVF-PQ layout — [[IvfPq]]'s memory-bound search over an
+  * on-disk index ([[IvfIndex]]'s cluster-partitioned posture):
+  *
+  *   data/cluster=<j>/…  (vec_id, embedding, codes, rerr) rows
+  *   meta.json           coarse centroids + pruning stats + the M×K
+  *                       PQ codebooks (atomic write, torn-read-free)
+  *
+  * What the layout buys at 100 TB: the ADC scoring pass reads ONLY the
+  * (vec_id, codes, rerr) columns — parquet is columnar, so the wide
+  * embedding column never leaves disk for candidates that the PQ
+  * bound screens out; real vectors are read once, for the provably-
+  * sufficient shortlist, under the same cluster partition filter. The
+  * cluster partition filter itself is the literal static pruning of
+  * IvfIndex.searchExact, so skipped clusters' files are never opened
+  * at all.
+  *
+  * [[searchExact]] is PROVABLY the e01 brute force (the e19 query runs
+  * it against e01's DuckDB oracle): candidate clusters come from
+  * IvfAnn's Cauchy-Schwarz bound, the ADC shortlist keeps every
+  * candidate whose upper bound (approx + ‖p‖·rerr + eps) meets the
+  * topK-th lower bound — IvfPq.knnExact's argument over the persisted
+  * codes — and the exact integer re-rank runs on the shortlist's real
+  * vectors. [[search]] is the fixed-nprobe + fixed-shortlist dial for
+  * corpora where the guarantee isn't worth the adaptive fan-out.
+  *
+  * Maintenance posture: the PQ index is a DERIVED artifact — codes are
+  * a pure function of (embedding, codebooks) and carry no bookkeeping
+  * of their own — so there is deliberately no append/delete/retrain
+  * surface here. A corpus that mutates lives in [[IvfIndex]] (which
+  * has the full tombstone/fold/retrain machinery); re-run [[write]]
+  * to re-derive the PQ artifact when the corpus or its drift warrants
+  * it. Training is deterministic (seedless md5-init Lloyd for both
+  * the coarse quantizer and every codebook), so a re-run over the
+  * same corpus is bit-identical.
+  */
+object PqIndex {
+
+  final case class Meta(coarseK: Int, dim: Int, maxNorm: Double,
+      centroids: Seq[Array[Double]], radius: Array[Double],
+      counts: Array[Long], books: IvfPq.Codebooks)
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Build + persist: coarse-assign every vector, encode its M PQ
+    * codes and reconstruction error, write cluster-partitioned. */
+  def write(spark: SparkSession, srcDir: String, indexDir: String,
+      coarseK: Int = 16, m: Int = 8, pqK: Int = 16, iters: Int = 2): Unit = {
+    graft.functions.ArrayMath.register(spark)
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val cents = IvfAnn.trainCentroids(emb, coarseK, iters)
+    val stats = IvfAnn.clusterStats(emb, cents)
+    val cb = IvfPq.trainCodebooks(emb, m, pqK, iters)
+    IvfAnn.assign(emb, cents)
+      .select(col("vec_id"), col("embedding"),
+        IvfPq.codesCol(cb).as("codes"), IvfPq.reconErrCol(cb).as("rerr"),
+        col("label").cast("int").as("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$indexDir/data")
+    writeMeta(indexDir, Meta(coarseK, cents.head.length, stats.maxNorm,
+      cents, stats.radius, stats.count, cb),
+      spark.sessionState.newHadoopConf())
+  }
+
+  /** EXACT top-k max-inner-product search (= the e01 brute force, see
+    * the object doc). Probe rows are read with `probePred` pushed to
+    * parquet; the ADC pass reads only (vec_id, codes, rerr) under the
+    * bound's literal cluster filter; real vectors are read for the
+    * shortlist only. */
+  def searchExact(spark: SparkSession, indexDir: String, probePred: Column,
+      topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.ArrayMath.register(spark)
+    val meta = readMeta(indexDir, spark.sessionState.newHadoopConf())
+    val stats = IvfAnn.ClusterStats(meta.radius, meta.counts, meta.maxNorm)
+    val data = spark.read.parquet(s"$indexDir/data")
+    val probes = data.filter(probePred)
+    val pnormCol = sqrt(graft.functions.ArrayMath.dot(
+      col("embedding").cast("array<double>"),
+      col("embedding").cast("array<double>")))
+    val probeClusters = probes
+      .withColumn("cdots", IvfAnn.dotArray(meta.centroids))
+      .withColumn("pnorm", pnormCol)
+      .withColumn("thr", IvfAnn.pruneThreshold(meta.centroids, stats, topK))
+      .select(col("vec_id").as("query_id"),
+        explode(IvfAnn.exactClusterList(meta.centroids, stats)).as("cluster"))
+    // bounded probe set ⇒ the needed-list union is driver metadata;
+    // literals guarantee static partition pruning (IvfIndex's pattern)
+    val needed = probeClusters.select("cluster").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val neededLits = needed.map(Integer.valueOf).toIndexedSeq
+    // ADC pass: the narrow columns ONLY — never the embedding
+    val codes = data.filter(col("cluster").isin(neededLits: _*))
+      .select(col("vec_id").as("cand_id"), col("codes"), col("rerr"),
+        col("cluster"))
+    val pairs = probeClusters.join(codes,
+        probeClusters("cluster") === codes("cluster") &&
+          col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("codes"), col("rerr"))
+    val probeTables = probes
+      .select(col("vec_id").as("query_id"),
+        IvfPq.adcTableCol(meta.books).as("adc"), pnormCol.as("pnorm"))
+    // same slack as IvfPq.knnExact: absorbs double round-off plus the
+    // double-vs-quantized-integer ranking discrepancy; slack only
+    // widens the shortlist, never loses a true neighbor
+    val eps = lit(IvfAnn.PruneEps) *
+      (lit(1.0) + col("pnorm") + lit(meta.maxNorm))
+    val w = Window.partitionBy("query_id")
+    val bounded = pairs
+      .join(broadcast(probeTables), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        IvfPq.adcScore(meta.books.k).as("approx"),
+        (col("pnorm") * col("rerr")).as("berr"), eps.as("eps"))
+      .select(col("query_id"), col("cand_id"),
+        (col("approx") - col("berr") - col("eps")).as("lo"),
+        (col("approx") + col("berr") + col("eps")).as("hi"))
+    val ranked = bounded.withColumn("lrk",
+      row_number().over(w.orderBy(col("lo").desc, col("cand_id"))))
+    val shortlist = ranked
+      .withColumn("thr", max(when(col("lrk") === topK, col("lo"))).over(w))
+      .filter(col("thr").isNull || col("hi") >= col("thr"))
+      .select("query_id", "cand_id")
+    rerank(data, probes, shortlist, neededLits, topK)
+  }
+
+  /** Fixed-nprobe + fixed-shortlist APPROXIMATE search — IvfPq.knn's
+    * dials over the persisted layout. */
+  def search(spark: SparkSession, indexDir: String, probePred: Column,
+      topK: Int = 10, nprobe: Int = 4, shortlistFactor: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.ArrayMath.register(spark)
+    val meta = readMeta(indexDir, spark.sessionState.newHadoopConf())
+    val data = spark.read.parquet(s"$indexDir/data")
+    val probes = data.filter(probePred)
+    val probeClusters = probes
+      .withColumn("dists", IvfAnn.distArray(meta.centroids))
+      .select(col("vec_id").as("query_id"),
+        explode(IvfAnn.nearestClusters(meta.centroids.length, nprobe))
+          .as("cluster"))
+    val needed = probeClusters.select("cluster").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val neededLits = needed.map(Integer.valueOf).toIndexedSeq
+    val codes = data.filter(col("cluster").isin(neededLits: _*))
+      .select(col("vec_id").as("cand_id"), col("codes"), col("cluster"))
+    val pairs = probeClusters.join(codes,
+        probeClusters("cluster") === codes("cluster") &&
+          col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("codes"))
+    val probeTables = probes.select(col("vec_id").as("query_id"),
+      IvfPq.adcTableCol(meta.books).as("adc"))
+    val w = Window.partitionBy("query_id")
+    val shortlist = pairs
+      .join(broadcast(probeTables), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        IvfPq.adcScore(meta.books.k).as("approx"))
+      .withColumn("ark", row_number().over(
+        w.orderBy(col("approx").desc, col("cand_id"))))
+      .filter(col("ark") <= shortlistFactor * topK)
+      .select("query_id", "cand_id")
+    rerank(data, probes, shortlist, neededLits, topK)
+  }
+
+  /** Exact integer re-rank of a shortlist: probe vectors via the
+    * pushed probe predicate, candidate vectors under the SAME cluster
+    * partition filter the candidate generation used (shortlist ⊆
+    * those clusters by construction). */
+  private def rerank(data: DataFrame, probes: DataFrame,
+      shortlist: DataFrame, neededLits: IndexedSeq[Integer],
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qvs = data.filter(col("cluster").isin(neededLits: _*))
+      .select(col("vec_id").as("cand_id"), expr(IvfAnn.quant).as("qv"))
+    val pqs = probes
+      .select(col("vec_id").as("query_id"), expr(IvfAnn.quant).as("pq"))
+    val w = Window.partitionBy("query_id")
+    shortlist
+      .join(broadcast(pqs), "query_id")
+      .join(qvs, "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        IvfAnn.qdot("pq", "qv").as("dot"))
+      .withColumn("rnk", row_number().over(
+        w.orderBy(col("dot").desc, col("cand_id"))).cast("bigint"))
+      .filter(col("rnk") <= topK)
+      .orderBy("query_id", "rnk")
+  }
+
+  private def writeMeta(indexDir: String, meta: Meta, c: Configuration): Unit = {
+    val root = mapper.createObjectNode()
+    root.put("coarse_k", meta.coarseK)
+    root.put("dim", meta.dim)
+    root.put("maxNorm", meta.maxNorm)
+    val cn = root.putArray("centroids")
+    meta.centroids.foreach { cc => val a = cn.addArray(); cc.foreach(a.add) }
+    val rn = root.putArray("radius"); meta.radius.foreach(rn.add)
+    val mn = root.putArray("counts"); meta.counts.foreach(mn.add)
+    root.put("pq_m", meta.books.m)
+    root.put("pq_k", meta.books.k)
+    root.put("pq_subdim", meta.books.subDim)
+    val bn = root.putArray("codebooks")
+    meta.books.books.foreach { book =>
+      val ba = bn.addArray()
+      book.foreach { cw => val a = ba.addArray(); cw.foreach(a.add) }
+    }
+    Fs.writeStringAtomic(s"$indexDir/meta.json",
+      mapper.writeValueAsString(root), c)
+  }
+
+  def readMeta(indexDir: String, c: Configuration): Meta = {
+    val root = mapper.readTree(Fs.readString(s"$indexDir/meta.json", c))
+    def darr(n: com.fasterxml.jackson.databind.JsonNode): Array[Double] =
+      (0 until n.size()).map(n.get(_).asDouble()).toArray
+    val cn = root.get("centroids")
+    val cents = (0 until cn.size()).map(i => darr(cn.get(i)))
+    val mn = root.get("counts")
+    val bn = root.get("codebooks")
+    val books = (0 until bn.size()).map { mi =>
+      val ba = bn.get(mi)
+      (0 until ba.size()).map(ki => darr(ba.get(ki))).toSeq
+    }.toSeq
+    Meta(root.get("coarse_k").asInt(), root.get("dim").asInt(),
+      root.get("maxNorm").asDouble(), cents, darr(root.get("radius")),
+      (0 until mn.size()).map(mn.get(_).asLong()).toArray,
+      IvfPq.Codebooks(root.get("pq_m").asInt(), root.get("pq_k").asInt(),
+        root.get("pq_subdim").asInt(), books))
+  }
+}

@@ -125,6 +125,26 @@ object Similarity {
     }
   }
 
+  /** Prebuilt persisted IVF-PQ index (operators.PqIndex), benchIndex's
+    * generate-once pattern: e19 measures the amortized exact PQ search
+    * — the narrow-column ADC scan + bounded shortlist re-rank a
+    * deployment pays per query once the codes artifact exists. */
+  private val benchPqIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def benchPqIndex(spark: SparkSession, dir: String): String = {
+    val stamp = sourceStamp(dir, "embeddings")
+    benchPqIndexDirs.get(dir) match {
+      case Some((s, out)) if s == stamp => out
+      case _ =>
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_pqindex_bench_").toString
+        sys.addShutdownHook { rmTree(out) }
+        graft.operators.PqIndex.write(spark, dir, out)
+        benchPqIndexDirs.put(dir, (stamp, out))
+        out
+    }
+  }
+
   /** Prebuilt MinHash band index over the m04 base split (doc_id % 5
     * != 0), benchIndex's generate-once pattern for the text side: m04
     * pays build+probe every pass (the honest one-off), m04b measures
@@ -1094,6 +1114,24 @@ object Similarity {
         SELECT query_id, step, cand_id, CAST(score AS BIGINT) AS mmr_score
         FROM sel8 ORDER BY query_id, step"""
       },
+      headline = true),
+
+    // ---------------------------------------------------------------- e19
+    // PERSISTED IVF-PQ exact search (operators.PqIndex) — the
+    // memory-bound index made durable: codes + reconstruction errors
+    // live cluster-partitioned beside the vectors, the ADC scoring
+    // pass reads ONLY the narrow columns (parquet columnar — the wide
+    // embedding column never leaves disk for screened-out candidates,
+    // PqIndexSpec pins the scan schema), and the Cauchy-Schwarz
+    // shortlist bound makes the exact re-rank provably the e01 brute
+    // force — so the same oracle applies (e06's posture on the e13b
+    // amortized pattern: the index builds once per process, each pass
+    // pays the search a deployment actually pays per query).
+    "e19_pq_index_search" -> QueryDef(
+      build = (spark, dir) =>
+        graft.operators.PqIndex.searchExact(spark, benchPqIndex(spark, dir),
+          col("vec_id") < 8),
+      oracle = Some(knnOracle),
       headline = true)
   )
 }
