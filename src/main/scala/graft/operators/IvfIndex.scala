@@ -196,15 +196,13 @@ object IvfIndex {
 
   private def readMetaRaw(indexDir: String, c: Configuration): Meta = {
     val node = mapper.readTree(Fs.readString(s"$indexDir/meta.json", c))
-    import scala.jdk.CollectionConverters._
     Meta(
       k = node.get("k").asInt(),
       dim = node.get("dim").asInt(),
       maxNorm = node.get("maxNorm").asDouble(),
-      centroids = node.get("centroids").elements().asScala
-        .map(row => row.elements().asScala.map(_.asDouble()).toArray).toSeq,
-      radius = node.get("radius").elements().asScala.map(_.asDouble()).toArray,
-      counts = node.get("counts").elements().asScala.map(_.asLong()).toArray,
+      centroids = IndexMetaJson.centroids(node),
+      radius = IndexMetaJson.doubles(node.get("radius")),
+      counts = IndexMetaJson.longs(node.get("counts")),
       lastBatch = Option(node.get("last_batch")).map(_.asLong()))
   }
 
@@ -941,11 +939,8 @@ object IvfIndex {
     val root = mapper.createObjectNode()
     root.put("k", meta.k)
     root.put("dim", meta.dim)
-    root.put("maxNorm", meta.maxNorm)
-    val cn = root.putArray("centroids")
-    meta.centroids.foreach { cc => val a = cn.addArray(); cc.foreach(a.add) }
-    val rn = root.putArray("radius"); meta.radius.foreach(rn.add)
-    val mn = root.putArray("counts"); meta.counts.foreach(mn.add)
+    IndexMetaJson.putCommon(root, meta.maxNorm, meta.centroids,
+      meta.radius, meta.counts)
     meta.lastBatch.foreach(b => root.put("last_batch", b))
     // temp + atomic rename: a reader never observes a torn meta.json
     Fs.writeStringAtomic(s"$indexDir/meta.json", mapper.writeValueAsString(root), c)
@@ -1077,10 +1072,10 @@ object IvfIndex {
     * fixed-nprobe APPROXIMATE search (searchApprox's rationale — at
     * production nlist the exact bound can touch many clusters; nprobe
     * bounds the fan-out), then the same Mmr kernel re-ranks it. At
-    * nprobe = k-lists the pool equals searchExact's, so the trajectory
-    * equals searchDiverse's bit-exactly (IvfIndexSpec pins this, e14's
-    * posture); at smaller nprobe the pool — and hence the trajectory —
-    * is approximate by design. */
+    * nprobe = all lists the top-m pool equals [[searchDiverse]]'s, so
+    * the greedy trajectory equals searchDiverse's bit-exactly
+    * (IvfIndexSpec pins this, e14's posture); at smaller nprobe the
+    * pool — and hence the trajectory — is approximate by design. */
   def searchDiverseApprox(spark: SparkSession, indexDir: String,
       probePred: Column, k: Int = 8, m: Int = 24, nprobe: Int = 4,
       lamNum: Int = 7, lamDen: Int = 10): DataFrame = {

@@ -104,6 +104,44 @@ object IvfPq {
     expr(s"sqrt(${perSub.mkString(" + ")})")
   }
 
+  /** The PROOF-CARRYING ADC shortlist — ONE definition, shared by
+    * [[knnExact]] and PqIndex.searchExact so the two "provably exact"
+    * paths cannot drift: score every candidate by ADC, bound the true
+    * dot in [approx − ‖p‖·rerr − eps, approx + ‖p‖·rerr + eps]
+    * (Cauchy-Schwarz over the reconstruction error; eps absorbs double
+    * round-off plus the double-vs-quantized-integer ranking
+    * discrepancy, scaled by the magnitudes in play — see
+    * IvfAnn.PruneEps; slack only widens the shortlist, never loses a
+    * true neighbor), and keep every candidate whose UPPER bound meets
+    * the topK-th largest LOWER bound of its probe. Probes with < topK
+    * candidates keep everything (null threshold).
+    *
+    * @param pairsWithCodes (query_id, cand_id, codes, rerr) candidate rows
+    * @param probeTables    (query_id, adc, pnorm) — bounded, broadcast
+    * @return (query_id, cand_id) rows provably containing every true
+    *         top-k member */
+  private[operators] def boundedShortlist(pairsWithCodes: DataFrame,
+      probeTables: DataFrame, pqK: Int, maxNorm: Double,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eps = lit(IvfAnn.PruneEps) *
+      (lit(1.0) + col("pnorm") + lit(maxNorm))
+    val w = Window.partitionBy("query_id")
+    val bounded = pairsWithCodes
+      .join(broadcast(probeTables), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        adcScore(pqK).as("approx"), (col("pnorm") * col("rerr")).as("berr"),
+        eps.as("eps"))
+      .select(col("query_id"), col("cand_id"),
+        (col("approx") - col("berr") - col("eps")).as("lo"),
+        (col("approx") + col("berr") + col("eps")).as("hi"))
+    bounded.withColumn("lrk",
+        row_number().over(w.orderBy(col("lo").desc, col("cand_id"))))
+      .withColumn("thr", max(when(col("lrk") === topK, col("lo"))).over(w))
+      .filter(col("thr").isNull || col("hi") >= col("thr"))
+      .select("query_id", "cand_id")
+  }
+
   /** EXACT top-k: adaptive-pruned IVF candidates (IvfAnn.exactCandidatePairs,
     * provably a superset of the true top-k) + PQ-ADC scoring with the
     * Cauchy-Schwarz error bound above. A candidate is dropped only when
@@ -130,31 +168,9 @@ object IvfPq {
       .select(col("vec_id").as("query_id"), adcTableCol(cb).as("adc"),
         expr("sqrt(array_dot(cast(embedding as array<double>), cast(embedding as array<double>)))")
           .as("pnorm"))
-    // eps absorbs double round-off plus the double-vs-quantized-integer
-    // ranking discrepancy, scaled by the vector magnitudes in play
-    // (see IvfAnn.PruneEps); slack only widens the shortlist, never
-    // loses a true neighbor
-    val eps = lit(IvfAnn.PruneEps) *
-      (lit(1.0) + col("pnorm") + lit(stats.maxNorm))
+    val shortlist = boundedShortlist(pairs.join(codes, "cand_id"),
+      probeTables, cb.k, stats.maxNorm, topK)
     val w = Window.partitionBy("query_id")
-    val bounded = pairs
-      .join(codes, "cand_id")
-      .join(broadcast(probeTables), "query_id") // probe set is bounded
-      .select(col("query_id"), col("cand_id"),
-        adcScore(cb.k).as("approx"), (col("pnorm") * col("rerr")).as("berr"),
-        eps.as("eps"))
-      .select(col("query_id"), col("cand_id"),
-        (col("approx") - col("berr") - col("eps")).as("lo"),
-        (col("approx") + col("berr") + col("eps")).as("hi"))
-    // topK-th largest lower bound per probe; probes with < topK
-    // candidates keep everything (null threshold)
-    val ranked = bounded.withColumn("lrk",
-      row_number().over(w.orderBy(col("lo").desc, col("cand_id"))))
-    val shortlist = ranked
-      .withColumn("thr", max(when(col("lrk") === topK, col("lo"))).over(w))
-      .filter(col("thr").isNull || col("hi") >= col("thr"))
-      .select("query_id", "cand_id")
-
     val qvs = emb.select(col("vec_id"), expr(IvfAnn.quant).as("qv"))
     val rer = shortlist
       .join(qvs.select(col("vec_id").as("query_id"), col("qv").as("pq")), "query_id")

@@ -49,15 +49,32 @@ object PqIndex {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** The in-progress-(re)build fence: present from just before the
+    * data overwrite until after the meta publish. The documented
+    * maintenance path is "re-run write to re-derive" — on an EXISTING
+    * index that overwrites data/ (new assignments, new codes) before
+    * meta.json, so a crash in the window leaves new partitions and
+    * codes under STALE centroids/codebooks: pruning bounds are wrong
+    * and ADC decodes against the wrong codewords — silent inexactness,
+    * the same hazard IvfIndex fences with RETRAINING. readMeta refuses
+    * while the marker exists; a write re-run converges (training is
+    * deterministic) and clears it. */
+  private def rebuildMarker(indexDir: String) = s"$indexDir/REBUILDING"
+
   /** Build + persist: coarse-assign every vector, encode its M PQ
-    * codes and reconstruction error, write cluster-partitioned. */
+    * codes and reconstruction error, write cluster-partitioned.
+    * Safe to re-run over an existing index (the re-derive maintenance
+    * path) — the REBUILDING fence covers the data-before-meta window. */
   def write(spark: SparkSession, srcDir: String, indexDir: String,
       coarseK: Int = 16, m: Int = 8, pqK: Int = 16, iters: Int = 2): Unit = {
     graft.functions.ArrayMath.register(spark)
+    val c = spark.sessionState.newHadoopConf()
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val cents = IvfAnn.trainCentroids(emb, coarseK, iters)
     val stats = IvfAnn.clusterStats(emb, cents)
     val cb = IvfPq.trainCodebooks(emb, m, pqK, iters)
+    Fs.mkdirs(indexDir, c)
+    Fs.writeStringAtomic(rebuildMarker(indexDir), "", c)
     IvfAnn.assign(emb, cents)
       .select(col("vec_id"), col("embedding"),
         IvfPq.codesCol(cb).as("codes"), IvfPq.reconErrCol(cb).as("rerr"),
@@ -65,15 +82,18 @@ object PqIndex {
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$indexDir/data")
     writeMeta(indexDir, Meta(coarseK, cents.head.length, stats.maxNorm,
-      cents, stats.radius, stats.count, cb),
-      spark.sessionState.newHadoopConf())
+      cents, stats.radius, stats.count, cb), c)
+    Fs.deleteTree(rebuildMarker(indexDir), c)
   }
 
   /** EXACT top-k max-inner-product search (= the e01 brute force, see
     * the object doc). Probe rows are read with `probePred` pushed to
     * parquet; the ADC pass reads only (vec_id, codes, rerr) under the
     * bound's literal cluster filter; real vectors are read for the
-    * shortlist only. */
+    * shortlist only (its ids pushed into the scan — see [[rerank]]).
+    * NOTE: building the returned frame RUNS the ADC job (the shortlist
+    * collects on the driver, like the needed-cluster literals); the
+    * returned frame itself contains only the re-rank. */
   def searchExact(spark: SparkSession, indexDir: String, probePred: Column,
       topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -107,27 +127,12 @@ object PqIndex {
     val probeTables = probes
       .select(col("vec_id").as("query_id"),
         IvfPq.adcTableCol(meta.books).as("adc"), pnormCol.as("pnorm"))
-    // same slack as IvfPq.knnExact: absorbs double round-off plus the
-    // double-vs-quantized-integer ranking discrepancy; slack only
-    // widens the shortlist, never loses a true neighbor
-    val eps = lit(IvfAnn.PruneEps) *
-      (lit(1.0) + col("pnorm") + lit(meta.maxNorm))
-    val w = Window.partitionBy("query_id")
-    val bounded = pairs
-      .join(broadcast(probeTables), "query_id")
-      .select(col("query_id"), col("cand_id"),
-        IvfPq.adcScore(meta.books.k).as("approx"),
-        (col("pnorm") * col("rerr")).as("berr"), eps.as("eps"))
-      .select(col("query_id"), col("cand_id"),
-        (col("approx") - col("berr") - col("eps")).as("lo"),
-        (col("approx") + col("berr") + col("eps")).as("hi"))
-    val ranked = bounded.withColumn("lrk",
-      row_number().over(w.orderBy(col("lo").desc, col("cand_id"))))
-    val shortlist = ranked
-      .withColumn("thr", max(when(col("lrk") === topK, col("lo"))).over(w))
-      .filter(col("thr").isNull || col("hi") >= col("thr"))
-      .select("query_id", "cand_id")
-    rerank(data, probes, shortlist, neededLits, topK)
+    // the proof-carrying shortlist bound is ONE definition with the
+    // in-memory path (IvfPq.boundedShortlist) — the two "provably
+    // exact" implementations cannot drift
+    val shortlist = IvfPq.boundedShortlist(pairs, probeTables,
+      meta.books.k, meta.maxNorm, topK)
+    rerank(spark, data, probes, shortlist, neededLits, topK)
   }
 
   /** Fixed-nprobe + fixed-shortlist APPROXIMATE search — IvfPq.knn's
@@ -164,23 +169,43 @@ object PqIndex {
         w.orderBy(col("approx").desc, col("cand_id"))))
       .filter(col("ark") <= shortlistFactor * topK)
       .select("query_id", "cand_id")
-    rerank(data, probes, shortlist, neededLits, topK)
+    rerank(spark, data, probes, shortlist, neededLits, topK)
   }
 
-  /** Exact integer re-rank of a shortlist: probe vectors via the
-    * pushed probe predicate, candidate vectors under the SAME cluster
-    * partition filter the candidate generation used (shortlist ⊆
-    * those clusters by construction). */
-  private def rerank(data: DataFrame, probes: DataFrame,
+  /** Exact integer re-rank of a shortlist. The shortlist is
+    * driver-sized BY CONSTRUCTION (bounded probe set × per-probe
+    * shortlist — the same contract that already collects the needed
+    * cluster literals), so it is collected once: its (query, cand)
+    * pairs re-enter as a broadcast local frame (the ADC subtree runs
+    * ONCE, not once for the collect and once for a join), and its
+    * candidate ids become an isin predicate on the vectors scan —
+    * cluster-partition pruning narrows to the bound's clusters,
+    * row-group stats + the pushed id filter narrow WITHIN them, so
+    * only shortlist rows surface from the scan (page IO stays
+    * row-group granular, as with any columnar store). Probe vectors
+    * read via the pushed probe predicate. */
+  private def rerank(spark: SparkSession, data: DataFrame, probes: DataFrame,
       shortlist: DataFrame, neededLits: IndexedSeq[Integer],
       topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qvs = data.filter(col("cluster").isin(neededLits: _*))
+    val pairsLocal = shortlist.collect().map(r => (r.getLong(0), r.getLong(1)))
+    import spark.implicits._
+    val local = broadcast(
+      spark.createDataset(pairsLocal.toSeq).toDF("query_id", "cand_id"))
+    val candIds = pairsLocal.map(_._2).distinct.sorted
+      .map(java.lang.Long.valueOf).toIndexedSeq
+    // an empty probe set yields an empty shortlist — isin() with zero
+    // values is malformed, so short-circuit the filter instead
+    val idFilter =
+      if (candIds.isEmpty) lit(false)
+      else col("vec_id").isin(candIds: _*)
+    val qvs = data
+      .filter(col("cluster").isin(neededLits: _*) && idFilter)
       .select(col("vec_id").as("cand_id"), expr(IvfAnn.quant).as("qv"))
     val pqs = probes
       .select(col("vec_id").as("query_id"), expr(IvfAnn.quant).as("pq"))
     val w = Window.partitionBy("query_id")
-    shortlist
+    local
       .join(broadcast(pqs), "query_id")
       .join(qvs, "cand_id")
       .select(col("query_id"), col("cand_id"),
@@ -195,11 +220,8 @@ object PqIndex {
     val root = mapper.createObjectNode()
     root.put("coarse_k", meta.coarseK)
     root.put("dim", meta.dim)
-    root.put("maxNorm", meta.maxNorm)
-    val cn = root.putArray("centroids")
-    meta.centroids.foreach { cc => val a = cn.addArray(); cc.foreach(a.add) }
-    val rn = root.putArray("radius"); meta.radius.foreach(rn.add)
-    val mn = root.putArray("counts"); meta.counts.foreach(mn.add)
+    IndexMetaJson.putCommon(root, meta.maxNorm, meta.centroids,
+      meta.radius, meta.counts)
     root.put("pq_m", meta.books.m)
     root.put("pq_k", meta.books.k)
     root.put("pq_subdim", meta.books.subDim)
@@ -213,20 +235,22 @@ object PqIndex {
   }
 
   def readMeta(indexDir: String, c: Configuration): Meta = {
+    if (Fs.exists(rebuildMarker(indexDir), c))
+      throw new IllegalStateException(
+        s"$indexDir: interrupted PqIndex.write (REBUILDING marker present) " +
+          "— data and meta may be mixed-generation (codes under stale " +
+          "codebooks prune incorrectly); re-run PqIndex.write to converge " +
+          "(training is deterministic) before searching")
     val root = mapper.readTree(Fs.readString(s"$indexDir/meta.json", c))
-    def darr(n: com.fasterxml.jackson.databind.JsonNode): Array[Double] =
-      (0 until n.size()).map(n.get(_).asDouble()).toArray
-    val cn = root.get("centroids")
-    val cents = (0 until cn.size()).map(i => darr(cn.get(i)))
-    val mn = root.get("counts")
     val bn = root.get("codebooks")
     val books = (0 until bn.size()).map { mi =>
       val ba = bn.get(mi)
-      (0 until ba.size()).map(ki => darr(ba.get(ki))).toSeq
+      (0 until ba.size()).map(ki => IndexMetaJson.doubles(ba.get(ki))).toSeq
     }.toSeq
     Meta(root.get("coarse_k").asInt(), root.get("dim").asInt(),
-      root.get("maxNorm").asDouble(), cents, darr(root.get("radius")),
-      (0 until mn.size()).map(mn.get(_).asLong()).toArray,
+      root.get("maxNorm").asDouble(), IndexMetaJson.centroids(root),
+      IndexMetaJson.doubles(root.get("radius")),
+      IndexMetaJson.longs(root.get("counts")),
       IvfPq.Codebooks(root.get("pq_m").asInt(), root.get("pq_k").asInt(),
         root.get("pq_subdim").asInt(), books))
   }

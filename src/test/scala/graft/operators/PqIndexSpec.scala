@@ -78,22 +78,71 @@ class PqIndexSpec extends AnyFunSuite {
     } finally rm(out)
   }
 
-  test("the ADC scoring scan never reads the embedding column") {
+  test("REBUILDING fence: a crashed re-derive refuses until a write re-run clears it") {
     val out = tmpDir()
     try {
       PqIndex.write(spark, dir, out)
-      val plan = PqIndex.searchExact(spark, out, col("vec_id") < 8)
-        .queryExecution.executedPlan.toString
-      val dataScans = plan.linesIterator
-        .filter(l => l.contains("FileScan parquet") && l.contains(out)).toSeq
-      assert(dataScans.nonEmpty, plan)
-      // at least one scan carries codes WITHOUT embedding — the ADC
-      // pass; probe and re-rank scans legitimately read the vectors
-      assert(dataScans.exists(l =>
-        l.contains("codes") && !l.contains("embedding")),
-        s"ADC pass read the embedding column:\n${dataScans.mkString("\n")}")
-      // and the cluster partition filter is literal (static pruning)
-      assert(plan.contains("PartitionFilters"), plan)
+      // simulate the crash window: marker present over a complete index
+      // (the dangerous state is data committed, meta stale — readers
+      // cannot tell, so the marker must refuse unconditionally)
+      val hc = spark.sessionState.newHadoopConf()
+      graft.util.Fs.writeStringAtomic(s"$out/REBUILDING", "", hc)
+      val e = intercept[IllegalStateException](
+        PqIndex.searchExact(spark, out, col("vec_id") < 8).collect())
+      assert(e.getMessage.contains("REBUILDING"), e.getMessage)
+      assert(e.getMessage.contains("re-run PqIndex.write"), e.getMessage)
+      // the documented recovery converges and clears the fence
+      PqIndex.write(spark, dir, out)
+      assert(!graft.util.Fs.exists(s"$out/REBUILDING", hc))
+      assert(PqIndex.searchExact(spark, out, col("vec_id") < 8)
+        .count() === 80L)
     } finally rm(out)
+  }
+
+  test("ADC scan never reads embeddings; re-rank scan is id-pushed and cluster-pruned") {
+    val out = tmpDir()
+    // the shortlist collects inside searchExact (driver-sized by the
+    // probe-set contract), so the ADC subtree executes as its own job
+    // — capture every execution's plan via a listener instead of
+    // inspecting only the returned frame's (re-rank) plan
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      PqIndex.write(spark, dir, out)
+      PqIndex.searchExact(spark, out, col("vec_id") < 8).collect()
+      def dataScans = plans.synchronized {
+        plans.flatMap(_.linesIterator)
+          .filter(l => l.contains("FileScan parquet") && l.contains(out)).toSeq
+      }
+      // the listener bus is async — poll briefly for the ADC plan
+      var tries = 0
+      while (tries < 100 && !dataScans.exists(l =>
+          l.contains("codes") && !l.contains("embedding"))) {
+        Thread.sleep(100); tries += 1
+      }
+      val scans = dataScans
+      // the ADC pass reads codes WITHOUT the embedding column — the PQ
+      // memory claim; probe and re-rank scans legitimately read vectors
+      assert(scans.exists(l => l.contains("codes") && !l.contains("embedding")),
+        s"ADC pass read the embedding column:\n${scans.mkString("\n")}")
+      // the re-rank vectors scan carries the pushed shortlist-id filter
+      // AND the literal cluster partition filter — only shortlist rows
+      // surface from the wide column
+      assert(scans.exists(l => l.contains("In(vec_id") &&
+        l.contains("PartitionFilters: [cluster")),
+        s"re-rank scan missing id pushdown / cluster pruning:\n${scans.mkString("\n")}")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      rm(out)
+    }
   }
 }
