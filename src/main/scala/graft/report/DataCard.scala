@@ -37,21 +37,26 @@ object DataCard {
     * a division by zero dressed up as drift.
     *
     * Cost: one counting aggregate per snapshot; the drift arithmetic
-    * runs on the language-sized frame, which is persisted only for the
+    * runs on the stratum-sized frame, which is persisted only for the
     * duration of the call (the returned frame is localCheckpoint'ed —
-    * lang-count rows — so no lineage pins the inputs afterwards). */
+    * stratum-count rows — so no lineage pins the inputs afterwards).
+    *
+    * @param by the stratum column (default "lang"; "source" gives the
+    *           per-domain composition drift — the anti-spam monitor's
+    *           view). The output's stratum column carries this name. */
   def drift(oldDocs: org.apache.spark.sql.DataFrame,
-      newDocs: org.apache.spark.sql.DataFrame)
+      newDocs: org.apache.spark.sql.DataFrame,
+      by: String = "lang")
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    // NULL langs fold into one named stratum BEFORE the join: NULL
-    // join keys never match, so a NULL-lang group on each side would
+    // NULL strata fold into one named stratum BEFORE the join: NULL
+    // join keys never match, so a NULL group on each side would
     // emerge as two unpaired rows (old_n=0 and new_n=0) instead of a
     // comparison — and a NULL would also sort before '_TOTAL' and
     // NPE any string consumer. '_unknown' sorts after '_TOTAL'
     // ('T' < 'u'), keeping the summary row first.
     def counted(docs: org.apache.spark.sql.DataFrame, as: String) =
-      docs.select(coalesce(col("lang"), lit("_unknown")).as("lang"))
+      docs.select(coalesce(col(by), lit("_unknown")).as("lang"))
         .groupBy("lang").agg(count(lit(1)).as(as))
     val perLang = counted(oldDocs, "old_n")
       .join(counted(newDocs, "new_n"), Seq("lang"), "full_outer")
@@ -67,6 +72,7 @@ object DataCard {
         "drift needs two non-empty snapshots (an empty side turns every " +
           "share into a division by zero)")
       graft.queries.Documents.driftFromCounts(perLang)
+        .withColumnRenamed("lang", by)
         .localCheckpoint(true)
     } finally {
       perLang.unpersist(false); ()

@@ -67,6 +67,22 @@ class DataCardSpec extends AnyFunSuite {
     graft.queries.QueryDef.drainCleanups()
   }
 
+  test("drift by an alternate stratum column: source composition") {
+    import spark.implicits._
+    def frame(rows: Seq[(Long, String)]) =
+      rows.map { case (id, s) => (id, s"text $id", "en", s, 7L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // old: s0 1, s1 3; new: s0 2, s1 2 → s0 250000→500000 (+250000),
+    // s1 750000→500000 (−250000); TVD 250000
+    val oldDocs = frame(Seq((0L, "s1"), (1L, "s1"), (2L, "s1"), (3L, "s0")))
+    val newDocs = frame(Seq((10L, "s0"), (11L, "s0"), (12L, "s1"), (13L, "s1")))
+    val got = DataCard.drift(oldDocs, newDocs, by = "source")
+    assert(got.columns.head === "source")
+    val rows = got.collect().map(r => (r.getString(0), r.getLong(5)))
+    assert(rows.toSeq === Seq(
+      ("_TOTAL", 250000L), ("s0", 250000L), ("s1", -250000L)))
+  }
+
   test("drift refuses an empty snapshot loudly") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val empty = docs.filter(col("doc_id") < 0)
