@@ -740,6 +740,82 @@ object Documents {
         FROM ranked, tot WHERE rk * 1000 > n_total * 30
         ORDER BY source, rk""")),
 
+    // ---------------------------------------------------------------- d26
+    // Vocabulary drift between two snapshots — the OOV/content-shift
+    // monitor beside d25's composition report: how many token TYPES
+    // are novel in the new snapshot (and how many disappeared), and —
+    // the number that actually predicts tokenizer pain — what fraction
+    // of the new snapshot's token OCCURRENCES are novel types (a
+    // thousand hapax neologisms matter less than one high-frequency
+    // new term). Exact integers: counts and ppm by cross-division.
+    // Same deterministic parity stand-in as d25; lowercased types
+    // (d09's vocabulary convention, ASCII caveat documented on the
+    // object).
+    //
+    // 100 TB shape: ONE corpus scan → explode → (token) groupBy with
+    // per-parity conditional sums, map-side combined so shuffle volume
+    // is the distinct vocabulary, not token instances; the final fold
+    // over the vocabulary frame is a second (small) aggregate. Output
+    // is a tall (metric, value) relation — c15's shape.
+    "d26_vocab_drift" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = QueryDef.spread(spark, dir, "documents")
+        val tok = docs.select((col("doc_id") % 2 === 0).as("is_old"),
+            explode(expr(s"filter(split(lower(text), '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')"))
+              .as("token"))
+        val vocab = tok.groupBy("token")
+          .agg(sum(when(col("is_old"), 1L).otherwise(0L)).as("old_n"),
+            sum(when(!col("is_old"), 1L).otherwise(0L)).as("new_n"))
+        val agg = vocab.groupBy().agg(
+          sum(when(col("old_n") > 0, 1L).otherwise(0L)).as("types_old"),
+          sum(when(col("new_n") > 0, 1L).otherwise(0L)).as("types_new"),
+          sum(when(col("old_n") > 0 && col("new_n") > 0, 1L).otherwise(0L))
+            .as("shared_types"),
+          sum(when(col("old_n") === 0 && col("new_n") > 0, 1L).otherwise(0L))
+            .as("new_types"),
+          sum(when(col("old_n") > 0 && col("new_n") === 0, 1L).otherwise(0L))
+            .as("lost_types"),
+          sum(when(col("old_n") === 0, col("new_n")).otherwise(0L))
+            .as("novel_occ"),
+          sum(col("new_n")).as("new_occ"))
+        agg.selectExpr(
+          "stack(6, 'types_old', types_old, 'types_new', types_new, " +
+            "'shared_types', shared_types, 'new_types', new_types, " +
+            "'lost_types', lost_types, " +
+            "'novel_occurrence_ppm', novel_occ * 1000000 div new_occ) " +
+            "AS (metric, value)")
+          .orderBy("metric")
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id % 2 = 0 AS is_old,
+                 unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                   t -> t <> '')) AS token
+          FROM documents),
+        vocab AS (
+          SELECT token,
+                 CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS old_n,
+                 CAST(SUM(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT) AS new_n
+          FROM tok GROUP BY token),
+        agg AS (
+          SELECT
+            CAST(SUM(CASE WHEN old_n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS types_old,
+            CAST(SUM(CASE WHEN new_n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS types_new,
+            CAST(SUM(CASE WHEN old_n > 0 AND new_n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS shared_types,
+            CAST(SUM(CASE WHEN old_n = 0 AND new_n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS new_types,
+            CAST(SUM(CASE WHEN old_n > 0 AND new_n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS lost_types,
+            CAST(SUM(CASE WHEN old_n = 0 THEN new_n ELSE 0 END) AS BIGINT) AS novel_occ,
+            CAST(SUM(new_n) AS BIGINT) AS new_occ
+          FROM vocab)
+        SELECT metric, value FROM (
+          SELECT 'types_old' AS metric, types_old AS value FROM agg
+          UNION ALL SELECT 'types_new', types_new FROM agg
+          UNION ALL SELECT 'shared_types', shared_types FROM agg
+          UNION ALL SELECT 'new_types', new_types FROM agg
+          UNION ALL SELECT 'lost_types', lost_types FROM agg
+          UNION ALL SELECT 'novel_occurrence_ppm', novel_occ * 1000000 // new_occ FROM agg)
+        ORDER BY metric""")),
+
     // ---------------------------------------------------------------- d25
     // Corpus composition DRIFT between two snapshots — the monitoring
     // report a generation-over-generation ingest (StreamingCurate's
