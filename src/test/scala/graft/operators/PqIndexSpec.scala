@@ -123,10 +123,16 @@ class PqIndexSpec extends AnyFunSuite {
         plans.flatMap(_.linesIterator)
           .filter(l => l.contains("FileScan parquet") && l.contains(out)).toSeq
       }
-      // the listener bus is async — poll briefly for the ADC plan
+      // the listener bus is async — poll until BOTH executions' plans
+      // (the internal ADC job AND the returned re-rank frame) arrive;
+      // waiting for only the first made the second assert flake under
+      // full-suite listener-bus load
+      def adcSeen = dataScans.exists(l =>
+        l.contains("codes") && !l.contains("embedding"))
+      def rerankSeen = dataScans.exists(l => l.contains("In(vec_id") &&
+        l.contains("PartitionFilters: [cluster"))
       var tries = 0
-      while (tries < 100 && !dataScans.exists(l =>
-          l.contains("codes") && !l.contains("embedding"))) {
+      while (tries < 300 && !(adcSeen && rerankSeen)) {
         Thread.sleep(100); tries += 1
       }
       val scans = dataScans
