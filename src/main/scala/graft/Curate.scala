@@ -610,6 +610,18 @@ object Curate {
     // NULL-split suppressors, and the summary all see the capped
     // corpus. Persisted: four consumers below would otherwise re-run
     // the rank window per read.
+    //
+    // DELIBERATELY single-pass, not a fixed point: the cap is N
+    // permille of the PRE-cap kept total, and the flips are not
+    // re-normalized. A source that dominated the kept set (say 90%)
+    // can therefore still exceed N permille of the FINAL kept set —
+    // e.g. 100 kept docs, one source holding 90, cap 300‰: it keeps
+    // 30 of 70 survivors ≈ 429‰. This matches the C4/CCNet posture
+    // (the cap bounds a source's absolute volume against the
+    // snapshot, a stable, order-independent base) and keeps the drop
+    // list oracle-able (d24); iterating to a fixed point would make
+    // each source's retention depend on every other source's, and the
+    // result would no longer be a per-source rank cut.
     val finalVerdicts = cfg.sourceCapPermille match {
       case None => verdicts
       case Some(p) =>

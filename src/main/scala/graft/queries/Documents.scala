@@ -670,9 +670,14 @@ object Documents {
           .withColumn("quota_tokens",
             col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
           .select(col("lang"), col("n_tok"), col("quota_tokens"),
-            expr("cast((quota_tokens + n_tok - 1) div n_tok as bigint)")
-              .as("epochs"),
-            expr("""cast(CASE WHEN quota_tokens = 0 THEN 0
+            // n_tok = 0 (a language whose docs are all empty) can still
+            // win quota 1 from largest-remainder — guard the division so
+            // Spark's NULL and DuckDB's //-error both become a defined 0
+            expr("""cast(CASE WHEN n_tok = 0 THEN 0
+                              ELSE (quota_tokens + n_tok - 1) div n_tok
+                         END as bigint)""").as("epochs"),
+            expr("""cast(CASE WHEN n_tok = 0 THEN 0
+                              WHEN quota_tokens = 0 THEN 0
                               WHEN quota_tokens % n_tok = 0 THEN 1000
                               ELSE (quota_tokens % n_tok) * 1000 div n_tok
                          END as bigint)""").as("last_epoch_permille"))
@@ -702,8 +707,11 @@ object Documents {
                  base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS quota_tokens
           FROM ranked)
         SELECT lang, n_tok, CAST(quota_tokens AS BIGINT) AS quota_tokens,
-               CAST((quota_tokens + n_tok - 1) // n_tok AS BIGINT) AS epochs,
-               CAST(CASE WHEN quota_tokens = 0 THEN 0
+               CAST(CASE WHEN n_tok = 0 THEN 0
+                         ELSE (quota_tokens + n_tok - 1) // n_tok
+                    END AS BIGINT) AS epochs,
+               CAST(CASE WHEN n_tok = 0 THEN 0
+                         WHEN quota_tokens = 0 THEN 0
                          WHEN quota_tokens % n_tok = 0 THEN 1000
                          ELSE quota_tokens % n_tok * 1000 // n_tok
                     END AS BIGINT) AS last_epoch_permille
@@ -782,7 +790,9 @@ object Documents {
           "stack(6, 'types_old', types_old, 'types_new', types_new, " +
             "'shared_types', shared_types, 'new_types', new_types, " +
             "'lost_types', lost_types, " +
-            "'novel_occurrence_ppm', novel_occ * 1000000 div new_occ) " +
+            "'novel_occurrence_ppm', " +
+            "CASE WHEN new_occ > 0 THEN novel_occ * 1000000 div new_occ " +
+            "ELSE 0L END) " +
             "AS (metric, value)")
           .orderBy("metric")
       },
@@ -813,7 +823,8 @@ object Documents {
           UNION ALL SELECT 'shared_types', shared_types FROM agg
           UNION ALL SELECT 'new_types', new_types FROM agg
           UNION ALL SELECT 'lost_types', lost_types FROM agg
-          UNION ALL SELECT 'novel_occurrence_ppm', novel_occ * 1000000 // new_occ FROM agg)
+          UNION ALL SELECT 'novel_occurrence_ppm',
+            CASE WHEN new_occ > 0 THEN novel_occ * 1000000 // new_occ ELSE 0 END FROM agg)
         ORDER BY metric""")),
 
     // ---------------------------------------------------------------- d25
@@ -866,7 +877,7 @@ object Documents {
           FROM pl, tot)
         SELECT lang, old_n, new_n, old_ppm, new_ppm, delta_ppm FROM sh
         UNION ALL
-        SELECT '_TOTAL', SUM(old_n), SUM(new_n),
+        SELECT '_TOTAL', CAST(SUM(old_n) AS BIGINT), CAST(SUM(new_n) AS BIGINT),
                CAST(1000000 AS BIGINT), CAST(1000000 AS BIGINT),
                CAST(SUM(abs(delta_ppm)) // 2 AS BIGINT)
         FROM sh
