@@ -43,9 +43,35 @@ import graft.util.Fs
   */
 object PqIndex {
 
+  /** Source-corpus fingerprint captured at [[write]] time: row count +
+    * max vec_id of the embeddings the codes were derived from. Cheap
+    * (one agg over a column parquet already exposes in stats), and it
+    * catches the two mutations a derived index actually suffers in
+    * practice — appends (rows/maxId grow) and deletes (rows shrink).
+    * It deliberately does NOT hash content: an in-place overwrite of
+    * an embedding at a stable vec_id is invisible to it, which is the
+    * documented residual risk (see [[health]]). */
+  final case class SrcFp(rows: Long, maxId: Long)
+
+  /** [[health]]'s verdict: the stored fingerprint vs the source NOW.
+    * `stale` = the corpus moved since the codes were derived; `fp` is
+    * None for a pre-fingerprint index (treat as unknown → re-derive). */
+  final case class Health(fp: Option[SrcFp], src: SrcFp, stale: Boolean)
+
   final case class Meta(coarseK: Int, dim: Int, maxNorm: Double,
       centroids: Seq[Array[Double]], radius: Array[Double],
-      counts: Array[Long], books: IvfPq.Codebooks)
+      counts: Array[Long], books: IvfPq.Codebooks,
+      srcFp: Option[SrcFp] = None)
+
+  /** Driver-materialization ceiling for the re-rank shortlist, in
+    * (query, cand) pairs — ~64 MB of longs at the default. The
+    * shortlist is bounded BY CONTRACT (bounded probe set × per-probe
+    * shortlist), but nothing upstream enforces the contract on a
+    * caller's probePred; this dial makes a violation fail loudly
+    * BEFORE the driver holds more than maxShortlist+1 rows
+    * (BpeTrainer's maxPairs posture). Raise it deliberately for a
+    * genuinely larger bounded probe set. */
+  val DefaultMaxShortlist: Int = 4 << 20
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -73,6 +99,7 @@ object PqIndex {
     val cents = IvfAnn.trainCentroids(emb, coarseK, iters)
     val stats = IvfAnn.clusterStats(emb, cents)
     val cb = IvfPq.trainCodebooks(emb, m, pqK, iters)
+    val fp = srcFingerprint(emb)
     Fs.mkdirs(indexDir, c)
     Fs.writeStringAtomic(rebuildMarker(indexDir), "", c)
     IvfAnn.assign(emb, cents)
@@ -82,8 +109,46 @@ object PqIndex {
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$indexDir/data")
     writeMeta(indexDir, Meta(coarseK, cents.head.length, stats.maxNorm,
-      cents, stats.radius, stats.count, cb), c)
+      cents, stats.radius, stats.count, cb, Some(fp)), c)
     Fs.deleteTree(rebuildMarker(indexDir), c)
+  }
+
+  /** One count/max agg over the id column — parquet answers it from
+    * footer stats, no data pages. maxId is -1 for an empty corpus. */
+  private def srcFingerprint(emb: DataFrame): SrcFp = {
+    val r = emb.agg(count(lit(1)).cast("long"),
+      coalesce(max(col("vec_id")).cast("long"), lit(-1L))).head()
+    SrcFp(r.getLong(0), r.getLong(1))
+  }
+
+  /** Staleness check for the derived artifact: compares the
+    * fingerprint recorded at [[write]] time against `srcDir` NOW.
+    * A PqIndex has no append/delete surface by design, so a corpus
+    * that moved on (appends grow rows/maxId, deletes shrink rows)
+    * silently under-serves until someone re-derives — this makes the
+    * divergence observable ([[IvfIndex]].health's posture for the
+    * mutable sibling). An index written before fingerprints (fp None)
+    * reports stale: unknown provenance is treated as the unsafe
+    * direction. In-place overwrites at stable vec_ids are NOT caught
+    * (fingerprint is count+maxId, not a content hash — see [[SrcFp]]). */
+  def health(spark: SparkSession, indexDir: String, srcDir: String): Health = {
+    val meta = readMeta(indexDir, spark.sessionState.newHadoopConf())
+    val src = srcFingerprint(
+      spark.read.parquet(s"$srcDir/embeddings.parquet"))
+    Health(meta.srcFp, src, stale = !meta.srcFp.contains(src))
+  }
+
+  /** Loud freshness gate for the search paths: a search that names its
+    * source corpus refuses to serve from a stale derivation. */
+  private def requireFresh(spark: SparkSession, indexDir: String,
+      meta: Meta, srcDir: String): Unit = {
+    val src = srcFingerprint(
+      spark.read.parquet(s"$srcDir/embeddings.parquet"))
+    if (!meta.srcFp.contains(src))
+      throw new IllegalStateException(
+        s"$indexDir: stale PqIndex — derived from ${meta.srcFp.getOrElse("<no fingerprint (pre-r17 index)>")} " +
+          s"but $srcDir is now $src; codes are a derived artifact, " +
+          "re-run PqIndex.write to re-derive (deterministic) before serving")
   }
 
   /** EXACT top-k max-inner-product search (= the e01 brute force, see
@@ -93,12 +158,19 @@ object PqIndex {
     * shortlist only (its ids pushed into the scan — see [[rerank]]).
     * NOTE: building the returned frame RUNS the ADC job (the shortlist
     * collects on the driver, like the needed-cluster literals); the
-    * returned frame itself contains only the re-rank. */
+    * returned frame itself contains only the re-rank.
+    *
+    * `verifySrcDir`: when given, refuse to serve from an index whose
+    * source corpus moved since derivation (see [[health]]).
+    * `maxShortlist`: loud ceiling on the driver-collected shortlist —
+    * see [[DefaultMaxShortlist]]. */
   def searchExact(spark: SparkSession, indexDir: String, probePred: Column,
-      topK: Int = 10): DataFrame = {
+      topK: Int = 10, verifySrcDir: Option[String] = None,
+      maxShortlist: Int = DefaultMaxShortlist): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.ArrayMath.register(spark)
     val meta = readMeta(indexDir, spark.sessionState.newHadoopConf())
+    verifySrcDir.foreach(requireFresh(spark, indexDir, meta, _))
     val stats = IvfAnn.ClusterStats(meta.radius, meta.counts, meta.maxNorm)
     val data = spark.read.parquet(s"$indexDir/data")
     val probes = data.filter(probePred)
@@ -132,16 +204,20 @@ object PqIndex {
     // exact" implementations cannot drift
     val shortlist = IvfPq.boundedShortlist(pairs, probeTables,
       meta.books.k, meta.maxNorm, topK)
-    rerank(spark, data, probes, shortlist, neededLits, topK)
+    rerank(spark, data, probes, shortlist, neededLits, topK, maxShortlist)
   }
 
   /** Fixed-nprobe + fixed-shortlist APPROXIMATE search — IvfPq.knn's
-    * dials over the persisted layout. */
+    * dials over the persisted layout. `verifySrcDir`/`maxShortlist`
+    * as on [[searchExact]]. */
   def search(spark: SparkSession, indexDir: String, probePred: Column,
-      topK: Int = 10, nprobe: Int = 4, shortlistFactor: Int = 10): DataFrame = {
+      topK: Int = 10, nprobe: Int = 4, shortlistFactor: Int = 10,
+      verifySrcDir: Option[String] = None,
+      maxShortlist: Int = DefaultMaxShortlist): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.ArrayMath.register(spark)
     val meta = readMeta(indexDir, spark.sessionState.newHadoopConf())
+    verifySrcDir.foreach(requireFresh(spark, indexDir, meta, _))
     val data = spark.read.parquet(s"$indexDir/data")
     val probes = data.filter(probePred)
     val probeClusters = probes
@@ -169,7 +245,7 @@ object PqIndex {
         w.orderBy(col("approx").desc, col("cand_id"))))
       .filter(col("ark") <= shortlistFactor * topK)
       .select("query_id", "cand_id")
-    rerank(spark, data, probes, shortlist, neededLits, topK)
+    rerank(spark, data, probes, shortlist, neededLits, topK, maxShortlist)
   }
 
   /** Exact integer re-rank of a shortlist. The shortlist is
@@ -183,12 +259,25 @@ object PqIndex {
     * row-group stats + the pushed id filter narrow WITHIN them, so
     * only shortlist rows surface from the scan (page IO stays
     * row-group granular, as with any columnar store). Probe vectors
-    * read via the pushed probe predicate. */
+    * read via the pushed probe predicate.
+    *
+    * The collect is fenced: LIMIT maxShortlist+1 bounds what the
+    * driver can ever hold, and one extra row is proof the contract was
+    * violated — the refusal fires BEFORE a driver-sized
+    * materialization, not after an OOM (BpeTrainer's pre-flight
+    * posture). */
   private def rerank(spark: SparkSession, data: DataFrame, probes: DataFrame,
       shortlist: DataFrame, neededLits: IndexedSeq[Integer],
-      topK: Int): DataFrame = {
+      topK: Int, maxShortlist: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairsLocal = shortlist.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairsLocal = shortlist.limit(maxShortlist + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(pairsLocal.length <= maxShortlist,
+      s"PqIndex re-rank shortlist exceeded maxShortlist=$maxShortlist " +
+        "(query,cand) pairs — the probe predicate selects more probes " +
+        "than the bounded-probe-set contract allows; narrow probePred " +
+        "or raise maxShortlist deliberately (driver cost is " +
+        "~16 bytes/pair)")
     import spark.implicits._
     val local = broadcast(
       spark.createDataset(pairsLocal.toSeq).toDF("query_id", "cand_id"))
@@ -225,6 +314,10 @@ object PqIndex {
     root.put("pq_m", meta.books.m)
     root.put("pq_k", meta.books.k)
     root.put("pq_subdim", meta.books.subDim)
+    meta.srcFp.foreach { fp =>
+      root.put("src_rows", fp.rows)
+      root.put("src_max_id", fp.maxId)
+    }
     val bn = root.putArray("codebooks")
     meta.books.books.foreach { book =>
       val ba = bn.addArray()
@@ -247,11 +340,16 @@ object PqIndex {
       val ba = bn.get(mi)
       (0 until ba.size()).map(ki => IndexMetaJson.doubles(ba.get(ki))).toSeq
     }.toSeq
+    val srcFp =
+      if (root.has("src_rows") && root.has("src_max_id"))
+        Some(SrcFp(root.get("src_rows").asLong(),
+          root.get("src_max_id").asLong()))
+      else None // pre-fingerprint index: health()/requireFresh treat as stale
     Meta(root.get("coarse_k").asInt(), root.get("dim").asInt(),
       root.get("maxNorm").asDouble(), IndexMetaJson.centroids(root),
       IndexMetaJson.doubles(root.get("radius")),
       IndexMetaJson.longs(root.get("counts")),
       IvfPq.Codebooks(root.get("pq_m").asInt(), root.get("pq_k").asInt(),
-        root.get("pq_subdim").asInt(), books))
+        root.get("pq_subdim").asInt(), books), srcFp)
   }
 }

@@ -99,6 +99,70 @@ class PqIndexSpec extends AnyFunSuite {
     } finally rm(out)
   }
 
+  test("shortlist fence: an over-contract probe set refuses before a driver-sized collect") {
+    val out = tmpDir()
+    try {
+      PqIndex.write(spark, dir, out)
+      // 8 probes × 10·topK shortlist rows ≫ maxShortlist=5: the refusal
+      // must fire (IllegalArgumentException from require), and it must
+      // fire from the fenced LIMIT collect — the driver held at most
+      // maxShortlist+1 pairs when it did
+      val e = intercept[IllegalArgumentException](
+        PqIndex.search(spark, out, col("vec_id") < 8, maxShortlist = 5))
+      assert(e.getMessage.contains("maxShortlist=5"), e.getMessage)
+      assert(e.getMessage.contains("narrow probePred"), e.getMessage)
+      // same fence on the exact path
+      val e2 = intercept[IllegalArgumentException](
+        PqIndex.searchExact(spark, out, col("vec_id") < 8, maxShortlist = 5))
+      assert(e2.getMessage.contains("maxShortlist=5"), e2.getMessage)
+      // a compliant call under the default dial still serves
+      assert(PqIndex.searchExact(spark, out, col("vec_id") < 8)
+        .count() === 80L)
+    } finally rm(out)
+  }
+
+  test("staleness: health flags a moved source and a verifying search refuses") {
+    val out = tmpDir()
+    val movedSrc = tmpDir()
+    try {
+      PqIndex.write(spark, dir, out)
+      // fresh: fingerprint matches the corpus the codes were derived from
+      val fresh = PqIndex.health(spark, out, dir)
+      assert(!fresh.stale && fresh.fp.contains(fresh.src))
+      assert(PqIndex.searchExact(spark, out, col("vec_id") < 8,
+        verifySrcDir = Some(dir)).count() === 80L)
+      // the corpus moves on (an append the derived index cannot see)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      emb.union(emb.limit(3).withColumn("vec_id", col("vec_id") + 1000000L))
+        .write.mode("overwrite").parquet(s"$movedSrc/embeddings.parquet")
+      val stale = PqIndex.health(spark, out, movedSrc)
+      assert(stale.stale)
+      assert(stale.src.rows === fresh.src.rows + 3)
+      val e = intercept[IllegalStateException](
+        PqIndex.searchExact(spark, out, col("vec_id") < 8,
+          verifySrcDir = Some(movedSrc)))
+      assert(e.getMessage.contains("stale PqIndex"), e.getMessage)
+      assert(e.getMessage.contains("re-run PqIndex.write"), e.getMessage)
+      // a pre-fingerprint index (no src_rows in meta.json) is treated
+      // as stale — unknown provenance is the unsafe direction
+      val hc = spark.sessionState.newHadoopConf()
+      val metaJson = graft.util.Fs.readString(s"$out/meta.json", hc)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(metaJson)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      root.remove("src_rows"); root.remove("src_max_id")
+      graft.util.Fs.writeStringAtomic(s"$out/meta.json",
+        mapper.writeValueAsString(root), hc)
+      assert(PqIndex.health(spark, out, dir).stale)
+      intercept[IllegalStateException](
+        PqIndex.searchExact(spark, out, col("vec_id") < 8,
+          verifySrcDir = Some(dir)))
+      // an un-verified search still serves (opt-in gate, not a lockout)
+      assert(PqIndex.searchExact(spark, out, col("vec_id") < 8)
+        .count() === 80L)
+    } finally { rm(out); rm(movedSrc) }
+  }
+
   test("ADC scan never reads embeddings; re-rank scan is id-pushed and cluster-pruned") {
     val out = tmpDir()
     // the shortlist collects inside searchExact (driver-sized by the
