@@ -12,7 +12,17 @@ import graft.sink.DdlSink
   * Spanner stand-in sink) + quarantine side output → report.
   *
   * Usage: runMain graft.Migrate <pgdump|mysqldump> <dumpFile> <outDir>
-  *        [full|schema-only|data-only]
+  *        [full|schema-only|data-only] [--prefix=<p>] [-v|--verbose]
+  *
+  * --prefix (reference -prefix, main.go:53): prepended to every
+  * GENERATED artifact name (schema.ddl.*, fk_backfill.sql,
+  * session.json, report.txt) — the reference uses it to namespace the
+  * files it emits beside the migration; table data and quarantine
+  * parquet are the Spanner-write stand-in, not generated files, so
+  * they stay unprefixed. A data-only run restores the session from the
+  * SAME prefix it was written under.
+  * -v (reference -v, main.go:56): per-statement ingest stats and a
+  * per-table row/quarantine line on the progress channel.
   *
   * Staged runs (reference -schema-only / -data-only flags, main.go:35-63
   * + cmd.go:57-63): schema-only stops after the plan artifacts;
@@ -39,11 +49,12 @@ object Migrate {
 
   def run(spark: SparkSession, driver: String, dumpFile: String,
       outDir: String, mode: String = "full",
-      progressOut: String => Unit = println): Result = {
+      progressOut: String => Unit = println,
+      filePrefix: String = "", verbose: Boolean = false): Result = {
     require(Set("full", "schema-only", "data-only").contains(mode), mode)
     val hc = spark.sessionState.newHadoopConf()
     graft.util.Fs.mkdirs(outDir, hc)
-    val sessionPath = s"$outDir/session.json"
+    val sessionPath = s"$outDir/${filePrefix}session.json"
     // data-only: the session file (possibly edited since the schema run)
     // is the source of truth for the target schema and name maps.
     val planOverride =
@@ -63,18 +74,22 @@ object Migrate {
     // after the last sink materializes (or on failure) so a 100 GB dump
     // doesn't stay pinned in block-manager storage for the session
     try {
+    if (verbose)
+      stmtStats.toSeq.sortBy(_._1).foreach { case (kind, n) =>
+        progressOut(s"statements: $kind = $n")
+      }
     if (mode != "data-only") {
       // Schema artifacts first (the reference emits them before data so a
       // failed data pass still leaves usable schema files).
-      DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/schema.ddl.txt", pretty = true, hc)
-      DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/schema.ddl.sql", pretty = false, hc)
-      graft.util.Fs.writeStringAtomic(s"$outDir/fk_backfill.sql",
+      DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/${filePrefix}schema.ddl.txt", pretty = true, hc)
+      DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/${filePrefix}schema.ddl.sql", pretty = false, hc)
+      graft.util.Fs.writeStringAtomic(s"$outDir/${filePrefix}fk_backfill.sql",
         DdlSink.fkBackfillStatements(plan.spSchema).mkString("", ";\n", ";\n"), hc)
       SessionFile.write(plan, sessionPath, hc)
     }
     if (mode == "schema-only") {
       val report = Report.render(driver, plan, Map.empty, stmtStats)
-      graft.util.Fs.writeStringAtomic(s"$outDir/report.txt", report, hc)
+      graft.util.Fs.writeStringAtomic(s"$outDir/${filePrefix}report.txt", report, hc)
       return Result(Map.empty, report)
     }
 
@@ -97,8 +112,12 @@ object Migrate {
     }
 
     val stats = Report.tableStats(tables)
+    if (verbose)
+      stats.toSeq.sortBy(_._1).foreach { case (t, s) =>
+        progressOut(s"table $t: ${s.rows} rows written, ${s.badRows} quarantined")
+      }
     val report = Report.render(driver, plan, stats, stmtStats)
-    graft.util.Fs.writeStringAtomic(s"$outDir/report.txt", report, hc)
+    graft.util.Fs.writeStringAtomic(s"$outDir/${filePrefix}report.txt", report, hc)
     Result(stats.map { case (t, s) => t -> (s.rows, s.badRows) }, report)
     } finally release()
   }
@@ -112,22 +131,37 @@ object Migrate {
     * (MigrateSpec pins this); the scratch copy is dropped afterwards. */
   def runStream(spark: SparkSession, driver: String, in: java.io.InputStream,
       outDir: String, mode: String = "full",
-      progressOut: String => Unit = println): Result = {
+      progressOut: String => Unit = println,
+      filePrefix: String = "", verbose: Boolean = false): Result = {
     val scratch = graft.sources.DumpCodec.materializeStream(spark, in)
-    try run(spark, driver, scratch, outDir, mode, progressOut)
+    try run(spark, driver, scratch, outDir, mode, progressOut, filePrefix, verbose)
     finally graft.sources.DumpCodec.dropScratch(spark, scratch)
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(driver, dumpFile, outDir) = args.take(3)
-    val mode = args.lift(3).getOrElse("full")
+    // flags may appear anywhere (the reference uses Go's flag package);
+    // the positional contract stays <driver> <dumpFile> <outDir> [mode]
+    val (flags, pos) = args.partition(a => a.startsWith("-") && a != "-")
+    val filePrefix = flags.collectFirst {
+      case f if f.startsWith("--prefix=") => f.stripPrefix("--prefix=")
+      case f if f.startsWith("-prefix=") => f.stripPrefix("-prefix=")
+    }.getOrElse("")
+    val verbose = flags.exists(Set("-v", "--verbose"))
+    val unknown = flags.filterNot(f => f.startsWith("--prefix=") ||
+      f.startsWith("-prefix=") || f == "-v" || f == "--verbose")
+    require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")}")
+    val Array(driver, dumpFile, outDir) = pos.take(3)
+    val mode = pos.lift(3).getOrElse("full")
     val spark = GraftSession.build("graft-migrate")
     // pipe UX (the reference reads stdin when its -dump-file flag is
     // EMPTY); our dump-file arg is positional, so the conventional "-"
     // sentinel marks the stdin case instead
     val r =
-      if (dumpFile == "-") runStream(spark, driver, System.in, outDir, mode)
-      else run(spark, driver, dumpFile, outDir, mode)
+      if (dumpFile == "-")
+        runStream(spark, driver, System.in, outDir, mode,
+          filePrefix = filePrefix, verbose = verbose)
+      else run(spark, driver, dumpFile, outDir, mode,
+        filePrefix = filePrefix, verbose = verbose)
     println(r.report)
     spark.stop()
   }

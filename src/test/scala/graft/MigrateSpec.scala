@@ -84,6 +84,40 @@ class MigrateSpec extends AnyFunSuite {
     }
   }
 
+  test("--prefix namespaces generated artifacts and -v adds stat lines (reference main.go:53,56)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mig-prefix").toString
+    val fixture = "src/test/resources/fixtures/sample.pgdump"
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val r = Migrate.run(spark, "pgdump", fixture, out,
+      progressOut = lines.add(_), filePrefix = "runA.", verbose = true)
+    assert(r.tables("inventory") === (3L, 0L))
+    val dir = new java.io.File(out).list().toSet
+    // generated artifacts carry the prefix; bare names must NOT exist
+    for (a <- Seq("schema.ddl.txt", "schema.ddl.sql", "fk_backfill.sql",
+        "session.json", "report.txt")) {
+      assert(dir.contains(s"runA.$a"), s"missing runA.$a in $dir")
+      assert(!dir.contains(a), s"unprefixed $a leaked into $dir")
+    }
+    // table data is the Spanner-write stand-in, not a generated file —
+    // unprefixed by design
+    assert(dir.contains("inventory.parquet"))
+    // -v: statement stats + per-table row/quarantine lines
+    val got = lines.toArray(Array.empty[String]).toSeq
+    assert(got.exists(_.startsWith("statements: ")), got)
+    assert(got.contains("table inventory: 3 rows written, 0 quarantined"), got)
+    // staged rerun under the SAME prefix: data-only restores the
+    // prefixed session (the round-trip the prefix must not break)
+    val r2 = Migrate.run(spark, "pgdump", fixture, out,
+      mode = "data-only", filePrefix = "runA.")
+    assert(r2.tables("inventory") === (3L, 0L))
+    // a second prefix coexists in the same outDir — the reference's
+    // use case for -prefix
+    Migrate.run(spark, "pgdump", fixture, out,
+      mode = "schema-only", filePrefix = "runB.")
+    val dir2 = new java.io.File(out).list().toSet
+    assert(dir2.contains("runB.session.json") && dir2.contains("runA.session.json"))
+  }
+
   test("staged: schema-only then edited session drives data-only") {
     val out = java.nio.file.Files.createTempDirectory("graft-mig-staged").toString
     val fixture = "src/test/resources/fixtures/sample.pgdump"
