@@ -216,6 +216,67 @@ object IvfAnn {
       .distinct()
   }
 
+  /** EXACT range (radius) search by inner product: every (probe, cand)
+    * pair with den·qdot(p,c) ≥ num·qdot(p,p) — a per-probe RELATIVE
+    * threshold (a fraction of the probe's self-dot), because an
+    * absolute dot floor is corpus-magnitude-fragile the way absolute
+    * row floors are SF-fragile (q33's lesson). The comparison is exact
+    * integer arithmetic on both engines; the threshold never leaves
+    * the integer domain.
+    *
+    * Pruning is the fixed-threshold degenerate case of the top-k
+    * Cauchy-Schwarz bound: cluster j's dots all lie at or below
+    * cdⱼ + ‖p‖·rⱼ, so a cluster whose upper bound (plus the documented
+    * [[PruneEps]] quantization slack) falls below the probe's double
+    * threshold (num/den)·qself/2⁴⁰ provably contains no qualifying
+    * member and is never joined. No adaptive scan is needed — the
+    * threshold is known before any candidate is seen, which makes
+    * range search CHEAPER to prune than top-k at 100 TB: the probe
+    * list is one filter over cluster metadata, zero extra passes.
+    *
+    * Output (query_id, cand_id, dot), the pair list a SemDeDup-style
+    * pipeline consumes ("everything ≥ τ·self-similarity"), ordered
+    * deterministically. */
+  def rangeSearch(spark: SparkSession, dir: String, probePred: Column,
+      num: Int = 1, den: Int = 4, k: Int = 16, iters: Int = 2): DataFrame = {
+    require(num >= 0 && den > 0, s"threshold fraction $num/$den")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = trainCentroids(emb, k, iters)
+    val stats = clusterStats(emb, cents)
+    val corpus = emb.withColumn("dists", distArray(cents))
+      .select(col("vec_id"),
+        element_at(nearestClusters(cents.length, 1), 1).as("cluster"))
+    // per-probe integer threshold (qself) + its double image (tdot) for
+    // the metadata-only cluster filter; 2^40 is the quantized-dot scale
+    val probeClusters = emb.filter(probePred)
+      .withColumn("cdots", dotArray(cents))
+      .withColumn("pnorm", sqrt(graft.functions.ArrayMath.dot(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>"))))
+      .withColumn("qself",
+        graft.functions.ArrayMath.dot(expr(quant), expr(quant)))
+      .withColumn("tdot",
+        col("qself").cast("double") * (num.toDouble / den) / math.pow(2, 40))
+      .select(col("vec_id").as("query_id"), col("qself"),
+        explode(expr(s"filter(transform(${metaSql(cents, stats)}, " +
+          s"x -> if(x.cd + pnorm * x.r >= tdot - " +
+          s"$PruneEps * (1D + pnorm + ${stats.maxNorm}D), x.i, -1)), " +
+          "i -> i >= 0)")).as("cluster"))
+    val qvs = emb.select(col("vec_id"), expr(quant).as("qv"))
+    probeClusters.join(corpus,
+        probeClusters("cluster") === corpus("cluster") &&
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qself"), col("vec_id").as("cand_id"))
+      .join(qvs.select(col("vec_id").as("query_id"), col("qv").as("pq")),
+        "query_id")
+      .join(qvs.select(col("vec_id").as("cand_id"), col("qv")), "cand_id")
+      .select(col("query_id"), col("cand_id"), qdot("pq", "qv").as("dot"),
+        col("qself"))
+      .filter(col("dot") * den >= col("qself") * num)
+      .select("query_id", "cand_id", "dot")
+      .orderBy("query_id", "cand_id")
+  }
+
   /** EXACT top-k by max inner product via IVF inverted lists with
     * adaptive cluster pruning — same pipeline shape as [[knn]]
     * (ids-only candidate join, one exact integer re-rank per

@@ -717,6 +717,85 @@ object Documents {
                     END AS BIGINT) AS last_epoch_permille
         FROM quota ORDER BY lang""")),
 
+    // ---------------------------------------------------------------- c22
+    // Deterministic curriculum order: the reproducible "which example
+    // does the trainer see at step t" assignment — quality tiers first
+    // (d03's exact tiering: good → fair → poor), a reproducible
+    // hash-shuffle within each tier (md5 over doc_id, c02/d24's
+    // convention — a length- or id-ordered curriculum would bias every
+    // epoch the same way), and a GLOBAL 1-based position.
+    //
+    // 100 TB shape — the point of this query: a global position is
+    // normally a global sort + one window over everything; here the
+    // rank window is partitioned by (tier, shard) where shard is the
+    // FIRST md5 BYTE, so md5-major order is preserved shard-locally
+    // (global md5 order = shard-major then md5 within shard), ~768
+    // independent windows run in parallel, and the global offset of
+    // each (tier, shard) group comes from a cumulative sum over the
+    // tiny 768-row count frame (single-partition window DELIBERATE
+    // there). No corpus-wide single-partition window anywhere.
+    "c22_curriculum_order" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = QueryDef.spread(spark, dir, "documents")
+        val tiered = docs.select(col("doc_id"),
+            expr(s"size($toks)").cast("bigint").as("n_tokens"),
+            expr(s"size(filter($toks, t -> array_contains($stopArr, t)))")
+              .cast("bigint").as("n_stop"))
+          .withColumn("stop_permille",
+            when(col("n_tokens") > 0,
+              expr("n_stop * 1000 div n_tokens")).otherwise(lit(0L)))
+          .withColumn("tier",
+            when(col("n_tokens") >= 40 &&
+                 col("stop_permille").between(20, 400), "good")
+              .when(col("n_tokens") >= 15, "fair")
+              .otherwise("poor"))
+          .withColumn("tr",
+            when(col("tier") === "good", 0).when(col("tier") === "fair", 1)
+              .otherwise(2))
+          .withColumn("h", md5(col("doc_id").cast("string")))
+          .withColumn("shard", substring(col("h"), 1, 2))
+        val ranked = tiered.withColumn("rk",
+          row_number().over(Window.partitionBy("tr", "shard")
+            .orderBy(col("h"), col("doc_id"))))
+        val offsets = tiered.groupBy("tr", "shard")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("off",
+            sum("n").over(Window.orderBy(col("tr"), col("shard"))) - col("n"))
+          .select("tr", "shard", "off")
+        ranked.join(broadcast(offsets), Seq("tr", "shard"))
+          .select(col("doc_id"), col("tier"),
+            (col("off") + col("rk")).cast("bigint").as("pos"))
+          .orderBy("pos")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                      t -> list_contains(['the','a','of','to','and'], t))) AS BIGINT) AS n_stop
+          FROM documents),
+        s AS (
+          SELECT doc_id, n_tokens,
+                 CASE WHEN n_tokens > 0 THEN n_stop * 1000 // n_tokens ELSE 0 END AS stop_permille
+          FROM t),
+        b AS (
+          SELECT doc_id,
+                 CASE WHEN n_tokens >= 40 AND stop_permille BETWEEN 20 AND 400 THEN 'good'
+                      WHEN n_tokens >= 15 THEN 'fair'
+                      ELSE 'poor' END AS tier,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM s),
+        r AS (
+          SELECT doc_id, tier,
+                 CASE tier WHEN 'good' THEN 0 WHEN 'fair' THEN 1 ELSE 2 END AS tr,
+                 row_number() OVER (PARTITION BY tier ORDER BY h, doc_id) AS rk
+          FROM b),
+        o AS (SELECT tr, COUNT(*) AS n FROM r GROUP BY tr),
+        off AS (SELECT tr, SUM(n) OVER (ORDER BY tr) - n AS o FROM o)
+        SELECT doc_id, tier, CAST(off.o + r.rk AS BIGINT) AS pos
+        FROM r JOIN off USING (tr) ORDER BY pos""")),
+
     // ---------------------------------------------------------------- d24
     // Per-source contribution cap — the C4/CCNet anti-spam rule: no
     // single source (domain) may contribute more than a RELATIVE share

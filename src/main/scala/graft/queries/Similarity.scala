@@ -1132,6 +1132,98 @@ object Similarity {
         graft.operators.PqIndex.searchExact(spark, benchPqIndex(spark, dir),
           col("vec_id") < 8),
       oracle = Some(knnOracle),
-      headline = true)
+      headline = true),
+
+    // ---------------------------------------------------------------- e20
+    // EXACT range (radius) search: every candidate whose quantized dot
+    // reaches a quarter of the probe's self-dot (4·dot ≥ qself) — the
+    // "all neighbors above τ" primitive a SemDeDup-style retention
+    // policy consumes, vs the top-k surface of e01/e05/e13. The
+    // threshold is per-probe RELATIVE (a fraction of self-similarity):
+    // an absolute dot floor is corpus-magnitude-fragile the way
+    // absolute row floors are SF-fragile (q33's lesson). Pruning is
+    // the fixed-threshold degenerate case of the Cauchy-Schwarz top-k
+    // bound — known before any candidate is seen, so the probe list is
+    // one metadata filter, zero adaptive passes (IvfAnn.rangeSearch's
+    // doc). Both engines compare exact integers; the brute-force
+    // oracle mirrors the 4·dot ≥ self filter.
+    "e20_range_search" -> QueryDef(
+      build = (spark, dir) =>
+        graft.operators.IvfAnn.rangeSearch(spark, dir, col("vec_id") < 8),
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
+          FROM embeddings),
+        probes AS (
+          SELECT vec_id AS query_id, qv AS pq,
+                 CAST(list_sum([qv[i] * qv[i] for i in range(1, len(qv)+1)]) AS BIGINT) AS qself
+          FROM q WHERE vec_id < 8)
+        SELECT query_id, c.vec_id AS cand_id,
+               CAST(list_sum([pq[i] * c.qv[i] for i in range(1, len(pq)+1)]) AS BIGINT) AS dot
+        FROM probes p JOIN q c ON p.query_id <> c.vec_id
+        WHERE 4 * CAST(list_sum([pq[i] * c.qv[i] for i in range(1, len(pq)+1)]) AS BIGINT) >= qself
+        ORDER BY query_id, cand_id""")),
+
+    // ---------------------------------------------------------------- e21
+    // Embedding-space drift between two snapshots — d25/d26's monitor
+    // family on the VECTOR side: per-dimension quantized centroid
+    // shift between the old and new snapshot (doc-parity stand-in,
+    // d25's convention). The number an index operator actually reads
+    // before deciding to retrain: a large per-dim shift means the
+    // coarse centroids (IvfIndex/PqIndex meta) no longer sit where the
+    // data is. Exact integers end-to-end: per-dim sums of the e01
+    // quantization, means by integer div (deterministic truncation,
+    // bit-equal both engines), delta = new_mean − old_mean. Integer
+    // mean (not a cross-multiplied delta) keeps everything BIGINT-safe
+    // to ~4·10¹² vectors; a cross product would wrap at ~2·10⁶ (q33's
+    // overflow lesson).
+    //
+    // 100 TB shape: ONE corpus scan → posexplode → (dim) groupBy with
+    // per-parity conditional sums, map-side combined so shuffle volume
+    // is dim × partitions, not rows × dim; the ~dim-row result is
+    // driver-sized by construction.
+    "e21_embedding_drift" -> QueryDef(
+      build = (spark, dir) => {
+        val emb = QueryDef.spread(spark, dir, "embeddings")
+        emb.select((col("vec_id") % 2 === 0).as("is_old"),
+            posexplode(expr(quant)).as(Seq("pos", "v")))
+          .groupBy((col("pos") + 1).as("dim"))
+          .agg(sum(when(col("is_old"), col("v")).otherwise(0L)).as("old_sum"),
+            sum(when(!col("is_old"), col("v")).otherwise(0L)).as("new_sum"),
+            sum(when(col("is_old"), 1L).otherwise(0L)).as("old_n"),
+            sum(when(!col("is_old"), 1L).otherwise(0L)).as("new_n"))
+          .select(col("dim").cast("bigint").as("dim"),
+            expr("""cast(CASE WHEN old_n > 0 THEN old_sum div old_n
+                              ELSE 0 END as bigint)""").as("old_mean_q"),
+            expr("""cast(CASE WHEN new_n > 0 THEN new_sum div new_n
+                              ELSE 0 END as bigint)""").as("new_mean_q"),
+            expr("""cast((CASE WHEN new_n > 0 THEN new_sum div new_n ELSE 0 END)
+                       - (CASE WHEN old_n > 0 THEN old_sum div old_n ELSE 0 END)
+                        as bigint)""").as("delta_q"))
+          .orderBy("dim")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id % 2 = 0 AS is_old,
+                 [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
+          FROM embeddings),
+        d AS (
+          SELECT is_old,
+                 unnest(range(1, len(qv) + 1)) AS dim,
+                 unnest(qv) AS v
+          FROM q),
+        a AS (
+          SELECT dim,
+                 CAST(SUM(CASE WHEN is_old THEN v ELSE 0 END) AS BIGINT) AS old_sum,
+                 CAST(SUM(CASE WHEN is_old THEN 0 ELSE v END) AS BIGINT) AS new_sum,
+                 CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS old_n,
+                 CAST(SUM(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT) AS new_n
+          FROM d GROUP BY dim)
+        SELECT CAST(dim AS BIGINT) AS dim,
+               CAST(CASE WHEN old_n > 0 THEN old_sum // old_n ELSE 0 END AS BIGINT) AS old_mean_q,
+               CAST(CASE WHEN new_n > 0 THEN new_sum // new_n ELSE 0 END AS BIGINT) AS new_mean_q,
+               CAST((CASE WHEN new_n > 0 THEN new_sum // new_n ELSE 0 END)
+                  - (CASE WHEN old_n > 0 THEN old_sum // old_n ELSE 0 END) AS BIGINT) AS delta_q
+        FROM a ORDER BY dim"""))
   )
 }

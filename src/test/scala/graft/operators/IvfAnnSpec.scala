@@ -42,6 +42,52 @@ class IvfAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("rangeSearch equals the brute-force threshold filter on a clustered corpus") {
+    import spark.implicits._
+    // clustered corpus: 4 tight balls far apart — probes' qualifying
+    // neighbors live in the probe's own ball, so the fixed-threshold
+    // Cauchy-Schwarz bound must prune the other balls' clusters
+    val tmp = java.nio.file.Files.createTempDirectory("graft_range").toString
+    try {
+      val rnd = new scala.util.Random(11)
+      val centers = Array.fill(4)(Array.fill(64)(rnd.nextDouble() * 8d - 4d))
+      (0 until 200).map { i =>
+        val c = centers(i % 4)
+        (i.toLong, c.map(x => (x + rnd.nextDouble() * 0.1d - 0.05d).toFloat))
+      }.toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+      val got = IvfAnn.rangeSearch(spark, tmp, col("vec_id") < 8,
+          num = 1, den = 2, k = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+      // brute force over the SAME quantization: every pair with
+      // 2·qdot >= qself, no pruning anywhere
+      val q = spark.read.parquet(s"$tmp/embeddings.parquet")
+        .select(col("vec_id"), expr(IvfAnn.quant).as("qv"))
+      val probes = q.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("qv").as("pq"),
+          graft.functions.ArrayMath.dot(col("qv"), col("qv")).as("qself"))
+      val want = q.join(broadcast(probes), col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          graft.functions.ArrayMath.dot(col("pq"), col("qv")).as("dot"),
+          col("qself"))
+        .filter(col("dot") * 2 >= col("qself"))
+        .select("query_id", "cand_id", "dot")
+        .orderBy("query_id", "cand_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+      assert(got.nonEmpty, "threshold returned no rows — corpus not clustered?")
+      assert(got.toSeq === want.toSeq)
+      // in-ball neighbors only: ~49 same-ball candidates per probe
+      assert(got.groupBy(_._1).values.forall(g => g.length >= 40), got.length)
+    } finally {
+      val p = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+    }
+  }
+
   test("recall@10 vs exact brute force") {
     val ivf = IvfAnn.knn(spark, dir, col("vec_id") < 8,
         topK = 10, k = 16, nprobe = 4)

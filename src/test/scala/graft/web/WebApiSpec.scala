@@ -57,6 +57,13 @@ class WebApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(html.contains("graft schema assistant"))
     Seq("/convert/dump", "/session/resume", "/typemap/global", "/setparent",
       "/conversion", "/ddl").foreach(r => assert(html.contains(r), r))
+    // the table editor (type-alternative picker over POST /typemap/table)
+    // is part of the bundled asset: its grid, its route, and the
+    // alternative list the reference UI offers
+    assert(html.contains("tableEditor"))
+    assert(html.contains("/typemap/table?table="))
+    Seq("STRING(MAX)", "INT64", "NUMERIC", "TIMESTAMP")
+      .foreach(t => assert(html.contains(t), t))
     // "/" is the catch-all context: junk paths must 404, not serve HTML
     val (code404, _) = http("GET", "/no/such/route")
     assert(code404 === 404)
