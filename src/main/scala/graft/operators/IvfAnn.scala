@@ -63,15 +63,34 @@ object IvfAnn {
     * then `iters` exact assign/average rounds (each round: one narrow
     * assign pass + one (cluster, dim) aggregation; centroids collect to
     * the driver — k×dim doubles). Empty clusters keep their centroid. */
-  def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 2): Seq[Array[Double]] = {
+  /** Deterministic hash sample: keeps the rows whose md5(vec_id) prefix
+    * falls under `fraction` of the 32-bit space — one narrow filter, no
+    * sort, no shuffle, identical row set every run and on every engine.
+    * This is the 100 TB training posture: Lloyd iterations cost
+    * O(passes × corpus); the centroids they produce are a FREE CHOICE
+    * (the Cauchy-Schwarz exactness bound holds for ANY centroid set
+    * whose radius/count stats are computed over the FULL corpus), so
+    * training on a sample trades nothing but clustering tightness —
+    * searchExact stays provably exact, searchApprox recall is the only
+    * dial affected (IvfIndexSpec pins both). */
+  private[operators] def hashSample(emb: DataFrame, fraction: Double): DataFrame =
+    if (fraction >= 1.0) emb
+    else emb.filter(
+      expr(s"conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10)")
+        .cast("long") < math.floor(fraction * 4294967296d).toLong)
+
+  def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 2,
+      sampleFraction: Double = 1.0): Seq[Array[Double]] = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0, sampleFraction)
+    val train = hashSample(emb, sampleFraction)
     val dim = emb.selectExpr("size(embedding)").head.getInt(0)
-    var cents: Seq[Array[Double]] = emb
+    var cents: Seq[Array[Double]] = train
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy("h").limit(k)
       .collect().map(_.getSeq[Double](1).toArray).toSeq
     for (_ <- 0 until iters) {
-      val assigned = emb
+      val assigned = train
         .withColumn("dists", distArray(cents))
         .withColumn("cluster", element_at(nearestClusters(cents.length, 1), 1))
       val sums = assigned

@@ -66,9 +66,13 @@ object IvfIndex {
     * bit-exactly — the reloaded pruning bounds are the ones computed
     * here. */
   def write(spark: SparkSession, srcDir: String, indexDir: String,
-      k: Int = 16, iters: Int = 2): Unit = {
+      k: Int = 16, iters: Int = 2, trainSampleFraction: Double = 1.0): Unit = {
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    val cents = IvfAnn.trainCentroids(emb, k, iters)
+    // sampled training is the 100 TB dial (IvfAnn.hashSample's doc):
+    // centroids come from the sample, but radius/count stats are ALWAYS
+    // full-corpus — that is what keeps searchExact provably exact under
+    // any trainSampleFraction (IvfIndexSpec pins it at 0.25)
+    val cents = IvfAnn.trainCentroids(emb, k, iters, trainSampleFraction)
     val stats = IvfAnn.clusterStats(emb, cents)
     IvfAnn.assign(emb, cents)
       .select(col("vec_id"), col("embedding"), col("label").cast("int").as("cluster"))

@@ -38,7 +38,7 @@ object IvfPq {
   /** Train M independent K-codeword codebooks by running the coarse
     * quantizer's deterministic Lloyd on each subvector slice. */
   def trainCodebooks(emb: DataFrame, m: Int = 8, k: Int = 16,
-      iters: Int = 2): Codebooks = {
+      iters: Int = 2, sampleFraction: Double = 1.0): Codebooks = {
     val dim = emb.selectExpr("size(embedding)").head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by M=$m")
     val subDim = dim / m
@@ -46,7 +46,11 @@ object IvfPq {
       val sub = emb.select(col("vec_id"),
         expr(s"slice(cast(embedding as array<double>), ${mi * subDim + 1}, $subDim)")
           .as("embedding"))
-      IvfAnn.trainCentroids(sub, k, iters)
+      // codewords are a free choice like coarse centroids: ADC bounds
+      // reason from each vector's OWN reconstruction error (rerr is
+      // per-vector, full-corpus), so sampled codebook training keeps
+      // knnExact provably exact — only shortlist width suffers
+      IvfAnn.trainCentroids(sub, k, iters, sampleFraction)
     }
     Codebooks(m, k, subDim, books)
   }

@@ -92,13 +92,17 @@ object PqIndex {
     * Safe to re-run over an existing index (the re-derive maintenance
     * path) — the REBUILDING fence covers the data-before-meta window. */
   def write(spark: SparkSession, srcDir: String, indexDir: String,
-      coarseK: Int = 16, m: Int = 8, pqK: Int = 16, iters: Int = 2): Unit = {
+      coarseK: Int = 16, m: Int = 8, pqK: Int = 16, iters: Int = 2,
+      trainSampleFraction: Double = 1.0): Unit = {
     graft.functions.ArrayMath.register(spark)
     val c = spark.sessionState.newHadoopConf()
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    val cents = IvfAnn.trainCentroids(emb, coarseK, iters)
+    // sampled training (IvfAnn.hashSample): coarse centroids AND
+    // codebooks may train on a fraction; stats and per-vector rerr stay
+    // full-corpus, so searchExact's proof is untouched
+    val cents = IvfAnn.trainCentroids(emb, coarseK, iters, trainSampleFraction)
     val stats = IvfAnn.clusterStats(emb, cents)
-    val cb = IvfPq.trainCodebooks(emb, m, pqK, iters)
+    val cb = IvfPq.trainCodebooks(emb, m, pqK, iters, trainSampleFraction)
     val fp = srcFingerprint(emb)
     Fs.mkdirs(indexDir, c)
     Fs.writeStringAtomic(rebuildMarker(indexDir), "", c)

@@ -40,6 +40,32 @@ object Similarity {
     * shingleExpr pattern): the queries here are the ORACLES of the IVF
     * operators, so the two sides must be structurally unable to drift. */
   private def quant: String = graft.operators.IvfAnn.quant
+
+  /** e21's arithmetic — ONE definition shared with
+    * [[graft.report.DataCard.embeddingDrift]] (driftFromCounts'
+    * pattern: the oracled query and the two-snapshot API cannot
+    * drift). Input: (is_old: boolean, embedding) rows; output: per-dim
+    * quantized means + signed delta, exact integers (integer MEANS,
+    * not cross products — BIGINT-safe to ~4·10¹² vectors). One scan →
+    * posexplode → dim-keyed map-side-combined aggregate. */
+  private[graft] def embeddingDriftCore(
+      tagged: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    tagged.select(col("is_old"),
+        posexplode(expr(quant)).as(Seq("pos", "v")))
+      .groupBy((col("pos") + 1).as("dim"))
+      .agg(sum(when(col("is_old"), col("v")).otherwise(0L)).as("old_sum"),
+        sum(when(!col("is_old"), col("v")).otherwise(0L)).as("new_sum"),
+        sum(when(col("is_old"), 1L).otherwise(0L)).as("old_n"),
+        sum(when(!col("is_old"), 1L).otherwise(0L)).as("new_n"))
+      .select(col("dim").cast("bigint").as("dim"),
+        expr("""cast(CASE WHEN old_n > 0 THEN old_sum div old_n
+                          ELSE 0 END as bigint)""").as("old_mean_q"),
+        expr("""cast(CASE WHEN new_n > 0 THEN new_sum div new_n
+                          ELSE 0 END as bigint)""").as("new_mean_q"),
+        expr("""cast((CASE WHEN new_n > 0 THEN new_sum div new_n ELSE 0 END)
+                   - (CASE WHEN old_n > 0 THEN old_sum div old_n ELSE 0 END)
+                    as bigint)""").as("delta_q"))
+      .orderBy("dim")
   /** Exact integer dot product of two quantized vectors. */
   private def qdot(a: String, b: String): org.apache.spark.sql.Column =
     graft.operators.IvfAnn.qdot(a, b)
@@ -1185,22 +1211,8 @@ object Similarity {
     "e21_embedding_drift" -> QueryDef(
       build = (spark, dir) => {
         val emb = QueryDef.spread(spark, dir, "embeddings")
-        emb.select((col("vec_id") % 2 === 0).as("is_old"),
-            posexplode(expr(quant)).as(Seq("pos", "v")))
-          .groupBy((col("pos") + 1).as("dim"))
-          .agg(sum(when(col("is_old"), col("v")).otherwise(0L)).as("old_sum"),
-            sum(when(!col("is_old"), col("v")).otherwise(0L)).as("new_sum"),
-            sum(when(col("is_old"), 1L).otherwise(0L)).as("old_n"),
-            sum(when(!col("is_old"), 1L).otherwise(0L)).as("new_n"))
-          .select(col("dim").cast("bigint").as("dim"),
-            expr("""cast(CASE WHEN old_n > 0 THEN old_sum div old_n
-                              ELSE 0 END as bigint)""").as("old_mean_q"),
-            expr("""cast(CASE WHEN new_n > 0 THEN new_sum div new_n
-                              ELSE 0 END as bigint)""").as("new_mean_q"),
-            expr("""cast((CASE WHEN new_n > 0 THEN new_sum div new_n ELSE 0 END)
-                       - (CASE WHEN old_n > 0 THEN old_sum div old_n ELSE 0 END)
-                        as bigint)""").as("delta_q"))
-          .orderBy("dim")
+        embeddingDriftCore(emb.select(
+          (col("vec_id") % 2 === 0).as("is_old"), col("embedding")))
       },
       oracle = Some("""
         WITH q AS (

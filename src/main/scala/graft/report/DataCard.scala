@@ -79,6 +79,26 @@ object DataCard {
     }
   }
 
+  /** Embedding-space drift between two snapshot corpora — [[drift]]'s
+    * sibling on the vector side and the retrain trigger an index
+    * operator reads (a large per-dim quantized centroid shift means
+    * IvfIndex/PqIndex coarse centroids no longer sit where the data
+    * is). The arithmetic lives ONCE in
+    * [[graft.queries.Similarity.embeddingDriftCore]] (driftFromCounts'
+    * shared-definition pattern), so this API is pinned bit-exact to
+    * the oracled e21 relation by DataCardSpec. Inputs need only an
+    * `embedding` column; an empty side yields zero means (the
+    * guarded-division convention), not an error — callers comparing a
+    * first generation against nothing get an all-new_mean report. */
+  def embeddingDrift(oldEmb: org.apache.spark.sql.DataFrame,
+      newEmb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.queries.Similarity.embeddingDriftCore(
+      oldEmb.select(lit(true).as("is_old"), col("embedding"))
+        .unionByName(
+          newEmb.select(lit(false).as("is_old"), col("embedding"))))
+  }
+
   /** Write the card JSON (sorted keys — byte-stable across runs). */
   def write(spark: SparkSession, sfDir: String, outPath: String): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -45,6 +45,33 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally rm(out)
   }
 
+  test("sampled training (trainSampleFraction) keeps searchExact provably exact and deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir(); val out2 = tmpDir()
+    try {
+      // centroids are a free choice: exactness comes from full-corpus
+      // radius/count stats, so a 25%-sample-trained index must still
+      // reproduce the brute force bit-exactly
+      IvfIndex.write(spark, dir, out, trainSampleFraction = 0.25)
+      val fromIndex = IvfIndex.searchExact(spark, out, col("vec_id") < 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val brute = IvfAnn.knnExact(spark, dir, col("vec_id") < 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(fromIndex.nonEmpty)
+      assert(fromIndex.toSeq === brute.toSeq)
+      // deterministic: a second sampled write produces identical meta
+      IvfIndex.write(spark, dir, out2, trainSampleFraction = 0.25)
+      val hc = spark.sessionState.newHadoopConf()
+      assert(graft.util.Fs.readString(s"$out/meta.json", hc) ===
+        graft.util.Fs.readString(s"$out2/meta.json", hc))
+      // and the sample really is a strict subset: sampled centroids
+      // differ from full-corpus-trained ones (training saw less data)
+      IvfIndex.write(spark, dir, out2)
+      assert(graft.util.Fs.readString(s"$out/meta.json", hc) !==
+        graft.util.Fs.readString(s"$out2/meta.json", hc))
+    } finally { rm(out); rm(out2) }
+  }
+
   test("searchDiverse over the index equals the oracled e18 MMR trajectory") {
     val dir = "/root/testdata/sf0.001"
     val out = tmpDir()

@@ -67,6 +67,24 @@ class DataCardSpec extends AnyFunSuite {
     graft.queries.QueryDef.drainCleanups()
   }
 
+  test("embeddingDrift IS the oracled e21 relation on e21's own parity split") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val viaApi = DataCard.embeddingDrift(
+      emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 =!= 0))
+      .collect().map(_.toSeq)
+    val viaQuery = graft.queries.Similarity.defs("e21_embedding_drift")
+      .build(spark, dir).collect().map(_.toSeq)
+    assert(viaApi.nonEmpty && viaApi.toSeq === viaQuery.toSeq)
+    graft.queries.QueryDef.drainCleanups()
+    // empty-side convention: zero means, not an error (first-generation
+    // report), and the delta is then just the new side's means
+    val firstGen = DataCard.embeddingDrift(emb.limit(0), emb).collect()
+    assert(firstGen.length === 64)
+    assert(firstGen.forall(r => r.getLong(1) === 0L &&
+      r.getLong(3) === r.getLong(2)))
+  }
+
   test("drift by an alternate stratum column: source composition") {
     import spark.implicits._
     def frame(rows: Seq[(Long, String)]) =
