@@ -190,7 +190,8 @@ object Curate {
       scrubPii: Boolean = false,
       stripBoilerplateDenom: Option[Int] = None,
       sourceCapPermille: Option[Int] = None,
-      keepLongest: Boolean = false) {
+      keepLongest: Boolean = false,
+      curriculum: Boolean = false) {
     require(minTokens >= 0, s"minTokens $minTokens")
     maxRep2gramPermille.foreach(t => require(t >= 0 && t <= 1000,
       s"maxRep2gramPermille must be a permille, got $t"))
@@ -392,6 +393,14 @@ object Curate {
         writePacking(
           kept.withColumn("n_tok", expr(s"cast(size($toks) as bigint)")),
           s"$outDir/packing.parquet", packLen, packShards)
+        // curriculum is a DERIVED artifact of the kept train set:
+        // after a retraction the positions must be re-derived (they
+        // are dense ranks — keeping the base file would leave holes
+        // and leak that a doc existed), same dial as the base run
+        if (summary.path("curriculum").asBoolean(false))
+          graft.queries.Documents.curriculumOrder(
+              kept.filter(col("split") === "train").select("doc_id", "text"))
+            .write.mode("overwrite").parquet(s"$outDir/curriculum.parquet")
         val counts = verdicts.groupBy("verdict").count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val splits = kept.groupBy("split").count()
@@ -407,7 +416,8 @@ object Curate {
             s""""scrub_pii":${summary.path("scrub_pii").asBoolean(false)},""" +
             s""""strip_boilerplate":${summary.path("strip_boilerplate").asInt(0)},""" +
             s""""source_cap":${summary.path("source_cap").asInt(0)},""" +
-            s""""keep_longest":${summary.path("keep_longest").asBoolean(false)}}\n""",
+            s""""keep_longest":${summary.path("keep_longest").asBoolean(false)},""" +
+            s""""curriculum":${summary.path("curriculum").asBoolean(false)}}\n""",
           hc)
         // governance card over what SURVIVES — the numbers shipped with
         // the post-takedown artifacts. A takedown that retracts EVERY
@@ -677,6 +687,15 @@ object Curate {
     val shards = cfg.packShards.getOrElse(
       deriveShards(counts.getOrElse("kept", 0L)))
     writePacking(kept, s"$outDir/packing.parquet", cfg.packLen, shards)
+    // training order over the TRAIN split only (test/val are never
+    // trained on) — c22's exact scheme via the shared definition, so
+    // the artifact and the oracled query cannot drift. Positions are
+    // dense 1..n_train and derive from doc_id + tier alone: a re-run
+    // over the same kept set reproduces them bit-for-bit
+    if (cfg.curriculum)
+      graft.queries.Documents.curriculumOrder(
+          kept.filter(col("split") === "train").select("doc_id", "text"))
+        .write.mode("overwrite").parquet(s"$outDir/curriculum.parquet")
 
     val hc = spark.sessionState.newHadoopConf()
     // the ingestion dials ride in the summary so a chain consumer can
@@ -687,7 +706,8 @@ object Curate {
         s""""pack_shards":$shards,"scrub_pii":${cfg.scrubPii},""" +
         s""""strip_boilerplate":${cfg.stripBoilerplateDenom.getOrElse(0)},""" +
         s""""source_cap":${cfg.sourceCapPermille.getOrElse(0)},""" +
-        s""""keep_longest":${cfg.keepLongest}}\n""",
+        s""""keep_longest":${cfg.keepLongest},""" +
+        s""""curriculum":${cfg.curriculum}}\n""",
       hc)
     // dataset card for the INPUT corpus this run examined — the same
     // oracle-checked c15 relation (report.DataCard), so the governance
@@ -751,12 +771,14 @@ object Curate {
           Some(f.stripPrefix("--source-cap=").toInt))
       case "--keep-longest" =>
         cfg = cfg.copy(keepLongest = true)
+      case "--curriculum" =>
+        cfg = cfg.copy(curriculum = true)
       case f if f.startsWith("--takedown=") =>
         takedown = Some(f.stripPrefix("--takedown="))
       case f => throw new IllegalArgumentException(
         s"unknown flag $f (supported: --rep=<permille>, --scrub-pii, " +
           "--strip-boilerplate=<denom>, --source-cap=<permille>, " +
-          "--keep-longest, --takedown=<ids>)")
+          "--keep-longest, --curriculum, --takedown=<ids>)")
     }
     (pos, cfg, takedown)
   }

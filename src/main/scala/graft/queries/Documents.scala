@@ -204,6 +204,49 @@ object Documents {
     shares.unionByName(summary).orderBy("lang")
   }
 
+  /** c22's arithmetic — ONE definition shared with Curate's
+    * --curriculum artifact (driftFromCounts' pattern). Input needs
+    * (doc_id, text); output (doc_id, tier, pos) — d03's exact quality
+    * tiers (good → fair → poor), md5 hash-shuffle within tier, and a
+    * GLOBAL 1-based position computed WITHOUT a corpus-wide window:
+    * rank windows are partitioned by (tier, first-md5-byte shard) —
+    * shard is a PREFIX of the order key, so (shard, h) order ≡ h order
+    * and ~768 windows run in parallel; global offsets come from one
+    * cumulative sum over the tiny (tier, shard) count frame (the
+    * single-partition window there is deliberate: ≤768 rows). */
+  private[graft] def curriculumOrder(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tiered = docs.select(col("doc_id"),
+        expr(s"size($toks)").cast("bigint").as("n_tokens"),
+        expr(s"size(filter($toks, t -> array_contains($stopArr, t)))")
+          .cast("bigint").as("n_stop"))
+      .withColumn("stop_permille",
+        when(col("n_tokens") > 0,
+          expr("n_stop * 1000 div n_tokens")).otherwise(lit(0L)))
+      .withColumn("tier",
+        when(col("n_tokens") >= 40 &&
+             col("stop_permille").between(20, 400), "good")
+          .when(col("n_tokens") >= 15, "fair")
+          .otherwise("poor"))
+      .withColumn("tr",
+        when(col("tier") === "good", 0).when(col("tier") === "fair", 1)
+          .otherwise(2))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("shard", substring(col("h"), 1, 2))
+    val ranked = tiered.withColumn("rk",
+      row_number().over(Window.partitionBy("tr", "shard")
+        .orderBy(col("h"), col("doc_id"))))
+    val offsets = tiered.groupBy("tr", "shard")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        sum("n").over(Window.orderBy(col("tr"), col("shard"))) - col("n"))
+      .select("tr", "shard", "off")
+    ranked.join(broadcast(offsets), Seq("tr", "shard"))
+      .select(col("doc_id"), col("tier"),
+        (col("off") + col("rk")).cast("bigint").as("pos"))
+      .orderBy("pos")
+  }
+
   /** d21's fixed merge list (learned order) — ONE constant feeds both
     * the Spark query and the generated oracle SQL, so the two cannot
     * drift. English-frequent pairs incl. two second-order merges
@@ -735,39 +778,8 @@ object Documents {
     // tiny 768-row count frame (single-partition window DELIBERATE
     // there). No corpus-wide single-partition window anywhere.
     "c22_curriculum_order" -> QueryDef(
-      build = (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val docs = QueryDef.spread(spark, dir, "documents")
-        val tiered = docs.select(col("doc_id"),
-            expr(s"size($toks)").cast("bigint").as("n_tokens"),
-            expr(s"size(filter($toks, t -> array_contains($stopArr, t)))")
-              .cast("bigint").as("n_stop"))
-          .withColumn("stop_permille",
-            when(col("n_tokens") > 0,
-              expr("n_stop * 1000 div n_tokens")).otherwise(lit(0L)))
-          .withColumn("tier",
-            when(col("n_tokens") >= 40 &&
-                 col("stop_permille").between(20, 400), "good")
-              .when(col("n_tokens") >= 15, "fair")
-              .otherwise("poor"))
-          .withColumn("tr",
-            when(col("tier") === "good", 0).when(col("tier") === "fair", 1)
-              .otherwise(2))
-          .withColumn("h", md5(col("doc_id").cast("string")))
-          .withColumn("shard", substring(col("h"), 1, 2))
-        val ranked = tiered.withColumn("rk",
-          row_number().over(Window.partitionBy("tr", "shard")
-            .orderBy(col("h"), col("doc_id"))))
-        val offsets = tiered.groupBy("tr", "shard")
-          .agg(count(lit(1)).as("n"))
-          .withColumn("off",
-            sum("n").over(Window.orderBy(col("tr"), col("shard"))) - col("n"))
-          .select("tr", "shard", "off")
-        ranked.join(broadcast(offsets), Seq("tr", "shard"))
-          .select(col("doc_id"), col("tier"),
-            (col("off") + col("rk")).cast("bigint").as("pos"))
-          .orderBy("pos")
-      },
+      build = (spark, dir) =>
+        curriculumOrder(QueryDef.spread(spark, dir, "documents")),
       oracle = Some("""
         WITH t AS (
           SELECT doc_id,

@@ -630,6 +630,58 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("--curriculum writes a dense train order and re-derives after a takedown") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_curric").toString
+    try {
+      val r = Curate.run(spark, dir, s"$root/on",
+        Curate.Config(curriculum = true))
+      val cur = spark.read.parquet(s"$root/on/curriculum.parquet")
+      val nTrain = r.splits.getOrElse("train", 0L)
+      assert(nTrain > 0L)
+      // exactly the train split, positions dense 1..n
+      assert(cur.count() === nTrain)
+      val pos = cur.select("pos").as[Long].collect().sorted.toSeq
+      assert(pos === (1L to nTrain).toSeq)
+      // the artifact IS the shared c22 scheme over the curated train
+      // docs — the oracled definition and the pipeline cannot drift
+      val want = graft.queries.Documents.curriculumOrder(
+          spark.read.parquet(s"$root/on/curated.parquet")
+            .filter(col("split") === "train").select("doc_id", "text"))
+        .collect().map(_.toSeq)
+      assert(cur.orderBy("pos").collect().map(_.toSeq).toSeq === want.toSeq)
+      // tiers appear in curriculum order: every good pos < every fair
+      // pos < every poor pos (when present)
+      val maxByTier = cur.groupBy("tier").agg(max("pos").as("mx"),
+          min("pos").as("mn")).collect()
+        .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+      for {
+        (a, b) <- Seq(("good", "fair"), ("fair", "poor"), ("good", "poor"))
+        ((amx, _), (_, bmn)) <- maxByTier.get(a).zip(maxByTier.get(b))
+      } assert(amx < bmn, s"$a overlaps $b: $maxByTier")
+      // takedown: the retracted doc vanishes and positions are
+      // RE-DERIVED dense (a hole would leak that a doc existed)
+      val victim = cur.filter(col("pos") === 1L)
+        .select("doc_id").as[Long].head()
+      Curate.runTakedown(spark, s"$root/on", s"$root/td",
+        Seq(victim).toDF("doc_id"))
+      val cur2 = spark.read.parquet(s"$root/td/curriculum.parquet")
+      assert(cur2.filter(col("doc_id") === victim).count() === 0L)
+      val pos2 = cur2.select("pos").as[Long].collect().sorted.toSeq
+      assert(pos2 === (1L to (nTrain - 1)).toSeq)
+      assert(Files.readString(java.nio.file.Paths.get(s"$root/td/summary.json"))
+        .contains(""""curriculum":true"""))
+      // flag OFF: no artifact
+      Curate.run(spark, dir, s"$root/off")
+      assert(!new java.io.File(s"$root/off/curriculum.parquet").exists())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("--keep-longest elects the longest cluster member; default stays min doc_id") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_curate_keeplong").toString
