@@ -66,7 +66,11 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir) = args.take(2)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    require(factor >= 1, s"factor must be >= 1, got $factor")
+    // rotation 2i+1 mod 26 repeats at i+13: replicas 13 apart would
+    // share an alphabet and reintroduce exact cross-replica dups,
+    // silently breaking the decorrelation this tool promises — refuse
+    require(factor >= 1 && factor <= 13,
+      s"factor must be in [1,13] (alphabet rotations alias beyond), got $factor")
     val spark = graft.GraftSession.build("graft-scaleup")
     replicateDocs(spark.read.parquet(s"$srcDir/documents.parquet"), factor)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
