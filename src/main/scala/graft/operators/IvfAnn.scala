@@ -212,6 +212,20 @@ object IvfAnn {
       s"x -> if(thr is null or x.cd + pnorm * x.r >= thr - " +
       s"$PruneEps * (1D + pnorm + ${stats.maxNorm}D), x.i, -1)), i -> i >= 0)")
 
+  /** [[exactClusterList]]'s fixed-threshold sibling over a frame
+    * carrying `cdots`, `pnorm`, `tdot` (the probe's double-image
+    * threshold): keep cluster j iff its dot upper bound cdⱼ + ‖p‖·rⱼ
+    * (plus the [[PruneEps]] quantization slack) reaches tdot — the
+    * range-search prune, ONE definition shared by [[rangeSearch]] and
+    * IvfIndex.searchRange. Unlike the top-k bound it reads NO counts:
+    * a fixed threshold is known before any candidate is seen, so
+    * deletions can never loosen or tighten it. */
+  private[operators] def rangeClusterList(cents: Seq[Array[Double]],
+      stats: ClusterStats): Column =
+    expr(s"filter(transform(${metaSql(cents, stats)}, " +
+      s"x -> if(x.cd + pnorm * x.r >= tdot - " +
+      s"$PruneEps * (1D + pnorm + ${stats.maxNorm}D), x.i, -1)), i -> i >= 0)")
+
   /** (query_id, cand_id) candidate pairs whose union provably contains
     * every probe's true top-k (see [[pruneThreshold]]) — ids only, the
     * shared candidate generator of [[knnExact]] and [[IvfPq.knnExact]]. */
@@ -277,10 +291,7 @@ object IvfAnn {
       .withColumn("tdot",
         col("qself").cast("double") * (num.toDouble / den) / math.pow(2, 40))
       .select(col("vec_id").as("query_id"), col("qself"),
-        explode(expr(s"filter(transform(${metaSql(cents, stats)}, " +
-          s"x -> if(x.cd + pnorm * x.r >= tdot - " +
-          s"$PruneEps * (1D + pnorm + ${stats.maxNorm}D), x.i, -1)), " +
-          "i -> i >= 0)")).as("cluster"))
+        explode(rangeClusterList(cents, stats)).as("cluster"))
     val qvs = emb.select(col("vec_id"), expr(quant).as("qv"))
     probeClusters.join(corpus,
         probeClusters("cluster") === corpus("cluster") &&

@@ -1046,6 +1046,62 @@ object IvfIndex {
       dropTombstonedProbes(spark, indexDir, data.filter(probePred)), topK, None)
   }
 
+  /** EXACT range (radius) search over the persisted layout —
+    * IvfAnn.rangeSearch's partition-pruned twin: every candidate with
+    * den·qdot(p,c) ≥ num·qdot(p,p) (the per-probe RELATIVE threshold;
+    * absolute dot floors are corpus-magnitude-fragile). The
+    * fixed-threshold Cauchy-Schwarz prune becomes LITERAL cluster
+    * partition filters, so skipped clusters' files are never opened —
+    * at 100 TB this is where range search actually pays, because a
+    * tight threshold skips most of the corpus at the FILE level.
+    * Tombstoned probes and candidates are excluded exactly (the m06
+    * posture); unlike top-k, NO count subtraction is needed — a fixed
+    * threshold reads no counts, so deletions can never perturb the
+    * bound (the prune stays a proof with zero bookkeeping).
+    * Output (query_id, cand_id, dot) ordered deterministically. */
+  def searchRange(spark: SparkSession, indexDir: String, probePred: Column,
+      num: Int = 1, den: Int = 4): DataFrame = {
+    require(num >= 0 && den > 0, s"threshold fraction $num/$den")
+    val meta = readMeta(indexDir, spark.sessionState.newHadoopConf())
+    val stats = IvfAnn.ClusterStats(meta.radius, meta.counts, meta.maxNorm)
+    val data = spark.read.parquet(s"$indexDir/data")
+    val probes = dropTombstonedProbes(spark, indexDir, data.filter(probePred))
+    val probeClusters = probes
+      .withColumn("cdots", IvfAnn.dotArray(meta.centroids))
+      .withColumn("pnorm", sqrt(graft.functions.ArrayMath.dot(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>"))))
+      .withColumn("qself", graft.functions.ArrayMath.dot(
+        expr(IvfAnn.quant), expr(IvfAnn.quant)))
+      .withColumn("tdot",
+        col("qself").cast("double") * (num.toDouble / den) / math.pow(2, 40))
+      .select(col("vec_id").as("query_id"), expr(IvfAnn.quant).as("pq"),
+        col("qself"),
+        explode(IvfAnn.rangeClusterList(meta.centroids, stats)).as("cluster"))
+    // bounded probe set ⇒ the needed-list union is driver metadata;
+    // literals guarantee static partition pruning (searchCore's pattern)
+    val needed = probeClusters.select("cluster").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpusAll = data
+      .filter(col("cluster").isin(needed.map(Integer.valueOf).toIndexedSeq: _*))
+      .select(col("vec_id").as("cand_id"), expr(IvfAnn.quant).as("qv"),
+        col("cluster"))
+    val corpus = tombstoneFrame(spark, indexDir) match {
+      case None => corpusAll
+      case Some(t) => corpusAll.join(
+        broadcast(t.select(col("vec_id").as("cand_id"))),
+        Seq("cand_id"), "left_anti")
+    }
+    probeClusters.join(corpus,
+        probeClusters("cluster") === corpus("cluster") &&
+          col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        IvfAnn.qdot("pq", "qv").as("dot"), col("qself"))
+      .filter(col("dot") * den >= col("qself") * num)
+      .select("query_id", "cand_id", "dot")
+      .orderBy("query_id", "cand_id")
+  }
+
   /** DIVERSITY-aware search: exact top-`m` candidates (searchExact's
     * provably-pruned scan), then operators.Mmr greedily re-ranks each
     * query's pool down to `k` — λ·relevance minus (1−λ)·max-similarity

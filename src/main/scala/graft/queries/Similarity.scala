@@ -87,6 +87,24 @@ object Similarity {
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS rnk
         FROM dots QUALIFY rnk <= 10 ORDER BY query_id, rnk"""
 
+  /** Brute-force "all candidates with 4·dot ≥ self-dot" for the 8
+    * fixed probes — the shared oracle of e20 (in-memory rangeSearch)
+    * and e22 (persisted IvfIndex.searchRange), both provably this
+    * filter. */
+  private val rangeOracle = """
+        WITH q AS (
+          SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
+          FROM embeddings),
+        probes AS (
+          SELECT vec_id AS query_id, qv AS pq,
+                 CAST(list_sum([qv[i] * qv[i] for i in range(1, len(qv)+1)]) AS BIGINT) AS qself
+          FROM q WHERE vec_id < 8)
+        SELECT query_id, c.vec_id AS cand_id,
+               CAST(list_sum([pq[i] * c.qv[i] for i in range(1, len(pq)+1)]) AS BIGINT) AS dot
+        FROM probes p JOIN q c ON p.query_id <> c.vec_id
+        WHERE 4 * CAST(list_sum([pq[i] * c.qv[i] for i in range(1, len(pq)+1)]) AS BIGINT) >= qself
+        ORDER BY query_id, cand_id"""
+
   /** Shared shingle-set frame: doc_id, sh. */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     QueryDef.spread(spark, dir, "documents").select(col("doc_id"), expr(shingles).as("sh"))
@@ -1176,19 +1194,21 @@ object Similarity {
     "e20_range_search" -> QueryDef(
       build = (spark, dir) =>
         graft.operators.IvfAnn.rangeSearch(spark, dir, col("vec_id") < 8),
-      oracle = Some("""
-        WITH q AS (
-          SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
-          FROM embeddings),
-        probes AS (
-          SELECT vec_id AS query_id, qv AS pq,
-                 CAST(list_sum([qv[i] * qv[i] for i in range(1, len(qv)+1)]) AS BIGINT) AS qself
-          FROM q WHERE vec_id < 8)
-        SELECT query_id, c.vec_id AS cand_id,
-               CAST(list_sum([pq[i] * c.qv[i] for i in range(1, len(pq)+1)]) AS BIGINT) AS dot
-        FROM probes p JOIN q c ON p.query_id <> c.vec_id
-        WHERE 4 * CAST(list_sum([pq[i] * c.qv[i] for i in range(1, len(pq)+1)]) AS BIGINT) >= qself
-        ORDER BY query_id, cand_id""")),
+      oracle = Some(rangeOracle)),
+
+    // ---------------------------------------------------------------- e22
+    // Range search over the PERSISTED index (IvfIndex.searchRange) —
+    // e20's partition-pruned twin and the layout where the radius
+    // query actually pays at 100 TB: the fixed-threshold prune becomes
+    // literal cluster partition filters, so skipped clusters' files
+    // are never opened (e13b's amortized prebuilt-index pattern; the
+    // output provably equals the e20 brute-force filter, so the same
+    // oracle applies).
+    "e22_index_range_search" -> QueryDef(
+      build = (spark, dir) =>
+        graft.operators.IvfIndex.searchRange(spark, benchIndex(spark, dir),
+          col("vec_id") < 8),
+      oracle = Some(rangeOracle)),
 
     // ---------------------------------------------------------------- e21
     // Embedding-space drift between two snapshots — d25/d26's monitor

@@ -45,6 +45,30 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally rm(out)
   }
 
+  test("searchRange equals the in-memory range search; deletes drop qualifying candidates") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir()
+    try {
+      IvfIndex.write(spark, dir, out)
+      val fromIndex = IvfIndex.searchRange(spark, out, col("vec_id") < 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val inMemory = IvfAnn.rangeSearch(spark, dir, col("vec_id") < 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(fromIndex.nonEmpty)
+      assert(fromIndex.toSeq === inMemory.toSeq)
+      // tombstone a qualifying candidate: it must vanish from the
+      // range result while everything else is untouched (m06 posture;
+      // the fixed threshold reads no counts, so nothing else can move)
+      val victim = fromIndex.head._2
+      IvfIndex.delete(spark, out, Seq(victim).toDF("vec_id"))
+      val after = IvfIndex.searchRange(spark, out, col("vec_id") < 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(!after.exists(_._2 == victim))
+      assert(after.toSeq === fromIndex.filterNot(_._2 == victim).toSeq)
+    } finally rm(out)
+  }
+
   test("sampled training (trainSampleFraction) keeps searchExact provably exact and deterministic") {
     val dir = "/root/testdata/sf0.001"
     val out = tmpDir(); val out2 = tmpDir()
