@@ -68,8 +68,11 @@ object PqIndex {
     * shortlist is bounded BY CONTRACT (bounded probe set × per-probe
     * shortlist), but nothing upstream enforces the contract on a
     * caller's probePred; this dial makes a violation fail loudly
-    * BEFORE the driver holds more than maxShortlist+1 rows
-    * (BpeTrainer's maxPairs posture). Raise it deliberately for a
+    * (BpeTrainer's maxPairs posture) via a PRE-FLIGHT probe-count
+    * require that rides the needed-cluster job — the refusal fires
+    * before the ADC job runs, and the normal path pays zero extra
+    * work — plus a post-collect backstop for searchExact's
+    * data-dependent per-probe width. Raise it deliberately for a
     * genuinely larger bounded probe set. */
   val DefaultMaxShortlist: Int = 4 << 20
 
@@ -155,6 +158,19 @@ object PqIndex {
           "re-run PqIndex.write to re-derive (deterministic) before serving")
   }
 
+  /** One job over the probe-cluster frame returning BOTH the distinct
+    * probe count (the pre-flight contract variable) and the sorted
+    * needed-cluster literals — the fence costs zero extra passes
+    * because it rides the collect the partition pruning already pays. */
+  private def neededWithProbeCount(
+      probeClusters: DataFrame): (Long, IndexedSeq[Integer]) = {
+    val r = probeClusters
+      .agg(countDistinct(col("query_id")),
+        sort_array(collect_set(col("cluster")))).head()
+    (r.getLong(0),
+      r.getSeq[Int](1).map(Integer.valueOf).toIndexedSeq)
+  }
+
   /** EXACT top-k max-inner-product search (= the e01 brute force, see
     * the object doc). Probe rows are read with `probePred` pushed to
     * parquet; the ADC pass reads only (vec_id, codes, rerr) under the
@@ -188,10 +204,19 @@ object PqIndex {
       .select(col("vec_id").as("query_id"),
         explode(IvfAnn.exactClusterList(meta.centroids, stats)).as("cluster"))
     // bounded probe set ⇒ the needed-list union is driver metadata;
-    // literals guarantee static partition pruning (IvfIndex's pattern)
-    val needed = probeClusters.select("cluster").distinct()
-      .collect().map(_.getInt(0)).sorted
-    val neededLits = needed.map(Integer.valueOf).toIndexedSeq
+    // literals guarantee static partition pruning (IvfIndex's pattern).
+    // The probe count rides the SAME job (zero extra passes) and gates
+    // the contract BEFORE the ADC job runs: the exact shortlist keeps
+    // at least topK rows per probe, so more probes than
+    // maxShortlist/topK cannot fit the dial even in the best case —
+    // an over-contract probePred refuses here, before any driver-sized
+    // work (the post-collect require in [[rerank]] backstops the
+    // adaptive residual).
+    val (nProbes, neededLits) = neededWithProbeCount(probeClusters)
+    require(nProbes <= maxShortlist / math.max(1, topK),
+      s"PqIndex probe set ($nProbes probes) cannot fit " +
+        s"maxShortlist=$maxShortlist pairs at topK=$topK — " +
+        "narrow probePred or raise maxShortlist deliberately")
     // ADC pass: the narrow columns ONLY — never the embedding
     val codes = data.filter(col("cluster").isin(neededLits: _*))
       .select(col("vec_id").as("cand_id"), col("codes"), col("rerr"),
@@ -229,9 +254,14 @@ object PqIndex {
       .select(col("vec_id").as("query_id"),
         explode(IvfAnn.nearestClusters(meta.centroids.length, nprobe))
           .as("cluster"))
-    val needed = probeClusters.select("cluster").distinct()
-      .collect().map(_.getInt(0)).sorted
-    val neededLits = needed.map(Integer.valueOf).toIndexedSeq
+    // fixed dials bound the shortlist EXACTLY: ≤ shortlistFactor·topK
+    // per probe — the pre-flight (same job as the needed-cluster
+    // collect) refuses an over-contract probePred before the ADC runs
+    val (nProbes, neededLits) = neededWithProbeCount(probeClusters)
+    require(nProbes * shortlistFactor.toLong * topK <= maxShortlist,
+      s"PqIndex probe set ($nProbes probes × ${shortlistFactor}x$topK " +
+        s"shortlist rows) exceeds maxShortlist=$maxShortlist pairs — " +
+        "narrow probePred or raise maxShortlist deliberately")
     val codes = data.filter(col("cluster").isin(neededLits: _*))
       .select(col("vec_id").as("cand_id"), col("codes"), col("cluster"))
     val pairs = probeClusters.join(codes,
@@ -265,16 +295,19 @@ object PqIndex {
     * row-group granular, as with any columnar store). Probe vectors
     * read via the pushed probe predicate.
     *
-    * The collect is fenced: LIMIT maxShortlist+1 bounds what the
-    * driver can ever hold, and one extra row is proof the contract was
-    * violated — the refusal fires BEFORE a driver-sized
-    * materialization, not after an OOM (BpeTrainer's pre-flight
-    * posture). */
+    * The fence is two-stage: the callers' PRE-FLIGHT probe-count
+    * require (riding the needed-cluster job — zero extra passes, and
+    * it fires before the ADC job even runs) catches an over-contract
+    * probePred, and the post-collect require here backstops the
+    * adaptive residual (searchExact's per-probe ADC width is
+    * data-dependent). A LIMIT on the collect was measured ~20% slower
+    * on e19 (CollectLimitExec serializes the final stage), so the
+    * normal path stays a plain fully-parallel collect. */
   private def rerank(spark: SparkSession, data: DataFrame, probes: DataFrame,
       shortlist: DataFrame, neededLits: IndexedSeq[Integer],
       topK: Int, maxShortlist: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairsLocal = shortlist.limit(maxShortlist + 1)
+    val pairsLocal = shortlist
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     require(pairsLocal.length <= maxShortlist,
       s"PqIndex re-rank shortlist exceeded maxShortlist=$maxShortlist " +
