@@ -59,8 +59,11 @@ class WebApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       "/conversion", "/ddl").foreach(r => assert(html.contains(r), r))
     // the table editor (type-alternative picker over POST /typemap/table)
     // is part of the bundled asset: its grid, its route, and the
-    // alternative list the reference UI offers
+    // alternative list the reference UI offers — plus the built-in
+    // manual (the reference ships user-manual assets beside its UI)
     assert(html.contains("tableEditor"))
+    assert(html.contains("id=\"manual\""))
+    assert(html.contains("Workflow: dump"))
     assert(html.contains("/typemap/table?table="))
     Seq("STRING(MAX)", "INT64", "NUMERIC", "TIMESTAMP")
       .foreach(t => assert(html.contains(t), t))
