@@ -190,10 +190,18 @@ object Documents {
   private[graft] def driftFromCounts(perLang: DataFrame): DataFrame = {
     val tot = perLang.groupBy()
       .agg(sum("old_n").as("old_t"), sum("new_n").as("new_t"))
+    // an empty snapshot side (a <2-doc corpus under the parity split,
+    // or a first generation) yields old_t/new_t = 0: Spark's div would
+    // return NULL where DuckDB's // ERRORS — guard both engines to the
+    // defined convention "share of an empty snapshot = 0 ppm"
+    // (DataCard.drift additionally refuses empty sides up front; this
+    // keeps the shared arithmetic total on degenerate input)
     val shares = perLang.crossJoin(broadcast(tot))
       .select(col("lang"), col("old_n"), col("new_n"),
-        expr("old_n * 1000000 div old_t").as("old_ppm"),
-        expr("new_n * 1000000 div new_t").as("new_ppm"))
+        expr("CASE WHEN old_t > 0 THEN old_n * 1000000 div old_t " +
+          "ELSE 0L END").as("old_ppm"),
+        expr("CASE WHEN new_t > 0 THEN new_n * 1000000 div new_t " +
+          "ELSE 0L END").as("new_ppm"))
       .withColumn("delta_ppm", col("new_ppm") - col("old_ppm"))
     val summary = shares.groupBy()
       .agg(sum("old_n").as("old_n"), sum("new_n").as("new_n"),
@@ -962,9 +970,10 @@ object Documents {
         tot AS (SELECT SUM(old_n) AS old_t, SUM(new_n) AS new_t FROM pl),
         sh AS (
           SELECT lang, old_n, new_n,
-                 CAST(old_n * 1000000 // old_t AS BIGINT) AS old_ppm,
-                 CAST(new_n * 1000000 // new_t AS BIGINT) AS new_ppm,
-                 CAST(new_n * 1000000 // new_t - old_n * 1000000 // old_t AS BIGINT) AS delta_ppm
+                 CAST(CASE WHEN old_t > 0 THEN old_n * 1000000 // old_t ELSE 0 END AS BIGINT) AS old_ppm,
+                 CAST(CASE WHEN new_t > 0 THEN new_n * 1000000 // new_t ELSE 0 END AS BIGINT) AS new_ppm,
+                 CAST((CASE WHEN new_t > 0 THEN new_n * 1000000 // new_t ELSE 0 END)
+                    - (CASE WHEN old_t > 0 THEN old_n * 1000000 // old_t ELSE 0 END) AS BIGINT) AS delta_ppm
           FROM pl, tot)
         SELECT lang, old_n, new_n, old_ppm, new_ppm, delta_ppm FROM sh
         UNION ALL
