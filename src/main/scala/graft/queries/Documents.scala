@@ -1680,6 +1680,206 @@ object Documents {
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
                CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS removed_lines,
                md5(COALESCE(string_agg(CASE WHEN NOT is_b THEN line END, chr(10) ORDER BY pos), '')) AS cleaned_h
-        FROM m GROUP BY doc_id ORDER BY doc_id"""))
+        FROM m GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- d27
+    // Vocabulary growth curves (the empirical Heaps-law measurement):
+    // how many distinct TYPES — unigram and bigram vocabularies, one
+    // curve each — have appeared after the first 10%, 20%, … 100% of
+    // the gram stream, reading the corpus in doc_id order. The curve's
+    // shape is the corpus-health diagnostic d16's per-doc richness
+    // can't see: a flattening curve means the crawl is saturating (new
+    // docs add occurrences, not types); one that stays steep means the
+    // vocabulary is still open. The bigram curve discriminates even on
+    // closed-alphabet corpora where the unigram curve saturates in the
+    // first decile. Decile membership is exact integer
+    // cross-multiplication: a type first seen at 0-based stream
+    // position p is inside decile i iff 10*p < i*total (the rational
+    // threshold i·total/10, no float or rounding split between the
+    // engines); cp_tokens reports floor(i·total/10) for display.
+    //
+    // 100 TB shape (the point of this query): a global stream position
+    // is normally a corpus-wide prefix sum — a single-partition window
+    // over every doc. Here it is c22's sharding scheme on the ORDER
+    // key itself: shard = doc_id div width (a PREFIX of the doc_id
+    // order, 256 ranges), the per-shard prefix sums run as 256
+    // independent windows carrying the gram arrays through ONE
+    // exchange, and the shard offsets come from a cumulative sum over
+    // the 256-row count frame (single-partition window DELIBERATE
+    // there). First-occurrence positions then map-side-combine through
+    // a MIN aggregate keyed by type — shuffle volume is the distinct
+    // vocabulary, not gram instances — and the decile fold runs on the
+    // ≤10-row bucket histogram. The two curves are independent passes
+    // over the same persisted tokenization (one scan of the corpus).
+    "d27_vocab_growth" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = QueryDef.spread(spark, dir, "documents")
+        // size(tk) < 2 guard: Spark's sequence(0, -1) DESCENDS, it is
+        // not empty — the d18 lesson, same guard style
+        val dt = docs.select(col("doc_id"),
+            expr(s"filter(split(lower(text), '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> t != '')")
+              .as("tk"))
+          .withColumn("bg", expr(
+            """CASE WHEN size(tk) < 2 THEN array()
+                    ELSE transform(sequence(0, size(tk) - 2),
+                           i -> concat(tk[i], ' ', tk[i + 1])) END"""))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        QueryDef.deferCleanup(() => { dt.unpersist(false); () })
+        val uni = growthCurve(dt.select(col("doc_id"), col("tk").as("arr")), "1gram")
+        val bi = growthCurve(dt.select(col("doc_id"), col("bg").as("arr")), "2gram")
+        uni.unionAll(bi).orderBy("gram", "cp_idx")
+      },
+      oracle = Some("""
+        WITH dt AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                   t -> t <> '') AS tk
+          FROM documents),
+        ar AS (
+          SELECT '1gram' AS gram, doc_id, tk AS arr FROM dt
+          UNION ALL
+          SELECT '2gram', doc_id,
+                 list_transform(range(len(tk) - 1), i -> tk[i + 1] || ' ' || tk[i + 2])
+          FROM dt),
+        dn AS (SELECT gram, doc_id, CAST(COALESCE(len(arr), 0) AS BIGINT) AS n FROM ar),
+        cum AS (
+          SELECT gram, doc_id,
+                 SUM(n) OVER (PARTITION BY gram ORDER BY doc_id) - n AS cum_before
+          FROM dn),
+        fp AS (
+          SELECT gram, token, MIN(gp) AS first_pos FROM (
+            SELECT ar.gram, unnest(ar.arr) AS token,
+                   cum.cum_before + unnest(range(len(ar.arr))) AS gp
+            FROM ar JOIN cum ON ar.gram = cum.gram AND ar.doc_id = cum.doc_id) z
+          GROUP BY gram, token),
+        tot AS (SELECT gram, CAST(SUM(n) AS BIGINT) AS total FROM dn GROUP BY gram),
+        bk AS (
+          SELECT fp.gram, first_pos * 10 // total + 1 AS b, COUNT(*) AS c
+          FROM fp JOIN tot ON fp.gram = tot.gram GROUP BY 1, 2),
+        cps AS (
+          SELECT gram, i AS cp_idx, total * i // 10 AS cp_tokens
+          FROM range(1, 11) t(i), tot)
+        SELECT cps.gram, CAST(cp_idx AS BIGINT) AS cp_idx,
+               CAST(cp_tokens AS BIGINT) AS cp_tokens,
+               CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_types
+        FROM cps LEFT JOIN bk ON bk.gram = cps.gram AND b <= cp_idx
+        GROUP BY 1, 2, 3 ORDER BY 1, 2""")),
+
+    // ---------------------------------------------------------------- c23
+    // Snapshot diff — the row-level companion to d25's distribution
+    // drift: which documents were ADDED, REMOVED, CHANGED (same key,
+    // different content hash), or UNCHANGED between two corpus
+    // snapshots, reported as per-status counts with character volume
+    // on each side. This is the audit a versioned 100 TB corpus runs
+    // before promoting a new generation — d25 says the language mix
+    // moved; this says how much of the corpus actually churned.
+    // Deterministic stand-in for two snapshot dirs (d25's convention,
+    // shaped so every status is POPULATED): old = docs with
+    // doc_id%10 < 9, new = docs with doc_id%10 > 0, and the new side
+    // carries an edited text for doc_id%3 = 0 — so last-digit-0 docs
+    // are removals, last-digit-9 docs are additions, and the shared
+    // ids split changed/unchanged. Keys are doc_ids (unique per side →
+    // the full outer join is 1:1). NULL-safe hash equality
+    // (<=> / IS NOT DISTINCT FROM) keeps a NULL-text pair 'unchanged'
+    // on both engines (the edit concat also maps NULL → NULL on both).
+    //
+    // 100 TB shape: one scan per side (a real deployment reads two
+    // generation dirs), md5 + length projected before the shuffle so
+    // the join carries 32-hex keys and counters, never text; the full
+    // outer join is the canonical co-partitioned diff — bucket both
+    // snapshots by doc_id at write time and the exchange disappears.
+    "c23_snapshot_diff" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        val old = docs.filter(pmod(col("doc_id"), lit(10)) < 9)
+          .select(col("doc_id").as("k"),
+            md5(col("text")).as("oh"),
+            length(col("text")).cast("bigint").as("oc"),
+            lit(true).as("in_o"))
+        val neu = docs.filter(pmod(col("doc_id"), lit(10)) > 0)
+          .withColumn("text2",
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+          .select(col("doc_id").as("k"),
+            md5(col("text2")).as("nh"),
+            length(col("text2")).cast("bigint").as("nc"),
+            lit(true).as("in_n"))
+        old.join(neu, Seq("k"), "full_outer")
+          .withColumn("status",
+            when(col("in_o").isNull, "added")
+              .when(col("in_n").isNull, "removed")
+              .when(col("oh") <=> col("nh"), "unchanged")
+              .otherwise("changed"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum("oc"), lit(0L)).as("chars_old"),
+            coalesce(sum("nc"), lit(0L)).as("chars_new"))
+          .orderBy("status")
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT doc_id AS k, md5(text) AS h,
+                 CAST(length(text) AS BIGINT) AS c, TRUE AS pr
+          FROM documents WHERE doc_id % 10 < 9),
+        nw AS (
+          SELECT doc_id AS k,
+                 md5(CASE WHEN doc_id % 3 = 0 THEN text || ' [rev2]' ELSE text END) AS h,
+                 CAST(length(CASE WHEN doc_id % 3 = 0 THEN text || ' [rev2]' ELSE text END) AS BIGINT) AS c,
+                 TRUE AS pr
+          FROM documents WHERE doc_id % 10 > 0),
+        j AS (
+          SELECT CASE WHEN o.pr IS NULL THEN 'added'
+                      WHEN nw.pr IS NULL THEN 'removed'
+                      WHEN o.h IS NOT DISTINCT FROM nw.h THEN 'unchanged'
+                      ELSE 'changed' END AS status,
+                 o.c AS oc, nw.c AS nc
+          FROM o FULL OUTER JOIN nw ON o.k = nw.k)
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(oc), 0) AS BIGINT) AS chars_old,
+               CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS chars_new
+        FROM j GROUP BY status ORDER BY status"""))
   )
+
+  /** d27's decile machinery over ONE gram-array column: global
+    * 0-based stream positions via c22-style range-sharded prefix sums
+    * (no corpus-wide single-partition window), per-type MIN first
+    * occurrence (map-side combined — shuffle volume is the
+    * vocabulary), then the exact cross-multiplied decile fold over the
+    * ≤10-row bucket histogram. `ar` is (doc_id, arr); a NULL array
+    * counts 0 grams and yields no positions. */
+  private def growthCurve(ar: DataFrame, gram: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = ar.sparkSession
+    val dn = ar.withColumn("n", coalesce(size(col("arr")).cast("bigint"), lit(0L)))
+    val maxId = dn.agg(max("doc_id").as("max_id"))
+    val sharded = dn.crossJoin(broadcast(maxId))
+      .withColumn("shard", expr("doc_id div (max_id div 256 + 1)"))
+    val wS = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inShard = sharded.withColumn("cum_incl", sum("n").over(wS))
+    // shard offsets from the tiny (≤256 rows) per-shard totals;
+    // single-partition window DELIBERATE on the count frame
+    val wO = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = sharded.groupBy("shard").agg(sum("n").as("sn"))
+      .withColumn("off", sum("sn").over(wO) - col("sn"))
+      .select("shard", "off")
+    val fp = inShard.join(broadcast(offs), "shard")
+      .withColumn("before", col("off") + col("cum_incl") - col("n"))
+      .select(col("before"), posexplode(col("arr")))
+      .select(col("col").as("token"), (col("before") + col("pos")).as("gp"))
+      .groupBy("token")
+      .agg(min("gp").as("first_pos"))
+    val tot = dn.agg(sum("n").as("total"))
+    val bk = fp.crossJoin(broadcast(tot))
+      .groupBy(expr("first_pos * 10 div total + 1").as("b"))
+      .agg(count(lit(1)).as("c"))
+    spark.range(1, 11).toDF("cp_idx").crossJoin(broadcast(tot))
+      .withColumn("cp_tokens", expr("total * cp_idx div 10"))
+      .join(broadcast(bk), col("b") <= col("cp_idx"), "left_outer")
+      .groupBy("cp_idx", "cp_tokens")
+      .agg(coalesce(sum("c"), lit(0L)).as("n_types"))
+      .select(lit(gram).as("gram"), col("cp_idx"), col("cp_tokens"),
+        col("n_types"))
+  }
 }

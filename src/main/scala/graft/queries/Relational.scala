@@ -1442,6 +1442,84 @@ object Relational {
             ON c_custkey = o_custkey AND o_orderstatus = 'P'
           GROUP BY c_custkey) co
         GROUP BY c_count
-        ORDER BY custdist DESC, c_count DESC"""))
+        ORDER BY custdist DESC, c_count DESC""")),
+
+    // ---------------------------------------------------------------- q41
+    // Semi-structured extraction: the events table carries a JSON
+    // `props` payload; parse it ONCE with a declared schema
+    // (from_json — schema'd, codegen'd, no UDF) and aggregate the
+    // extracted field per event type. This is the log-analytics shape
+    // where the payload column dwarfs the fixed columns: the scan
+    // reads only (event_type, props), the parse is a per-row
+    // projection inside the same whole-stage-codegen span as the
+    // partial aggregate, and the shuffle carries |event_type| groups,
+    // not rows. A malformed payload yields NULL (from_json's PERMISSIVE
+    // default) and drops out of SUM/MIN/MAX/COUNT(k) on both engines.
+    // The oracle extracts with an anchored regexp instead of a JSON
+    // function so it carries no DuckDB-extension dependency; on this
+    // single-key payload the two extractions are value-identical.
+    "q41_props_json" -> QueryDef(
+      build = (spark, dir) => {
+        val ev = QueryDef.events(spark, dir)
+        ev.select(col("event_type"),
+            expr("from_json(props, 'k BIGINT').k").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count(col("k")).as("n_with_k"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT event_type,
+                 CAST(NULLIF(regexp_extract(props, '"k": (-?[0-9]+)', 1), '') AS BIGINT) AS k
+          FROM events)
+        SELECT event_type, COUNT(*) AS n,
+               CAST(COUNT(k) AS BIGINT) AS n_with_k,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               MIN(k) AS min_k, MAX(k) AS max_k
+        FROM p GROUP BY event_type ORDER BY event_type""")),
+
+    // ---------------------------------------------------------------- q42
+    // Weekly cohort retention — the classic product-analytics matrix:
+    // each user's cohort is their first active epoch-week, and cell
+    // (cohort, offset) counts users from that cohort still active
+    // `offset` weeks later. Weeks are pure-integer epoch-microsecond
+    // buckets (us div 604800e6) — no calendar truncation crosses the
+    // engine boundary, so there is no Monday-vs-Sunday or timezone
+    // hazard to reconcile.
+    //
+    // 100 TB shape: the (user, week) DISTINCT is the big reduction and
+    // it map-side-combines before its shuffle; the cohort week comes
+    // from an UNORDERED window MIN over the user partition — one
+    // user-keyed exchange, no self-join, no sort (min over the whole
+    // partition needs no ordering) — and the final matrix is
+    // |cohorts × offsets|, bounded by the calendar, not the data.
+    "q42_retention_cohorts" -> QueryDef(
+      build = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = QueryDef.events(spark, dir)
+        val act = ev.select(col("user_id"),
+            expr("unix_micros(ts) div 604800000000").as("wk"))
+          .distinct()
+        act.withColumn("cohort_wk",
+            min("wk").over(Window.partitionBy("user_id")))
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_wk", "wk_offset")
+      },
+      oracle = Some("""
+        WITH act AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+          FROM events),
+        coh AS (SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY user_id)
+        SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+               CAST(wk - cohort_wk AS BIGINT) AS wk_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM act JOIN coh USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -39,4 +39,58 @@ class RelationalSpec extends AnyFunSuite {
         .forEach(q => Files.deleteIfExists(q))
     }
   }
+
+  private def withEventsDir(rows: Seq[(Long, java.sql.Timestamp, Long, String, String)])(
+      body: String => Unit): Unit = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rel").toString
+    try {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      body(dir)
+    } finally {
+      val p = java.nio.file.Paths.get(dir)
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+    }
+  }
+
+  test("q41: JSON extraction drops malformed/missing k from the k aggregates only") {
+    val t = new java.sql.Timestamp(1700000000000L)
+    withEventsDir(Seq(
+      (1L, t, 1L, "click", """{"k": 7}"""),
+      (2L, t, 1L, "click", """{"k": 11}"""),
+      (3L, t, 1L, "click", """not json at all"""), // malformed → NULL k
+      (4L, t, 1L, "click", """{"other": 3}"""), // no k field → NULL k
+      (5L, t, 2L, "view", """{"k": -4}"""))) { dir =>
+      val out = Relational.defs("q41_props_json").build(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      // n counts every row; n_with_k / sum / min / max see only parsed ks
+      assert(out("click") === ((4L, 2L, 18L, 7L, 11L)))
+      assert(out("view") === ((1L, 1L, -4L, -4L, -4L)))
+    }
+  }
+
+  test("q42: cohort = first epoch-week, offsets count distinct users") {
+    val wk = 604800000000L // µs per week
+    // epoch-week boundary alignment is irrelevant; pick week w0 inside
+    // a single bucket and step whole weeks from it
+    val w0 = (1700000000000000L / wk) * wk
+    def ts(week: Long) = new java.sql.Timestamp((w0 + week * wk) / 1000L)
+    withEventsDir(Seq(
+      // user 1: weeks 0,1,3 — cohort 0, offsets 0,1,3
+      (1L, ts(0), 1L, "view", "{}"), (2L, ts(1), 1L, "view", "{}"),
+      (3L, ts(3), 1L, "view", "{}"),
+      // user 2: two events in week 0 (dedup to one active week)
+      (4L, ts(0), 2L, "view", "{}"), (5L, ts(0), 2L, "click", "{}"),
+      // user 3: cohort week 1, active weeks 1,2
+      (6L, ts(1), 3L, "view", "{}"), (7L, ts(2), 3L, "view", "{}"))) { dir =>
+      val base = w0 / wk
+      val out = Relational.defs("q42_retention_cohorts").build(spark, dir)
+        .collect().map(r => (r.getLong(0) - base, r.getLong(1)) -> r.getLong(2)).toMap
+      assert(out === Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+        (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+    }
+  }
 }
