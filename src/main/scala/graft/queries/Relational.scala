@@ -1494,9 +1494,10 @@ object Relational {
     // 100 TB shape: the (user, week) DISTINCT is the big reduction and
     // it map-side-combines before its shuffle; the cohort week comes
     // from an UNORDERED window MIN over the user partition — one
-    // user-keyed exchange, no self-join, no sort (min over the whole
-    // partition needs no ordering) — and the final matrix is
-    // |cohorts × offsets|, bounded by the calendar, not the data.
+    // user-keyed exchange and a partition-LOCAL sort on the key only
+    // (no global sort, no self-join back to a per-user aggregate) —
+    // and the final matrix is |cohorts × offsets|, bounded by the
+    // calendar, not the data.
     "q42_retention_cohorts" -> QueryDef(
       build = (spark, dir) => {
         import org.apache.spark.sql.expressions.Window

@@ -434,4 +434,76 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 3,
       s"greedy fold introduced per-step exchanges ($exchanges):\n$plan")
   }
+
+  test("q41 payload extraction: the events scan reads ONLY (event_type, props)") {
+    val df = Relational.defs("q41_props_json").build(spark, dir)
+    // the point of the declared-schema parse: ts and the other fixed
+    // columns never leave disk — on a log table the payload+type pair
+    // is a fraction of the row
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.requiredSchema.fieldNames.toSet
+    }
+    assert(scans === Seq(Set("event_type", "props")), scans.toString)
+  }
+
+  test("q42 retention: no self-join; only the output sort is global") {
+    val df = Relational.defs("q42_retention_cohorts").build(spark, dir)
+    val plan = df.queryExecution.sparkPlan
+    // cohort week comes from a window MIN over the user partition, not
+    // a per-user aggregate joined back — the corpus never joins itself
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.isEmpty, s"retention grew a join:\n$plan")
+    // the window's sort is partition-LOCAL (key ordering only); the
+    // single global sort is the final ORDER BY on the tiny matrix
+    val globalSorts = plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s }
+    assert(globalSorts.size === 1, s"extra global sorts:\n$plan")
+    // and the scan is pruned to (ts, user_id)
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.requiredSchema.fieldNames.toSet }
+    assert(scans === Seq(Set("ts", "user_id")), scans.toString)
+  }
+
+  test("c23 snapshot diff: the full-outer join never carries document text") {
+    val df = Documents.defs("c23_snapshot_diff").build(spark, dir)
+    val plan = df.queryExecution.sparkPlan
+    val smjs = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, s"expected a sort-merge full-outer diff:\n$plan")
+    // md5 + length are projected BEFORE the exchange: both join inputs
+    // are (key, 32-hex hash, counter, flag) — a text attribute here
+    // means the corpus bodies ride the shuffle
+    smjs.foreach { j =>
+      j.children.foreach { side =>
+        val names = side.output.map(_.name)
+        assert(!names.exists(_.startsWith("text")),
+          s"join side carries text: $names")
+      }
+    }
+  }
+
+  test("d27 growth curves: corpus-wide windows are sharded; the only single-partition window reads the count frame") {
+    val df = Documents.defs("d27_vocab_growth").build(spark, dir)
+    val plan = df.queryExecution.sparkPlan
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty)
+    // the gram-bearing prefix sums must be partitioned (by shard);
+    // an empty partition spec is legal ONLY over the ≤256-row
+    // per-shard count frame (shard, sn) — anywhere else it means the
+    // whole corpus funnels through one task
+    wins.filterNot(_.partitionSpec.nonEmpty).foreach { w =>
+      val names = w.child.output.map(_.name).toSet
+      assert(names.subsetOf(Set("shard", "sn")),
+        s"single-partition window over a non-count frame: $names")
+    }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "expected sharded prefix-sum windows")
+    graft.queries.QueryDef.drainCleanups()
+  }
 }
