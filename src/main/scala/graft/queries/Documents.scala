@@ -1792,29 +1792,11 @@ object Documents {
       build = (spark, dir) => {
         val docs = table(spark, dir, "documents")
         val old = docs.filter(pmod(col("doc_id"), lit(10)) < 9)
-          .select(col("doc_id").as("k"),
-            md5(col("text")).as("oh"),
-            length(col("text")).cast("bigint").as("oc"),
-            lit(true).as("in_o"))
         val neu = docs.filter(pmod(col("doc_id"), lit(10)) > 0)
-          .withColumn("text2",
+          .withColumn("text",
             when(pmod(col("doc_id"), lit(3)) === 0,
               concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
-          .select(col("doc_id").as("k"),
-            md5(col("text2")).as("nh"),
-            length(col("text2")).cast("bigint").as("nc"),
-            lit(true).as("in_n"))
-        old.join(neu, Seq("k"), "full_outer")
-          .withColumn("status",
-            when(col("in_o").isNull, "added")
-              .when(col("in_n").isNull, "removed")
-              .when(col("oh") <=> col("nh"), "unchanged")
-              .otherwise("changed"))
-          .groupBy("status")
-          .agg(count(lit(1)).as("n"),
-            coalesce(sum("oc"), lit(0L)).as("chars_old"),
-            coalesce(sum("nc"), lit(0L)).as("chars_new"))
-          .orderBy("status")
+        snapshotChurn(old, neu)
       },
       oracle = Some("""
         WITH o AS (
@@ -1839,6 +1821,35 @@ object Documents {
                CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS chars_new
         FROM j GROUP BY status ORDER BY status"""))
   )
+
+  /** c23's relation over two ARBITRARY snapshot frames — the one
+    * definition the oracled query, `DataCard.churn`, and the streaming
+    * churn artifact all share. Inputs need (doc_id, text); doc_id must
+    * be unique per side (the full outer join is then 1:1). md5 +
+    * length are projected before the shuffle so the join carries
+    * 32-hex keys and counters, never text (plan-pinned by
+    * PlanShapeSpec on c23); NULL-safe `<=>` keeps a NULL-text pair
+    * 'unchanged' rather than 'changed' on a column no engine can
+    * compare with plain equality. */
+  def snapshotChurn(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def side(docs: DataFrame, h: String, c: String, in: String) =
+      docs.select(col("doc_id").as("k"),
+        md5(col("text")).as(h),
+        length(col("text")).cast("bigint").as(c),
+        lit(true).as(in))
+    side(oldDocs, "oh", "oc", "in_o")
+      .join(side(newDocs, "nh", "nc", "in_n"), Seq("k"), "full_outer")
+      .withColumn("status",
+        when(col("in_o").isNull, "added")
+          .when(col("in_n").isNull, "removed")
+          .when(col("oh") <=> col("nh"), "unchanged")
+          .otherwise("changed"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("oc"), lit(0L)).as("chars_old"),
+        coalesce(sum("nc"), lit(0L)).as("chars_new"))
+      .orderBy("status")
+  }
 
   /** d27's decile machinery over ONE gram-array column: global
     * 0-based stream positions via c22-style range-sharded prefix sums

@@ -79,6 +79,21 @@ object DataCard {
     }
   }
 
+  /** Row-level churn between two snapshot corpora — the companion
+    * [[drift]] can't express: drift says the composition moved,
+    * churn says how many documents were added / removed / changed /
+    * unchanged (and the character volume on each side) — the audit a
+    * versioned corpus runs before promoting a generation. ONE
+    * definition with the oracled c23 query
+    * ([[graft.queries.Documents.snapshotChurn]]); DataCardSpec pins
+    * this API bit-exact to it. Inputs need (doc_id, text) with doc_id
+    * unique per side. Unlike drift, an EMPTY side is a legitimate
+    * comparison (everything is 'added' or 'removed' — no division
+    * exists to blow up), so no refusal. */
+  def churn(oldDocs: org.apache.spark.sql.DataFrame,
+      newDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.queries.Documents.snapshotChurn(oldDocs, newDocs)
+
   /** Embedding-space drift between two snapshot corpora — [[drift]]'s
     * sibling on the vector side and the retrain trigger an index
     * operator reads (a large per-dim quantized centroid shift means

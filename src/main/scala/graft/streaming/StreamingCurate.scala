@@ -20,7 +20,9 @@ import graft.util.Fs
   *   - `gen_<batchId>/`    one complete Curate output per committed
   *     batch (curated/verdicts/index/packing/summary/card, plus — for
   *     every chained generation — `drift.json`, the DataCard.drift
-  *     composition report vs the previous generation) — the audit
+  *     composition report vs the previous generation, and
+  *     `churn.json`, the DataCard.churn row-level
+  *     added/removed/changed/unchanged audit) — the audit
   *     trail a data-governance pipeline wants anyway;
   *   - `batch_<batchId>/`  the batch's raw documents.parquet (what the
   *     generation was curated FROM);
@@ -126,6 +128,7 @@ object StreamingCurate {
         // kept nothing) records a skip marker instead of failing the
         // stream — no composition exists to compare against
         writeDrift(spark, s"$rootDir/$prevGen", genDir)
+        writeChurn(spark, s"$rootDir/$prevGen", genDir)
         res
       case None =>
         // first generation: nothing to compare against — no drift.json
@@ -173,6 +176,46 @@ object StreamingCurate {
       }
     }
     Fs.writeStringAtomic(s"$genDir/drift.json",
+      mapper.writeValueAsString(root) + "\n", hc)
+  }
+
+  /** Per-generation churn artifact beside drift.json: the row-level
+    * added/removed/changed/unchanged audit (DataCard.churn — ONE
+    * definition with the oracled c23) of the previous generation's
+    * curated corpus vs the new one. Unlike drift, ONE empty side is a
+    * legitimate comparison (everything added or removed), so only a
+    * both-empty pair records the skip marker; the unreadable empty
+    * dir is stood in by the other side's zero-row frame. */
+  private[streaming] def writeChurn(spark: SparkSession, prevGenDir: String,
+      genDir: String): Unit = {
+    val hc = spark.sessionState.newHadoopConf()
+    def readCurated(dir: String) =
+      try {
+        val df = spark.read.parquet(s"$dir/curated.parquet")
+        if (df.isEmpty) None else Some(df)
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    val prev = readCurated(prevGenDir)
+    val cur = readCurated(genDir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    (prev, cur) match {
+      case (None, None) =>
+        root.put("skipped", "both snapshots empty — nothing churned")
+      case _ =>
+        val o = prev.orElse(cur.map(_.limit(0))).get
+        val n = cur.orElse(prev.map(_.limit(0))).get
+        val arr = root.putArray("rows")
+        graft.report.DataCard.churn(o, n).collect().foreach { r =>
+          val node = arr.addObject()
+          node.put("status", r.getString(0))
+          node.put("n", r.getLong(1))
+          node.put("chars_old", r.getLong(2))
+          node.put("chars_new", r.getLong(3))
+        }
+    }
+    Fs.writeStringAtomic(s"$genDir/churn.json",
       mapper.writeValueAsString(root) + "\n", hc)
   }
 

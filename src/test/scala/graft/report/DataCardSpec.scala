@@ -108,5 +108,30 @@ class DataCardSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](DataCard.drift(docs, empty))
   }
 
+  test("churn IS the oracled c23 relation on c23's own parity stand-in") {
+    import org.apache.spark.sql.functions.{pmod, lit, when, concat}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val old = docs.filter(pmod(col("doc_id"), lit(10)) < 9)
+    val neu = docs.filter(pmod(col("doc_id"), lit(10)) > 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+    val viaApi = DataCard.churn(old, neu).collect().map(_.toSeq)
+    val viaQuery = graft.queries.Documents.defs("c23_snapshot_diff")
+      .build(spark, dir).collect().map(_.toSeq)
+    assert(viaApi.nonEmpty && viaApi.toSeq === viaQuery.toSeq)
+  }
+
+  test("churn accepts an empty side: everything added / removed") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(3)
+    val empty = docs.limit(0)
+    val added = DataCard.churn(empty, docs).collect()
+    assert(added.map(_.getString(0)).toSeq === Seq("added"))
+    assert(added(0).getLong(1) === 3L && added(0).getLong(2) === 0L)
+    val removed = DataCard.churn(docs, empty).collect()
+    assert(removed.map(_.getString(0)).toSeq === Seq("removed"))
+    assert(removed(0).getLong(1) === 3L && removed(0).getLong(3) === 0L)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

@@ -235,5 +235,25 @@ class StreamingCurateSpec extends AnyFunSuite {
       mixedDf(Seq((20L, longC, "fr"))), root, 2L)
     val d2 = graft.util.Fs.readString(s"$root/gen_2/drift.json", hc)
     assert(d2.contains("skipped"), d2)
+
+    // churn.json rides beside drift.json: the first generation has
+    // none, a chained one reports row-level statuses, and — unlike
+    // drift — an empty NEW side is a legitimate comparison (every
+    // previous doc reads 'removed'), not a skip
+    assert(!graft.util.Fs.exists(s"$root/gen_0/churn.json", hc),
+      "first generation must not carry a churn artifact")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val c1 = mapper.readTree(
+      graft.util.Fs.readString(s"$root/gen_1/churn.json", hc))
+    val c1rows = (0 until c1.get("rows").size()).map(c1.get("rows").get)
+      .map(n => n.get("status").asText() -> n.get("n").asLong()).toMap
+    // gen_0 kept {1,2}; gen_1 added {10,11} and (incremental) re-kept
+    // nothing from gen_0 — its curated set is the new docs only
+    assert(c1rows === Map("added" -> 2L, "removed" -> 2L), c1.toString)
+    val c2 = mapper.readTree(
+      graft.util.Fs.readString(s"$root/gen_2/churn.json", hc))
+    val c2rows = (0 until c2.get("rows").size()).map(c2.get("rows").get)
+      .map(n => n.get("status").asText() -> n.get("n").asLong()).toMap
+    assert(c2rows === Map("removed" -> 2L), c2.toString)
   }
 }
