@@ -58,6 +58,7 @@ object GraftSession {
     graft.functions.ArrayMath.register(spark)
     graft.functions.CopyUnescape.register(spark)
     graft.functions.OptimizerBarrier.register(spark)
+    graft.functions.ZValue.register(spark)
     spark
   }
 }

@@ -1819,7 +1819,50 @@ object Documents {
         SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(COALESCE(SUM(oc), 0) AS BIGINT) AS chars_old,
                CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS chars_new
-        FROM j GROUP BY status ORDER BY status"""))
+        FROM j GROUP BY status ORDER BY status""")),
+
+    // ---------------------------------------------------------------- c24
+    // Z-order layout audit: interleave (n_chars, doc_id) into one
+    // Morton key (functions/ZValue — native codegen, bit-exact on both
+    // engines) and report, per contiguous z-range bucket, the doc
+    // count and the (min, max) envelope of BOTH dimensions. The
+    // envelope IS the data-skipping argument: when a corpus is written
+    // in z order, each parquet file's footer stats bound n_chars AND
+    // doc_id simultaneously, so a range predicate on EITHER dimension
+    // prunes files — a single-column sort gives one tight dimension
+    // and leaves the other spanning the corpus (ZValueSpec pins the
+    // contrast on an exact grid). This query is the audit a layout
+    // job runs after writing: narrow envelopes = the clustering took.
+    //
+    // 100 TB shape: the z key is 12 straight-line long ops per row
+    // inside whole-stage codegen (never a UDF), the bucket histogram
+    // map-side-combines, and the shuffle carries |buckets| rows. The
+    // oracle reconstructs the interleave arithmetically (31 shift
+    // terms summed per row) — same integers, engine-independent.
+    "c24_zorder_layout" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        docs.select(col("doc_id"),
+            coalesce(col("n_chars"), lit(0L)).as("nc"))
+          .withColumn("z",
+            graft.functions.ZValue.of(col("nc"), col("doc_id")))
+          .groupBy(expr("z div 65536").as("z_bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min("nc").as("min_chars"), max("nc").as("max_chars"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("z_bucket")
+      },
+      oracle = Some("""
+        WITH z AS (
+          SELECT doc_id, COALESCE(n_chars, 0) AS nc,
+                 CAST(list_sum(list_transform(range(0, 31), i ->
+                   (((COALESCE(n_chars, 0) >> i) & 1) << (2 * i)) +
+                   (((doc_id >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zv
+          FROM documents)
+        SELECT zv // 65536 AS z_bucket, COUNT(*) AS n_docs,
+               MIN(nc) AS min_chars, MAX(nc) AS max_chars,
+               MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM z GROUP BY 1 ORDER BY 1"""))
   )
 
   /** c23's relation over two ARBITRARY snapshot frames — the one
