@@ -1924,7 +1924,13 @@ object Documents {
       .select(col("col").as("token"), (col("before") + col("pos")).as("gp"))
       .groupBy("token")
       .agg(min("gp").as("first_pos"))
-    val tot = dn.agg(sum("n").as("total"))
+    // filter the NULL-total row of an EMPTY corpus: a global agg always
+    // returns one row, but the oracle's per-gram GROUP BY returns none —
+    // without this, Spark emits 10 NULL-checkpoint rows per curve where
+    // DuckDB emits zero (the degenerate-corpus convergence rule). When
+    // any gram exists, total >= 1, so bk's division below is
+    // structurally safe on both engines.
+    val tot = dn.agg(sum("n").as("total")).filter(col("total").isNotNull)
     val bk = fp.crossJoin(broadcast(tot))
       .groupBy(expr("first_pos * 10 div total + 1").as("b"))
       .agg(count(lit(1)).as("c"))

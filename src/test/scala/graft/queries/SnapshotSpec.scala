@@ -73,6 +73,15 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bi.map(_.getLong(3)).max === 1L)
   }
 
+  test("d27: a fully empty corpus yields an empty relation, not NULL checkpoints") {
+    // the oracle's per-gram GROUP BY emits nothing on an empty table;
+    // Spark's global aggregate emits one NULL-total row — the build
+    // must filter it or the engines diverge on the degenerate corpus
+    val dir = docsDir(Seq.empty)
+    val out = Documents.defs("d27_vocab_growth").build(spark, dir).collect()
+    assert(out.isEmpty, out.mkString(";"))
+  }
+
   test("c23: statuses partition the key union; NULL-text pairs are unchanged") {
     // ids 0..29: old side = last digit < 9, new side = last digit > 0,
     // new text edited when id % 3 == 0. Expected:
