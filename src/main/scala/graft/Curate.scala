@@ -28,6 +28,9 @@ import org.apache.spark.sql.functions._
   * `--source-cap=N` caps each source at N permille of the run's kept
   * docs (Config.sourceCapPermille, the d24 scheme; applied after every
   * other verdict — see the Config doc for the per-generation semantics).
+  * `--zorder-files=N` writes curated.parquet z-ordered into N
+  * contiguous Morton-key ranges per split (Config.zorderFiles, c24's
+  * layout — file footer stats then bound both n_chars AND doc_id).
   *
   * The 4-arg form is the INCREMENTAL mode: curate a new batch against a
   * previous run's output (baseDir). The base corpus always wins — a
@@ -168,6 +171,21 @@ object Curate {
     *                       not the all-time total (a global cap would
     *                       need cross-generation source counts the
     *                       O(batch) index deliberately doesn't carry)
+    * @param zorderFiles    opt-in curated.parquet layout: when set,
+    *                       the kept docs are range-partitioned into
+    *                       this many contiguous z-ranges of the
+    *                       Morton key zvalue(n_chars, doc_id mod 2³¹)
+    *                       (functions/ZValue — c24's audited scheme)
+    *                       before the split-partitioned write, so each
+    *                       file's parquet footer stats bound BOTH
+    *                       length and id and a range predicate on
+    *                       either prunes files. doc_id is folded mod
+    *                       2³¹ (zvalue refuses wider coordinates):
+    *                       id-range pruning is exact for corpora under
+    *                       2³¹ docs and degrades predictably — never
+    *                       wrongly — beyond, since folding only
+    *                       widens envelopes, it cannot exclude a
+    *                       matching row's file
     * @param keepLongest    canonical election rule for near-dup
     *                       clusters: false (default) keeps the min
     *                       doc_id among quality-passing members; true
@@ -191,7 +209,8 @@ object Curate {
       stripBoilerplateDenom: Option[Int] = None,
       sourceCapPermille: Option[Int] = None,
       keepLongest: Boolean = false,
-      curriculum: Boolean = false) {
+      curriculum: Boolean = false,
+      zorderFiles: Option[Int] = None) {
     require(minTokens >= 0, s"minTokens $minTokens")
     maxRep2gramPermille.foreach(t => require(t >= 0 && t <= 1000,
       s"maxRep2gramPermille must be a permille, got $t"))
@@ -214,6 +233,8 @@ object Curate {
     // misconfigurations, not dials
     sourceCapPermille.foreach(p => require(p >= 1 && p <= 999,
       s"sourceCapPermille must be in [1,999], got $p"))
+    zorderFiles.foreach(n => require(n > 0,
+      s"zorderFiles must be positive, got $n"))
   }
 
   /** Default shard count: one packing window per ~64k kept docs with a
@@ -377,7 +398,8 @@ object Curate {
         .join(broadcast(takedown.select("doc_id")), Seq("doc_id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        kept.select("doc_id", "text", "lang", "source", "split")
+        zorderCurated(kept.select("doc_id", "text", "lang", "source", "split"),
+            Some(summary.path("zorder_files").asInt(0)).filter(_ > 0))
           .write.mode("overwrite").partitionBy("split")
           .parquet(s"$outDir/curated.parquet")
         // index: retracted rows keep digest+fp but lose their split —
@@ -417,7 +439,8 @@ object Curate {
             s""""strip_boilerplate":${summary.path("strip_boilerplate").asInt(0)},""" +
             s""""source_cap":${summary.path("source_cap").asInt(0)},""" +
             s""""keep_longest":${summary.path("keep_longest").asBoolean(false)},""" +
-            s""""curriculum":${summary.path("curriculum").asBoolean(false)}}\n""",
+            s""""curriculum":${summary.path("curriculum").asBoolean(false)},""" +
+            s""""zorder_files":${summary.path("zorder_files").asInt(0)}}\n""",
           hc)
         // governance card over what SURVIVES — the numbers shipped with
         // the post-takedown artifacts. A takedown that retracts EVERY
@@ -653,7 +676,8 @@ object Curate {
       .write.mode("overwrite").parquet(s"$outDir/verdicts.parquet")
 
     val kept = finalVerdicts.filter(col("verdict") === "kept")
-    kept.select("doc_id", "text", "lang", "source", "split")
+    zorderCurated(kept.select("doc_id", "text", "lang", "source", "split"),
+        cfg.zorderFiles)
       .write.mode("overwrite").partitionBy("split")
       .parquet(s"$outDir/curated.parquet")
 
@@ -707,7 +731,8 @@ object Curate {
         s""""strip_boilerplate":${cfg.stripBoilerplateDenom.getOrElse(0)},""" +
         s""""source_cap":${cfg.sourceCapPermille.getOrElse(0)},""" +
         s""""keep_longest":${cfg.keepLongest},""" +
-        s""""curriculum":${cfg.curriculum}}\n""",
+        s""""curriculum":${cfg.curriculum},""" +
+        s""""zorder_files":${cfg.zorderFiles.getOrElse(0)}}\n""",
       hc)
     // dataset card for the INPUT corpus this run examined — the same
     // oracle-checked c15 relation (report.DataCard), so the governance
@@ -773,14 +798,33 @@ object Curate {
         cfg = cfg.copy(keepLongest = true)
       case "--curriculum" =>
         cfg = cfg.copy(curriculum = true)
+      case f if f.startsWith("--zorder-files=") =>
+        cfg = cfg.copy(zorderFiles =
+          Some(f.stripPrefix("--zorder-files=").toInt))
       case f if f.startsWith("--takedown=") =>
         takedown = Some(f.stripPrefix("--takedown="))
       case f => throw new IllegalArgumentException(
         s"unknown flag $f (supported: --rep=<permille>, --scrub-pii, " +
           "--strip-boilerplate=<denom>, --source-cap=<permille>, " +
-          "--keep-longest, --curriculum, --takedown=<ids>)")
+          "--keep-longest, --curriculum, --zorder-files=<n>, " +
+          "--takedown=<ids>)")
     }
     (pos, cfg, takedown)
+  }
+
+  /** The Config.zorderFiles layout, applied identically by run and
+    * runTakedown (the dial must survive a takedown rewrite — the
+    * summary carries it): Morton key over (n_chars, doc_id folded mod
+    * 2³¹), ZValue.layout's range-partition + sort, None/0 = passthrough.
+    * The coordinates are recomputed each write, never persisted — a
+    * stored z key could silently go stale against an edited text. */
+  private def zorderCurated(df: DataFrame,
+      files: Option[Int]): DataFrame = files match {
+    case Some(n) if n > 0 =>
+      graft.functions.ZValue.layout(df,
+        coalesce(length(col("text")).cast("long"), lit(0L)),
+        pmod(col("doc_id"), lit(1L << 31)), n)
+    case _ => df
   }
 
   /** Takedown id list: a parquet dir (doc_id column) or a text file of

@@ -721,4 +721,58 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       rm(new java.io.File(root))
     }
   }
+
+  test("--zorder-files lays out curated files on the Morton key and survives a takedown") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_curate_zorder").toString
+    try {
+      val rz = Curate.run(spark, dir, s"$root/z",
+        Curate.Config(zorderFiles = Some(2)))
+      val plain = Curate.run(spark, dir, s"$root/plain")
+      // the layout is a pure reordering: same kept set, same verdicts
+      assert(rz.counts === plain.counts)
+      def rows(p: String) = spark.read.parquet(s"$p/curated.parquet")
+        .select("doc_id", "text", "lang", "source", "split")
+        .collect().map(_.toSeq).toSet
+      assert(rows(s"$root/z") === rows(s"$root/plain"))
+      assert(Files.readString(java.nio.file.Paths.get(s"$root/z/summary.json"))
+        .contains(""""zorder_files":2"""))
+      // within each split, files hold DISJOINT z-ranges (the footer
+      // stats argument: a z envelope bounds both n_chars and doc_id)
+      def assertDisjoint(curatedDir: String): Unit = {
+        val envs = spark.read.parquet(curatedDir)
+          .withColumn("z", graft.functions.ZValue.of(
+            coalesce(length(col("text")).cast("long"), lit(0L)),
+            pmod(col("doc_id"), lit(1L << 31))))
+          .groupBy(col("split"), input_file_name().as("f"))
+          .agg(min("z").as("lo"), max("z").as("hi"))
+          .collect().groupBy(_.getString(0))
+        envs.foreach { case (_, files) =>
+          val sorted = files.map(r => (r.getLong(2), r.getLong(3)))
+            .sortBy(_._1).toSeq
+          sorted.sliding(2).foreach {
+            case Seq((_, hi1), (lo2, _)) =>
+              assert(hi1 < lo2, s"overlapping z envelopes: $sorted")
+            case _ => ()
+          }
+        }
+      }
+      assertDisjoint(s"$root/z/curated.parquet")
+      // the dial rides the summary through a takedown rewrite
+      val victim = spark.read.parquet(s"$root/z/curated.parquet")
+        .select("doc_id").as[Long].head()
+      Curate.runTakedown(spark, s"$root/z", s"$root/td",
+        Seq(victim).toDF("doc_id"))
+      assert(Files.readString(java.nio.file.Paths.get(s"$root/td/summary.json"))
+        .contains(""""zorder_files":2"""))
+      assertDisjoint(s"$root/td/curated.parquet")
+      assert(spark.read.parquet(s"$root/td/curated.parquet")
+        .filter(col("doc_id") === victim).count() === 0L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+  }
 }
