@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-round PageRank over an edge list, in EXACT integer ppm —
+  * the centrality companion to [[ConnectedComponents]] on the
+  * similarity/kNN graph family (a document whose neighborhood keeps
+  * getting cited by other neighborhoods is corpus-central; data
+  * selection literature weights training mixes by exactly this kind
+  * of graph importance).
+  *
+  * Arithmetic, chosen so a DuckDB oracle reproduces every bit:
+  * scores live in ppm (uniform start 1 000 000), damping is the exact
+  * rational 17/20 = 0.85 applied as `(Σ (score div deg)) * 17 div 20`
+  * — integer division everywhere, and Spark's `div` and DuckDB's `//`
+  * both truncate toward zero, so no float or rounding seam crosses
+  * the engines. A fixed round count (not convergence-tested) keeps
+  * the relation a pure function of the graph. BIGINT headroom: the
+  * damped sum is bounded by 17 × total score mass ≈ 1.7e7 × |V|,
+  * overflow-safe beyond 5·10¹¹ nodes.
+  *
+  * 100 TB shape: one round = one join of the edge list against the
+  * |V|-sized score frame plus a dst-keyed aggregate — the canonical
+  * iterative-join pattern. Rounds chain LINEARLY in the plan (each
+  * round references the previous exactly once, so no e18-style 3^k
+  * tree blowup), and callers pass a persisted edge frame so the graph
+  * is scanned from cache, not recomputed per round. Nodes with no
+  * in-links settle at the 150 000 ppm floor; a kNN graph has no
+  * dangling nodes (every node emits exactly k edges), so no dangling
+  * redistribution term is needed — [[scores]] requires that posture
+  * instead of silently leaking mass. */
+object PageRank {
+
+  /** @param edges (src, dst) — every src must have ≥ 1 out-edge by
+    *              construction (true of a kNN graph); self-loops are
+    *              legal and simply feed a node its own contribution
+    * @param rounds fixed iteration count (≥ 0; 0 = uniform start) */
+  def scores(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("vec_id")).distinct()
+    var s = nodes.withColumn("score", lit(1000000L))
+    for (_ <- 1 to rounds) {
+      val contrib = edges
+        .join(s.select(col("vec_id").as("src"), col("score")), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("score div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("in_sum"))
+      s = nodes
+        .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(150000L) +
+            expr("(coalesce(in_sum, 0L) * 17) div 20")).as("score"))
+    }
+    s.orderBy("vec_id")
+  }
+}

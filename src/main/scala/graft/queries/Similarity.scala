@@ -139,6 +139,41 @@ object Similarity {
 
   /** Shared bench-scratch helpers (ONE definition across the query
     * modules — see QueryDef). */
+  /** e23's oracle: e09's all-pairs exact kNN graph, then 10 unrolled
+    * MATERIALIZED PageRank rounds (the closureCtes technique). Every
+    * aggregate is CAST (DuckDB SUM(BIGINT) promotes to HUGEINT — the
+    * d25 lesson) and `//` matches Spark's `div` truncation exactly. */
+  private val pagerankOracle: String = {
+    val rounds = 10
+    val steps = (1 to rounds).map { i =>
+      s"""
+        s$i AS MATERIALIZED (
+          SELECT n.vec_id,
+                 150000 + CAST(COALESCE(SUM(p.score // d.deg), 0) AS BIGINT)
+                   * 17 // 20 AS score
+          FROM n
+          LEFT JOIN e ON e.dst = n.vec_id
+          LEFT JOIN s${i - 1} p ON p.vec_id = e.src
+          LEFT JOIN deg d ON d.src = e.src
+          GROUP BY n.vec_id)"""
+    }.mkString(",")
+    s"""
+        WITH q AS MATERIALIZED (
+          SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
+          FROM embeddings),
+        g AS MATERIALIZED (
+          SELECT query_id, cand_id FROM (
+            SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+                   CAST(list_sum([p.qv[i] * c.qv[i] for i in range(1, len(p.qv)+1)]) AS BIGINT) AS dot
+            FROM q p JOIN q c ON p.vec_id <> c.vec_id)
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) <= 5),
+        e AS MATERIALIZED (SELECT query_id AS src, cand_id AS dst FROM g),
+        deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        n AS MATERIALIZED (SELECT DISTINCT src AS vec_id FROM e),
+        s0 AS MATERIALIZED (SELECT vec_id, CAST(1000000 AS BIGINT) AS score FROM n),$steps
+        SELECT vec_id, CAST(score AS BIGINT) AS score FROM s$rounds ORDER BY vec_id"""
+  }
+
   private def rmTree(path: String): Unit = QueryDef.rmTree(path)
   private def sourceStamp(dir: String, tableName: String): String =
     QueryDef.sourceStamp(dir, tableName)
@@ -883,6 +918,30 @@ object Similarity {
         graft.operators.IvfAnn.knnGraph(spark, dir, topK = 5),
       oracle = None,
       headline = true),
+
+    // ---------------------------------------------------------------- e23
+    // PageRank centrality over the exact kNN graph — CC told us which
+    // docs clump (c01/d11); this ranks how CENTRAL each embedding is
+    // in the semantic neighborhood structure (graph-importance
+    // weighting for training-mix selection). Exact integer ppm with
+    // damping as the rational 17/20 (operators/PageRank — both
+    // engines' integer division truncates toward zero, so 10 fixed
+    // rounds are bit-reproducible cross-engine); the kNN graph has no
+    // dangling nodes (every node emits exactly topK edges), which is
+    // what makes the no-redistribution form exact. The edge frame is
+    // persisted once and every round scans the cache; rounds chain
+    // linearly in the plan (single back-reference per round — not an
+    // e18-style unroll hazard).
+    "e23_knn_pagerank" -> QueryDef(
+      build = (spark, dir) => {
+        val edges = graft.operators.IvfAnn
+          .knnExact(spark, dir, lit(true), topK = 5)
+          .select(col("query_id").as("src"), col("cand_id").as("dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        QueryDef.deferCleanup(() => { edges.unpersist(false); () })
+        graft.operators.PageRank.scores(edges, rounds = 10)
+      },
+      oracle = Some(pagerankOracle)),
 
     "e09_knn_graph" -> QueryDef(
       build = (spark, dir) =>
