@@ -32,27 +32,45 @@ import org.apache.spark.sql.functions._
   * instead of silently leaking mass. */
 object PageRank {
 
-  /** @param edges (src, dst) — every src must have ≥ 1 out-edge by
-    *              construction (true of a kNN graph); self-loops are
-    *              legal and simply feed a node its own contribution
+  /** @param edges (src, dst) — the node set is `DISTINCT src`: every
+    *              graph node must appear as a source (true of a kNN
+    *              graph, where each node emits exactly k edges). A
+    *              dst-only node would be silently dropped from the
+    *              output and its received mass discarded — callers
+    *              with such graphs add (v, v) self-loops first
+    *              (self-loops are legal and feed a node its own
+    *              contribution)
     * @param rounds fixed iteration count (≥ 0; 0 = uniform start) */
   def scores(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0: $rounds")
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("vec_id")).distinct()
-    var s = nodes.withColumn("score", lit(1000000L))
-    for (_ <- 1 to rounds) {
-      val contrib = edges
-        .join(s.select(col("vec_id").as("src"), col("score")), "src")
-        .join(deg, "src")
-        .select(col("dst"), expr("score div deg").as("c"))
-        .groupBy("dst").agg(sum("c").as("in_sum"))
-      s = nodes
-        .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          (lit(150000L) +
-            expr("(coalesce(in_sum, 0L) * 17) div 20")).as("score"))
+    // deg and nodes are referenced by EVERY round of the lazy chain:
+    // without a persist each reference is a fresh shuffle over the
+    // edge list (10 redundant aggregates at corpus scale). The final
+    // localCheckpoint materializes the whole chain against the caches,
+    // then the caches are dropped — the returned frame is the
+    // |V|-row result with no lineage pinning the graph.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist(lvl)
+    val nodes = edges.select(col("src").as("vec_id")).distinct().persist(lvl)
+    try {
+      var s = nodes.withColumn("score", lit(1000000L))
+      for (_ <- 1 to rounds) {
+        val contrib = edges
+          .join(s.select(col("vec_id").as("src"), col("score")), "src")
+          .join(deg, "src")
+          .select(col("dst"), expr("score div deg").as("c"))
+          .groupBy("dst").agg(sum("c").as("in_sum"))
+        s = nodes
+          .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            (lit(150000L) +
+              expr("(coalesce(in_sum, 0L) * 17) div 20")).as("score"))
+      }
+      s.orderBy("vec_id").localCheckpoint(true)
+    } finally {
+      deg.unpersist(false)
+      nodes.unpersist(false)
+      ()
     }
-    s.orderBy("vec_id")
   }
 }
