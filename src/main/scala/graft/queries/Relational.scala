@@ -1521,6 +1521,56 @@ object Relational {
                CAST(wk - cohort_wk AS BIGINT) AS wk_offset,
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM act JOIN coh USING (user_id)
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---------------------------------------------------------------- q43
+    // Time-to-convert distribution: for every user whose first
+    // 'purchase' follows their first 'view', the µs gap between the
+    // two — reported as an EXACT five-number summary (min / p50 /
+    // p90 / max as lower discrete quantiles). q21 counts how many
+    // users convert; this says how LONG conversion takes, the latency
+    // SLA question. Quantiles come from operators/ExactQuantiles: the
+    // textbook global row_number() is a corpus-wide single-partition
+    // window, so the operator reduces to the value histogram (shuffle
+    // = distinct gaps) and range-shards the prefix sums on the value
+    // order itself — exact integer ranks, no corpus-wide window,
+    // no approx_percentile epsilon. The oracle picks the same ranks
+    // out of a plain window (fine at oracle scale).
+    "q43_time_to_convert" -> QueryDef(
+      build = (spark, dir) => {
+        val ev = QueryDef.events(spark, dir)
+          .select(col("user_id"), col("event_type"),
+            expr("unix_micros(ts)").as("us"))
+        def firstOf(t: String, as: String) =
+          ev.filter(col("event_type") === t)
+            .groupBy("user_id").agg(min("us").as(as))
+        val gaps = firstOf("view", "v_us")
+          .join(firstOf("purchase", "p_us"), "user_id")
+          .filter(col("p_us") > col("v_us"))
+          .select((col("p_us") - col("v_us")).as("dt_us"))
+        graft.operators.ExactQuantiles.of(
+            gaps, "dt_us", Seq(0, 500, 900, 1000))
+          .withColumnRenamed("n", "n_converters")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS v_us
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+        p AS (
+          SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS p_us
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        d AS (
+          SELECT p.p_us - v.v_us AS dt
+          FROM v JOIN p USING (user_id) WHERE p.p_us > v.v_us),
+        r AS (
+          SELECT dt, ROW_NUMBER() OVER (ORDER BY dt) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM d),
+        qs AS (SELECT q FROM (VALUES (0), (500), (900), (1000)) t(q))
+        SELECT CAST(q AS BIGINT) AS q_permille,
+               CAST((q * (n - 1)) // 1000 AS BIGINT) AS rank_idx,
+               dt AS dt_us, CAST(n AS BIGINT) AS n_converters
+        FROM qs JOIN r ON rn = (q * (n - 1)) // 1000 + 1
+        ORDER BY q"""))
   )
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftSession
+
+/** Known-answer checks for the global exact-quantile fold. */
+class ExactQuantilesSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.build("graft-test")
+
+  private def valsDf(vs: Seq[Long]) = {
+    import spark.implicits._
+    vs.toDF("x")
+  }
+
+  private def qmap(vs: Seq[Long], qs: Seq[Int]): Map[Long, (Long, Long, Long)] =
+    ExactQuantiles.of(valsDf(vs), "x", qs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("five-number summary on 10..19: exact lower discrete quantiles") {
+    // n = 10; rank(q) = (q·9) div 1000 → q0→0, q500→4, q900→8, q1000→9
+    val got = qmap((10L to 19L), Seq(0, 500, 900, 1000))
+    assert(got === Map(
+      0L -> ((0L, 10L, 10L)),
+      500L -> ((4L, 14L, 10L)),
+      900L -> ((8L, 18L, 10L)),
+      1000L -> ((9L, 19L, 10L))))
+  }
+
+  test("ties collapse into one histogram row but keep exact ranks") {
+    // [5,5,5,9]: median rank (500·3) div 1000 = 1 → 5; max rank 3 → 9
+    val got = qmap(Seq(5L, 5L, 5L, 9L), Seq(500, 1000))
+    assert(got === Map(500L -> ((1L, 5L, 4L)), 1000L -> ((3L, 9L, 4L))))
+  }
+
+  test("negative values, single value, empty input, bad args") {
+    // min-shifted shard key keeps the prefix order for negatives
+    val got = qmap(Seq(-7L, -3L, 11L), Seq(0, 500, 1000))
+    assert(got === Map(0L -> ((0L, -7L, 3L)), 500L -> ((1L, -3L, 3L)),
+      1000L -> ((2L, 11L, 3L))))
+    assert(qmap(Seq(42L), Seq(0, 1000)) ===
+      Map(0L -> ((0L, 42L, 1L)), 1000L -> ((0L, 42L, 1L))))
+    assert(ExactQuantiles.of(valsDf(Seq.empty), "x", Seq(500)).collect().isEmpty)
+    intercept[IllegalArgumentException](
+      ExactQuantiles.of(valsDf(Seq(1L)), "x", Seq.empty))
+    intercept[IllegalArgumentException](
+      ExactQuantiles.of(valsDf(Seq(1L)), "x", Seq(1001)))
+    intercept[IllegalArgumentException](
+      ExactQuantiles.of(valsDf(Seq(1L)), "x", Seq(500, 500)))
+  }
+
+  test("agrees with a single-partition row_number oracle on a random-ish spread") {
+    // deterministic pseudo-random longs (hash of 1..500), incl. dup
+    // collisions; compare every permille decile against the textbook
+    // rank definition computed driver-side
+    val vs = (1L to 500L).map(i => (i * 2654435761L) % 1000L)
+    val sorted = vs.sorted
+    val qs = (0 to 1000 by 100)
+    val got = qmap(vs, qs)
+    qs.foreach { q =>
+      val idx = (q.toLong * (vs.size - 1)) / 1000L
+      assert(got(q.toLong) === ((idx, sorted(idx.toInt), vs.size.toLong)),
+        s"q=$q")
+    }
+  }
+}

@@ -72,6 +72,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q43: only first-view→first-purchase users count; exact ranks") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+    val t0 = 1700000000000000L
+    withEventsDir(Seq(
+      // user 1 converts after 100 ms (first view / first purchase win;
+      // java.sql.Timestamp is ms-grained, so gaps must be >= 1 ms)
+      (1L, ts(t0), 1L, "view", "{}"), (2L, ts(t0 + 100000), 1L, "purchase", "{}"),
+      (3L, ts(t0 + 999000), 1L, "purchase", "{}"),
+      // user 2 converts after 300 ms
+      (4L, ts(t0), 2L, "view", "{}"), (5L, ts(t0 + 300000), 2L, "purchase", "{}"),
+      // user 3 purchased BEFORE viewing → excluded
+      (6L, ts(t0 + 50000), 3L, "view", "{}"), (7L, ts(t0), 3L, "purchase", "{}"),
+      // user 4 never purchases → excluded
+      (8L, ts(t0), 4L, "view", "{}"))) { dir =>
+      val out = Relational.defs("q43_time_to_convert").build(spark, dir)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // n = 2 converters: ranks (q·1) div 1000 → 0,0,0,1
+      assert(out === Map(
+        0L -> ((0L, 100000L, 2L)), 500L -> ((0L, 100000L, 2L)),
+        900L -> ((0L, 100000L, 2L)), 1000L -> ((1L, 300000L, 2L))))
+    }
+  }
+
   test("q42: cohort = first epoch-week, offsets count distinct users") {
     val wk = 604800000000L // µs per week
     // epoch-week boundary alignment is irrelevant; pick week w0 inside
