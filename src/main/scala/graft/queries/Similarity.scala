@@ -438,6 +438,101 @@ object Similarity {
     // Ground-truth n-gram Jaccard pairs via inverted index: documents
     // meet only through a shared shingle (no all-pairs). The LSH recall
     // spec (SimilaritySpec) checks m01 against this.
+    // ---------------------------------------------------------------- m07
+    // Cross-corpus near-dup contamination: which EVAL documents have a
+    // near-duplicate in the TRAIN corpus — the fuzzy-level complement
+    // of c03/c18's exact 13-gram screens (a paraphrased or
+    // lightly-edited benchmark item passes an exact n-gram screen but
+    // not this one). Same LSH scheme as m01 (ONE definition via
+    // MinHashIndex.bands) with the band join RESTRICTED to
+    // train×eval — within-corpus pairs never form, so the candidate
+    // volume is driven by cross-corpus collisions only (in production
+    // the eval side is benchmark-sized; this shape broadcasts it).
+    // Output is per-eval-doc: match count + the best-matching train
+    // doc (highest Jaccard, ties to the smaller id — c20's max(struct)
+    // argmax, never a per-group window). The deterministic two-corpus
+    // stand-in is the d25/c23 parity convention (even = train,
+    // odd = eval).
+    "m07_cross_corpus_neardup" -> QueryDef(
+      build = (spark, dir) => {
+        val sh = shingled(spark, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        QueryDef.deferCleanup(() => { sh.unpersist(blocking = true); () })
+        val bands = graft.operators.MinHashIndex.bands(sh)
+        val tb = bands.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id").as("train_id"), col("bi"), col("bh"))
+        val eb = bands.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id").as("eval_id"),
+            col("bi").as("bi2"), col("bh").as("bh2"))
+        val pairs = tb.join(eb,
+            col("bi") === col("bi2") && col("bh") === col("bh2"))
+          .select("eval_id", "train_id").distinct()
+        val verified = pairs
+          .join(sh.select(col("doc_id").as("eval_id"), col("sh").as("sh_e")),
+            "eval_id")
+          .join(sh.select(col("doc_id").as("train_id"), col("sh").as("sh_t")),
+            "train_id")
+          // fence: one array_intersect per pair (m01's lesson)
+          .select(col("eval_id"), col("train_id"),
+            graft.functions.OptimizerBarrier.fence(
+              expr("size(array_intersect(sh_e, sh_t))").cast("bigint"))
+              .as("common"),
+            expr("size(sh_e)").cast("bigint").as("ne"),
+            expr("size(sh_t)").cast("bigint").as("nt"))
+          .select(col("eval_id"), col("train_id"),
+            expr("common * 1000 div (ne + nt - common)").as("j"))
+          .filter(col("j") >= 500)
+        verified.groupBy("eval_id")
+          .agg(count(lit(1)).as("n_train_matches"),
+            max(struct(col("j"), (-col("train_id")).as("nid"))).as("best"))
+          .select(col("eval_id"), col("n_train_matches"),
+            (-col("best.nid")).as("best_train_id"),
+            col("best.j").as("best_jaccard_permille"))
+          .orderBy("eval_id")
+      },
+      oracle = Some("""
+        WITH tkn AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS tk
+          FROM documents),
+        shn AS (
+          SELECT doc_id, CASE WHEN len(tk) >= 3
+            THEN list_distinct(list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' ')))
+            ELSE list_distinct(tk) END AS sh
+          FROM tkn),
+        mhs AS (
+          SELECT doc_id, sh,
+            [list_min(list_transform(sh, s -> md5(k || ':' || s))) for k in [0,1,2,3,4,5]] AS mh
+          FROM shn),
+        bands AS (
+          SELECT doc_id, sh,
+            unnest([md5(mh[1]||mh[2]), md5(mh[3]||mh[4]), md5(mh[5]||mh[6])]) AS bh,
+            unnest([0,1,2]) AS bi
+          FROM mhs),
+        cand AS (
+          SELECT DISTINCT b.doc_id AS eval_id, a.doc_id AS train_id,
+                 len(list_intersect(a.sh, b.sh)) AS common,
+                 len(a.sh) AS nt, len(b.sh) AS ne
+          FROM bands a JOIN bands b
+            ON a.bi = b.bi AND a.bh = b.bh
+           AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+        ver AS (
+          SELECT eval_id, train_id,
+                 common * 1000 // (ne + nt - common) AS j
+          FROM cand WHERE common * 1000 // (ne + nt - common) >= 500),
+        r AS (
+          SELECT eval_id, train_id, j,
+                 ROW_NUMBER() OVER (PARTITION BY eval_id
+                                    ORDER BY j DESC, train_id) AS rn
+          FROM ver),
+        agg AS (
+          SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_train_matches
+          FROM ver GROUP BY eval_id)
+        SELECT agg.eval_id, agg.n_train_matches,
+               r.train_id AS best_train_id,
+               CAST(r.j AS BIGINT) AS best_jaccard_permille
+        FROM agg JOIN r ON r.eval_id = agg.eval_id AND r.rn = 1
+        ORDER BY agg.eval_id""")),
+
     "m02_ngram_jaccard_pairs" -> QueryDef(
       build = (spark, dir) =>
         ngramPairStats(spark, dir)

@@ -149,4 +149,30 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got === expected)
   }
+
+  test("m07 cross-corpus screen: only train×eval pairs, matches ⊆ m01's near-dups") {
+    val rows = Similarity.defs("m07_cross_corpus_neardup").build(spark, dir)
+      .collect()
+    assert(rows.nonEmpty, "the parity stand-in should surface contamination")
+    // the join is RESTRICTED to train×eval: every reported eval doc is
+    // odd, every best match even — a within-corpus pair leaking in
+    // would violate one of these
+    rows.foreach { r =>
+      assert(r.getLong(0) % 2 === 1L, s"even eval_id: $r")
+      assert(r.getLong(2) % 2 === 0L, s"odd train_id: $r")
+      assert(r.getLong(3) >= 500L && r.getLong(1) >= 1L, r.toString)
+    }
+    // every (eval, best-train) pair is one of m01's within-corpus
+    // near-dup pairs (same scheme, same threshold — m07 is m01's
+    // band join restricted to the cross-corpus quadrant)
+    val m01Pairs = Similarity.defs("m01_minhash_lsh_neardup")
+      .build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val (e, t) = (r.getLong(0), r.getLong(2))
+      val key = if (t < e) (t, e) else (e, t)
+      assert(m01Pairs.contains(key), s"pair $key not in m01's near-dups")
+    }
+    graft.queries.QueryDef.drainCleanups()
+  }
 }
