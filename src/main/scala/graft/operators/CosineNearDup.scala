@@ -101,6 +101,40 @@ object CosineNearDup {
       pct)
   }
 
+  /** Cross-corpus variant of [[pairs]]: near-dup pairs with one side in
+    * `aEmb` (e.g. the train corpus) and the other in `bEmb` (e.g. an
+    * eval benchmark) — the semantic level of the contamination-screen
+    * family (exact n-grams → c03/c18, fuzzy text → m07, embeddings →
+    * here). The band join is RESTRICTED to a×b, so within-corpus
+    * pairs never form and candidate volume is cross-corpus collisions
+    * only; benchmark-sized b sides broadcast. No id inequality — the
+    * two corpora are distinct tables, so equal ids are distinct
+    * documents and a legitimate pair. Same seeded hyperplanes and
+    * exact-integer verify as [[pairs]]: a pair in the output satisfies
+    * the cosine threshold bit-for-bit on any engine. */
+  def crossPairs(aEmb: DataFrame, bEmb: DataFrame, pct: Int = 90,
+      tables: Int = 16, bits: Int = 10, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    def banded(e: DataFrame, as: String, b: String, bk: String) =
+      AnnLsh.withBuckets(e, tables, bits, dim, seed)
+        .select(col("vec_id").as(as),
+          posexplode(col("buckets")).as(Seq(b, bk)))
+    val cand = banded(aEmb, "vec_a", "band", "bucket")
+      .join(banded(bEmb, "vec_b", "band2", "bucket2"),
+        col("band") === col("band2") && col("bucket") === col("bucket2"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    val ea = prepared(aEmb)
+    val eb = prepared(bEmb)
+    verified(
+      cand
+        .join(ea.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+          col("norm2").as("na")), "vec_a")
+        .join(eb.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
+          col("norm2").as("nb")), "vec_b"),
+      pct)
+  }
+
   /** SemDeDup-style semantic dedup: per-vector keep/drop verdicts where
     * candidates are confined to the vector's CLUSTER (the `label`
     * column — in production the k-means assignment the SemDeDup recipe

@@ -581,6 +581,53 @@ object TextMedia {
         WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(na AS HUGEINT) * nb * 1600
         ORDER BY vec_a, vec_b""")),
 
+    // ---------------------------------------------------------------- e24
+    // Semantic cross-corpus contamination — the EMBEDDING level of the
+    // screen family (exact n-grams → c03/c18, fuzzy text → m07): which
+    // eval vectors sit above a cosine threshold against ANY train
+    // vector. CosineNearDup.crossPairs restricts the seeded
+    // hyperplane-band join to the train×eval quadrant (within-corpus
+    // pairs never form; a benchmark-sized eval side broadcasts) and
+    // verifies with the same exact-integer cosine test as e04, so the
+    // naive cross-parity all-pairs oracle checks the banded plan
+    // relation-for-relation. e04b's calibrated dials (0.40 / 64×3-bit
+    // bands: miss probability ≈ 9e-9 per threshold-edge pair, proven
+    // by execution on this seeded corpus) keep the oracle non-vacuous
+    // on the near-random driver embeddings; production screens at the
+    // canonical 0.90 defaults. Parity stand-in: even = train,
+    // odd = eval.
+    "e24_semantic_contamination" -> QueryDef(
+      build = (spark, dir) => {
+        val emb = QueryDef.spread(spark, dir, "embeddings")
+        graft.operators.CosineNearDup.crossPairs(
+            emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+            emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+            pct = 40, tables = 64, bits = 3)
+          .select(col("vec_a").as("train_id"), col("vec_b").as("eval_id"),
+            col("dot"), col("na").as("norm2_train"),
+            col("nb").as("norm2_eval"))
+          .orderBy("eval_id", "train_id")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id,
+                 [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
+          FROM embeddings),
+        e AS (
+          SELECT vec_id, qv,
+                 CAST(list_sum([x * x for x in qv]) AS BIGINT) AS norm2
+          FROM q),
+        pairs AS (
+          SELECT a.vec_id AS train_id, b.vec_id AS eval_id,
+                 CAST(list_sum([a.qv[i] * b.qv[i] for i in range(1, 65)]) AS BIGINT) AS dot,
+                 a.norm2 AS norm2_train, b.norm2 AS norm2_eval
+          FROM e a JOIN e b
+            ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1)
+        SELECT train_id, eval_id, dot, norm2_train, norm2_eval
+        FROM pairs
+        WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(norm2_train AS HUGEINT) * norm2_eval * 1600
+        ORDER BY eval_id, train_id""")),
+
     // ---------------------------------------------------------------- e07
     // SemDeDup-style semantic dedup: within-CLUSTER cosine near-dup
     // verdicts (the `label` column is the cluster assignment — the

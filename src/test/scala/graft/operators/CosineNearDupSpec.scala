@@ -85,6 +85,37 @@ class CosineNearDupSpec extends AnyFunSuite {
     assert(got === truth, s"missed: ${truth -- got}; extras: ${got -- truth}")
   }
 
+  test("crossPairs: exactly the cross-quadrant slice of the full relation") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // the fixture's (base, dup) pairs are (i, 100+i) — same parity, so
+    // split train/eval by id range instead: bases+border vs dups
+    val train = fixture.filter(col("vec_id") < 100 || col("vec_id") >= 200)
+    val eval = fixture.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+    val got = pairSet(CosineNearDup.crossPairs(train, eval))
+    // truth = the all-pairs relation restricted to one id per side
+    val truth = pairSet(CosineNearDup.bruteForce(fixture))
+      .filter { case (a, b) => (a < 100 || a >= 200) && (b >= 100 && b < 200) }
+    assert(truth.nonEmpty, "the seeded dups must cross the split")
+    assert(got === truth, s"missed: ${truth -- got}; extras: ${got -- truth}")
+    // and the within-corpus borderline pair (200, 201) must NOT appear
+    assert(!got.exists { case (a, b) => a >= 200 && b >= 200 })
+    // calibrated driver-data parity (e24's dials), cross-parity split
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val gotCal = pairSet(CosineNearDup.crossPairs(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+      pct = 40, tables = 64, bits = 3))
+    val truthCal = pairSet(CosineNearDup.bruteForce(emb, pct = 40))
+      .flatMap { case (a, b) =>
+        // bruteForce emits a<b; orient to (even, odd) and drop same-parity
+        if (a % 2 == 0 && b % 2 == 1) Some((a, b))
+        else if (a % 2 == 1 && b % 2 == 0) Some((b, a))
+        else None
+      }
+    assert(truthCal.nonEmpty && gotCal === truthCal,
+      s"missed: ${truthCal -- gotCal}; extras: ${gotCal -- truthCal}")
+  }
+
   test("driver testdata really has no true pairs (documents the 0-row oracle)") {
     val truth = pairSet(CosineNearDup.bruteForce(
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")))
