@@ -31,6 +31,10 @@ import org.apache.spark.sql.functions._
   * `--zorder-files=N` writes curated.parquet z-ordered into N
   * contiguous Morton-key ranges per split (Config.zorderFiles, c24's
   * layout — file footer stats then bound both n_chars AND doc_id).
+  * `--decontaminate=<evalDir>` flips kept docs that MinHash-near-dup
+  * any doc of the eval corpus to 'eval_contaminated' (the oracled m07
+  * scheme, ONE definition — the fuzzy screen an exact n-gram
+  * contamination check misses).
   *
   * The 4-arg form is the INCREMENTAL mode: curate a new batch against a
   * previous run's output (baseDir). The base corpus always wins — a
@@ -59,6 +63,12 @@ import org.apache.spark.sql.functions._
   *   low_quality   fewer than minTokens whitespace tokens (default 5),
   *                 or — when cfg.maxRep2gramPermille is set — d18's
   *                 duplicate-2gram occupancy above the ceiling
+  *   eval_contaminated (only when cfg.decontaminateDir is set) a doc
+  *                 that passed every rule above but near-dups a doc of
+  *                 the external eval corpus (m07's verified Jaccard ≥
+  *                 500‰); applied BEFORE the source cap so the cap
+  *                 counts the clean kept set; its digest/fp rows stay
+  *                 as NULL-split suppressors
   *   source_capped (only when cfg.sourceCapPermille is set) a doc that
   *                 passed every rule above but fell beyond its source's
   *                 relative cap — hash-ordered retention inside the
@@ -186,6 +196,14 @@ object Curate {
     *                       wrongly — beyond, since folding only
     *                       widens envelopes, it cannot exclude a
     *                       matching row's file
+    * @param decontaminateDir opt-in external-benchmark screen: a dir
+    *                       readable by the corpus loader (parquet or
+    *                       JSONL); kept docs with a MinHash near-dup
+    *                       (m01 scheme, Jaccard ≥ 500‰) in it flip to
+    *                       'eval_contaminated'. The dir is an input,
+    *                       not a dial — summary.json records the
+    *                       boolean; keep the eval set constant across
+    *                       a chain for a consistent audit record
     * @param keepLongest    canonical election rule for near-dup
     *                       clusters: false (default) keeps the min
     *                       doc_id among quality-passing members; true
@@ -210,7 +228,8 @@ object Curate {
       sourceCapPermille: Option[Int] = None,
       keepLongest: Boolean = false,
       curriculum: Boolean = false,
-      zorderFiles: Option[Int] = None) {
+      zorderFiles: Option[Int] = None,
+      decontaminateDir: Option[String] = None) {
     require(minTokens >= 0, s"minTokens $minTokens")
     maxRep2gramPermille.foreach(t => require(t >= 0 && t <= 1000,
       s"maxRep2gramPermille must be a permille, got $t"))
@@ -440,7 +459,8 @@ object Curate {
             s""""source_cap":${summary.path("source_cap").asInt(0)},""" +
             s""""keep_longest":${summary.path("keep_longest").asBoolean(false)},""" +
             s""""curriculum":${summary.path("curriculum").asBoolean(false)},""" +
-            s""""zorder_files":${summary.path("zorder_files").asInt(0)}}\n""",
+            s""""zorder_files":${summary.path("zorder_files").asInt(0)},""" +
+            s""""decontaminate":${summary.path("decontaminate").asBoolean(false)}}\n""",
           hc)
         // governance card over what SURVIVES — the numbers shipped with
         // the post-takedown artifacts. A takedown that retracts EVERY
@@ -655,14 +675,43 @@ object Curate {
     // list oracle-able (d24); iterating to a fixed point would make
     // each source's retention depend on every other source's, and the
     // result would no longer be a per-source rank cut.
-    val finalVerdicts = cfg.sourceCapPermille match {
+    // external-benchmark decontamination (opt-in, BEFORE the source
+    // cap so the cap counts the clean kept set): kept docs with a
+    // MinHash near-dup in the eval corpus flip to 'eval_contaminated'
+    // — the fuzzy-level screen c03/c18's exact n-grams miss, the SAME
+    // definition as the oracled m07 (Similarity.crossNearDupPairs).
+    // Only the KEPT set is screened (a dropped doc can't leak), and
+    // flipped docs' digest/fp rows become NULL-split suppressors in
+    // the index below — redelivered copies are never re-admitted, the
+    // takedown posture.
+    val screened = cfg.decontaminateDir match {
       case None => verdicts
+      case Some(evalDir) =>
+        val hits = queries.Similarity.crossNearDupPairs(
+            verdicts.filter(col("verdict") === "kept")
+              .select("doc_id", "text"),
+            loadDocs(spark, evalDir).select("doc_id", "text"),
+            f => cleanups += f)
+          .select(col("train_id").as("doc_id")).distinct()
+          .withColumn("contaminated", lit(true))
+        val v = verdicts.join(hits, Seq("doc_id"), "left")
+          .withColumn("verdict",
+            when(col("contaminated"), lit("eval_contaminated"))
+              .otherwise(col("verdict")))
+          .drop("contaminated")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cleanups += (() => { v.unpersist(false); () })
+        v
+    }
+
+    val finalVerdicts = cfg.sourceCapPermille match {
+      case None => screened
       case Some(p) =>
         val drops = queries.Documents.sourceCapDrops(
-            verdicts.filter(col("verdict") === "kept")
+            screened.filter(col("verdict") === "kept")
               .select("doc_id", "source"), p, f => cleanups += f)
           .select(col("doc_id"), lit(true).as("src_capped"))
-        val v = verdicts.join(drops, Seq("doc_id"), "left")
+        val v = screened.join(drops, Seq("doc_id"), "left")
           .withColumn("verdict",
             when(col("src_capped"), lit("source_capped"))
               .otherwise(col("verdict")))
@@ -732,7 +781,8 @@ object Curate {
         s""""source_cap":${cfg.sourceCapPermille.getOrElse(0)},""" +
         s""""keep_longest":${cfg.keepLongest},""" +
         s""""curriculum":${cfg.curriculum},""" +
-        s""""zorder_files":${cfg.zorderFiles.getOrElse(0)}}\n""",
+        s""""zorder_files":${cfg.zorderFiles.getOrElse(0)},""" +
+        s""""decontaminate":${cfg.decontaminateDir.nonEmpty}}\n""",
       hc)
     // dataset card for the INPUT corpus this run examined — the same
     // oracle-checked c15 relation (report.DataCard), so the governance
@@ -801,13 +851,16 @@ object Curate {
       case f if f.startsWith("--zorder-files=") =>
         cfg = cfg.copy(zorderFiles =
           Some(f.stripPrefix("--zorder-files=").toInt))
+      case f if f.startsWith("--decontaminate=") =>
+        cfg = cfg.copy(decontaminateDir =
+          Some(f.stripPrefix("--decontaminate=")))
       case f if f.startsWith("--takedown=") =>
         takedown = Some(f.stripPrefix("--takedown="))
       case f => throw new IllegalArgumentException(
         s"unknown flag $f (supported: --rep=<permille>, --scrub-pii, " +
           "--strip-boilerplate=<denom>, --source-cap=<permille>, " +
           "--keep-longest, --curriculum, --zorder-files=<n>, " +
-          "--takedown=<ids>)")
+          "--decontaminate=<evalDir>, --takedown=<ids>)")
     }
     (pos, cfg, takedown)
   }

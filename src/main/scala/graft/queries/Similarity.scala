@@ -139,6 +139,48 @@ object Similarity {
 
   /** Shared bench-scratch helpers (ONE definition across the query
     * modules — see QueryDef). */
+  /** ONE definition of the verified cross-corpus near-dup PAIR
+    * relation (eval_id, train_id, j) — the oracled m07 aggregates it
+    * per eval doc and `Curate --decontaminate` flips the train ids it
+    * names, so the screening rule and the query cannot drift. Inputs
+    * are (doc_id, text) frames; the scheme is m01's
+    * (MinHashIndex.signatures/bands), the band join is restricted to
+    * train×eval, and the Jaccard verify is fenced so array_intersect
+    * runs once per distinct pair (m01's lesson). `cleanup` receives
+    * the persisted signature frames' release thunks (the dupClustersOf
+    * convention — queries defer to the harness, Curate to its own
+    * cleanup list). */
+  private[graft] def crossNearDupPairs(train: DataFrame, eval: DataFrame,
+      cleanup: (() => Unit) => Unit): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shT = graft.operators.MinHashIndex.signatures(train).persist(lvl)
+    val shE = graft.operators.MinHashIndex.signatures(eval).persist(lvl)
+    cleanup(() => { shT.unpersist(blocking = true); () })
+    cleanup(() => { shE.unpersist(blocking = true); () })
+    val tb = graft.operators.MinHashIndex.bands(shT)
+      .select(col("doc_id").as("train_id"), col("bi"), col("bh"))
+    val eb = graft.operators.MinHashIndex.bands(shE)
+      .select(col("doc_id").as("eval_id"),
+        col("bi").as("bi2"), col("bh").as("bh2"))
+    val pairs = tb.join(eb,
+        col("bi") === col("bi2") && col("bh") === col("bh2"))
+      .select("eval_id", "train_id").distinct()
+    pairs
+      .join(shE.select(col("doc_id").as("eval_id"), col("sh").as("sh_e")),
+        "eval_id")
+      .join(shT.select(col("doc_id").as("train_id"), col("sh").as("sh_t")),
+        "train_id")
+      .select(col("eval_id"), col("train_id"),
+        graft.functions.OptimizerBarrier.fence(
+          expr("size(array_intersect(sh_e, sh_t))").cast("bigint"))
+          .as("common"),
+        expr("size(sh_e)").cast("bigint").as("ne"),
+        expr("size(sh_t)").cast("bigint").as("nt"))
+      .select(col("eval_id"), col("train_id"),
+        expr("common * 1000 div (ne + nt - common)").as("j"))
+      .filter(col("j") >= 500)
+  }
+
   /** e23's oracle: e09's all-pairs exact kNN graph, then 10 unrolled
     * MATERIALIZED PageRank rounds (the closureCtes technique). Every
     * aggregate is CAST (DuckDB SUM(BIGINT) promotes to HUGEINT — the
@@ -455,33 +497,11 @@ object Similarity {
     // odd = eval).
     "m07_cross_corpus_neardup" -> QueryDef(
       build = (spark, dir) => {
-        val sh = shingled(spark, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        QueryDef.deferCleanup(() => { sh.unpersist(blocking = true); () })
-        val bands = graft.operators.MinHashIndex.bands(sh)
-        val tb = bands.filter(pmod(col("doc_id"), lit(2)) === 0)
-          .select(col("doc_id").as("train_id"), col("bi"), col("bh"))
-        val eb = bands.filter(pmod(col("doc_id"), lit(2)) === 1)
-          .select(col("doc_id").as("eval_id"),
-            col("bi").as("bi2"), col("bh").as("bh2"))
-        val pairs = tb.join(eb,
-            col("bi") === col("bi2") && col("bh") === col("bh2"))
-          .select("eval_id", "train_id").distinct()
-        val verified = pairs
-          .join(sh.select(col("doc_id").as("eval_id"), col("sh").as("sh_e")),
-            "eval_id")
-          .join(sh.select(col("doc_id").as("train_id"), col("sh").as("sh_t")),
-            "train_id")
-          // fence: one array_intersect per pair (m01's lesson)
-          .select(col("eval_id"), col("train_id"),
-            graft.functions.OptimizerBarrier.fence(
-              expr("size(array_intersect(sh_e, sh_t))").cast("bigint"))
-              .as("common"),
-            expr("size(sh_e)").cast("bigint").as("ne"),
-            expr("size(sh_t)").cast("bigint").as("nt"))
-          .select(col("eval_id"), col("train_id"),
-            expr("common * 1000 div (ne + nt - common)").as("j"))
-          .filter(col("j") >= 500)
+        val docs = QueryDef.spread(spark, dir, "documents")
+        val verified = crossNearDupPairs(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          f => QueryDef.deferCleanup(f))
         verified.groupBy("eval_id")
           .agg(count(lit(1)).as("n_train_matches"),
             max(struct(col("j"), (-col("train_id")).as("nid"))).as("best"))

@@ -722,6 +722,57 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("--decontaminate flips kept near-dups of the eval corpus; suppressors persist") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_curate_decon").toString
+    try {
+      val longA = (1 to 40).map(i => s"alpha$i token$i").mkString(" ")
+      val longB = (1 to 40).map(i => s"beta$i word$i").mkString(" ")
+      // batch: two distinct long docs; eval: a lightly-EDITED copy of
+      // doc 1 (shares almost every 3-gram shingle → Jaccard >= 500‰)
+      // under a different id space — the paraphrase case an exact
+      // 13-gram screen misses
+      Seq((1L, longA, "en", "s"), (2L, longB, "en", "s"))
+        .toDF("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").parquet(s"$root/batch/documents.parquet")
+      Seq((900L, longA + " trailing-edit", "en", "bench"))
+        .toDF("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").parquet(s"$root/eval/documents.parquet")
+      val r = Curate.run(spark, s"$root/batch", s"$root/out",
+        Curate.Config(decontaminateDir = Some(s"$root/eval")))
+      assert(r.counts === Map("eval_contaminated" -> 1L, "kept" -> 1L),
+        r.counts.toString)
+      val verdicts = spark.read.parquet(s"$root/out/verdicts.parquet")
+        .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+      assert(verdicts === Map(1L -> "eval_contaminated", 2L -> "kept"))
+      // the contaminated doc leaves curated but its digest stays as a
+      // NULL-split suppressor (the takedown posture)
+      assert(spark.read.parquet(s"$root/out/curated.parquet")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+      val idx = spark.read.parquet(s"$root/out/index.parquet")
+        .filter(col("doc_id") === 1L).collect()
+      assert(idx.length === 1 && idx(0).isNullAt(idx(0).fieldIndex("split")))
+      assert(Files.readString(java.nio.file.Paths.get(s"$root/out/summary.json"))
+        .contains(""""decontaminate":true"""))
+      // a redelivered copy of the contaminated doc is suppressed by the
+      // index in the next incremental generation
+      Seq((10L, longA, "en", "s"))
+        .toDF("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").parquet(s"$root/batch2/documents.parquet")
+      val r2 = Curate.runIncremental(spark, s"$root/batch2",
+        s"$root/out", s"$root/out2")
+      assert(r2.counts.getOrElse("dup_of_base", 0L) === 1L, r2.counts.toString)
+      // flag OFF: the same batch keeps both docs
+      val rOff = Curate.run(spark, s"$root/batch", s"$root/off")
+      assert(rOff.counts === Map("kept" -> 2L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("--zorder-files lays out curated files on the Morton key and survives a takedown") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_curate_zorder").toString
