@@ -44,7 +44,12 @@ object ExactQuantiles {
       s"duplicate quantiles would duplicate output rows: $qPermille")
     require(shards > 0, s"shards must be positive: $shards")
     import df.sparkSession.implicits._
-    val hist = df.groupBy(col(valueCol).cast("long").as("v"))
+    // NULLs are EXCLUDED, not ranked: a NULL histogram row would count
+    // into n and shift every shard offset (NULLS FIRST) yet never
+    // survive the equi-join on its own NULL shard key — silently
+    // dropping quantile rows. n is therefore the non-null count.
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
     val stats = hist.agg(min("v").as("lo"), max("v").as("hi"),
       sum("c").as("n"))

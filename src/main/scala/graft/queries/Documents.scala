@@ -1842,10 +1842,16 @@ object Documents {
     "c24_zorder_layout" -> QueryDef(
       build = (spark, dir) => {
         val docs = table(spark, dir, "documents")
+        // doc_id folded mod 2³¹ — the SAME key zorderCurated writes
+        // with (and the oracle's & mask computes): unfolded, a corpus
+        // with ids ≥ 2³¹ would CRASH here (zvalue refuses) while the
+        // oracle silently masks, and the audit would no longer measure
+        // the layout Curate produced. n_chars stays direct: a string
+        // column's length is JVM-capped below 2³¹ by construction.
         docs.select(col("doc_id"),
             coalesce(col("n_chars"), lit(0L)).as("nc"))
-          .withColumn("z",
-            graft.functions.ZValue.of(col("nc"), col("doc_id")))
+          .withColumn("z", graft.functions.ZValue.of(col("nc"),
+            pmod(col("doc_id"), lit(1L << 31))))
           .groupBy(expr("z div 65536").as("z_bucket"))
           .agg(count(lit(1)).as("n_docs"),
             min("nc").as("min_chars"), max("nc").as("max_chars"),
@@ -1857,7 +1863,7 @@ object Documents {
           SELECT doc_id, COALESCE(n_chars, 0) AS nc,
                  CAST(list_sum(list_transform(range(0, 31), i ->
                    (((COALESCE(n_chars, 0) >> i) & 1) << (2 * i)) +
-                   (((doc_id >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zv
+                   ((((doc_id & 2147483647) >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zv
           FROM documents)
         SELECT zv // 65536 AS z_bucket, COUNT(*) AS n_docs,
                MIN(nc) AS min_chars, MAX(nc) AS max_chars,
@@ -1904,7 +1910,12 @@ object Documents {
   private def growthCurve(ar: DataFrame, gram: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = ar.sparkSession
-    val dn = ar.withColumn("n", coalesce(size(col("arr")).cast("bigint"), lit(0L)))
+    // NULL array (a NULL-text doc) counts 0 grams: size(NULL) is -1
+    // under the session's legacy sizeOfNull (NOT null — coalesce never
+    // fires), and a -1 would shift every later doc's stream position
+    val dn = ar.withColumn("n",
+      when(col("arr").isNull, lit(0L))
+        .otherwise(size(col("arr")).cast("bigint")))
     val maxId = dn.agg(max("doc_id").as("max_id"))
     val sharded = dn.crossJoin(broadcast(maxId))
       .withColumn("shard", expr("doc_id div (max_id div 256 + 1)"))

@@ -33,6 +33,18 @@ class ExactQuantilesSpec extends AnyFunSuite {
     assert(got === Map(500L -> ((1L, 5L, 4L)), 1000L -> ((3L, 9L, 4L))))
   }
 
+  test("NULLs are excluded from ranks AND from n") {
+    import spark.implicits._
+    // [1, 2, NULL]: an unfiltered NULL histogram row would count into
+    // n (=3) and shift the shard offsets (NULLS FIRST) while never
+    // surviving the shard equi-join — q=0 would vanish entirely
+    val got = Seq(Some(1L), Some(2L), Option.empty[Long]).toDF("x")
+    val m = ExactQuantiles.of(got, "x", Seq(0, 1000)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m === Map(0L -> ((0L, 1L, 2L)), 1000L -> ((1L, 2L, 2L))))
+  }
+
   test("negative values, single value, empty input, bad args") {
     // min-shifted shard key keeps the prefix order for negatives
     val got = qmap(Seq(-7L, -3L, 11L), Seq(0, 500, 1000))

@@ -59,11 +59,15 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bi.zip(bi.tail).forall { case (x, y) => x <= y })
   }
 
-  test("d27: empty and whitespace-only docs contribute no grams") {
+  test("d27: empty, whitespace-only, and NULL-text docs contribute no grams") {
+    // NULL text is the sizeOfNull trap: size(NULL array) is -1 under
+    // the session's legacy setting, and an uncaught -1 shifts every
+    // later doc's stream position (total would read 1, not 2)
     val dir = docsDir(Seq(
       (0L, "x y", "en", "s"),
       (1L, "", "en", "s"),
-      (2L, "   ", "en", "s")))
+      (2L, "   ", "en", "s"),
+      (3L, null, "en", "s")))
     val out = Documents.defs("d27_vocab_growth").build(spark, dir).collect()
     val uni = out.filter(_.getString(0) == "1gram")
     assert(uni.map(_.getLong(2)).max === 2L) // total tokens = 2
