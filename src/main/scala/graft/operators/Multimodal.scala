@@ -289,6 +289,31 @@ object Multimodal {
       .distinct()
   }
 
+  /** Cross-corpus variant of [[dHashNearDup]] — the PERCEPTUAL level
+    * of the contamination-screen family (exact n-grams → c03/c18,
+    * fuzzy text → m07, embeddings → e24, images → here): which eval
+    * images sit within `maxHamming` of ANY train image. Same band
+    * scheme ([[bandedHammingPairs]]'s unsigned shift + mask keys, same
+    * pigeonhole recall), with the join RESTRICTED to train×eval —
+    * within-corpus pairs never form, and no id inequality: the two
+    * corpora are distinct tables, so equal ids are distinct images and
+    * a legitimate pair. Output (train_id, eval_id, hamming), one row
+    * per qualifying pair. */
+  def dHashCrossNearDup(train: DataFrame, eval: DataFrame,
+      hashBits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < bands,
+      s"maxHamming $maxHamming needs < $bands bands for guaranteed recall")
+    val t = bandKeys(train, hashBits, bands)
+    val e = bandKeys(eval, hashBits, bands)
+    t.as("x").join(e.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv"))
+      .select(col("x.media_id").as("train_id"),
+        col("y.media_id").as("eval_id"),
+        expr("bit_count(x.dhash ^ y.dhash)").cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** The pre-filter candidate relation of [[dHashNearDup]]: one row per
     * (ordered pair, shared band) collision, WITH multiplicity. Exposed
     * package-private so MultimodalSpec can pin the pruning property —
@@ -307,15 +332,17 @@ object Multimodal {
     * band values — and joins rows sharing a band, ordered
     * media_id < media_id. `carry` columns ride through as
     * `<name>_a`/`<name>_b` beside (id_a, id_b, hamming). */
-  private def bandedHammingPairs(hashes: DataFrame, hashBits: Int,
-      bands: Int, carry: Seq[String]): DataFrame = {
+  /** (media_id, dhash, carry..., bi, bv) band-key frame — the shared
+    * banding of [[bandedHammingPairs]] and [[dHashCrossNearDup]]. */
+  private def bandKeys(hashes: DataFrame, hashBits: Int, bands: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(hashBits >= 1 && hashBits <= 64,
       s"hashBits $hashBits must be in [1, 64]")
     require(bands >= 1 && hashBits % bands == 0,
       s"bands $bands must divide hashBits $hashBits")
     val width = hashBits / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val banded = hashes.select(
+    hashes.select(
       (Seq(col("media_id"), col("dhash")) ++ carry.map(col) :+
         explode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> struct(b as bi, " +
@@ -323,6 +350,11 @@ object Multimodal {
           .as("band")): _*)
       .select((Seq(col("media_id"), col("dhash")) ++ carry.map(col) ++
         Seq(col("band.bi").as("bi"), col("band.bv").as("bv"))): _*)
+  }
+
+  private def bandedHammingPairs(hashes: DataFrame, hashBits: Int,
+      bands: Int, carry: Seq[String]): DataFrame = {
+    val banded = bandKeys(hashes, hashBits, bands, carry)
     banded.as("x").join(banded.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
           col("x.media_id") < col("y.media_id"))

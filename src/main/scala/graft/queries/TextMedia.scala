@@ -172,6 +172,31 @@ object TextMedia {
     * surfaces as a self-describing oracle error, never as a hash
     * mismatch blamed on the (correct) Spark side. Equivalence with the
     * recursive closure verified bit-exactly at sf0.01. */
+  /** b04/b07's deterministic synthetic image corpus over the documents
+    * table: 9×4 grayscale payloads where each doc_id%25 family (m < 5)
+    * shares a base payload with member m overwriting one row-leading
+    * byte with chr(1) — so each member differs from base in ≤ 1 dHash
+    * bit, any two members in ≤ 2, and every in-family pair qualifies
+    * at Hamming ≤ 3. ONE definition, so the within-corpus (b04) and
+    * cross-corpus (b07) screens hash identical pixels. */
+  private def syntheticImages(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val m = col("doc_id") % 25
+    val baseKey = (col("doc_id") - m).cast("string").cast("binary")
+    val pb = concat(md5(baseKey),
+      substring(md5(md5(baseKey).cast("binary")), 1, 4))
+    val pos = ((m - 1) * 9 + 1).cast("int") // row-leading byte, 1-based
+    val payload = when(m >= 5,
+        concat(md5(col("text").cast("binary")),
+          substring(md5(md5(col("text").cast("binary")).cast("binary")), 1, 4)))
+      .when(m === 0, pb)
+      .otherwise(concat(
+        pb.substr(lit(1), pos - lit(1)), lit("\u0001"),
+        pb.substr(pos + lit(1), lit(36) - pos)))
+    docs.select(col("doc_id"),
+      concat(lit("IMG|9|4|"), payload).cast("binary").as("media"))
+  }
+
   private val closureRounds = 16
   private val closureCtes: String = {
     val steps = (1 to closureRounds).map { i =>
@@ -873,22 +898,8 @@ object TextMedia {
     // C(5,2)=10 pairs per group, ~200 pairs at sf0.01.
     "b04_image_neardup" -> QueryDef(
       build = (spark, dir) => {
-        val docs = table(spark, dir, "documents")
-        val m = col("doc_id") % 25
-        val baseKey = (col("doc_id") - m).cast("string").cast("binary")
-        val pb = concat(md5(baseKey),
-          substring(md5(md5(baseKey).cast("binary")), 1, 4))
-        val pos = ((m - 1) * 9 + 1).cast("int") // row-leading byte, 1-based
-        val payload = when(m >= 5,
-            concat(md5(col("text").cast("binary")),
-              substring(md5(md5(col("text").cast("binary")).cast("binary")), 1, 4)))
-          .when(m === 0, pb)
-          .otherwise(concat(
-            pb.substr(lit(1), pos - lit(1)), lit("\u0001"),
-            pb.substr(pos + lit(1), lit(36) - pos)))
-        val media = docs.select(col("doc_id"),
-          concat(lit("IMG|9|4|"), payload).cast("binary").as("media"))
-        val hashes = graft.operators.Multimodal.dHash(media, "doc_id", "media")
+        val hashes = graft.operators.Multimodal.dHash(
+          syntheticImages(table(spark, dir, "documents")), "doc_id", "media")
         graft.operators.Multimodal.dHashNearDup(hashes)
           .orderBy("id_a", "id_b")
       },
@@ -918,6 +929,55 @@ object TextMedia {
         FROM bits a JOIN bits b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
         ORDER BY id_a, id_b""")),
+
+    // ---------------------------------------------------------------- b07
+    // Perceptual cross-corpus contamination — the IMAGE level of the
+    // screen family (exact n-grams → c03/c18, fuzzy text → m07,
+    // embeddings → e24): which eval images sit within Hamming ≤ 3 of
+    // ANY train image (a re-encoded or slightly-cropped benchmark
+    // image that byte-level hashing misses). Same dHash + banded
+    // scheme as b04 (ONE banding definition,
+    // Multimodal.dHashCrossNearDup), join RESTRICTED to train×eval.
+    // Parity stand-in (d25/c23 convention): b04's planted 5-member
+    // families hold consecutive ids, so every family straddles the
+    // parity line and yields real cross-corpus pairs. Oracle = b04's
+    // naive all-pairs bits relation with the parity restriction.
+    "b07_image_contamination" -> QueryDef(
+      build = (spark, dir) => {
+        val media = syntheticImages(table(spark, dir, "documents"))
+        val hashes = graft.operators.Multimodal.dHash(media, "doc_id", "media")
+        graft.operators.Multimodal.dHashCrossNearDup(
+            hashes.filter(pmod(col("media_id"), lit(2)) === 0),
+            hashes.filter(pmod(col("media_id"), lit(2)) === 1))
+          .orderBy("eval_id", "train_id")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id, text, doc_id % 25 AS m,
+                 md5(CAST(doc_id - doc_id % 25 AS VARCHAR)) ||
+                 substring(md5(md5(CAST(doc_id - doc_id % 25 AS VARCHAR))), 1, 4) AS pb
+          FROM documents),
+        pay AS (
+          SELECT doc_id,
+                 CASE WHEN m >= 5 THEN md5(text) || substring(md5(md5(text)), 1, 4)
+                      WHEN m = 0 THEN pb
+                      ELSE substring(pb, 1, CAST((m - 1) * 9 AS INT)) || chr(1) ||
+                           substring(pb, CAST((m - 1) * 9 + 2 AS INT),
+                                     CAST(35 - (m - 1) * 9 AS INT))
+                 END AS p
+          FROM base),
+        bits AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN ord(substring(p, y*9 + x + 2, 1)) > ord(substring(p, y*9 + x + 1, 1))
+                      THEN CAST(pow(2, 31 - (y*8 + x)) AS BIGINT) ELSE 0 END) AS BIGINT) AS dhash
+          FROM pay, LATERAL unnest(range(0, 4)) t(y), LATERAL unnest(range(0, 8)) u(x)
+          GROUP BY doc_id)
+        SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        FROM bits a JOIN bits b
+          ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        ORDER BY eval_id, train_id""")),
 
     // ---------------------------------------------------------------- b06
     // Audio near-dup — the acoustic member of the perceptual family:

@@ -177,6 +177,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("dHashCrossNearDup: only train×eval pairs; equal ids are legitimate") {
+    import spark.implicits._
+    def img(px: Seq[Int]): Array[Byte] =
+      media("IMG|9|4|" + px.map(_.toChar).mkString)
+    val a = (0 until 36).map(i => 60 + (i % 9) * 5)
+    val other = (0 until 36).map(i => 200 - (i % 9) * 7)
+    // train: {1: a, 2: other}; eval: {1: a (same id, distinct corpus),
+    // 7: a-shifted}. Expect eval 1 and 7 each matching train 1 only.
+    val train = Multimodal.dHash(
+      Seq((1L, img(a)), (2L, img(other))).toDF("doc_id", "media"),
+      "doc_id", "media")
+    val eval = Multimodal.dHash(
+      Seq((1L, img(a)), (7L, img(a.map(_ + 10)))).toDF("doc_id", "media"),
+      "doc_id", "media")
+    val got = Multimodal.dHashCrossNearDup(train, eval)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 1L, 0L), (1L, 7L, 0L)), got.toString)
+    // within-corpus pair (train 1, train 2) and (eval 1, eval 7) never
+    // form — the whole point of the quadrant restriction — and the
+    // unrelated train image matches nothing
+    assert(!got.exists(_._1 == 2L))
+  }
+
   test("dHash banded recall is the pigeonhole guarantee, incl. one-band damage") {
     import spark.implicits._
     // craft two hashes differing in exactly 3 bits, ALL inside one

@@ -487,6 +487,35 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q43 quantiles: no single-partition window touches the gaps; scan pruned") {
+    val df = Relational.defs("q43_time_to_convert").build(spark, dir)
+    val plan = df.queryExecution.sparkPlan
+    // the ExactQuantiles contract: ranks come from the value histogram
+    // + sharded prefix sums — the only empty-partition window reads the
+    // shard-count frame (shard, sn), never gap rows
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    wins.filterNot(_.partitionSpec.nonEmpty).foreach { w =>
+      val names = w.child.output.map(_.name).toSet
+      assert(names.subsetOf(Set("shard", "sn")),
+        s"single-partition window over a non-count frame: $names")
+    }
+    // and the events scan reads only what the gap needs
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.requiredSchema.fieldNames.toSet }
+    assert(scans.forall(_ === Set("ts", "user_id", "event_type")),
+      scans.toString)
+  }
+
+  test("c24 layout audit: ONE corpus scan, z computed in the scan's project") {
+    val df = Documents.defs("c24_zorder_layout").build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"expected one documents scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"), plan)
+  }
+
   test("d27 growth curves: corpus-wide windows are sharded; the only single-partition window reads the count frame") {
     val df = Documents.defs("d27_vocab_growth").build(spark, dir)
     val plan = df.queryExecution.sparkPlan
