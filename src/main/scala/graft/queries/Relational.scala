@@ -1571,6 +1571,50 @@ object Relational {
                CAST((q * (n - 1)) // 1000 AS BIGINT) AS rank_idx,
                dt AS dt_us, CAST(n AS BIGINT) AS n_converters
         FROM qs JOIN r ON rn = (q * (n - 1)) // 1000 + 1
-        ORDER BY q"""))
+        ORDER BY q""")),
+
+    // ---------------------------------------------------------------- q44
+    // Weekly stickiness (the WAU/MAU engagement ratio on q42's
+    // pure-integer epoch-week buckets): for each active week w, the
+    // distinct users active IN w over the distinct users active in
+    // the trailing 4-week window [w−3, w], in exact ppm. The naive
+    // form is a per-week self-join (or a RANGE window over distinct
+    // user-weeks — a corpus-wide sort); instead each (user, week)
+    // activity row EXPLODES into the ≤4 future windows it funds
+    // (sequence(wk, wk+3)), and both counts are map-side-combined
+    // DISTINCT aggregates — shuffle is ≤5× the distinct activity
+    // pairs, the final join is |weeks|-sized. Output restricted to
+    // weeks with their own activity (a window fed only by history is
+    // reporting on a dead week).
+    "q44_stickiness" -> QueryDef(
+      build = (spark, dir) => {
+        val act = QueryDef.events(spark, dir)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 604800000000").as("wk"))
+          .distinct()
+        val wau = act.groupBy("wk").agg(count(lit(1)).as("wau"))
+        val m4 = act
+          .select(col("user_id"), explode(expr("sequence(wk, wk + 3)")).as("w"))
+          .distinct()
+          .groupBy(col("w").as("wk")).agg(count(lit(1)).as("m4au"))
+        wau.join(m4, "wk")
+          .select(col("wk"), col("wau"), col("m4au"),
+            expr("wau * 1000000 div m4au").as("stickiness_ppm"))
+          .orderBy("wk")
+      },
+      oracle = Some("""
+        WITH act AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+          FROM events),
+        wau AS (SELECT wk, CAST(COUNT(*) AS BIGINT) AS wau FROM act GROUP BY wk),
+        m4 AS (
+          SELECT w AS wk, CAST(COUNT(*) AS BIGINT) AS m4au FROM (
+            SELECT DISTINCT user_id, unnest(range(wk, wk + 4)) AS w FROM act) z
+          GROUP BY w)
+        SELECT CAST(wau.wk AS BIGINT) AS wk, wau, m4au,
+               CAST(wau * 1000000 // m4au AS BIGINT) AS stickiness_ppm
+        FROM wau JOIN m4 ON wau.wk = m4.wk
+        ORDER BY wk"""))
   )
 }

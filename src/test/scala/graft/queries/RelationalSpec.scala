@@ -97,6 +97,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q44: trailing window counts distinct users; weeks with no activity vanish") {
+    val wk = 604800000000L
+    val w0 = (1700000000000000L / wk) * wk
+    def ts(week: Long) = new java.sql.Timestamp((w0 + week * wk) / 1000L)
+    withEventsDir(Seq(
+      // week 0: users 1, 2; week 1: user 1 (twice — dedup); week 4: user 3
+      (1L, ts(0), 1L, "view", "{}"), (2L, ts(0), 2L, "view", "{}"),
+      (3L, ts(1), 1L, "view", "{}"), (4L, ts(1), 1L, "click", "{}"),
+      (5L, ts(4), 3L, "view", "{}"))) { dir =>
+      val base = w0 / wk
+      val out = Relational.defs("q44_stickiness").build(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0) - base) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // w0: wau {1,2}=2, window [w-3,w0] = {1,2} → 1e6
+      // w1: wau {1}=1, window [w-2,w1] ⊇ weeks 0,1 = {1,2} → 500000
+      // w4: wau {3}=1, window [1,4] = weeks 1,4 = {1,3} → 500000
+      // weeks 2, 3 had no activity → no rows
+      assert(out === Map(
+        0L -> ((2L, 2L, 1000000L)),
+        1L -> ((1L, 2L, 500000L)),
+        4L -> ((1L, 2L, 500000L))))
+    }
+  }
+
   test("q42: cohort = first epoch-week, offsets count distinct users") {
     val wk = 604800000000L // µs per week
     // epoch-week boundary alignment is irrelevant; pick week w0 inside
