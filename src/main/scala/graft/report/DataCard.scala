@@ -79,6 +79,25 @@ object DataCard {
     }
   }
 
+  /** Global EXACT length quantiles of a corpus — the five-number
+    * summary a data card quotes beside [[metrics]]' totals. Uses
+    * [[graft.operators.ExactQuantiles]] (q43's operator: value
+    * histogram + sharded prefix sums, no corpus-wide window, no
+    * approx_percentile epsilon), so the numbers are reproducible
+    * bit-for-bit across runs and engines. Lengths come from n_chars
+    * when present, else length(text); NULL-text docs are excluded
+    * (the operator's NULL posture). */
+  def lengthSummary(docs: org.apache.spark.sql.DataFrame,
+      qPermille: Seq[Int] = Seq(0, 250, 500, 750, 900, 1000))
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val len =
+      if (docs.columns.contains("n_chars")) col("n_chars")
+      else length(col("text")).cast("long")
+    graft.operators.ExactQuantiles.of(
+      docs.select(len.as("len")), "len", qPermille)
+  }
+
   /** Row-level churn between two snapshot corpora — the companion
     * [[drift]] can't express: drift says the composition moved,
     * churn says how many documents were added / removed / changed /

@@ -122,6 +122,23 @@ class DataCardSpec extends AnyFunSuite {
     assert(viaApi.nonEmpty && viaApi.toSeq === viaQuery.toSeq)
   }
 
+  test("lengthSummary: exact discrete quantiles, NULL text excluded") {
+    import spark.implicits._
+    // lengths 10..19 via n_chars; one NULL-text doc must not rank
+    val docs = ((10L to 19L).map(n =>
+        (n, Option("x" * n.toInt), "en", "s", Option(n))) :+
+      ((99L, Option.empty[String], "en", "s", Option.empty[Long])))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DataCard.lengthSummary(docs, Seq(0, 500, 1000)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(0L -> ((10L, 10L)), 500L -> ((14L, 10L)),
+      1000L -> ((19L, 10L))))
+    // without n_chars it derives from the live text
+    val viaText = DataCard.lengthSummary(
+      docs.drop("n_chars"), Seq(1000)).collect()
+    assert(viaText.map(r => r.getLong(2)).toSeq === Seq(19L))
+  }
+
   test("churn accepts an empty side: everything added / removed") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(3)
     val empty = docs.limit(0)

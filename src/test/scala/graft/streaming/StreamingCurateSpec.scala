@@ -197,6 +197,42 @@ class StreamingCurateSpec extends AnyFunSuite {
     assert(r.map(_.counts) === Some(Map("dup_of_base" -> 1L)))
   }
 
+  test("the decontaminate dial screens every chained generation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("scur_decon")
+    // a standing eval benchmark: a lightly-edited copy of longA
+    Seq((900L, longA + " eval-edit", "en", "bench"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$root/eval/documents.parquet")
+    val in = MemoryStream[(Long, String, String, String)]
+    val results = scala.collection.mutable.ArrayBuffer[Curate.Result]()
+    val q = StreamingCurate.start(
+      in.toDF.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long")),
+      root, tmp("scur_decon_chk"),
+      cfg = Curate.Config(decontaminateDir = Some(s"$root/eval")),
+      onResult = (_, r) => { results += r; () })
+    try {
+      // gen 0: the contaminated doc flips, the clean one stays
+      in.addData((1L, longA, "en", "s"), (2L, longB, "en", "s"))
+      q.processAllAvailable()
+      assert(results.last.counts ===
+        Map("eval_contaminated" -> 1L, "kept" -> 1L), results.last.counts)
+      // gen 1 (chained incremental run): the dial still screens — a
+      // FRESH near-dup of the benchmark flips here too (it is not a
+      // dup of gen 0's kept corpus, so only the screen can catch it)
+      in.addData((10L, longA + " tail", "en", "s"), (11L, longC, "en", "s"))
+      q.processAllAvailable()
+      assert(results.last.counts ===
+        Map("eval_contaminated" -> 1L, "kept" -> 1L), results.last.counts)
+      // the contaminated docs never reach any curated generation
+      val kept = spark.read.parquet(s"$root/gen_1/curated.parquet")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(11L), kept.toString)
+    } finally q.stop()
+  }
+
   test("chained generations carry a drift.json artifact; empty sides skip") {
     val root = tmp("scur6")
     val hc = spark.sessionState.newHadoopConf()
