@@ -1615,6 +1615,46 @@ object Relational {
         SELECT CAST(wau.wk AS BIGINT) AS wk, wau, m4au,
                CAST(wau * 1000000 // m4au AS BIGINT) AS stickiness_ppm
         FROM wau JOIN m4 ON wau.wk = m4.wk
-        ORDER BY wk"""))
+        ORDER BY wk""")),
+
+    // ---------------------------------------------------------------- q45
+    // Order-to-ship latency distribution — ExactQuantiles on the FACT
+    // side: exact integer-day quantiles of l_shipdate − o_orderdate
+    // over the full lineitem ⋈ orders join. The operator's histogram
+    // reduction is the whole story here: latency days live in a tiny
+    // domain (~200 distinct values regardless of SF), so after the one
+    // corpus-scale shuffle (the orderkey join) the quantile machinery
+    // runs on a ~200-row frame — exact p99 at 100 TB for the cost of
+    // the join Spark needed anyway. Pure-integer µs→day buckets (no
+    // calendar/timezone seam, q42's convention).
+    "q45_ship_latency" -> QueryDef(
+      build = (spark, dir) => {
+        val li = QueryDef.table(spark, dir, "lineitem")
+          .select(col("l_orderkey"),
+            expr("unix_micros(cast(l_shipdate as timestamp))").as("s_us"))
+        val ord = QueryDef.table(spark, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("unix_micros(cast(o_orderdate as timestamp))").as("o_us"))
+        val days = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(expr("(s_us - o_us) div 86400000000").as("lat_days"))
+        graft.operators.ExactQuantiles.of(
+            days, "lat_days", Seq(0, 250, 500, 750, 900, 990, 1000))
+          .withColumnRenamed("n", "n_items")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT (epoch_us(CAST(l_shipdate AS TIMESTAMP)) -
+                  epoch_us(CAST(o_orderdate AS TIMESTAMP))) // 86400000000 AS lat_days
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        r AS (
+          SELECT lat_days, ROW_NUMBER() OVER (ORDER BY lat_days) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM d),
+        qs AS (SELECT q FROM (VALUES (0), (250), (500), (750), (900), (990), (1000)) t(q))
+        SELECT CAST(q AS BIGINT) AS q_permille,
+               CAST((q * (n - 1)) // 1000 AS BIGINT) AS rank_idx,
+               lat_days, CAST(n AS BIGINT) AS n_items
+        FROM qs JOIN r ON rn = (q * (n - 1)) // 1000 + 1
+        ORDER BY q"""))
   )
 }
