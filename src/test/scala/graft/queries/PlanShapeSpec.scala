@@ -516,6 +516,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("Join"), plan)
   }
 
+  test("q44 stickiness: the activity table never joins itself; no windows at all") {
+    val df = Relational.defs("q44_stickiness").build(spark, dir)
+    val plan = df.queryExecution.sparkPlan
+    // both counts are DISTINCT aggregates over the exploded activity —
+    // the naive per-week self-join (activity ⋈ activity on a week
+    // range) or a RANGE window would put the corpus on both sides
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    // exactly the final |weeks|-sized wau ⋈ m4au join survives
+    assert(joins.size === 1, s"expected one weeks-sized join:\n$plan")
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.isEmpty, s"stickiness grew a window:\n$plan")
+  }
+
+  test("q45 latency quantiles: one fact join, windows only over the shard-count frame") {
+    val df = Relational.defs("q45_ship_latency").build(spark, dir)
+    val plan = df.queryExecution.sparkPlan
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    wins.filterNot(_.partitionSpec.nonEmpty).foreach { w =>
+      val names = w.child.output.map(_.name).toSet
+      assert(names.subsetOf(Set("shard", "sn")),
+        s"single-partition window over a non-count frame: $names")
+    }
+    // scans pruned to the join key + date on each side
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.requiredSchema.fieldNames.toSet }
+    assert(scans.toSet === Set(Set("l_orderkey", "l_shipdate"),
+      Set("o_orderkey", "o_orderdate")), scans.toString)
+  }
+
   test("d27 growth curves: corpus-wide windows are sharded; the only single-partition window reads the count frame") {
     val df = Documents.defs("d27_vocab_growth").build(spark, dir)
     val plan = df.queryExecution.sparkPlan
