@@ -1402,6 +1402,46 @@ object Similarity {
     // per-parity conditional sums, map-side combined so shuffle volume
     // is dim × partitions, not rows × dim; the ~dim-row result is
     // driver-sized by construction.
+    // ---------------------------------------------------------------- e25
+    // Embedding-norm distribution — the vector-intake QA check beside
+    // e21's drift monitor: exact quantiles of the quantized squared
+    // norm (array_dot(qv, qv) — e01's integers, so the report is
+    // bit-reproducible). A collapsed p0/p50 (near-zero vectors) or an
+    // exploded p100 flags a broken embedding job BEFORE the vectors
+    // poison an index build; the IvfAnn/PqIndex pruning bounds assume
+    // sane norms. ExactQuantiles' histogram reduction: norms are
+    // high-cardinality, so the shuffle is the distinct-norm histogram
+    // and the prefix sums shard on the norm order — no corpus-wide
+    // window (q43's machinery, plan-pinned there).
+    "e25_norm_quantiles" -> QueryDef(
+      build = (spark, dir) => {
+        val emb = QueryDef.spread(spark, dir, "embeddings")
+          .select(col("vec_id"), expr(quant).as("qv"))
+          .select(graft.functions.ArrayMath.dot(col("qv"), col("qv"))
+            .as("norm2"))
+        graft.operators.ExactQuantiles.of(
+            emb, "norm2", Seq(0, 250, 500, 750, 1000))
+          .withColumnRenamed("n", "n_vectors")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id,
+                 [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
+          FROM embeddings),
+        d AS (
+          SELECT CAST(list_sum([x * x for x in qv]) AS BIGINT) AS norm2
+          FROM q),
+        r AS (
+          SELECT norm2, ROW_NUMBER() OVER (ORDER BY norm2) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM d),
+        qs AS (SELECT q FROM (VALUES (0), (250), (500), (750), (1000)) t(q))
+        SELECT CAST(q AS BIGINT) AS q_permille,
+               CAST((q * (n - 1)) // 1000 AS BIGINT) AS rank_idx,
+               norm2, CAST(n AS BIGINT) AS n_vectors
+        FROM qs JOIN r ON rn = (q * (n - 1)) // 1000 + 1
+        ORDER BY q""")),
+
     "e21_embedding_drift" -> QueryDef(
       build = (spark, dir) => {
         val emb = QueryDef.spread(spark, dir, "embeddings")
