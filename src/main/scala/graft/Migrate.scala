@@ -13,6 +13,15 @@ import graft.sink.DdlSink
   *
   * Usage: runMain graft.Migrate <pgdump|mysqldump> <dumpFile> <outDir>
   *        [full|schema-only|data-only] [--prefix=<p>] [-v|--verbose]
+  *        [--skip-foreign-keys]
+  *
+  * --skip-foreign-keys (reference -skip-foreign-keys, main.go:59):
+  * skip the post-load FK-creation phase (K3's serial ALTER batch, the
+  * stand-in for conversion.go's UpdateDDLForeignKeys at cmd.go:82-87);
+  * fk_backfill.sql is still written so the ALTERs can be applied
+  * separately — the reference's flag text makes the same promise for
+  * its schema file. Refused together with schema-only (main.go:99-100:
+  * FK creation can only be skipped when data migration takes place).
   *
   * --prefix (reference -prefix, main.go:53): prepended to every
   * GENERATED artifact name (schema.ddl.*, fk_backfill.sql,
@@ -50,8 +59,14 @@ object Migrate {
   def run(spark: SparkSession, driver: String, dumpFile: String,
       outDir: String, mode: String = "full",
       progressOut: String => Unit = println,
-      filePrefix: String = "", verbose: Boolean = false): Result = {
+      filePrefix: String = "", verbose: Boolean = false,
+      skipForeignKeys: Boolean = false,
+      fkExec: String => Unit = _ => ()): Result = {
     require(Set("full", "schema-only", "data-only").contains(mode), mode)
+    // reference main.go:99-100: FK creation can only be skipped when a
+    // data migration takes place
+    require(!(skipForeignKeys && mode == "schema-only"),
+      "can't use both schema-only and skip-foreign-keys at once")
     val hc = spark.sessionState.newHadoopConf()
     graft.util.Fs.mkdirs(outDir, hc)
     val sessionPath = s"$outDir/${filePrefix}session.json"
@@ -111,6 +126,19 @@ object Migrate {
       spark.sparkContext.removeSparkListener(progress)
     }
 
+    // Post-load FK creation (reference cmd.go:82-87: UpdateDDLForeignKeys
+    // runs after DataConv unless -skip-foreign-keys). `fkExec` is the
+    // DDL endpoint seam — a no-op against the parquet stand-in, the
+    // Spanner admin client in the live glue (SpannerClientSink
+    // .updateDdlForeignKeys shares DdlSink.applySerially).
+    if (!skipForeignKeys) {
+      val fks = DdlSink.fkBackfillStatements(plan.spSchema)
+      if (fks.nonEmpty)
+        DdlSink.applySerially(fks, fkExec,
+          (i, n) => progressOut(s"foreign keys: applied $i/$n"))
+    } else progressOut(
+      "skipping foreign key creation (fk_backfill.sql written for separate apply)")
+
     val stats = Report.tableStats(tables)
     if (verbose)
       stats.toSeq.sortBy(_._1).foreach { case (t, s) =>
@@ -132,9 +160,12 @@ object Migrate {
   def runStream(spark: SparkSession, driver: String, in: java.io.InputStream,
       outDir: String, mode: String = "full",
       progressOut: String => Unit = println,
-      filePrefix: String = "", verbose: Boolean = false): Result = {
+      filePrefix: String = "", verbose: Boolean = false,
+      skipForeignKeys: Boolean = false,
+      fkExec: String => Unit = _ => ()): Result = {
     val scratch = graft.sources.DumpCodec.materializeStream(spark, in)
-    try run(spark, driver, scratch, outDir, mode, progressOut, filePrefix, verbose)
+    try run(spark, driver, scratch, outDir, mode, progressOut, filePrefix,
+      verbose, skipForeignKeys, fkExec)
     finally graft.sources.DumpCodec.dropScratch(spark, scratch)
   }
 
@@ -147,8 +178,11 @@ object Migrate {
       case f if f.startsWith("-prefix=") => f.stripPrefix("-prefix=")
     }.getOrElse("")
     val verbose = flags.exists(Set("-v", "--verbose"))
+    val skipFks = flags.exists(
+      Set("-skip-foreign-keys", "--skip-foreign-keys"))
     val unknown = flags.filterNot(f => f.startsWith("--prefix=") ||
-      f.startsWith("-prefix=") || f == "-v" || f == "--verbose")
+      f.startsWith("-prefix=") || f == "-v" || f == "--verbose" ||
+      f == "-skip-foreign-keys" || f == "--skip-foreign-keys")
     require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")}")
     val Array(driver, dumpFile, outDir) = pos.take(3)
     val mode = pos.lift(3).getOrElse("full")
@@ -159,9 +193,11 @@ object Migrate {
     val r =
       if (dumpFile == "-")
         runStream(spark, driver, System.in, outDir, mode,
-          filePrefix = filePrefix, verbose = verbose)
+          filePrefix = filePrefix, verbose = verbose,
+          skipForeignKeys = skipFks)
       else run(spark, driver, dumpFile, outDir, mode,
-        filePrefix = filePrefix, verbose = verbose)
+        filePrefix = filePrefix, verbose = verbose,
+        skipForeignKeys = skipFks)
     println(r.report)
     spark.stop()
   }

@@ -101,9 +101,14 @@ object ZValue {
   def layout(df: org.apache.spark.sql.DataFrame, x: Column, y: Column,
       numFiles: Int): org.apache.spark.sql.DataFrame = {
     require(numFiles > 0, s"numFiles must be positive: $numFiles")
-    df.withColumn("__graft_z", of(x, y))
-      .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("__graft_z"))
-      .sortWithinPartitions("__graft_z")
-      .drop("__graft_z")
+    // collision-free sort-key name: withColumn REPLACES an existing
+    // column, so reusing a caller's "__graft_z" would destroy its data
+    val zc = Iterator.from(0)
+      .map(i => if (i == 0) "__graft_z" else s"__graft_z$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(zc, of(x, y))
+      .repartitionByRange(numFiles, org.apache.spark.sql.functions.col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
   }
 }

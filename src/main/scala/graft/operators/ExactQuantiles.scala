@@ -27,16 +27,27 @@ import org.apache.spark.sql.functions._
   * a full five-number summary. An empty input yields an empty result
   * (no rows, not NULLs — the oracle's join-against-nothing
   * convention). Values may be negative (the shard key is min-shifted
-  * before the division, keeping the prefix property). */
+  * before the division, keeping the prefix property) as long as the
+  * domain WIDTH max−min fits in a signed Long — a domain spanning
+  * more than half the 64-bit range wraps the width computation, so
+  * that case raises at runtime instead of returning garbled
+  * quantiles (shift or scale such a column first). */
 object ExactQuantiles {
 
   /** @param df        input rows
     * @param valueCol  LONG column to take quantiles of
     * @param qPermille quantiles in permille (0 = min … 1000 = max)
     * @param shards    prefix-sum shard count (parallelism dial)
+    * @param cleanup   receives the histogram cache's release thunk —
+    *                  the histogram feeds four downstream branches, and
+    *                  measured exchange reuse does NOT cover them (the
+    *                  q45 fact join ran 4× unpersisted), so it must be
+    *                  persisted; queries pass QueryDef.deferCleanup,
+    *                  report writers release after materializing
+    *                  (the crossNearDupPairs convention)
     * @return (q_permille, rank_idx, <valueCol>, n) ordered by q */
   def of(df: DataFrame, valueCol: String, qPermille: Seq[Int],
-      shards: Int = 256): DataFrame = {
+      shards: Int = 256)(cleanup: (() => Unit) => Unit): DataFrame = {
     require(qPermille.nonEmpty, "qPermille must name at least one quantile")
     require(qPermille.forall(q => q >= 0 && q <= 1000),
       s"quantiles are permille in [0, 1000]: $qPermille")
@@ -51,11 +62,19 @@ object ExactQuantiles {
     val hist = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cleanup(() => { hist.unpersist(blocking = true); () })
     val stats = hist.agg(min("v").as("lo"), max("v").as("hi"),
       sum("c").as("n"))
+    // hi − lo wraps negative exactly when the true width exceeds
+    // Long.MaxValue (max ≥ min always) — refuse loudly, ZValue's
+    // posture, instead of sharding on a garbled width
+    val widthExpr = s"CASE WHEN hi - lo < 0 THEN CAST(raise_error(" +
+      "'ExactQuantiles: value domain width max-min overflows a signed " +
+      "Long; shift or scale the column first') AS BIGINT) " +
+      s"ELSE (hi - lo) div $shards + 1 END"
     val sharded = hist.crossJoin(broadcast(stats))
-      .withColumn("shard",
-        expr(s"(v - lo) div ((hi - lo) div $shards + 1)"))
+      .withColumn("shard", expr(s"(v - lo) div ($widthExpr)"))
       .drop("lo", "hi", "n") // qs carries n; a second copy is ambiguous
     val wS = Window.partitionBy("shard").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

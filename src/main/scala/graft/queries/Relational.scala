@@ -1474,7 +1474,7 @@ object Relational {
       oracle = Some("""
         WITH p AS (
           SELECT event_type,
-                 CAST(NULLIF(regexp_extract(props, '"k": (-?[0-9]+)', 1), '') AS BIGINT) AS k
+                 CAST(NULLIF(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1), '') AS BIGINT) AS k
           FROM events)
         SELECT event_type, COUNT(*) AS n,
                CAST(COUNT(k) AS BIGINT) AS n_with_k,
@@ -1549,7 +1549,7 @@ object Relational {
           .filter(col("p_us") > col("v_us"))
           .select((col("p_us") - col("v_us")).as("dt_us"))
         graft.operators.ExactQuantiles.of(
-            gaps, "dt_us", Seq(0, 500, 900, 1000))
+            gaps, "dt_us", Seq(0, 500, 900, 1000))(QueryDef.deferCleanup)
           .withColumnRenamed("n", "n_converters")
       },
       oracle = Some("""
@@ -1638,7 +1638,8 @@ object Relational {
         val days = li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .select(expr("(s_us - o_us) div 86400000000").as("lat_days"))
         graft.operators.ExactQuantiles.of(
-            days, "lat_days", Seq(0, 250, 500, 750, 900, 990, 1000))
+            days, "lat_days",
+            Seq(0, 250, 500, 750, 900, 990, 1000))(QueryDef.deferCleanup)
           .withColumnRenamed("n", "n_items")
       },
       oracle = Some("""

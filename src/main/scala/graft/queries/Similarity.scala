@@ -1420,7 +1420,7 @@ object Similarity {
           .select(graft.functions.ArrayMath.dot(col("qv"), col("qv"))
             .as("norm2"))
         graft.operators.ExactQuantiles.of(
-            emb, "norm2", Seq(0, 250, 500, 750, 1000))
+            emb, "norm2", Seq(0, 250, 500, 750, 1000))(QueryDef.deferCleanup)
           .withColumnRenamed("n", "n_vectors")
       },
       oracle = Some("""

@@ -85,17 +85,28 @@ object DataCard {
     * histogram + sharded prefix sums, no corpus-wide window, no
     * approx_percentile epsilon), so the numbers are reproducible
     * bit-for-bit across runs and engines. Lengths come from n_chars
-    * when present, else length(text); NULL-text docs are excluded
-    * (the operator's NULL posture). */
+    * when present — falling back per-row to length(text) where n_chars
+    * is NULL but text isn't, so a partially populated stats column
+    * can't silently shrink the summary — and docs with neither are
+    * excluded (the operator's NULL posture). `cleanup` receives the
+    * operator's cache-release thunk (run it after materializing the
+    * summary — the crossNearDupPairs convention). */
   def lengthSummary(docs: org.apache.spark.sql.DataFrame,
       qPermille: Seq[Int] = Seq(0, 250, 500, 750, 900, 1000))
+      (cleanup: (() => Unit) => Unit)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    val hasStats = docs.columns.contains("n_chars")
+    val hasText = docs.columns.contains("text")
+    require(hasStats || hasText,
+      "lengthSummary needs an n_chars or text column")
     val len =
-      if (docs.columns.contains("n_chars")) col("n_chars")
+      if (hasStats && hasText)
+        coalesce(col("n_chars"), length(col("text")).cast("long"))
+      else if (hasStats) col("n_chars")
       else length(col("text")).cast("long")
     graft.operators.ExactQuantiles.of(
-      docs.select(len.as("len")), "len", qPermille)
+      docs.select(len.as("len")), "len", qPermille)(cleanup)
   }
 
   /** Row-level churn between two snapshot corpora — the companion

@@ -78,7 +78,9 @@ class MigrateSpec extends AnyFunSuite {
       assert(got.contains(s"Writing data for table $t: 100%"), got)
     }
     // integer-pct gating: per table, percentages strictly increase
-    got.groupBy(_.takeWhile(_ != ':')).values.foreach { ls =>
+    // (the FK-phase lines share the channel but aren't meter lines)
+    got.filter(_.startsWith(Migrate.ProgressPrefix))
+      .groupBy(_.takeWhile(_ != ':')).values.foreach { ls =>
       val pcts = ls.map(_.split(": ").last.trim.stripSuffix("%").trim.toInt)
       assert(pcts === pcts.sorted.distinct, ls)
     }
@@ -116,6 +118,41 @@ class MigrateSpec extends AnyFunSuite {
       mode = "schema-only", filePrefix = "runB.")
     val dir2 = new java.io.File(out).list().toSet
     assert(dir2.contains("runB.session.json") && dir2.contains("runA.session.json"))
+  }
+
+  test("--skip-foreign-keys skips the FK phase; fk_backfill.sql still written (reference main.go:59)") {
+    val fixture = "src/test/resources/fixtures/sample.pgdump"
+    // default: the FK phase applies K3's ALTERs through the exec seam
+    // with per-statement progress (cmd.go:82-87)
+    val out1 = java.nio.file.Files.createTempDirectory("graft-mig-fk").toString
+    val applied = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val lines1 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Migrate.run(spark, "pgdump", fixture, out1,
+      progressOut = lines1.add(_), fkExec = applied.add(_))
+    assert(applied.toArray(Array.empty[String])
+      .exists(_.contains("ADD CONSTRAINT")), applied.toString)
+    assert(lines1.toArray(Array.empty[String])
+      .exists(_.startsWith("foreign keys: applied ")), lines1.toString)
+    // skipped: nothing applied, no FK progress, artifact still written
+    val out2 = java.nio.file.Files.createTempDirectory("graft-mig-nofk").toString
+    val skipped = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val lines2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val r = Migrate.run(spark, "pgdump", fixture, out2,
+      progressOut = lines2.add(_), skipForeignKeys = true,
+      fkExec = skipped.add(_))
+    assert(r.tables("inventory") === (3L, 0L))
+    assert(skipped.isEmpty)
+    val got2 = lines2.toArray(Array.empty[String]).toSeq
+    assert(!got2.exists(_.startsWith("foreign keys: applied ")), got2)
+    assert(got2.exists(_.startsWith("skipping foreign key creation")), got2)
+    val fks = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out2/fk_backfill.sql"))
+    assert(fks.contains("ADD CONSTRAINT"), fks)
+    // reference main.go:99-100: refused together with schema-only
+    val ex = intercept[IllegalArgumentException](
+      Migrate.run(spark, "pgdump", fixture, out2,
+        mode = "schema-only", skipForeignKeys = true))
+    assert(ex.getMessage.contains("schema-only and skip-foreign-keys"))
   }
 
   test("staged: schema-only then edited session drives data-only") {

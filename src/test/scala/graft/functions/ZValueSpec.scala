@@ -87,4 +87,14 @@ class ZValueSpec extends AnyFunSuite {
     val avgY = spans.map(_.getLong(2)).sum.toDouble / spans.length
     assert(avgX <= 32.0 && avgY <= 32.0, s"avg spans: $avgX, $avgY")
   }
+
+  test("layout() preserves a caller column named __graft_z") {
+    // withColumn REPLACES an existing column — an unguarded sort key
+    // would overwrite (then drop) the caller's data
+    val df = spark.range(8).select(col("id").as("x"), col("id").as("y"),
+      (col("id") * 100).as("__graft_z"))
+    val laid = ZValue.layout(df, col("x"), col("y"), 2)
+    assert(laid.columns.toSeq === Seq("x", "y", "__graft_z"))
+    assert(laid.select(sum("__graft_z")).head.getLong(0) === 2800L)
+  }
 }

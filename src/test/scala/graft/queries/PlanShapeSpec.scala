@@ -487,6 +487,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  // ExactQuantiles persists its histogram (the four downstream
+  // branches would otherwise re-run the corpus-scale upstream — the
+  // measured q45 plan ran the fact join 4× unpersisted), so the source
+  // scans live under InMemoryRelation's build plan: descend into it
+  private def scansThroughCaches(
+      p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        // cachedPlan is AQE-wrapped, and AdaptiveSparkPlanExec hides
+        // its input from collect — descend explicitly
+        scansThroughCaches(m.relation.cachedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.inputPlan
+          case other => other
+        })
+    }.flatten
+
   test("q43 quantiles: no single-partition window touches the gaps; scan pruned") {
     val df = Relational.defs("q43_time_to_convert").build(spark, dir)
     val plan = df.queryExecution.sparkPlan
@@ -501,11 +520,12 @@ class PlanShapeSpec extends AnyFunSuite {
         s"single-partition window over a non-count frame: $names")
     }
     // and the events scan reads only what the gap needs
-    val scans = plan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-        s.requiredSchema.fieldNames.toSet }
-    assert(scans.forall(_ === Set("ts", "user_id", "event_type")),
+    val scans = scansThroughCaches(plan)
+      .map(_.requiredSchema.fieldNames.toSet)
+    assert(scans.nonEmpty &&
+      scans.forall(_ === Set("ts", "user_id", "event_type")),
       scans.toString)
+    graft.queries.QueryDef.drainCleanups()
   }
 
   test("c24 layout audit: ONE corpus scan, z computed in the scan's project") {
@@ -544,11 +564,11 @@ class PlanShapeSpec extends AnyFunSuite {
         s"single-partition window over a non-count frame: $names")
     }
     // scans pruned to the join key + date on each side
-    val scans = plan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-        s.requiredSchema.fieldNames.toSet }
+    val scans = scansThroughCaches(plan)
+      .map(_.requiredSchema.fieldNames.toSet)
     assert(scans.toSet === Set(Set("l_orderkey", "l_shipdate"),
       Set("o_orderkey", "o_orderdate")), scans.toString)
+    graft.queries.QueryDef.drainCleanups()
   }
 
   test("d27 growth curves: corpus-wide windows are sharded; the only single-partition window reads the count frame") {

@@ -124,19 +124,30 @@ class DataCardSpec extends AnyFunSuite {
 
   test("lengthSummary: exact discrete quantiles, NULL text excluded") {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, when}
+    val noop: (() => Unit) => Unit = f => { f(); () }
     // lengths 10..19 via n_chars; one NULL-text doc must not rank
     val docs = ((10L to 19L).map(n =>
         (n, Option("x" * n.toInt), "en", "s", Option(n))) :+
       ((99L, Option.empty[String], "en", "s", Option.empty[Long])))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val got = DataCard.lengthSummary(docs, Seq(0, 500, 1000)).collect()
+    val got = DataCard.lengthSummary(docs, Seq(0, 500, 1000))(noop)
+      .collect()
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
     assert(got === Map(0L -> ((10L, 10L)), 500L -> ((14L, 10L)),
       1000L -> ((19L, 10L))))
     // without n_chars it derives from the live text
     val viaText = DataCard.lengthSummary(
-      docs.drop("n_chars"), Seq(1000)).collect()
+      docs.drop("n_chars"), Seq(1000))(noop).collect()
     assert(viaText.map(r => r.getLong(2)).toSeq === Seq(19L))
+    // a partially populated n_chars column falls back per-row to
+    // length(text) instead of silently excluding the row
+    val holey = docs.withColumn("n_chars",
+      when(col("doc_id") === 19L, lit(null)).otherwise(col("n_chars")))
+    val viaHoley = DataCard.lengthSummary(holey, Seq(1000))(noop)
+      .collect()
+    assert(viaHoley.map(r => (r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((19L, 10L)))
   }
 
   test("churn accepts an empty side: everything added / removed") {
