@@ -629,6 +629,48 @@ object Curation {
           UNION ALL SELECT 'source:' || source, COUNT(*) FROM documents GROUP BY source)
         ORDER BY metric""")
 
+  /** The DEFAULT-Config Curate.run verdict relation, restated in
+    * DuckDB from the already-proven stage oracles: d01's md5 digests
+    * (exact dup = non-min doc_id of a digest group), c01's SimHash +
+    * min-label-propagation closure (cluster_id per near-dup member),
+    * the canonical election among QUALITY-PASSING members (text
+    * non-null, n_tok ≥ 5 — the default minTokens), and c12's
+    * md5-sixteenths split over coalesce(cluster_id, doc_id). Verdict
+    * priority mirrors Curate.curateInner's CASE verbatim (exact_dup →
+    * near_dup → low_quality → kept); fresh runs have no base verdicts
+    * and the default dials disable every opt-in stage, so this IS the
+    * whole pipeline. Ends in `cverd(doc_id, verdict, split)`. */
+  private lazy val curateVerdictCtes: String = s"""
+        ${TextMedia.simhashCtes}, ${TextMedia.closureCtes},
+        clabels AS (SELECT v AS doc_id, MIN(label) AS cluster_id FROM prop GROUP BY v),
+        cbase AS (
+          SELECT doc_id, text, md5(text) AS digest,
+                 CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                   t -> t <> '')) AS BIGINT) AS n_tok
+          FROM documents),
+        ckeepers AS (
+          SELECT digest, MIN(doc_id) AS keep_id
+          FROM cbase WHERE digest IS NOT NULL GROUP BY digest),
+        ccanons AS (
+          SELECT l.cluster_id, MIN(b.doc_id) AS canon
+          FROM clabels l JOIN cbase b ON l.doc_id = b.doc_id
+          WHERE b.text IS NOT NULL AND b.n_tok >= 5
+          GROUP BY l.cluster_id),
+        cverd AS (
+          SELECT b.doc_id,
+            CASE WHEN k.keep_id IS NOT NULL AND b.doc_id <> k.keep_id THEN 'exact_dup'
+                 WHEN l.cluster_id IS NOT NULL AND c.canon IS NOT NULL
+                      AND b.doc_id <> c.canon THEN 'near_dup'
+                 WHEN b.text IS NULL OR b.n_tok < 5 THEN 'low_quality'
+                 ELSE 'kept' END AS verdict,
+            CASE WHEN substring(md5(CAST(COALESCE(l.cluster_id, b.doc_id) AS VARCHAR)), 1, 1) = 'f' THEN 'test'
+                 WHEN substring(md5(CAST(COALESCE(l.cluster_id, b.doc_id) AS VARCHAR)), 1, 1) IN ('d', 'e') THEN 'val'
+                 ELSE 'train' END AS split
+          FROM cbase b
+          LEFT JOIN ckeepers k ON b.digest = k.digest
+          LEFT JOIN clabels l ON b.doc_id = l.doc_id
+          LEFT JOIN ccanons c ON l.cluster_id = c.cluster_id)"""
+
   private lazy val defsTail: Map[String, QueryDef] = Map(
     "c14_curate_e2e" -> QueryDef(
       build = (spark, dir) => {
@@ -646,7 +688,20 @@ object Curation {
           res.splits.toSeq.map { case (k, v) => (s"split:$k", v) })
           .toDF("bucket", "n_docs").orderBy("bucket")
       },
-      oracle = None,
+      // the flagship's verdict/split histogram is hash-gated against a
+      // first-principles restatement of the whole default pipeline
+      // (curateVerdictCtes), not rows-only: every count class and every
+      // split width must reconcile exactly
+      oracle = Some(s"""
+        WITH $curateVerdictCtes
+        SELECT bucket, n_docs FROM (
+          SELECT 'count:' || verdict AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM cverd GROUP BY verdict
+          UNION ALL
+          SELECT 'split:' || split, CAST(COUNT(*) AS BIGINT)
+          FROM cverd WHERE verdict = 'kept' GROUP BY split)
+        ORDER BY bucket"""),
       headline = true),
 
     // ---------------------------------------------------------------- c19
@@ -659,10 +714,11 @@ object Curation {
     // prices the build); each pass pays ONLY the takedown rewrite into
     // a scratch dir. The takedown set is a real slice of the KEPT docs
     // (every 23rd), so the retraction path is non-vacuous — verdicts
-    // flip, packing re-derives, suppressors survive. Rows-only like
-    // c14: the output is the post-takedown verdict/split histogram, a
-    // composition whose stages are individually oracled (and whose
-    // artifact semantics CurateSpec pins).
+    // flip, packing re-derives, suppressors survive. Hash-gated like
+    // c14: the oracle re-derives the base pipeline's verdicts
+    // (curateVerdictCtes) and applies runTakedown's documented flip —
+    // previously-KEPT docs in the id set become 'taken_down' and leave
+    // the split histogram; every other verdict is a no-op.
     "c19_takedown_rewrite" -> QueryDef(
       build = (spark, dir) => {
         import spark.implicits._
@@ -677,7 +733,22 @@ object Curation {
           res.splits.toSeq.map { case (k, v) => (s"split:$k", v) })
           .toDF("bucket", "n_docs").orderBy("bucket")
       },
-      oracle = None,
+      oracle = Some(s"""
+        WITH $curateVerdictCtes,
+        tverd AS (
+          SELECT doc_id,
+                 CASE WHEN verdict = 'kept' AND doc_id % 23 = 0
+                      THEN 'taken_down' ELSE verdict END AS verdict,
+                 split
+          FROM cverd)
+        SELECT bucket, n_docs FROM (
+          SELECT 'count:' || verdict AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM tverd GROUP BY verdict
+          UNION ALL
+          SELECT 'split:' || split, CAST(COUNT(*) AS BIGINT)
+          FROM tverd WHERE verdict = 'kept' GROUP BY split)
+        ORDER BY bucket"""),
       headline = true)
   )
 

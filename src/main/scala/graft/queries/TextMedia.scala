@@ -198,7 +198,7 @@ object TextMedia {
   }
 
   private val closureRounds = 16
-  private val closureCtes: String = {
+  private[queries] val closureCtes: String = {
     val steps = (1 to closureRounds).map { i =>
       s"""
         l$i AS MATERIALIZED (
@@ -228,7 +228,7 @@ object TextMedia {
 
   /** The matching DuckDB CTE chain ending in a `neardup(doc_a, doc_b,
     * hamming)` relation. */
-  private val simhashCtes = s"""
+  private[queries] val simhashCtes = s"""
         hws AS (
           SELECT doc_id, list_transform(list_distinct(
             list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), t -> t <> '')),
