@@ -384,6 +384,31 @@ object IvfAnn {
       .orderBy("query_id", "rnk")
   }
 
+  /** [[knnGraph]] under the DOCUMENTED scale dial: k = ⌊√n⌋ centroids
+    * (clamped to ≥ 1), nprobe fixed — per-probe candidates
+    * Θ(nprobe·n/k) = Θ(√n), total work Θ(n^1.5), versus Θ(n²) when the
+    * dials are frozen as corpus share (e12's continuity entry covers
+    * nprobe/k = 75% of the corpus per probe at sf0.1). Measured by
+    * tools/ScaleProbe: 6.0× wall for 10× data vs 37× for the fixed
+    * dial. The k-probe job pays ONE extra metadata count of the
+    * embeddings table to size k. On corpora small enough that
+    * ⌊√n⌋ ≤ nprobe every cluster is probed and the graph is exact —
+    * the dial only starts trading recall (≥ 0.95, gated by
+    * KnnGraphApproxSpec at sf0.1) once n outgrows nprobe². Default
+    * nprobe = 36 is the smallest sweep point clearing the gate with
+    * margin on the near-random sf0.1 corpus (measured recall at
+    * k=⌊√n⌋=44: nprobe 24 → 0.885, 28 → 0.927, 32 → 0.958,
+    * 36 → 0.981, 40 → 0.994); on a random corpus recall at FIXED
+    * nprobe decays as coverage nprobe/√n shrinks — that is the
+    * documented trade (real embedding corpora cluster, which is what
+    * the prune exploits), and the dial to turn is nprobe, not k. */
+  def knnGraphScaled(spark: SparkSession, dir: String, topK: Int = 5,
+      nprobe: Int = 36, iters: Int = 2): DataFrame = {
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val k = math.max(1, math.sqrt(n.toDouble).toInt)
+    knnGraph(spark, dir, topK, k, nprobe, iters)
+  }
+
   /** Centroids as a k-row broadcastable frame. */
   private def centFrame(spark: SparkSession,
       cents: Seq[Array[Double]]): DataFrame = {

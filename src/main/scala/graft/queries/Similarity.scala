@@ -1034,6 +1034,24 @@ object Similarity {
       oracle = None,
       headline = true),
 
+    // ---------------------------------------------------------------- e12b
+    // e12 under the DOCUMENTED scale dial (k = ⌊√n⌋ centroids, nprobe
+    // fixed): per-probe candidates Θ(nprobe·n/k) = Θ(√n), total
+    // Θ(n^1.5) — the production dial for corpora where e12's frozen
+    // (k=32, nprobe=24) would cover a constant corpus share per probe
+    // and go Θ(n²) (measured 6.0× vs 37× wall for 10× data,
+    // tools/ScaleProbe). Kept as a SEPARATE headline so e12's
+    // cross-round continuity series stays untouched while the board
+    // prices the dial that survives 100×. Same recall contract (≥ 0.95
+    // vs the exact graph, KnnGraphApproxSpec — gated at sf0.1 where
+    // ⌊√n⌋ = 44 > nprobe and the dial genuinely approximates).
+    // Approximate by design → rows-only + the spec gate, like e12.
+    "e12b_knn_graph_scale" -> QueryDef(
+      build = (spark, dir) =>
+        graft.operators.IvfAnn.knnGraphScaled(spark, dir, topK = 5),
+      oracle = None,
+      headline = true),
+
     // ---------------------------------------------------------------- e23
     // PageRank centrality over the exact kNN graph — CC told us which
     // docs clump (c01/d11); this ranks how CENTRAL each embedding is
@@ -1057,6 +1075,42 @@ object Similarity {
         graft.operators.PageRank.scores(edges, rounds = 10)
       },
       oracle = Some(pagerankOracle)),
+
+    // ---------------------------------------------------------------- e23b
+    // e23's PRODUCTION path: the same exact-integer PageRank, but the
+    // edge source is the fixed-nprobe approximate graph under the
+    // scale dial (e12b's knnGraphScaled) instead of the exact kNN
+    // graph — the graph build is what dominates e23's cost and goes
+    // all-pairs on unclustered corpora, while PageRank itself is
+    // linear in |E| per round. The approx graph can leave a vector
+    // with no out-edges (a probe whose clusters hold no candidates),
+    // which PageRank.scores refuses by contract (the node set is
+    // DISTINCT src) — missing sources get (v, v) self-loops, the
+    // operator's documented fill, so every embedding scores and no
+    // received mass is dropped. Approximate edge source → rows-only;
+    // PageRankSpec gates agreement with e23's exact-graph scores
+    // (bit-equal at sf0.01 where sqrt(n) <= nprobe makes the dial
+    // exact; top-rank overlap at sf0.1 where it genuinely prunes).
+    "e23b_pagerank_approx_graph" -> QueryDef(
+      build = (spark, dir) => {
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // the union references the graph twice (edges + the anti-join's
+        // src set) — persist it or the whole graph build runs twice
+        val approx = graft.operators.IvfAnn
+          .knnGraphScaled(spark, dir, topK = 5)
+          .select(col("query_id").as("src"), col("cand_id").as("dst"))
+          .persist(lvl)
+        QueryDef.deferCleanup(() => { approx.unpersist(false); () })
+        val loops = QueryDef.table(spark, dir, "embeddings")
+          .select(col("vec_id").as("src"))
+          .join(approx.select("src").distinct(), Seq("src"), "left_anti")
+          .select(col("src"), col("src").as("dst"))
+        val edges = approx.unionByName(loops).persist(lvl)
+        QueryDef.deferCleanup(() => { edges.unpersist(false); () })
+        graft.operators.PageRank.scores(edges, rounds = 10)
+      },
+      oracle = None,
+      headline = true),
 
     "e09_knn_graph" -> QueryDef(
       build = (spark, dir) =>

@@ -34,6 +34,23 @@ class KnnGraphApproxSpec extends AnyFunSuite {
     assert(perQuery.max <= 5)
   }
 
+  test("scale dial (k=sqrt(n), fixed nprobe): recall >= 0.95 at sf0.1") {
+    // gated at sf0.1 deliberately: with n=2000, k=44 > nprobe=24 the
+    // dial genuinely approximates (at sf0.01 sqrt(500)=22 <= nprobe, so
+    // every cluster is probed and the graph is trivially exact)
+    val d1 = "/root/testdata/sf0.1"
+    val exact = IvfAnn.knnExact(spark, d1, lit(true), topK = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = IvfAnn.knnGraphScaled(spark, d1, topK = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.95, f"scale-dial recall $recall%.4f < 0.95")
+    assert(approx.groupBy(_._1).map(_._2.size).max <= 5)
+  }
+
   test("broadcast-join training matches the literal-expression training") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val viaJoin = IvfAnn.trainCentroidsJoin(spark, emb, k = 16, iters = 2)

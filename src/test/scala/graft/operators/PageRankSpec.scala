@@ -56,4 +56,45 @@ class PageRankSpec extends AnyFunSuite {
     val r5 = PageRank.scores(edgeDf(es), 5).collect().map(_.getLong(1))
     assert(r5.forall(_ === 999999L), r5.toSeq)
   }
+
+  private def boardScores(name: String, dir: String): Map[Long, Long] = {
+    val m = graft.SparkEntry.queries(name)(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.queries.QueryDef.drainCleanups()
+    m
+  }
+
+  test("e23b: approx-graph PageRank is BIT-EQUAL to exact where the dial is exact") {
+    // sf0.01: sqrt(500) = 22 <= nprobe 36, every cluster is probed, so
+    // the scale-dial graph IS the exact graph and the self-loop fill
+    // finds nothing to fill — the production path must reproduce e23
+    // exactly, not merely approximate it
+    val dir = "/root/testdata/sf0.01"
+    val exact = boardScores("e23_knn_pagerank", dir)
+    val approx = boardScores("e23b_pagerank_approx_graph", dir)
+    assert(exact.nonEmpty && exact === approx)
+  }
+
+  test("e23b: centrality agreement holds where the dial genuinely prunes (sf0.1)") {
+    // sqrt(2000) = 44 > nprobe 36 — the graph is approximate (edge
+    // recall 0.9815 measured). Calibration on this corpus: Spearman
+    // 0.976, top-100 overlap 0.88, mean relative score delta 0.059;
+    // gates carry margin below each
+    val dir = "/root/testdata/sf0.1"
+    val exact = boardScores("e23_knn_pagerank", dir)
+    val approx = boardScores("e23b_pagerank_approx_graph", dir)
+    assert(exact.keySet === approx.keySet)
+    def rankOf(m: Map[Long, Long]): Map[Long, Double] =
+      m.toSeq.sortBy(t => (-t._2, t._1)).map(_._1)
+        .zipWithIndex.map { case (v, i) => v -> i.toDouble }.toMap
+    val (r1, r2) = (rankOf(exact), rankOf(approx))
+    val n = exact.size.toDouble
+    val d2 = exact.keys.toSeq.map(v => math.pow(r1(v) - r2(v), 2)).sum
+    val spearman = 1.0 - 6.0 * d2 / (n * (n * n - 1))
+    assert(spearman >= 0.95, f"spearman $spearman%.4f < 0.95")
+    val top = (m: Map[Long, Double]) =>
+      m.toSeq.sortBy(_._2).take(100).map(_._1).toSet
+    val overlap = top(r1).intersect(top(r2)).size / 100.0
+    assert(overlap >= 0.75, f"top-100 overlap $overlap%.2f < 0.75")
+  }
 }
