@@ -15,16 +15,22 @@ import org.apache.spark.sql.functions._
   * a real 10× crawl does not do. So:
   *
   *  - documents: replica i translates the alphabet by a per-replica
-  *    rotation (a→b→c… by 2i+1). Token lengths, whitespace, and
+  *    AFFINE permutation p → a·p + b mod 26 (a coprime with 26) —
+  *    312 distinct permutations, any two of which agree on at most 2
+  *    of 26 letters, so no pair of replicas can share a token type or
+  *    shingle built from real words (the former single-rotation
+  *    scheme aliased at factor 13). Token lengths, whitespace, and
   *    punctuation are preserved (BPE/window shapes intact; n_chars
   *    stays valid) while every shingle and token type becomes
   *    replica-unique — planted dup/near-dup families repeat PER
   *    replica (family count ×N, family size constant), exactly the
   *    linear shape of a larger crawl.
-  *  - embeddings: replica i rotates the vector by i positions —
+  *  - embeddings: replica i rotates the vector by i mod dim positions
+  *    and NEGATES every element on the second lap (i ≥ dim) — both
   *    norm-preserving (IVF pruning bounds keep their geometry) and
-  *    decorrelated from the original, so top-k lists don't fill with
-  *    manufactured exact duplicates.
+  *    mutually decorrelated for 2·dim replicas (128 at the testdata's
+  *    64 dims), so top-k lists don't fill with manufactured exact
+  *    duplicates.
   *
   * Keys shift by i·10^7 (far above the sf0.1 ranges), so ids stay
   * unique and BIGINT-safe.
@@ -36,41 +42,69 @@ object ScaleUp {
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
 
-  private def rotated(s: String, by: Int): String = {
-    val n = s.length
-    val k = ((by % n) + n) % n
-    s.substring(k) + s.substring(0, k)
+  /** Multipliers coprime with 26 — the `a` of the affine permutation. */
+  private val CoprimeA = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** Replica count ceiling for documents: the distinct affine
+    * permutations of a 26-letter alphabet. */
+  private[tools] val MaxDocReplicas: Int = CoprimeA.size * 26 // 312
+
+  /** (a, b) of replica i's alphabet permutation; i = 0 is the identity
+    * (1, 0), the rest enumerate deterministically. Distinct replicas
+    * get distinct permutations, and two distinct affine maps over Z26
+    * agree on at most gcd(a1−a2, 26) ≤ 2 letters — a cross-replica
+    * repeated token would have to spell itself entirely from that
+    * ≤2-letter agreement set. */
+  private[tools] def affinePair(i: Int): (Int, Int) = {
+    require(i >= 0 && i < MaxDocReplicas, s"replica $i out of range")
+    val rest = for {
+      a <- CoprimeA; b <- 0 until 26 if (a, b) != ((1, 0))
+    } yield (a, b)
+    ((1, 0) +: rest)(i)
   }
+
+  private def permuted(alpha: String, a: Int, b: Int): String =
+    (0 until 26).map(p => alpha((a * p + b) % 26)).mkString
 
   private[tools] def replicateDocs(docs: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { i =>
       val shifted = docs.withColumn("doc_id", col("doc_id") + i * 10000000L)
       if (i == 0) shifted
       else {
-        val rot = 2 * i + 1
+        val (a, b) = affinePair(i)
         shifted.withColumn("text",
           translate(col("text"), Lower + Upper,
-            rotated(Lower, rot) + rotated(Upper, rot)))
+            permuted(Lower, a, b) + permuted(Upper, a, b)))
       }
     }.reduce(_.union(_))
 
-  private[tools] def replicateEmbeddings(emb: DataFrame, factor: Int): DataFrame =
+  private[tools] def replicateEmbeddings(emb: DataFrame, factor: Int): DataFrame = {
+    val first = emb.select(size(col("embedding"))).head(1)
+    require(first.nonEmpty, "cannot size replicas of an empty embeddings table")
+    val d = first(0).getInt(0)
+    require(factor >= 1 && factor <= 2 * d,
+      s"factor must be in [1, ${2 * d}] (rotation+negation pairs alias " +
+        s"beyond 2x the $d-dim vector), got $factor")
     (0 until factor).map { i =>
       val shifted = emb.withColumn("vec_id", col("vec_id") + i * 10000000L)
-      if (i == 0) shifted
-      else shifted.withColumn("embedding",
-        expr(s"concat(slice(embedding, ${i + 1}, 1000000), " +
-          s"slice(embedding, 1, $i))"))
+      val r = i % d
+      val rotated =
+        if (r == 0) shifted
+        else shifted.withColumn("embedding",
+          expr(s"concat(slice(embedding, ${r + 1}, 1000000), " +
+            s"slice(embedding, 1, $r))"))
+      if (i / d == 0) rotated
+      else rotated.withColumn("embedding",
+        expr("transform(embedding, x -> -x)"))
     }.reduce(_.union(_))
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir) = args.take(2)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    // rotation 2i+1 mod 26 repeats at i+13: replicas 13 apart would
-    // share an alphabet and reintroduce exact cross-replica dups,
-    // silently breaking the decorrelation this tool promises — refuse
-    require(factor >= 1 && factor <= 13,
-      s"factor must be in [1,13] (alphabet rotations alias beyond), got $factor")
+    require(factor >= 1 && factor <= MaxDocReplicas,
+      s"factor must be in [1, $MaxDocReplicas], got $factor " +
+        "(the affine alphabet permutations run out beyond)")
     val spark = graft.GraftSession.build("graft-scaleup")
     replicateDocs(spark.read.parquet(s"$srcDir/documents.parquet"), factor)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")

@@ -64,4 +64,59 @@ class ScaleUpSpec extends AnyFunSuite {
       .filter(col("e2") === col("embedding")).count()
     assert(same === 0L)
   }
+
+  test("affine permutations stay distinct way past the old factor-13 alias") {
+    // the single-rotation scheme repeated at i+13 — cross-replica
+    // exact dups. Affine pairs must be pairwise distinct across the
+    // whole documented range, and each must be a bijection
+    val pairs = (0 until ScaleUp.MaxDocReplicas).map(ScaleUp.affinePair)
+    assert(pairs.distinct.size === ScaleUp.MaxDocReplicas)
+    assert(ScaleUp.affinePair(0) === ((1, 0))) // replica 0 verbatim
+    pairs.foreach { case (a, b) =>
+      val img = (0 until 26).map(p => (a * p + b) % 26)
+      assert(img.distinct.size === 26, s"($a,$b) is not a bijection")
+    }
+    // and any two agree on at most 2 letter positions — shingles
+    // cannot survive translation between replicas
+    for (i <- 0 until 40; j <- (i + 1) until 40) {
+      val ((a1, b1), (a2, b2)) = (pairs(i), pairs(j))
+      val agree = (0 until 26).count(p =>
+        (a1 * p + b1) % 26 == (a2 * p + b2) % 26)
+      assert(agree <= 2, s"replicas $i,$j share $agree letters")
+    }
+    intercept[IllegalArgumentException](
+      ScaleUp.affinePair(ScaleUp.MaxDocReplicas))
+  }
+
+  test("cross-replica text distinctness holds at the old alias points") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
+    // replicas 1, 13, 14, 27 all carry mutually distinct translations:
+    // distinct-text count is exactly replicas x originals
+    val rep = ScaleUp.replicateDocs(docs, 28)
+    val d0 = docs.select(countDistinct("text")).head.getLong(0)
+    assert(rep.select(countDistinct("text")).head.getLong(0) === 28 * d0)
+  }
+
+  test("embedding replicas past one rotation lap negate (and still norm-preserve)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").limit(5)
+    val d = emb.select(size(col("embedding"))).head.getInt(0)
+    val rep = ScaleUp.replicateEmbeddings(emb, d + 1)
+    // replica d is the NEGATED original — distinct from replica 0 but
+    // with the same squared norm
+    val baseNorm = emb.select(col("vec_id"),
+      expr("aggregate(embedding, 0D, (s, x) -> s + x * x)").as("n2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lap = rep.filter(col("vec_id") >= d.toLong * 10000000L)
+      .select((col("vec_id") - d.toLong * 10000000L).as("vec_id"),
+        expr("aggregate(embedding, 0D, (s, x) -> s + x * x)").as("n2"),
+        col("embedding").as("e2"))
+      .join(emb, "vec_id")
+    lap.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - baseNorm(r.getLong(0))) < 1e-6)
+      val (e2, e1) = (r.getSeq[Float](2), r.getSeq[Float](3))
+      assert(e2 === e1.map(x => -x), s"replica $d is not the negation")
+    }
+    intercept[IllegalArgumentException](
+      ScaleUp.replicateEmbeddings(emb, 2 * d + 1))
+  }
 }
