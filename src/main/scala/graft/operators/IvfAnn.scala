@@ -79,10 +79,23 @@ object IvfAnn {
       expr(s"conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10)")
         .cast("long") < math.floor(fraction * 4294967296d).toLong)
 
+  /** Above this k the k×dim-literal expression trees (distArray /
+    * dotArray / centLit) stop being "one codegen pass" and start being
+    * the cost — measured on knnGraph, k=32 turned a seconds-scale job
+    * into ~25 s of mostly plan/codegen, and a k=√n dial at corpus
+    * scale (k≈450 at 200k vectors) never finishes planning. Training
+    * and assignment therefore DISPATCH to the broadcast-join forms
+    * beyond it — bit-identical results (same double arithmetic, same
+    * (distance, index) tie order; KnnGraphApproxSpec pins training
+    * parity, IvfAnnSpec pins assignment parity). */
+  private[operators] val LiteralKCeiling = 32
+
   def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 2,
       sampleFraction: Double = 1.0): Seq[Array[Double]] = {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0, sampleFraction)
     val train = hashSample(emb, sampleFraction)
+    if (k > LiteralKCeiling)
+      return trainCentroidsJoin(train.sparkSession, train, k, iters)
     val dim = emb.selectExpr("size(embedding)").head.getInt(0)
     var cents: Seq[Array[Double]] = train
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -120,11 +133,50 @@ object IvfAnn {
     * driver-held literals (k×dim doubles), so assignment needs no
     * join and no shuffle. */
   def assign(emb: DataFrame, cents: Seq[Array[Double]]): DataFrame =
-    emb
-      .withColumn("dists", distArray(cents))
-      .withColumn("label",
-        element_at(nearestClusters(cents.length, 1), 1).cast("long"))
-      .drop("dists")
+    if (cents.length <= LiteralKCeiling)
+      emb
+        .withColumn("dists", distArray(cents))
+        .withColumn("label",
+          element_at(nearestClusters(cents.length, 1), 1).cast("long"))
+        .drop("dists")
+    else {
+      // big-k form (k = √n dials): centroids broadcast as a k-row
+      // frame, nearest = min_by over (d², cid) — the same tie order as
+      // nearestClusters' (distance, index) struct sort. Needs a vec_id
+      // column to join the label back (every index/dedup caller has
+      // one — it IS the row identity).
+      val lbl = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .crossJoin(broadcast(centFrame(emb.sparkSession, cents)))
+        .select(col("vec_id"), col("cid"), centDist2.as("d2"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").cast("long").as("label"))
+      // the literal branch's withColumn REPLACES a pre-existing label
+      // column (the testdata generator ships one) — match it
+      val base = if (emb.columns.contains("label")) emb.drop("label") else emb
+      base.join(lbl, "vec_id")
+    }
+
+  /** (…, embedding, label) frame plus `d` = distance to the ASSIGNED
+    * centroid — the append paths' stats input. Literal element_at
+    * lookup below [[LiteralKCeiling]]; a broadcast join on the label
+    * above it (identical arithmetic — IvfAnnSpec pins parity). */
+  private[operators] def distToAssigned(frame: DataFrame,
+      cents: Seq[Array[Double]]): DataFrame =
+    if (cents.length <= LiteralKCeiling)
+      frame.withColumn("d", sqrt(graft.functions.ArrayMath.l2sq(
+        col("embedding").cast("array<double>"),
+        element_at(array(cents.map(c => array(c.map(lit(_)): _*)): _*),
+          col("label").cast("int") + 1))))
+    else
+      frame.join(
+          broadcast(centFrame(frame.sparkSession, cents)
+            .select(col("cid").cast("long").as("label"), col("cvec"))),
+          "label")
+        .withColumn("d", sqrt(graft.functions.ArrayMath.l2sq(
+          col("embedding").cast("array<double>"), col("cvec"))))
+        .drop("cvec")
 
   /** Per-cluster pruning metadata: radius (max member distance to its
     * centroid), member count, and the corpus-wide max member norm (the
@@ -135,14 +187,29 @@ object IvfAnn {
 
   private[operators] def clusterStats(emb: DataFrame,
       cents: Seq[Array[Double]]): ClusterStats = {
-    val rows = emb
-      .withColumn("dists", distArray(cents))
-      .withColumn("cluster", element_at(nearestClusters(cents.length, 1), 1))
-      .select(col("cluster"),
-        sqrt(element_at(col("dists"), col("cluster") + 1)).as("d"),
-        sqrt(graft.functions.ArrayMath.dot(
-          col("embedding").cast("array<double>"),
-          col("embedding").cast("array<double>"))).as("nrm"))
+    val perVec =
+      if (cents.length <= LiteralKCeiling)
+        emb
+          .withColumn("dists", distArray(cents))
+          .withColumn("cluster", element_at(nearestClusters(cents.length, 1), 1))
+          .select(col("cluster"),
+            sqrt(element_at(col("dists"), col("cluster") + 1)).as("d"),
+            sqrt(graft.functions.ArrayMath.dot(
+              col("embedding").cast("array<double>"),
+              col("embedding").cast("array<double>"))).as("nrm"))
+      else
+        // big-k form: assign's broadcast min_by, carrying the winning
+        // d² so the radius needs no second distance pass
+        emb
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+          .crossJoin(broadcast(centFrame(emb.sparkSession, cents)))
+          .select(col("vec_id"), col("e"), col("cid"), centDist2.as("d2"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cid"))).as("m"),
+            first(col("e")).as("e"))
+          .select(col("m.cid").as("cluster"), sqrt(col("m.d2")).as("d"),
+            sqrt(graft.functions.ArrayMath.dot(col("e"), col("e"))).as("nrm"))
+    val rows = perVec
       .groupBy("cluster").agg(max("d").as("r"), max("nrm").as("mx"),
         org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .collect()

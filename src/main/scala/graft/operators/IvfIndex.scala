@@ -253,10 +253,8 @@ object IvfIndex {
     // not two independent plans): the stats and the written rows MUST
     // come from the same evaluation, or a source re-read between them
     // publishes bounds that never covered the data
-    val assigned = IvfAnn.assign(batch, meta.centroids)
-      .withColumn("d", sqrt(graft.functions.ArrayMath.l2sq(
-        col("embedding").cast("array<double>"),
-        centLit(meta.centroids))))
+    val assigned = IvfAnn.distToAssigned(
+        IvfAnn.assign(batch, meta.centroids), meta.centroids)
       .withColumn("nrm", sqrt(graft.functions.ArrayMath.dot(
         col("embedding").cast("array<double>"),
         col("embedding").cast("array<double>"))))
@@ -359,10 +357,8 @@ object IvfIndex {
     // loudly (and the streaming runtime redelivers it) instead of
     // silently writing unmeasured rows. Blocks release through the
     // ContextCleaner once the frame is unreachable.
-    val assigned = IvfAnn.assign(batch0, meta.centroids)
-      .withColumn("d", sqrt(graft.functions.ArrayMath.l2sq(
-        col("embedding").cast("array<double>"),
-        centLit(meta.centroids))))
+    val assigned = IvfAnn.distToAssigned(
+        IvfAnn.assign(batch0, meta.centroids), meta.centroids)
       .withColumn("nrm", sqrt(graft.functions.ArrayMath.dot(
         col("embedding").cast("array<double>"),
         col("embedding").cast("array<double>"))))
@@ -932,12 +928,6 @@ object IvfIndex {
         Seq("vec_id"), "left_anti")
       case None => probes
     }
-
-  /** The assigned cluster's centroid as a per-row array column:
-    * element_at over a literal array-of-arrays indexed by `label`. */
-  private def centLit(cents: Seq[Array[Double]]): Column =
-    element_at(array(cents.map(c => array(c.map(lit(_)): _*)): _*),
-      col("label").cast("int") + 1)
 
   private def writeMeta(indexDir: String, meta: Meta, c: Configuration): Unit = {
     val root = mapper.createObjectNode()

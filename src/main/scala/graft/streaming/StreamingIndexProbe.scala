@@ -78,7 +78,7 @@ object StreamingIndexProbe {
     * distributed (no driver collect — a batch matching a heavily
     * duplicated corpus region can emit arbitrarily many pairs). The
     * caller releases it. */
-  private[streaming] def processBatch(spark: SparkSession, indexDir: String,
+  private[graft] def processBatch(spark: SparkSession, indexDir: String,
       batch: DataFrame, batchId: Long, minPermille: Int): DataFrame = {
     import spark.implicits._
     val sigs = MinHashIndex.signatures(batch)

@@ -109,7 +109,7 @@ object StreamingIvfProbe {
     * though it runs after the append mutates the files the lazy search
     * plan reads; kept distributed (no driver collect). The caller
     * releases it. */
-  private[streaming] def processBatch(spark: SparkSession, indexDir: String,
+  private[graft] def processBatch(spark: SparkSession, indexDir: String,
       batch: DataFrame, batchId: Long, topK: Int,
       nprobe: Option[Int] = None): DataFrame = {
     import spark.implicits._

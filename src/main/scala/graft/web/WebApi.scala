@@ -94,6 +94,7 @@ object WebApi {
     ctx("/summary")(getSummary)           // GET
     ctx("/overview")(getOverview)         // GET
     ctx("/conversion")(getConversionRate) // GET
+    ctx("/table/report")(getTableReport)  // GET ?table= → drill-down
     ctx("/typemap")(getTypeMap)           // GET
     ctx("/typemap/table")(updateTable)    // POST ?table= {UpdateCols:{...}}
     ctx("/setparent")(setParent)          // GET ?table=&update=
@@ -239,6 +240,38 @@ object WebApi {
       o.put(t.spTable,
         Report.rateSchema(t.cols, t.warnings, t.syntheticPk.nonEmpty, summary = false))
     }
+    respond(ex, 200, o)
+  }
+
+  /** GET /table/report?table= — one table's conversion-quality
+    * drill-down: the rating, the per-column issue text, and the
+    * display-form CREATE TABLE, resolved server-side in one response
+    * (the UI's ratings view can't join /conversion's Spanner-named
+    * keys against /summary's source-named keys client-side — the name
+    * fixer's mapping lives in the plan). Accepts either the Spanner or
+    * the source table name. The reference UI reaches the same data
+    * through its per-table report panes (frontend/js report views). */
+  private def getTableReport(ex: HttpExchange, s: WebSession): Unit = {
+    val plan = requirePlan(s)
+    val name = query(ex).getOrElse("table", fail(400, "Table name is empty"))
+    val t = Report.analyze(plan, Map.empty)
+      .find(r => r.spTable == name || r.srcTable == name)
+      .getOrElse(fail(404, s"no table named $name in the plan"))
+    val o = mapper.createObjectNode()
+    o.put("srcTable", t.srcTable)
+    o.put("spTable", t.spTable)
+    o.put("rating",
+      Report.rateSchema(t.cols, t.warnings, t.syntheticPk.nonEmpty, summary = false))
+    val body = new StringBuilder
+    t.issueBodies.foreach { b =>
+      body ++= b.heading += '\n'
+      b.lines.zipWithIndex.foreach { case (l, i) =>
+        body ++= s"${i + 1}) $l.\n\n"
+      }
+    }
+    o.put("issues", body.toString)
+    o.put("ddl", DdlRender.createTable(plan.spSchema(t.spTable),
+      DdlRender.Config(comments = true, protectIds = false)))
     respond(ex, 200, o)
   }
 

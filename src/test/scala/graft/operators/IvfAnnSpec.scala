@@ -104,4 +104,46 @@ class IvfAnnSpec extends AnyFunSuite {
     // every probe produced a full top-10
     assert(ivf.size === exact.size)
   }
+
+  test("big-k assignment (broadcast join) is bit-identical to the literal form") {
+    // above LiteralKCeiling, assign/clusterStats dispatch to the
+    // broadcast min_by form — the k = sqrt(n) dial's path. Parity with
+    // the k×dim-literal expressions (same doubles, same tie order) is
+    // what lets every index layout keep its exactness proofs at big k
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val k = IvfAnn.LiteralKCeiling + 8 // join path; literal still fine at spec scale
+    val cents = IvfAnn.trainCentroids(emb, k = k, iters = 2)
+    assert(cents.size === k)
+    val viaJoin = IvfAnn.assign(emb, cents)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLiteral = emb
+      .withColumn("dists", IvfAnn.distArray(cents))
+      .withColumn("label",
+        element_at(IvfAnn.nearestClusters(cents.length, 1), 1).cast("long"))
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaJoin.nonEmpty && viaJoin === viaLiteral)
+    // clusterStats' big-k branch carries the min d² instead of
+    // re-indexing the literal dist array — same radius/count/maxNorm
+    val stats = IvfAnn.clusterStats(emb, cents)
+    val small = cents.take(IvfAnn.LiteralKCeiling) // literal branch
+    val statsSmall = IvfAnn.clusterStats(emb, small)
+    assert(stats.count.sum === statsSmall.count.sum) // every vector assigned once
+    assert(math.abs(stats.maxNorm - statsSmall.maxNorm) < 1e-12)
+    // distToAssigned's join branch ≡ the literal element_at lookup
+    val assigned = IvfAnn.assign(emb, cents)
+    val viaJoinD = IvfAnn.distToAssigned(assigned, cents)
+      .select("vec_id", "d").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val litArr = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+    val viaLitD = assigned.withColumn("d",
+        sqrt(graft.functions.ArrayMath.l2sq(
+          col("embedding").cast("array<double>"),
+          element_at(litArr, col("label").cast("int") + 1))))
+      .select("vec_id", "d").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaJoinD.nonEmpty && viaJoinD === viaLitD)
+  }
 }

@@ -56,7 +56,11 @@ class WebApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the page drives the real routes — pin the load + edit + persist hooks
     assert(html.contains("graft schema assistant"))
     Seq("/convert/dump", "/session/resume", "/typemap/global", "/setparent",
-      "/conversion", "/ddl").foreach(r => assert(html.contains(r), r))
+      "/conversion", "/ddl", "/table/report").foreach(r => assert(html.contains(r), r))
+    // drill-down + artifact downloads (the reference UI's per-table
+    // report panes and download affordances)
+    Seq("drillDown", "downloadReport", "downloadDdl")
+      .foreach(h => assert(html.contains(h), h))
     // the table editor (type-alternative picker over POST /typemap/table)
     // is part of the bundled asset: its grid, its route, and the
     // alternative list the reference UI offers — plus the built-in
@@ -103,6 +107,28 @@ class WebApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sum.get("inventory").asText.contains("Note"))
     val (_, overview) = http("GET", "/overview")
     assert(overview.asText.contains("Summary of Conversion"))
+  }
+
+  test("table/report drills one table down: rating + issues + DDL in one response") {
+    convert()
+    // by Spanner name
+    val (code, r) = http("GET", "/table/report?table=unkeyed")
+    assert(code === 200)
+    assert(r.get("spTable").asText === "unkeyed")
+    assert(r.get("rating").asText.contains("missing primary key"))
+    assert(r.get("ddl").asText.contains("CREATE TABLE"))
+    // the issue text matches /summary's for the same source table
+    val (_, sum) = http("GET", "/summary")
+    val (_, inv) = http("GET", "/table/report?table=inventory")
+    assert(inv.get("issues").asText === sum.get("inventory").asText)
+    assert(inv.get("srcTable").asText === "inventory")
+    // source-table names resolve too; unknown tables 404
+    val (c2, bySrc) = http("GET", "/table/report?table=inventory")
+    assert(c2 === 200 && bySrc.get("spTable").asText.nonEmpty)
+    val (c3, _) = http("GET", "/table/report?table=nope")
+    assert(c3 === 404)
+    val (c4, _) = http("GET", "/table/report")
+    assert(c4 === 400)
   }
 
   test("typemap/table applies rename+retype+notnull and renders into DDL") {
