@@ -293,22 +293,141 @@ object IvfAnn {
       s"x -> if(x.cd + pnorm * x.r >= tdot - " +
       s"$PruneEps * (1D + pnorm + ${stats.maxNorm}D), x.i, -1)), i -> i >= 0)")
 
+  // ------------------------------------------------------ probe stages
+  // The three probe-list generators, each with TWO bit-identical plans:
+  // the k×dim-literal expression stack below LiteralKCeiling (unchanged
+  // plans at the default dials every oracle runs at) and a broadcast
+  // ROW form above it — per-(probe, cluster) rows against a k-row
+  // centroid/stats frame, so a k = √n dial plans in milliseconds
+  // instead of drowning in literal tree nodes. Contract: input needs
+  // (vec_id, embedding); output is exactly (vec_id, embedding, cluster),
+  // one row per unpruned (probe, cluster).
+
+  /** Centroids + per-cluster stats as a broadcastable k-row frame. */
+  private def centStatsFrame(spark: SparkSession, cents: Seq[Array[Double]],
+      stats: ClusterStats): DataFrame = {
+    import spark.implicits._
+    cents.indices.map(i => (i, cents(i).toSeq, stats.radius(i), stats.count(i)))
+      .toDF("cid", "cvec", "r", "n")
+  }
+
+  /** Probe clusters under the EXACT top-k Cauchy-Schwarz bound. Row
+    * form: lb/ub per (probe, cluster) row; thr = the lb of the first
+    * cluster (by lb descending) whose running member count reaches
+    * topK+1 — provably tie-order-invariant (equal-lb clusters yield the
+    * same thr value wherever the crossing lands inside the tie group),
+    * so the window's (lb desc, cid) order and the literal fold's
+    * (lb desc, n) order compute the same threshold. Zero-count clusters
+    * stay in the list exactly like the literal filter keeps them (their
+    * counts may be clamped understatements — dropping them could drop
+    * real candidates). */
+  private[operators] def probeClustersExact(probes: DataFrame,
+      cents: Seq[Array[Double]], stats: ClusterStats, topK: Int): DataFrame =
+    if (cents.length <= LiteralKCeiling)
+      probes
+        .withColumn("cdots", dotArray(cents))
+        .withColumn("pnorm", sqrt(graft.functions.ArrayMath.dot(
+          col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"))))
+        .withColumn("thr", pruneThreshold(cents, stats, topK))
+        .select(col("vec_id"), col("embedding"),
+          explode(exactClusterList(cents, stats)).as("cluster"))
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val base = probes
+        .select(col("vec_id"), col("embedding"),
+          col("embedding").cast("array<double>").as("__e"))
+        .withColumn("__pnorm", sqrt(
+          graft.functions.ArrayMath.dot(col("__e"), col("__e"))))
+        .crossJoin(broadcast(
+          centStatsFrame(probes.sparkSession, cents, stats)))
+        .withColumn("__cd",
+          graft.functions.ArrayMath.dot(col("__e"), col("cvec")))
+        .withColumn("__lb", col("__cd") - col("__pnorm") * col("r"))
+      val wRun = Window.partitionBy("vec_id")
+        .orderBy(col("__lb").desc, col("cid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("vec_id")
+      base
+        .withColumn("__cum", sum("n").over(wRun))
+        .withColumn("__thr", max(when(col("__cum") >= topK + 1 &&
+          col("__cum") - col("n") < topK + 1, col("__lb"))).over(wAll))
+        .filter(col("__thr").isNull ||
+          col("__cd") + col("__pnorm") * col("r") >=
+            col("__thr") - lit(PruneEps) *
+              (lit(1d) + col("__pnorm") + lit(stats.maxNorm)))
+        .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+    }
+
+  /** Probe clusters under the FIXED-threshold range bound (tdot derived
+    * per probe from its quantized self-dot — no counts read, so the
+    * prune is deletion-invariant in both forms). */
+  private[operators] def probeClustersRange(probes: DataFrame,
+      cents: Seq[Array[Double]], stats: ClusterStats, num: Int,
+      den: Int): DataFrame =
+    if (cents.length <= LiteralKCeiling)
+      probes
+        .withColumn("cdots", dotArray(cents))
+        .withColumn("pnorm", sqrt(graft.functions.ArrayMath.dot(
+          col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"))))
+        .withColumn("tdot",
+          graft.functions.ArrayMath.dot(expr(quant), expr(quant))
+            .cast("double") * (num.toDouble / den) / math.pow(2, 40))
+        .select(col("vec_id"), col("embedding"),
+          explode(rangeClusterList(cents, stats)).as("cluster"))
+    else
+      probes
+        .select(col("vec_id"), col("embedding"),
+          col("embedding").cast("array<double>").as("__e"))
+        .withColumn("__pnorm", sqrt(
+          graft.functions.ArrayMath.dot(col("__e"), col("__e"))))
+        .withColumn("__tdot",
+          graft.functions.ArrayMath.dot(expr(quant), expr(quant))
+            .cast("double") * (num.toDouble / den) / math.pow(2, 40))
+        .crossJoin(broadcast(
+          centStatsFrame(probes.sparkSession, cents, stats)))
+        .withColumn("__cd",
+          graft.functions.ArrayMath.dot(col("__e"), col("cvec")))
+        .filter(col("__cd") + col("__pnorm") * col("r") >=
+          col("__tdot") - lit(PruneEps) *
+            (lit(1d) + col("__pnorm") + lit(stats.maxNorm)))
+        .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+
+  /** The nprobe NEAREST clusters per probe (the recall-dial list). Row
+    * form ranks (d², cid) — nearestClusters' exact tie order. */
+  private[operators] def probeClustersNearest(probes: DataFrame,
+      cents: Seq[Array[Double]], nprobe: Int): DataFrame =
+    if (cents.length <= LiteralKCeiling)
+      probes
+        .withColumn("dists", distArray(cents))
+        .select(col("vec_id"), col("embedding"),
+          explode(nearestClusters(cents.length, nprobe)).as("cluster"))
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("vec_id").orderBy(col("__d2"), col("cid"))
+      probes
+        .select(col("vec_id"), col("embedding"),
+          col("embedding").cast("array<double>").as("__e"))
+        .crossJoin(broadcast(centFrame(probes.sparkSession, cents)))
+        .withColumn("__d2",
+          graft.functions.ArrayMath.l2sq(col("__e"), col("cvec")))
+        .withColumn("__rnk", row_number().over(w))
+        .filter(col("__rnk") <= nprobe)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+    }
+
   /** (query_id, cand_id) candidate pairs whose union provably contains
     * every probe's true top-k (see [[pruneThreshold]]) — ids only, the
     * shared candidate generator of [[knnExact]] and [[IvfPq.knnExact]]. */
   private[operators] def exactCandidatePairs(emb: DataFrame,
       cents: Seq[Array[Double]], stats: ClusterStats, probePred: Column,
       topK: Int): DataFrame = {
-    val corpus = emb.withColumn("dists", distArray(cents))
-      .select(col("vec_id"), element_at(nearestClusters(cents.length, 1), 1).as("cluster"))
-    val probeClusters = emb.filter(probePred)
-      .withColumn("cdots", dotArray(cents))
-      .withColumn("pnorm", sqrt(graft.functions.ArrayMath.dot(
-        col("embedding").cast("array<double>"),
-        col("embedding").cast("array<double>"))))
-      .withColumn("thr", pruneThreshold(cents, stats, topK))
-      .select(col("vec_id").as("query_id"),
-        explode(exactClusterList(cents, stats)).as("cluster"))
+    val corpus = assign(emb, cents)
+      .select(col("vec_id"), col("label").cast("int").as("cluster"))
+    val probeClusters =
+      probeClustersExact(emb.filter(probePred), cents, stats, topK)
+        .select(col("vec_id").as("query_id"), col("cluster"))
     probeClusters.join(corpus,
         probeClusters("cluster") === corpus("cluster") &&
           col("query_id") =!= col("vec_id"))
@@ -343,22 +462,15 @@ object IvfAnn {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cents = trainCentroids(emb, k, iters)
     val stats = clusterStats(emb, cents)
-    val corpus = emb.withColumn("dists", distArray(cents))
-      .select(col("vec_id"),
-        element_at(nearestClusters(cents.length, 1), 1).as("cluster"))
-    // per-probe integer threshold (qself) + its double image (tdot) for
-    // the metadata-only cluster filter; 2^40 is the quantized-dot scale
-    val probeClusters = emb.filter(probePred)
-      .withColumn("cdots", dotArray(cents))
-      .withColumn("pnorm", sqrt(graft.functions.ArrayMath.dot(
-        col("embedding").cast("array<double>"),
-        col("embedding").cast("array<double>"))))
-      .withColumn("qself",
-        graft.functions.ArrayMath.dot(expr(quant), expr(quant)))
-      .withColumn("tdot",
-        col("qself").cast("double") * (num.toDouble / den) / math.pow(2, 40))
-      .select(col("vec_id").as("query_id"), col("qself"),
-        explode(rangeClusterList(cents, stats)).as("cluster"))
+    val corpus = assign(emb, cents)
+      .select(col("vec_id"), col("label").cast("int").as("cluster"))
+    // per-probe integer threshold (qself) + its double image (tdot,
+    // derived inside the probe stage; 2^40 is the quantized-dot scale)
+    val probeClusters =
+      probeClustersRange(emb.filter(probePred), cents, stats, num, den)
+        .select(col("vec_id").as("query_id"),
+          graft.functions.ArrayMath.dot(expr(quant), expr(quant)).as("qself"),
+          col("cluster"))
     val qvs = emb.select(col("vec_id"), expr(quant).as("qv"))
     probeClusters.join(corpus,
         probeClusters("cluster") === corpus("cluster") &&
@@ -535,14 +647,13 @@ object IvfAnn {
     import org.apache.spark.sql.expressions.Window
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cents = trainCentroids(emb, k, iters)
-    val withD = emb.withColumn("dists", distArray(cents))
     // inverted lists: every vector in exactly one cluster
-    val corpus = withD
-      .select(col("vec_id"), element_at(nearestClusters(cents.length, 1), 1).as("cluster"))
+    val corpus = assign(emb, cents)
+      .select(col("vec_id"), col("label").cast("int").as("cluster"))
     // probes search their nprobe nearest lists
-    val probeClusters = withD.filter(probePred)
-      .select(col("vec_id").as("query_id"),
-        explode(nearestClusters(cents.length, nprobe)).as("cluster"))
+    val probeClusters =
+      probeClustersNearest(emb.filter(probePred), cents, nprobe)
+        .select(col("vec_id").as("query_id"), col("cluster"))
     val pairs = probeClusters.join(corpus,
         probeClusters("cluster") === corpus("cluster") &&
           col("query_id") =!= col("vec_id"))

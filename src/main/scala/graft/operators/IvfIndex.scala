@@ -977,10 +977,10 @@ object IvfIndex {
     // meta.json must resolve through the same credentials/filesystem
     val meta = readMeta(indexDir, spark.sessionState.newHadoopConf())
     val data = spark.read.parquet(s"$indexDir/data")
-    val probeClusters = probes
-      .withColumn("dists", IvfAnn.distArray(meta.centroids))
+    val probeClusters = IvfAnn
+      .probeClustersNearest(probes, meta.centroids, nprobe)
       .select(col("vec_id").as("query_id"), expr(IvfAnn.quant).as("pq"),
-        explode(IvfAnn.nearestClusters(meta.centroids.length, nprobe)).as("cluster"))
+        col("cluster"))
     val needed = probeClusters.select("cluster").distinct()
       .collect().map(_.getInt(0)).sorted
     val corpusAll = data
@@ -1056,18 +1056,12 @@ object IvfIndex {
     val stats = IvfAnn.ClusterStats(meta.radius, meta.counts, meta.maxNorm)
     val data = spark.read.parquet(s"$indexDir/data")
     val probes = dropTombstonedProbes(spark, indexDir, data.filter(probePred))
-    val probeClusters = probes
-      .withColumn("cdots", IvfAnn.dotArray(meta.centroids))
-      .withColumn("pnorm", sqrt(graft.functions.ArrayMath.dot(
-        col("embedding").cast("array<double>"),
-        col("embedding").cast("array<double>"))))
-      .withColumn("qself", graft.functions.ArrayMath.dot(
-        expr(IvfAnn.quant), expr(IvfAnn.quant)))
-      .withColumn("tdot",
-        col("qself").cast("double") * (num.toDouble / den) / math.pow(2, 40))
+    val probeClusters = IvfAnn
+      .probeClustersRange(probes, meta.centroids, stats, num, den)
       .select(col("vec_id").as("query_id"), expr(IvfAnn.quant).as("pq"),
-        col("qself"),
-        explode(IvfAnn.rangeClusterList(meta.centroids, stats)).as("cluster"))
+        graft.functions.ArrayMath.dot(
+          expr(IvfAnn.quant), expr(IvfAnn.quant)).as("qself"),
+        col("cluster"))
     // bounded probe set ⇒ the needed-list union is driver metadata;
     // literals guarantee static partition pruning (searchCore's pattern)
     val needed = probeClusters.select("cluster").distinct()
@@ -1200,14 +1194,10 @@ object IvfIndex {
     }
     val stats = IvfAnn.ClusterStats(meta.radius, counts, meta.maxNorm)
     val data = spark.read.parquet(s"$indexDir/data")
-    val probeClusters = probes
-      .withColumn("cdots", IvfAnn.dotArray(meta.centroids))
-      .withColumn("pnorm", sqrt(graft.functions.ArrayMath.dot(
-        col("embedding").cast("array<double>"),
-        col("embedding").cast("array<double>"))))
-      .withColumn("thr", IvfAnn.pruneThreshold(meta.centroids, stats, topK))
+    val probeClusters = IvfAnn
+      .probeClustersExact(probes, meta.centroids, stats, topK)
       .select(col("vec_id").as("query_id"), expr(IvfAnn.quant).as("pq"),
-        explode(IvfAnn.exactClusterList(meta.centroids, stats)).as("cluster"))
+        col("cluster"))
     // bounded probe set ⇒ the needed-list union is driver metadata;
     // inlining it as literals guarantees static partition pruning
     val needed = probeClusters.select("cluster").distinct()

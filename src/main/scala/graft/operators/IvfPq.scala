@@ -200,12 +200,11 @@ object IvfPq {
 
     // coarse IVF lists (ids only) — same candidate generation as e05
     val cents = IvfAnn.trainCentroids(emb, coarseK, iters)
-    val withD = emb.withColumn("dists", IvfAnn.distArray(cents))
-    val corpus = withD.select(col("vec_id"),
-      element_at(IvfAnn.nearestClusters(cents.length, 1), 1).as("cluster"))
-    val probeClusters = withD.filter(probePred)
-      .select(col("vec_id").as("query_id"),
-        explode(IvfAnn.nearestClusters(cents.length, nprobe)).as("cluster"))
+    val corpus = IvfAnn.assign(emb, cents)
+      .select(col("vec_id"), col("label").cast("int").as("cluster"))
+    val probeClusters = IvfAnn
+      .probeClustersNearest(emb.filter(probePred), cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("cluster"))
     val pairs = probeClusters.join(corpus,
         probeClusters("cluster") === corpus("cluster") &&
           col("query_id") =!= col("vec_id"))

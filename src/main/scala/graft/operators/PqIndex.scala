@@ -197,12 +197,9 @@ object PqIndex {
     val pnormCol = sqrt(graft.functions.ArrayMath.dot(
       col("embedding").cast("array<double>"),
       col("embedding").cast("array<double>")))
-    val probeClusters = probes
-      .withColumn("cdots", IvfAnn.dotArray(meta.centroids))
-      .withColumn("pnorm", pnormCol)
-      .withColumn("thr", IvfAnn.pruneThreshold(meta.centroids, stats, topK))
-      .select(col("vec_id").as("query_id"),
-        explode(IvfAnn.exactClusterList(meta.centroids, stats)).as("cluster"))
+    val probeClusters = IvfAnn
+      .probeClustersExact(probes, meta.centroids, stats, topK)
+      .select(col("vec_id").as("query_id"), col("cluster"))
     // bounded probe set ⇒ the needed-list union is driver metadata;
     // literals guarantee static partition pruning (IvfIndex's pattern).
     // The probe count rides the SAME job (zero extra passes) and gates
@@ -249,11 +246,9 @@ object PqIndex {
     verifySrcDir.foreach(requireFresh(spark, indexDir, meta, _))
     val data = spark.read.parquet(s"$indexDir/data")
     val probes = data.filter(probePred)
-    val probeClusters = probes
-      .withColumn("dists", IvfAnn.distArray(meta.centroids))
-      .select(col("vec_id").as("query_id"),
-        explode(IvfAnn.nearestClusters(meta.centroids.length, nprobe))
-          .as("cluster"))
+    val probeClusters = IvfAnn
+      .probeClustersNearest(probes, meta.centroids, nprobe)
+      .select(col("vec_id").as("query_id"), col("cluster"))
     // fixed dials bound the shortlist EXACTLY: ≤ shortlistFactor·topK
     // per probe — the pre-flight (same job as the needed-cluster
     // collect) refuses an over-contract probePred before the ADC runs

@@ -45,6 +45,50 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally rm(out)
   }
 
+  test("big-k index (k > LiteralKCeiling): row-form probe stages stay exact") {
+    // the k = sqrt(n) dial's whole lifecycle — join-trained centroids,
+    // join assignment, row-form exact/range/nearest probe stages —
+    // against independently computed brute force (no shared machinery)
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val out = tmpDir()
+    try {
+      val k = IvfAnn.LiteralKCeiling + 8
+      IvfIndex.write(spark, dir, out, k = k)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val qv = emb.select(col("vec_id"), expr(IvfAnn.quant).as("qv"))
+      val probes = qv.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("qv").as("pq"))
+      val pairs = probes.crossJoin(
+          qv.select(col("vec_id").as("cand_id"), col("qv")))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          IvfAnn.qdot("pq", "qv").as("dot"),
+          IvfAnn.qdot("pq", "pq").as("qself"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("dot").desc, col("cand_id"))
+      val bruteTop = pairs
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "cand_id", "dot", "rnk")
+        .collect().map(_.toSeq).toSeq
+      val gotTop = IvfIndex.searchExact(spark, out, col("vec_id") < 8, topK = 5)
+        .collect().map(_.toSeq).toSeq
+      assert(gotTop.nonEmpty && gotTop === bruteTop)
+      // range: 4·dot >= qself, the default fraction
+      val bruteRange = pairs.filter(col("dot") * 4 >= col("qself"))
+        .select("query_id", "cand_id", "dot")
+        .orderBy("query_id", "cand_id").collect().map(_.toSeq).toSeq
+      val gotRange = IvfIndex.searchRange(spark, out, col("vec_id") < 8)
+        .collect().map(_.toSeq).toSeq
+      assert(gotRange === bruteRange)
+      // approx at full fan-out scans every list — identical to exact
+      val gotApprox = IvfIndex.searchApprox(spark, out, col("vec_id") < 8,
+        topK = 5, nprobe = k).collect().map(_.toSeq).toSeq
+      assert(gotApprox === gotTop)
+    } finally rm(out)
+  }
+
   test("searchRange equals the in-memory range search; deletes drop qualifying candidates") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
