@@ -1765,6 +1765,72 @@ object Documents {
         FROM cps LEFT JOIN bk ON bk.gram = cps.gram AND b <= cp_idx
         GROUP BY 1, 2, 3 ORDER BY 1, 2""")),
 
+    // ---------------------------------------------------------------- d28
+    // Hashed-n-gram importance weights (the DSIR recipe, Xie et al.
+    // 2023: data selection by importance resampling over hashed n-gram
+    // features) — score every document by how target-like its bigram
+    // distribution is, with the TARGET defined by example data instead
+    // of hand rules (here: the corpus's own English slice stands in
+    // for "the distribution I want more of"). Per hash bucket b (md5
+    // of the bigram mod 1024 — DSIR's fixed-width feature hashing, so
+    // the weight table is B-bounded no matter the vocabulary), the
+    // target-affinity is the exact integer ppm share of target
+    // occurrences; a document's weight is the mean affinity over its
+    // bigram OCCURRENCES. Exact integer arithmetic end-to-end — the
+    // log-likelihood-ratio original lives in float log-space, and this
+    // is its log-free integer cousin (d12/d13's precedent), which is
+    // what makes the relation hash-gateable cross-engine.
+    //
+    // 100 TB shape: two corpus-linear passes over the exploded bigram
+    // stream (one map-side-combined groupBy to the 1024-row weight
+    // table, one re-aggregation per doc), joined through a BROADCAST
+    // of the B-row table — no vocabulary-sized shuffle reaches the
+    // join, and B is a dial, not a function of corpus size.
+    "d28_dsir_weights" -> QueryDef(
+      build = (spark, dir) => {
+        val B = 1024
+        val grams = QueryDef.spread(spark, dir, "documents")
+          .select(col("doc_id"),
+            (col("lang") === "en").cast("int").as("is_t"),
+            expr(toks).as("tk"))
+          .filter(expr("size(tk) >= 2"))
+          .select(col("doc_id"), col("is_t"), explode(expr(
+            "transform(sequence(1, size(tk) - 1), " +
+              "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+            .as("g"))
+          .select(col("doc_id"), col("is_t"),
+            expr(s"cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint) % $B")
+              .as("b"))
+        val fw = grams.groupBy("b")
+          .agg(sum("is_t").as("n_t"), count(lit(1)).as("n_all"))
+          .select(col("b"), expr("n_t * 1000000 div n_all").as("aff_ppm"))
+        grams.join(broadcast(fw), Seq("b"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            expr("sum(aff_ppm) div count(1)").as("dsir_ppm"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS tk
+          FROM documents),
+        bg AS (
+          SELECT doc_id, CAST(lang = 'en' AS INT) AS is_t,
+                 unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+          FROM tk WHERE len(tk) >= 2),
+        hb AS (
+          SELECT doc_id, is_t,
+                 CAST('0x' || substring(md5(g), 1, 8) AS BIGINT) % 1024 AS b
+          FROM bg),
+        fw AS (
+          SELECT b, CAST(SUM(is_t) * 1000000 // COUNT(*) AS BIGINT) AS aff_ppm
+          FROM hb GROUP BY b)
+        SELECT doc_id, COUNT(*) AS n_grams,
+               CAST(SUM(aff_ppm) // COUNT(*) AS BIGINT) AS dsir_ppm
+        FROM hb JOIN fw USING (b)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- c23
     // Snapshot diff — the row-level companion to d25's distribution
     // drift: which documents were ADDED, REMOVED, CHANGED (same key,
