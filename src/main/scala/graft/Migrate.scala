@@ -13,7 +13,7 @@ import graft.sink.DdlSink
   *
   * Usage: runMain graft.Migrate <pgdump|mysqldump> <dumpFile> <outDir>
   *        [full|schema-only|data-only] [--prefix=<p>] [-v|--verbose]
-  *        [--skip-foreign-keys]
+  *        [--skip-foreign-keys] [--session=<path>]
   *
   * --skip-foreign-keys (reference -skip-foreign-keys, main.go:59):
   * skip the post-load FK-creation phase (K3's serial ALTER batch, the
@@ -39,6 +39,13 @@ import graft.sink.DdlSink
   * applied to the session (PlanEdits) carry into the data pass — and
   * runs only the data migration.
   *
+  * --session=<path> (reference -session, main.go:60: "specifies the
+  * file we restore session state from"): a data-only run restores the
+  * plan from an EXPLICIT session file instead of assuming
+  * outDir/session.json — the reference's "convert on one machine, load
+  * from another dir" workflow. Ignored outside data-only mode, exactly
+  * like the reference (its flag is read only on the dataOnly branch).
+  *
   * Artifacts written to outDir:
   *   <table>.parquet        migrated rows, Spanner names/types
   *   <table>.bad.parquet    quarantined source rows (only if non-empty)
@@ -61,7 +68,8 @@ object Migrate {
       progressOut: String => Unit = println,
       filePrefix: String = "", verbose: Boolean = false,
       skipForeignKeys: Boolean = false,
-      fkExec: String => Unit = _ => ()): Result = {
+      fkExec: String => Unit = _ => (),
+      sessionPath: Option[String] = None): Result = {
     require(Set("full", "schema-only", "data-only").contains(mode), mode)
     // reference main.go:99-100: FK creation can only be skipped when a
     // data migration takes place
@@ -69,11 +77,14 @@ object Migrate {
       "can't use both schema-only and skip-foreign-keys at once")
     val hc = spark.sessionState.newHadoopConf()
     graft.util.Fs.mkdirs(outDir, hc)
-    val sessionPath = s"$outDir/${filePrefix}session.json"
+    val defaultSession = s"$outDir/${filePrefix}session.json"
     // data-only: the session file (possibly edited since the schema run)
-    // is the source of truth for the target schema and name maps.
+    // is the source of truth for the target schema and name maps;
+    // --session points the restore at a foreign dir's file.
     val planOverride =
-      if (mode == "data-only") Some(SessionFile.read(sessionPath, hc)) else None
+      if (mode == "data-only")
+        Some(SessionFile.read(sessionPath.getOrElse(defaultSession), hc))
+      else None
 
     val (tables, plan, stmtStats, release) = driver match {
       case "pgdump" =>
@@ -100,7 +111,7 @@ object Migrate {
       DdlRender.writeSchemaFile(plan.spSchema, s"$outDir/${filePrefix}schema.ddl.sql", pretty = false, hc)
       graft.util.Fs.writeStringAtomic(s"$outDir/${filePrefix}fk_backfill.sql",
         DdlSink.fkBackfillStatements(plan.spSchema).mkString("", ";\n", ";\n"), hc)
-      SessionFile.write(plan, sessionPath, hc)
+      SessionFile.write(plan, defaultSession, hc)
     }
     if (mode == "schema-only") {
       val report = Report.render(driver, plan, Map.empty, stmtStats)
@@ -162,10 +173,11 @@ object Migrate {
       progressOut: String => Unit = println,
       filePrefix: String = "", verbose: Boolean = false,
       skipForeignKeys: Boolean = false,
-      fkExec: String => Unit = _ => ()): Result = {
+      fkExec: String => Unit = _ => (),
+      sessionPath: Option[String] = None): Result = {
     val scratch = graft.sources.DumpCodec.materializeStream(spark, in)
     try run(spark, driver, scratch, outDir, mode, progressOut, filePrefix,
-      verbose, skipForeignKeys, fkExec)
+      verbose, skipForeignKeys, fkExec, sessionPath)
     finally graft.sources.DumpCodec.dropScratch(spark, scratch)
   }
 
@@ -180,9 +192,14 @@ object Migrate {
     val verbose = flags.exists(Set("-v", "--verbose"))
     val skipFks = flags.exists(
       Set("-skip-foreign-keys", "--skip-foreign-keys"))
+    val sessionPath = flags.collectFirst {
+      case f if f.startsWith("--session=") => f.stripPrefix("--session=")
+      case f if f.startsWith("-session=") => f.stripPrefix("-session=")
+    }
     val unknown = flags.filterNot(f => f.startsWith("--prefix=") ||
       f.startsWith("-prefix=") || f == "-v" || f == "--verbose" ||
-      f == "-skip-foreign-keys" || f == "--skip-foreign-keys")
+      f == "-skip-foreign-keys" || f == "--skip-foreign-keys" ||
+      f.startsWith("--session=") || f.startsWith("-session="))
     require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")}")
     val Array(driver, dumpFile, outDir) = pos.take(3)
     val mode = pos.lift(3).getOrElse("full")
@@ -194,10 +211,10 @@ object Migrate {
       if (dumpFile == "-")
         runStream(spark, driver, System.in, outDir, mode,
           filePrefix = filePrefix, verbose = verbose,
-          skipForeignKeys = skipFks)
+          skipForeignKeys = skipFks, sessionPath = sessionPath)
       else run(spark, driver, dumpFile, outDir, mode,
         filePrefix = filePrefix, verbose = verbose,
-        skipForeignKeys = skipFks)
+        skipForeignKeys = skipFks, sessionPath = sessionPath)
     println(r.report)
     spark.stop()
   }

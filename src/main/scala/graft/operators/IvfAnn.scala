@@ -144,8 +144,20 @@ object IvfAnn {
       // frame, nearest = min_by over (d², cid) — the same tie order as
       // nearestClusters' (distance, index) struct sort. Needs a vec_id
       // column to join the label back (every index/dedup caller has
-      // one — it IS the row identity).
-      val lbl = emb
+      // one — it IS the row identity), so the two degenerate inputs
+      // the literal form tolerates must not DIVERGE silently here:
+      //   - NULL vec_id: the join-back would silently drop the row —
+      //     refused in-plan (raise_error costs nothing until a null
+      //     actually flows; no extra validation pass);
+      //   - NULL embedding: the literal form yields a NULL label
+      //     (null distances all the way down) while min_by would pick
+      //     an arbitrary centroid — nulled out below to match.
+      val guarded = emb.withColumn("vec_id",
+        when(col("vec_id").isNull, raise_error(lit(
+          "IvfAnn.assign: NULL vec_id above LiteralKCeiling — the " +
+            "big-k form joins labels back by row identity")))
+          .otherwise(col("vec_id")))
+      val lbl = guarded
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         .crossJoin(broadcast(centFrame(emb.sparkSession, cents)))
         .select(col("vec_id"), col("cid"), centDist2.as("d2"))
@@ -154,8 +166,12 @@ object IvfAnn {
         .select(col("vec_id"), col("m.cid").cast("long").as("label"))
       // the literal branch's withColumn REPLACES a pre-existing label
       // column (the testdata generator ships one) — match it
-      val base = if (emb.columns.contains("label")) emb.drop("label") else emb
+      val base =
+        if (guarded.columns.contains("label")) guarded.drop("label")
+        else guarded
       base.join(lbl, "vec_id")
+        .withColumn("label", when(col("embedding").isNull,
+          lit(null).cast("long")).otherwise(col("label")))
     }
 
   /** (…, embedding, label) frame plus `d` = distance to the ASSIGNED

@@ -43,16 +43,22 @@ object PageRank {
     * @param rounds fixed iteration count (≥ 0; 0 = uniform start) */
   def scores(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0: $rounds")
-    // deg and nodes are referenced by EVERY round of the lazy chain:
-    // without a persist each reference is a fresh shuffle over the
-    // edge list (10 redundant aggregates at corpus scale). The final
-    // localCheckpoint materializes the whole chain against the caches,
-    // then the caches are dropped — the returned frame is the
-    // |V|-row result with no lineage pinning the graph.
+    // deg and nodes are referenced by EVERY round: without a persist
+    // each reference is a fresh shuffle over the edge list (10
+    // redundant aggregates at corpus scale).
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist(lvl)
     val nodes = edges.select(col("src").as("vec_id")).distinct().persist(lvl)
     try {
+      // Force the graph side to materialize BEFORE the round loop. The
+      // caller's edge frame often carries an expensive lineage (an
+      // entire ANN graph build): if its cache is still cold — or gets
+      // evicted — when a round references it, ONE miss replays that
+      // build, and a lazy multi-round chain references it ~2× per
+      // round. Counting deg and nodes here runs the build exactly once
+      // and fills all three caches (both scans pull `edges` through
+      // its own persist) while nothing else occupies executor memory.
+      deg.count(); nodes.count()
       var s = nodes.withColumn("score", lit(1000000L))
       for (_ <- 1 to rounds) {
         val contrib = edges
@@ -60,13 +66,27 @@ object PageRank {
           .join(deg, "src")
           .select(col("dst"), expr("score div deg").as("c"))
           .groupBy("dst").agg(sum("c").as("in_sum"))
+        // Materialize EVERY round and cut its lineage (eager
+        // localCheckpoint): plan depth and recompute exposure stay
+        // constant across rounds — an eviction or a lost executor in
+        // round 10 re-reads round 9's |V|-row blocks instead of
+        // replaying the whole chain back through the graph build
+        // (measured: the lazy 10-round form swung 28 s → 300 s on the
+        // same box when the caches churned). Earlier rounds' blocks
+        // are unreferenced after the next checkpoint and are reclaimed
+        // by the context cleaner; peak extra footprint is O(|V|) rows
+        // per live round — two orders below the edge list it protects.
         s = nodes
           .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
           .select(col("vec_id"),
             (lit(150000L) +
               expr("(coalesce(in_sum, 0L) * 17) div 20")).as("score"))
+          .localCheckpoint(true)
       }
-      s.orderBy("vec_id").localCheckpoint(true)
+      // the returned frame's lineage is one sort over the final
+      // checkpoint — nothing pins the graph caches dropped below
+      if (rounds == 0) s.orderBy("vec_id").localCheckpoint(true)
+      else s.orderBy("vec_id")
     } finally {
       deg.unpersist(false)
       nodes.unpersist(false)

@@ -640,7 +640,25 @@ object Curation {
     * near_dup → low_quality → kept); fresh runs have no base verdicts
     * and the default dials disable every opt-in stage, so this IS the
     * whole pipeline. Ends in `cverd(doc_id, verdict, split)`. */
-  private lazy val curateVerdictCtes: String = s"""
+  private lazy val curateVerdictCtes: String = {
+    // The CTE restates the DEFAULT Curate pipeline, so its dials come
+    // from the default Config INSTANCE — a changed default moves the
+    // oracle with it by construction instead of silently encoding
+    // stale semantics until a Verify run goes red. Dials the CTE does
+    // not express must stay off in the defaults, enforced here.
+    val dflt = graft.Curate.Config()
+    require(dflt.maxRep2gramPermille.isEmpty && !dflt.scrubPii &&
+      dflt.stripBoilerplateDenom.isEmpty && dflt.sourceCapPermille.isEmpty &&
+      !dflt.keepLongest && !dflt.curriculum && dflt.decontaminateDir.isEmpty,
+      "curateVerdictCtes restates only the default Curate pipeline — " +
+        "a new default dial needs a matching CTE stage")
+    val minTok = dflt.minTokens
+    // same generator as the Spark side (engine-portable SQL): the hex
+    // nibble widths can never drift between query and oracle
+    val split = TextMedia.splitAssignExprN(
+      "COALESCE(l.cluster_id, b.doc_id)",
+      dflt.testSixteenths, dflt.valSixteenths)
+    s"""
         ${TextMedia.simhashCtes}, ${TextMedia.closureCtes},
         clabels AS (SELECT v AS doc_id, MIN(label) AS cluster_id FROM prop GROUP BY v),
         cbase AS (
@@ -654,22 +672,21 @@ object Curation {
         ccanons AS (
           SELECT l.cluster_id, MIN(b.doc_id) AS canon
           FROM clabels l JOIN cbase b ON l.doc_id = b.doc_id
-          WHERE b.text IS NOT NULL AND b.n_tok >= 5
+          WHERE b.text IS NOT NULL AND b.n_tok >= $minTok
           GROUP BY l.cluster_id),
         cverd AS (
           SELECT b.doc_id,
             CASE WHEN k.keep_id IS NOT NULL AND b.doc_id <> k.keep_id THEN 'exact_dup'
                  WHEN l.cluster_id IS NOT NULL AND c.canon IS NOT NULL
                       AND b.doc_id <> c.canon THEN 'near_dup'
-                 WHEN b.text IS NULL OR b.n_tok < 5 THEN 'low_quality'
+                 WHEN b.text IS NULL OR b.n_tok < $minTok THEN 'low_quality'
                  ELSE 'kept' END AS verdict,
-            CASE WHEN substring(md5(CAST(COALESCE(l.cluster_id, b.doc_id) AS VARCHAR)), 1, 1) = 'f' THEN 'test'
-                 WHEN substring(md5(CAST(COALESCE(l.cluster_id, b.doc_id) AS VARCHAR)), 1, 1) IN ('d', 'e') THEN 'val'
-                 ELSE 'train' END AS split
+            $split AS split
           FROM cbase b
           LEFT JOIN ckeepers k ON b.digest = k.digest
           LEFT JOIN clabels l ON b.doc_id = l.doc_id
           LEFT JOIN ccanons c ON l.cluster_id = c.cluster_id)"""
+  }
 
   private lazy val defsTail: Map[String, QueryDef] = Map(
     "c14_curate_e2e" -> QueryDef(

@@ -181,6 +181,27 @@ object Similarity {
       .filter(col("j") >= 500)
   }
 
+  /** e09's oracle: the all-pairs exact kNN graph in the same quantized
+    * integer arithmetic as the Spark side. ALSO the oracle for e12b: at
+    * the driver's gate SF (sf0.01, n = 500 embeddings) the scale dial
+    * is provably exact — k = ⌊√500⌋ = 22 centroids ≤ nprobe = 36, so
+    * every probe visits every inverted list and the "approximate" graph
+    * IS the exact one (KnnGraphApproxSpec asserts the bit-equality; the
+    * oracle makes a dial regression driver-visible too). At SFs where
+    * ⌊√n⌋ > nprobe the dial genuinely prunes and this SQL would NOT
+    * match — the correctness gate runs at sf0.01 by contract. */
+  private val knnGraphOracle: String = """
+        WITH q AS (
+          SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
+          FROM embeddings),
+        dots AS (
+          SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+                 CAST(list_sum([p.qv[i] * c.qv[i] for i in range(1, len(p.qv)+1)]) AS BIGINT) AS dot
+          FROM q p JOIN q c ON p.vec_id <> c.vec_id)
+        SELECT query_id, cand_id, dot,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS rnk
+        FROM dots QUALIFY rnk <= 5 ORDER BY query_id, rnk"""
+
   /** e23's oracle: e09's all-pairs exact kNN graph, then 10 unrolled
     * MATERIALIZED PageRank rounds (the closureCtes technique). Every
     * aggregate is CAST (DuckDB SUM(BIGINT) promotes to HUGEINT — the
@@ -1042,14 +1063,16 @@ object Similarity {
     // and go Θ(n²) (measured 6.0× vs 37× wall for 10× data,
     // tools/ScaleProbe). Kept as a SEPARATE headline so e12's
     // cross-round continuity series stays untouched while the board
-    // prices the dial that survives 100×. Same recall contract (≥ 0.95
-    // vs the exact graph, KnnGraphApproxSpec — gated at sf0.1 where
-    // ⌊√n⌋ = 44 > nprobe and the dial genuinely approximates).
-    // Approximate by design → rows-only + the spec gate, like e12.
+    // prices the dial that survives 100×. Recall contract ≥ 0.95 vs
+    // the exact graph (KnnGraphApproxSpec — gated at sf0.1 where
+    // ⌊√n⌋ = 44 > nprobe and the dial genuinely approximates); at the
+    // sf0.01 correctness gate the dial is provably EXACT (⌊√n⌋ ≤
+    // nprobe ⇒ all lists probed), so e09's brute-force SQL is a true
+    // oracle there, not a recall hope — see knnGraphOracle's scaladoc.
     "e12b_knn_graph_scale" -> QueryDef(
       build = (spark, dir) =>
         graft.operators.IvfAnn.knnGraphScaled(spark, dir, topK = 5),
-      oracle = None,
+      oracle = Some(knnGraphOracle),
       headline = true),
 
     // ---------------------------------------------------------------- e23
@@ -1087,10 +1110,12 @@ object Similarity {
     // which PageRank.scores refuses by contract (the node set is
     // DISTINCT src) — missing sources get (v, v) self-loops, the
     // operator's documented fill, so every embedding scores and no
-    // received mass is dropped. Approximate edge source → rows-only;
-    // PageRankSpec gates agreement with e23's exact-graph scores
-    // (bit-equal at sf0.01 where sqrt(n) <= nprobe makes the dial
-    // exact; top-rank overlap at sf0.1 where it genuinely prunes).
+    // received mass is dropped. PageRankSpec gates agreement with
+    // e23's exact-graph scores (bit-equal at sf0.01 where sqrt(n) <=
+    // nprobe makes the dial exact — every probe has all topK
+    // candidates, so the self-loop fill is empty and the edge set IS
+    // e23's, making e23's oracle valid at the gate SF; top-rank
+    // overlap at sf0.1 where the dial genuinely prunes).
     "e23b_pagerank_approx_graph" -> QueryDef(
       build = (spark, dir) => {
         val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -1109,23 +1134,13 @@ object Similarity {
         QueryDef.deferCleanup(() => { edges.unpersist(false); () })
         graft.operators.PageRank.scores(edges, rounds = 10)
       },
-      oracle = None,
+      oracle = Some(pagerankOracle),
       headline = true),
 
     "e09_knn_graph" -> QueryDef(
       build = (spark, dir) =>
         graft.operators.IvfAnn.knnExact(spark, dir, lit(true), topK = 5),
-      oracle = Some("""
-        WITH q AS (
-          SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) for x in embedding] AS qv
-          FROM embeddings),
-        dots AS (
-          SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
-                 CAST(list_sum([p.qv[i] * c.qv[i] for i in range(1, len(p.qv)+1)]) AS BIGINT) AS dot
-          FROM q p JOIN q c ON p.vec_id <> c.vec_id)
-        SELECT query_id, cand_id, dot,
-               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS rnk
-        FROM dots QUALIFY rnk <= 5 ORDER BY query_id, rnk""")),
+      oracle = Some(knnGraphOracle)),
 
     // ---------------------------------------------------------------- e08
     // Hard-negative mining for contrastive training: per probe, the

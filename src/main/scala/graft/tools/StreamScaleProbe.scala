@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   *   curate  — Curate.runIncremental generation against a Curate.run
   *             base (the StreamingCurate per-generation unit)
   *
-  * Probe batches draw from batchSrcDir with ids shifted by 10^12 so
-  * they are disjoint from any ScaleUp replica's id space.
+  * Probe batches draw from batchSrcDir with ids shifted by 10^12 and
+  * strided 10^10 PER BATCH — the stride exceeds any source id range
+  * the replica tools produce (ScaleUp shifts replicas by i·10^7), so
+  * batches can never collide with each other or the standing corpus
+  * and skew the per-batch measurement.
   *
   * Usage: runMain graft.tools.StreamScaleProbe
   *          <standingSrcDir> <batchSrcDir> <minhash|ivf|curate>
@@ -30,6 +33,9 @@ import org.apache.spark.sql.functions._
   */
 object StreamScaleProbe {
   private val IdShift = 1000000000000L
+  // per-batch id stride; must exceed the largest possible source id
+  // (ScaleUp's 100x replicas top out below 10^9)
+  private val BatchStride = 10000000000L
 
   def main(args: Array[String]): Unit = {
     val Array(standingDir, batchDir, mode) = args.take(3)
@@ -58,7 +64,7 @@ object StreamScaleProbe {
         def batch(i: Int) = {
           import spark.implicits._
           src.slice(i * batchRows, (i + 1) * batchRows)
-            .map(r => (r.getLong(0) + IdShift + i * 1000000L, r.getString(1)))
+            .map(r => (r.getLong(0) + IdShift + i * BatchStride, r.getString(1)))
             .toSeq.toDF("doc_id", "text")
         }
         val runs = (0 to 3).map { i =>
@@ -88,7 +94,7 @@ object StreamScaleProbe {
         def batch(i: Int) = {
           val rows = src.slice(i * batchRows, (i + 1) * batchRows).map { r =>
             org.apache.spark.sql.Row(
-              r.getLong(0) + IdShift + i * 1000000L, r.get(1))
+              r.getLong(0) + IdShift + i * BatchStride, r.get(1))
           }
           spark.createDataFrame(
             spark.sparkContext.parallelize(rows.toSeq), schema)
@@ -116,7 +122,7 @@ object StreamScaleProbe {
         val runs = (0 to 3).map { i =>
           val bdir = s"$scratch/batch$i"
           src.filter(pmod(col("doc_id"), lit(4)) === i)
-            .withColumn("doc_id", col("doc_id") + IdShift + i * 1000000L)
+            .withColumn("doc_id", col("doc_id") + IdShift + i * BatchStride)
             .write.mode("overwrite").parquet(s"$bdir/documents.parquet")
           val prev = if (i == 0) base else s"$scratch/gen${i - 1}"
           timed {

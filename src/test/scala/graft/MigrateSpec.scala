@@ -176,6 +176,31 @@ class MigrateSpec extends AnyFunSuite {
     assert(inv.columns.contains("quantity") && !inv.columns.contains("qty"))
   }
 
+  test("staged: --session restores the plan from a foreign dir") {
+    // reference main.go:60 — the session flag names the file to restore
+    // from, enabling "convert on one machine, load from another dir":
+    // schema pass lands in dirA, the data-only load runs into dirB
+    // naming dirA's (edited) session explicitly.
+    val dirA = java.nio.file.Files.createTempDirectory("graft-mig-sesA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-mig-sesB").toString
+    val fixture = "src/test/resources/fixtures/sample.pgdump"
+    Migrate.run(spark, "pgdump", fixture, dirA, mode = "schema-only")
+    val plan = graft.plan.SessionFile.read(s"$dirA/session.json", hc)
+    val edited = graft.schema.PlanEdits
+      .renameColumn(plan, "inventory", "qty", "quantity")
+      .getOrElse(fail("edit failed"))
+    graft.plan.SessionFile.write(edited, s"$dirA/session.json", hc)
+    val r = Migrate.run(spark, "pgdump", fixture, dirB, mode = "data-only",
+      sessionPath = Some(s"$dirA/session.json"))
+    assert(r.tables("inventory") === (3L, 0L))
+    // the edit carried — proof the foreign session drove the pass, not
+    // some default; and dirB has no session.json of its own to fall
+    // back on, so the restore path itself is what's exercised
+    val inv = spark.read.parquet(s"$dirB/inventory.parquet")
+    assert(inv.columns.contains("quantity") && !inv.columns.contains("qty"))
+    assert(!new java.io.File(s"$dirB/session.json").exists())
+  }
+
   test("staged: remove-column edit drives data-only without crashing") {
     val out = java.nio.file.Files.createTempDirectory("graft-mig-rm").toString
     val fixture = "src/test/resources/fixtures/sample.pgdump"

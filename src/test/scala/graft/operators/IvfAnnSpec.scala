@@ -146,4 +146,35 @@ class IvfAnnSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(viaJoinD.nonEmpty && viaJoinD === viaLitD)
   }
+
+  test("big-k assign matches the literal form on degenerate rows") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val k = IvfAnn.LiteralKCeiling + 8
+    val cents = IvfAnn.trainCentroids(emb, k = k, iters = 1)
+    // NULL embedding: literal form propagates a NULL label; the join
+    // form must not hand the row an arbitrary min_by centroid
+    val withNullEmb = emb.limit(5).withColumn("embedding",
+      when(col("vec_id") === emb.select(min("vec_id")).head.getLong(0),
+        lit(null)).otherwise(col("embedding")))
+    val lbls = IvfAnn.assign(withNullEmb, cents)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(lbls.size === 5)
+    assert(lbls.values.count(_.isEmpty) === 1) // exactly the nulled row
+    // NULL vec_id: the join-back would silently drop the row — the
+    // big-k form refuses it in-plan instead of flipping behavior at
+    // the k = LiteralKCeiling boundary
+    val withNullId = emb.limit(5).withColumn("vec_id",
+      when(col("vec_id") === emb.select(min("vec_id")).head.getLong(0),
+        lit(null)).otherwise(col("vec_id")))
+    val ex = intercept[Exception] {
+      IvfAnn.assign(withNullId, cents).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("NULL vec_id")))
+  }
 }
