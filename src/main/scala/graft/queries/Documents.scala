@@ -350,11 +350,17 @@ object Documents {
       FROM enc GROUP BY doc_id ORDER BY doc_id"""
   }
   /** How many leading merges d17b cross-checks in DuckDB. Each merge
-    * unrolls to three MATERIALIZED CTEs; 8 keeps the oracle ~linear
-    * (materialization matters: scalar subqueries on b_i appear three
-    * times each, so un-materialized CTEs re-expand the whole chain
-    * 3^K times — measured as a too-many-open-files blowup). */
-  private val d17bK = 8
+    * unrolls to three MATERIALIZED CTEs — materialization matters:
+    * scalar subqueries on b_i appear three times each, so
+    * un-materialized CTEs re-expand the whole chain 3^K times
+    * (measured as a too-many-open-files blowup). With MATERIALIZED
+    * steps the chain is linear in K and cheap: measured 0.3 s at
+    * K=16 and 0.56 s at K=24 on the sf0.01 gate (0.4 s at sf0.1) —
+    * 24 triples the r15-era hash-gated prefix of d17's merge ORDER
+    * for well under a second of oracle wall; d17 trains 89 merges
+    * total at both gate SFs, so over a quarter of the full order is
+    * now driver-gated rather than riding spec-only parity. */
+  private val d17bK = 24
 
   /** DuckDB oracle for d17b: K iterations of BPE's (pair-count →
     * argmax → greedy merge) loop, unrolled. The vocabulary rides as

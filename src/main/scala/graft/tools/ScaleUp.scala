@@ -99,19 +99,51 @@ object ScaleUp {
     }.reduce(_.union(_))
   }
 
+  /** Re-shape an embedding corpus into C TIGHT CLUSTERS: vector v of
+    * cluster c = vec_id mod C becomes e_c + eps·v (a unit coordinate
+    * anchor plus the original vector as within-cluster noise). The
+    * testdata's embeddings are near-random — the adversarial case for
+    * IVF pruning, where exact search degrades toward all-pairs by
+    * documented design — so scale sweeps on replicas of it measure
+    * that worst case only. Real-world embedding corpora cluster; this
+    * transform gives the prune geometry to exploit, letting
+    * StreamScaleProbe separate "candidate volume is genuinely large"
+    * (random corpus) from "the operator fails to prune" (would show
+    * as growth even here). Applied AFTER replication, so the
+    * rotation/negation replicas become decorrelated within-cluster
+    * noise rather than new clusters. */
+  private[tools] def clusterize(emb: DataFrame, clusters: Int,
+      eps: Double): DataFrame = {
+    val d = emb.select(size(col("embedding"))).head.getInt(0)
+    require(clusters >= 1 && clusters <= d,
+      s"clusters must be in [1, $d] (one coordinate anchor each), got $clusters")
+    emb.withColumn("embedding",
+      expr(s"transform(sequence(0, ${d - 1}), j -> CAST(" +
+        s"(CASE WHEN j = pmod(vec_id, $clusters) THEN 1.0 ELSE 0.0 END) " +
+        s"+ $eps * embedding[j] AS FLOAT))"))
+  }
+
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir) = args.take(2)
-    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    val Array(srcDir, outDir) = pos.take(2)
+    val factor = pos.lift(2).map(_.toInt).getOrElse(10)
+    val clustered = flags.collectFirst {
+      case f if f.startsWith("--clustered=") =>
+        f.stripPrefix("--clustered=").toInt
+      case "--clustered" => 32
+    }
     require(factor >= 1 && factor <= MaxDocReplicas,
       s"factor must be in [1, $MaxDocReplicas], got $factor " +
         "(the affine alphabet permutations run out beyond)")
     val spark = graft.GraftSession.build("graft-scaleup")
     replicateDocs(spark.read.parquet(s"$srcDir/documents.parquet"), factor)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    replicateEmbeddings(
-        spark.read.parquet(s"$srcDir/embeddings.parquet"), factor)
+    val emb = replicateEmbeddings(
+      spark.read.parquet(s"$srcDir/embeddings.parquet"), factor)
+    clustered.map(c => clusterize(emb, c, eps = 0.15)).getOrElse(emb)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    println(s"[scaleup] wrote ${factor}x $srcDir -> $outDir")
+    println(s"[scaleup] wrote ${factor}x $srcDir -> $outDir" +
+      clustered.map(c => s" (clustered C=$c)").getOrElse(""))
     spark.stop()
   }
 }
