@@ -540,7 +540,16 @@ object IvfIndex {
       policy: MaintenancePolicy): String = {
     val h = health(spark, indexDir)
     if (h.rows < policy.minRows) return "none"
-    val wantRetrain = h.imbalance > policy.maxImbalance
+    // the fixed-list-size dial: mean list exceeded 2·L ⇒ retrain at
+    // k = ⌈rows/L⌉ (rows INCLUDING tombstoned ones — they still occupy
+    // list files and candidate scans until the retrain folds them, so
+    // data rows are the signal search cost actually tracks). The 2×
+    // trip point restores ~L and spaces retrains geometrically —
+    // O(log n) rewrites over an unbounded ingest, constant per-probe
+    // candidate volume (nprobe·L) in between.
+    val listTripped = policy.targetListSize.exists(l =>
+      h.clusters > 0 && h.rows > 2L * l * h.clusters)
+    val wantRetrain = h.imbalance > policy.maxImbalance || listTripped
     val wantFold =
       h.tombstones * 1000L > policy.maxTombstonePermille * h.rows ||
       h.duplicateIds * 1000L > policy.maxDuplicatePermille * h.rows
@@ -559,8 +568,16 @@ object IvfIndex {
     if (foldWouldEmpty(spark, indexDir, tombstoneSnapshot(spark, indexDir)))
       return "none"
     if (wantRetrain) {
-      if (h.streaming) retrainStreaming(spark, indexDir)
-      else retrain(spark, indexDir)
+      // k stays at the stored value (0 = preserve) unless the list-size
+      // dial tripped, in which case the retrain re-dials k to hit the
+      // target; Int-capped — 2^31 clusters is beyond any real corpus
+      val newK = policy.targetListSize match {
+        case Some(l) if listTripped =>
+          math.min((h.rows + l - 1) / l, Int.MaxValue.toLong).toInt
+        case _ => 0
+      }
+      if (h.streaming) retrainStreaming(spark, indexDir, k = newK)
+      else retrain(spark, indexDir, k = newK)
       "retrain"
     } else {
       if (h.streaming) foldStreaming(spark, indexDir)

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   * and skew the per-batch measurement.
   *
   * Usage: runMain graft.tools.StreamScaleProbe
-  *          <standingSrcDir> <batchSrcDir> <minhash|ivf|curate>
+  *          <standingSrcDir> <batchSrcDir> <minhash|ivf|ivfapprox|ivfdial|curate>
   *          [batchRows=500]
   */
 object StreamScaleProbe {
@@ -75,15 +75,22 @@ object StreamScaleProbe {
           }
         }
         report(runs.drop(1), standing) // first batch = warm-up
-      case "ivf" | "ivfapprox" =>
+      case "ivf" | "ivfapprox" | "ivfdial" =>
         val idx = s"$scratch/ivf"
         val emb = spark.read.parquet(s"$standingDir/embeddings.parquet")
         val standing = emb.count()
         // seed at the scale dial k = sqrt(n): a constant cluster count
         // would under-cluster the bigger standings and measure weak
-        // pruning instead of the per-batch slope
-        graft.operators.IvfIndex.initStreaming(spark, standingDir, idx,
-          k = math.max(16, math.sqrt(standing.toDouble).toInt))
+        // pruning instead of the per-batch slope. "ivfdial" instead
+        // seeds at the FIXED-LIST-SIZE dial k = n/L (L = 500,
+        // MaintenancePolicy.targetListSize's steady state): fixed-
+        // nprobe candidates are then nprobe·L per probe — a CONSTANT
+        // in corpus size, the truly flat per-batch path the r18 sweep
+        // showed neither sqrt(n)-k nor frozen-k delivers.
+        val k =
+          if (mode == "ivfdial") math.max(16, (standing / 500L).toInt)
+          else math.max(16, math.sqrt(standing.toDouble).toInt)
+        graft.operators.IvfIndex.initStreaming(spark, standingDir, idx, k = k)
         graft.operators.IvfIndex.appendBatch(spark,
           emb.select("vec_id", "embedding"), idx, 0L)
         val src = spark.read.parquet(s"$batchDir/embeddings.parquet")
@@ -102,8 +109,10 @@ object StreamScaleProbe {
         // "ivf" = the exact per-batch search (candidate volume tracks
         // how well the corpus clusters — on random vectors it grows
         // with the standing corpus, the documented exactness price);
-        // "ivfapprox" = the fixed-nprobe dial, the flat-cost path
-        val np = if (mode == "ivfapprox") Some(36) else None
+        // "ivfapprox"/"ivfdial" = the fixed-nprobe recall dial —
+        // candidates nprobe·n/k per probe, constant only under
+        // ivfdial's k = n/L seeding
+        val np = if (mode == "ivfapprox" || mode == "ivfdial") Some(36) else None
         val runs = (0 to 3).map { i =>
           timed {
             val p = graft.streaming.StreamingIvfProbe

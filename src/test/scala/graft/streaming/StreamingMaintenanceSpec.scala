@@ -125,6 +125,48 @@ class StreamingMaintenanceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("IVF: the fixed-list-size dial re-dials k mid-stream; search stays exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = tmp("maintlist") + "/idx"
+    // bootstrap freezes k=2; the stream then grows the corpus past
+    // 2·L·k = 16 rows, so a frozen k would let per-probe candidate
+    // volume grow with the corpus — the dial retrains at k = ⌈rows/L⌉
+    IvfIndex.initStreaming(spark, bootstrap(mixed = true), idx, k = 2)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val actions = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val policy = MaintenancePolicy(checkEvery = 1,
+      maxTombstonePermille = 1000, maxDuplicatePermille = 1000,
+      maxImbalance = 100.0, minRows = 1, targetListSize = Some(4L))
+    val q = StreamingIvfProbe.start(
+      in.toDF.toDF("vec_id", "embedding"), idx, tmp("maintlistchk"),
+      _ => (), topK = 1, maintenance = Some(policy),
+      onMaintain = (b, a) => { actions += ((b, a)); () })
+    try {
+      in.addData((0 until 24).map(i => (i.toLong, vec(i % 4, 0.2 * i))): _*)
+      q.processAllAvailable()
+      assert(actions.toSeq === Seq((0L, "retrain")),
+        s"exceeding 2·L lists must trigger exactly one retrain, got $actions")
+      val hc = spark.sessionState.newHadoopConf()
+      val meta = IvfIndex.readMeta(idx, hc)
+      assert(meta.k === 6, // ⌈24/4⌉ — the re-dialed cluster count
+        s"the dial must re-dial k to rows/L, got ${meta.k}")
+      assert(meta.lastBatch === Some(0L), "retrain must keep the stream fence")
+      // mean list is back at L: a replayed check is idempotent — the
+      // next (small) batch must not retrain again
+      in.addData((30L, vec(0, 5.0))) // axis-0 value 15.0 — above the
+      q.processAllAvailable()        // batch's max (id 20 at 14.0)
+      assert(actions.size === 1, s"no further action under 2·L·k: $actions")
+      // and the re-dialed index still searches exactly: the new vector
+      // carries the largest axis-0 value, so MIP pins it for an axis-0
+      // probe (the drift test's construction)
+      val res = IvfIndex.searchExactFrame(spark, idx,
+        Seq((99L, vec(0, 5.1))).toDF("vec_id", "embedding"), topK = 1)
+        .collect().map(_.getLong(1)).toSet
+      assert(res === Set(30L), s"nearest must be the post-retrain vector: $res")
+    } finally q.stop()
+  }
+
   test("IVF: the stream converges its own crashed fold instead of refusing forever") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
