@@ -1656,6 +1656,50 @@ object Relational {
                CAST((q * (n - 1)) // 1000 AS BIGINT) AS rank_idx,
                lat_days, CAST(n AS BIGINT) AS n_items
         FROM qs JOIN r ON rn = (q * (n - 1)) // 1000 + 1
-        ORDER BY q"""))
+        ORDER BY q""")),
+
+    // ---------------------------------------------------------------- q46
+    // AS-OF attribution: each purchase picks the LATEST click by the
+    // same user at-or-before it — the point-in-time lookup Spark has
+    // no built-in join for (operators/AsofJoin: union the tagged
+    // sides, ONE shuffle on user_id, a per-key running last() window —
+    // no per-key cross product, no re-scan; the theta-join encoding
+    // materializes every (purchase × earlier-click) pair first). Ties:
+    // two clicks at one (user, µs) are ordered by event_id inside the
+    // operator for determinism, and the OUTPUT carries only the
+    // click's timestamp, which exact ties share — so the relation is
+    // tie-invariant and DuckDB's native ASOF (which picks an arbitrary
+    // winner among exact ties) is a valid oracle. Purchases with no
+    // prior click keep NULLs (LEFT asof), counted in-band.
+    "q46_asof_attribution" -> QueryDef(
+      build = (spark, dir) => {
+        val ev = QueryDef.events(spark, dir)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), col("event_type"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("us").as("purchase_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("us").as("click_us"),
+            col("event_id").as("click_eid"))
+        graft.operators.AsofJoin.asof(purchases, clicks,
+            key = "user_id", leftTs = "purchase_us", rightTs = "click_us",
+            rightVals = Seq("click_us"), tieBreak = Seq("click_eid"))
+          .select(col("event_id"), col("user_id"), col("purchase_us"),
+            col("click_us"),
+            (col("purchase_us") - col("click_us")).as("latency_us"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+          FROM events),
+        p AS (SELECT event_id, user_id, us AS purchase_us FROM e WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, us AS click_us FROM e WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, p.purchase_us, c.click_us,
+               p.purchase_us - c.click_us AS latency_us
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.purchase_us >= c.click_us
+        ORDER BY p.event_id"""))
   )
 }

@@ -102,11 +102,20 @@ object DynamoMigrate {
     val frames = plan.tableOrder.map { spName =>
       val srcName = bySp(spName)
       val src = plan.srcSchema(srcName)
+      val sp = plan.spSchema(spName)
       val (good, bad) = DynamoInfer.convert(spark,
         DynamoScan.items(spark, scan, srcName, totalSegments), src)
       val colMap = plan.toSpannerCols(srcName)
-      val renamed = good.select(
-        src.colNames.map(c => col(c).as(colMap(c))): _*)
+      // honor staged-run session edits exactly like the dump path's
+      // convertTable: a column the user REMOVED (no Spanner
+      // counterpart) is dropped, and each survivor casts to the
+      // (possibly RETYPED) Spanner column's type, not the inferred one
+      val mapped = src.colNames.filter(c =>
+        colMap.get(c).exists(sp.colDefs.contains))
+      val renamed = good.select(mapped.map { c =>
+        val spCol = colMap(c)
+        col(c).cast(sp.colDefs(spCol).t.sparkType).as(spCol)
+      }: _*)
       spName -> (renamed, bad)
     }.toMap
 

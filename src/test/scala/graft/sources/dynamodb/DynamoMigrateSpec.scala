@@ -136,11 +136,22 @@ class DynamoMigrateSpec extends AnyFunSuite {
     assert(r1.tables.isEmpty)
     assert(new java.io.File(s"$dirA/session.json").exists())
     assert(!new java.io.File(s"$dirA/users.parquet").exists())
+    // session EDITS land between the stages (the T8 staged workflow):
+    // rename one column, remove another — the data pass must honor both
+    val plan = graft.plan.SessionFile.read(s"$dirA/session.json", hc)
+    val edited = graft.schema.PlanEdits
+      .renameColumn(plan, "users", "name", "display_name")
+      .flatMap(p => graft.schema.PlanEdits.removeColumn(p, "users", "score"))
+      .getOrElse(fail("edits failed"))
+    graft.plan.SessionFile.write(edited, s"$dirA/session.json", hc)
     // data-only into a DIFFERENT dir, naming dirA's session explicitly
     val r2 = DynamoMigrate.run(spark, control, scan, dirB, mode = "data-only",
       sessionPath = Some(s"$dirA/session.json"))
     assert(r2.tables("users") === (5L, 1L))
-    assert(spark.read.parquet(s"$dirB/users.parquet").count() === 4)
+    val users = spark.read.parquet(s"$dirB/users.parquet")
+    assert(users.count() === 4)
+    assert(users.columns.contains("display_name") &&
+      !users.columns.contains("name") && !users.columns.contains("score"))
     assert(!new java.io.File(s"$dirB/session.json").exists())
   }
 }
