@@ -1700,6 +1700,47 @@ object Relational {
                p.purchase_us - c.click_us AS latency_us
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.purchase_us >= c.click_us
-        ORDER BY p.event_id"""))
+        ORDER BY p.event_id""")),
+
+    // ---------------------------------------------------------------- q47
+    // Banded range join: for every view event, the number of error
+    // events within ±5 minutes ANYWHERE in the system — the error-burst
+    // correlation query whose bare |Δts| <= band condition Spark plans
+    // as a broadcast-nested-loop over |V|·|E| comparisons.
+    // operators/BandJoin rewrites it: bucket the time axis at the band
+    // width, replicate the error side to {b−1, b, b+1}, equi-join on
+    // the bucket, filter the exact band — every qualifying pair meets
+    // in exactly ONE bucket, candidates are ±1-bucket pairs instead of
+    // the cross product. Views with no nearby error keep n_nearby = 0
+    // (left join of the pair counts back onto the view set). DuckDB's
+    // IEJoin evaluates the same predicate exactly for the oracle.
+    "q47_error_proximity" -> QueryDef(
+      build = (spark, dir) => {
+        val ev = QueryDef.events(spark, dir)
+          .select(col("event_id"), unix_micros(col("ts")).as("us"),
+            col("event_type"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("us"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("us").as("err_us"))
+        val counts = graft.operators.BandJoin
+          .pairs(views, errors, leftTs = "us", rightTs = "err_us",
+            band = 300L * 1000000L)
+          .groupBy("event_id").agg(count(lit(1)).as("n"))
+        views.join(counts, Seq("event_id"), "left")
+          .select(col("event_id"),
+            coalesce(col("n"), lit(0L)).as("n_nearby_errors"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events WHERE event_type = 'view'),
+        e AS (
+          SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events WHERE event_type = 'error')
+        SELECT v.event_id, CAST(COUNT(e.us) AS BIGINT) AS n_nearby_errors
+        FROM v LEFT JOIN e ON abs(v.us - e.us) <= 300000000
+        GROUP BY v.event_id ORDER BY v.event_id"""))
   )
 }
