@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** EXACT top-k over a skewed key column with a capacity-BOUNDED
+  * shuffle — the heavy-hitters pattern: a plain
+  * `groupBy(key).count.orderBy` shuffles one row per DISTINCT key
+  * (the whole vocabulary at corpus scale) to rank a handful of heads.
+  * Here the shuffle never exceeds `capacity` rows per input partition,
+  * whatever the cardinality, and the answer is still exact:
+  *
+  *  1. Candidate pass: each partition summarizes its rows with a
+  *     Misra–Gries sketch of size `capacity` (mapPartitions — the
+  *     sanctioned per-partition imperative case: a decrement-all
+  *     counter map has no Column encoding). MG guarantees any key
+  *     with local count > n_p/capacity survives partition p; summing
+  *     the guarantee over partitions, any key with GLOBAL count
+  *     > n/capacity survives in at least one summary (averaging: its
+  *     local counts cannot all be below their partition thresholds).
+  *  2. Exact pass: the ≤ capacity·P candidate keys broadcast back as
+  *     a semi-filter and are counted EXACTLY in one map-side-combined
+  *     aggregate whose shuffle carries candidates only.
+  *  3. Soundness gate: the result is provably the true top-k iff the
+  *     k-th candidate's exact count EXCEEDS n/capacity (every
+  *     non-candidate is ≤ n/capacity < the k-th). If the corpus is so
+  *     flat the gate fails, the operator REFUSES loudly with the
+  *     capacity that would have sufficed — approximate-and-silent is
+  *     the one behavior this must never have.
+  *
+  * 100 TB shape: pass 1 is embarrassingly parallel and emits
+  * O(capacity) rows per partition; pass 2's shuffle is the candidate
+  * set, not the vocabulary. capacity is a memory dial (a few thousand
+  * fits any executor); the gate converts the sketch into a proof.
+  */
+object HeavyHitters {
+
+  /** Exact (key, n) top-k rows ordered (n DESC, key ASC).
+    * @param keyCol a STRING column of `df`
+    * @param capacity MG sketch size per partition (and the soundness
+    *                 threshold n/capacity the gate checks against) */
+  def topK(spark: SparkSession, df: DataFrame, keyCol: String, k: Int,
+      capacity: Int = 4096): DataFrame = {
+    require(k > 0 && capacity > k,
+      s"need capacity > k > 0, got k=$k capacity=$capacity")
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("string")).na.drop()
+
+    // pass 1: per-partition Misra–Gries summaries
+    val candidates = keys.mapPartitions { it =>
+      val counts = mutable.HashMap.empty[String, Long]
+      it.foreach { row =>
+        val key = row.getString(0)
+        counts.get(key) match {
+          case Some(c) => counts(key) = c + 1
+          case None =>
+            if (counts.size < capacity) counts(key) = 1L
+            else {
+              // decrement-all; drop zeros. Amortized O(1) per row:
+              // each decrement sweep removes >= 1 entry and every row
+              // funds at most one increment.
+              val dead = mutable.ArrayBuffer.empty[String]
+              counts.keysIterator.foreach { t =>
+                val c = counts(t) - 1
+                if (c == 0L) dead += t else counts(t) = c
+              }
+              dead.foreach(counts.remove)
+            }
+        }
+      }
+      counts.keysIterator
+    }(org.apache.spark.sql.Encoders.STRING).distinct()
+
+    // pass 2: exact counts of the candidate set only — the broadcast
+    // semi-join keeps the aggregate's shuffle at |candidates|
+    val exact = keys.toDF(keyCol)
+      .join(broadcast(candidates.toDF(keyCol)), Seq(keyCol), "left_semi")
+      .groupBy(keyCol).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(keyCol).asc)
+      .limit(k)
+      .collect()
+
+    // soundness gate: the k-th exact count must beat the REAL bound
+    // n/capacity — exact integer cross-multiplication (kth·capacity
+    // > n), never the floor-divided threshold, which under-checks by
+    // up to one whole count
+    val n = keys.count()
+    val kth = if (exact.length >= k) exact(k - 1).getLong(1) else Long.MaxValue
+    if (exact.length >= k && kth * capacity <= n)
+      throw new IllegalStateException(
+        s"HeavyHitters.topK: k-th candidate count $kth does not exceed " +
+          s"the soundness bound n/capacity = $n/$capacity — the " +
+          s"distribution is too flat for capacity=$capacity; retry with " +
+          s"capacity > ${if (kth > 0) n / kth else n} or use the full " +
+          "groupBy")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(exact.toSeq, 1),
+      new org.apache.spark.sql.types.StructType()
+        .add(keyCol, org.apache.spark.sql.types.StringType)
+        .add("n", org.apache.spark.sql.types.LongType))
+  }
+}

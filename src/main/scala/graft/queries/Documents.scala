@@ -1837,6 +1837,37 @@ object Documents {
         FROM hb JOIN fw USING (b)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- d29
+    // EXACT top-k tokens with a capacity-BOUNDED shuffle — d09's
+    // vocabulary head without d09's vocabulary-sized shuffle: at
+    // corpus scale a plain groupBy(token) shuffles one row per
+    // DISTINCT token to rank twenty heads. operators/HeavyHitters
+    // runs per-partition Misra–Gries summaries (any token with global
+    // count > n/capacity provably survives some partition's sketch —
+    // the averaging argument), exact-counts ONLY the ≤ capacity·P
+    // candidates through a broadcast semi-filter, and REFUSES loudly
+    // unless the k-th exact count beats the n/capacity bound (the
+    // gate that turns a sketch into a proof) — so the relation is
+    // exactly the full-groupBy top-k, which is what lets DuckDB's
+    // plain ORDER BY ... LIMIT oracle it.
+    "d29_exact_topk_tokens" -> QueryDef(
+      build = (spark, dir) => {
+        val tokens = QueryDef.spread(spark, dir, "documents")
+          .select(explode(expr(toks)).as("token"))
+        graft.operators.HeavyHitters
+          .topK(spark, tokens, "token", k = 20, capacity = 4096)
+          .withColumnRenamed("n", "n_occurrences")
+      },
+      oracle = Some("""
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                   t -> t <> '')) AS token
+          FROM documents)
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token
+        LIMIT 20""")),
+
     // ---------------------------------------------------------------- c23
     // Snapshot diff — the row-level companion to d25's distribution
     // drift: which documents were ADDED, REMOVED, CHANGED (same key,
