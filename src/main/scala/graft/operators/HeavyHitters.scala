@@ -57,15 +57,15 @@ object HeavyHitters {
           case None =>
             if (counts.size < capacity) counts(key) = 1L
             else {
-              // decrement-all; drop zeros. Amortized O(1) per row:
-              // each decrement sweep removes >= 1 entry and every row
-              // funds at most one increment.
-              val dead = mutable.ArrayBuffer.empty[String]
-              counts.keysIterator.foreach { t =>
+              // decrement-all over a key SNAPSHOT (mutating a mutable
+              // HashMap mid-iteration is outside its contract); drop
+              // zeros. Amortized O(1) per row: each sweep removes ≥ 1
+              // entry and every row funds at most one increment, so
+              // sweeps are bounded by insertions.
+              counts.keys.toArray.foreach { t =>
                 val c = counts(t) - 1
-                if (c == 0L) dead += t else counts(t) = c
+                if (c == 0L) counts.remove(t) else counts(t) = c
               }
-              dead.foreach(counts.remove)
             }
         }
       }

@@ -372,6 +372,44 @@ object TextMedia {
         ORDER BY doc_id"""),
       headline = true),
 
+    // ---------------------------------------------------------------- c25
+    // Soft dedup: DOWN-WEIGHT near-dup clusters instead of dropping
+    // them — every document gets a training-mix weight of
+    // 1/cluster_size (exact ppm), so each near-dup family contributes
+    // one document's worth of total mass while keeping its internal
+    // variation available (the soft alternative to c01's keep flag the
+    // data-mixing literature reaches for when duplicates carry
+    // paraphrase signal). Singletons (no near-dup) are their own
+    // cluster at weight 1.0. Reuses c01's contracted cluster pipeline
+    // verbatim; additions are one doc-keyed left join (labels ⊆ docs —
+    // AQE broadcasts small cluster sets) and a cluster-keyed count —
+    // no new corpus-scale shuffle class.
+    "c25_softdedup_weights" -> QueryDef(
+      build = (spark, dir) => {
+        val docs = table(spark, dir, "documents").select("doc_id")
+        val labels = dupClusters(spark, dir).select("doc_id", "cluster_id")
+        val lab = docs.join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cid"))
+        val sizes = lab.groupBy("cid")
+          .agg(count(lit(1)).as("cluster_size"))
+        lab.join(sizes, "cid")
+          .select(col("doc_id"), col("cluster_size"),
+            expr("1000000 div cluster_size").as("weight_ppm"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH $simhashCtes, $closureCtes,
+        labels AS (SELECT v AS doc_id, MIN(label) AS cluster_id FROM prop GROUP BY v),
+        lab AS (
+          SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cid
+          FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+        sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM lab GROUP BY cid)
+        SELECT doc_id, cluster_size,
+               CAST(1000000 // cluster_size AS BIGINT) AS weight_ppm
+        FROM lab JOIN sizes USING (cid)
+        ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- c12
     // Leakage-free train/val/test split: assign every document to a
     // split by hashing its DUP-CLUSTER id (c01's connected components),
