@@ -57,7 +57,16 @@ object AsofJoin {
     val lS = left
       .withColumn("__asof_ts", col(leftTs))
       .withColumn("__asof_side", lit(1))
-    val rS = right.select(
+    // SQL asof semantics for NULLs: `right.ts <= left.ts` is never
+    // true for a NULL ts, and an equi-join never matches a NULL key —
+    // drop such right rows up front, or a NULL ts would sort NULLS
+    // FIRST and act as ts = −∞ (attaching to every left row), and
+    // NULL keys would pair with each other under partitionBy. Left
+    // rows with NULL key/ts need no handling: they sort before any
+    // surviving right row (or into a right-empty partition) and keep
+    // NULL right values, exactly the SQL outcome.
+    val rClean = right.filter(col(key).isNotNull && col(rightTs).isNotNull)
+    val rS = rClean.select(
       col(key),
       col(rightTs).as("__asof_ts"),
       lit(0).as("__asof_side"),

@@ -45,7 +45,13 @@ object HeavyHitters {
     require(k > 0 && capacity > k,
       s"need capacity > k > 0, got k=$k capacity=$capacity")
     import spark.implicits._
+    // ONE upstream evaluation: the candidate pass, the exact-count
+    // pass, and the n count below all read this cache — without it the
+    // (possibly expensive: explode/tokenize) input recomputes three
+    // times, the exact cost profile this operator exists to avoid
     val keys = df.select(col(keyCol).cast("string")).na.drop()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // pass 1: per-partition Misra–Gries summaries
     val candidates = keys.mapPartitions { it =>
@@ -73,31 +79,53 @@ object HeavyHitters {
     }(org.apache.spark.sql.Encoders.STRING).distinct()
 
     // pass 2: exact counts of the candidate set only — the broadcast
-    // semi-join keeps the aggregate's shuffle at |candidates|
-    val exact = keys.toDF(keyCol)
+    // semi-join keeps the aggregate's shuffle at |candidates|. The
+    // candidate-mass total rides the same counts frame (persisted: two
+    // tiny driver actions over |candidates| rows).
+    val counts = keys.toDF(keyCol)
       .join(broadcast(candidates.toDF(keyCol)), Seq(keyCol), "left_semi")
       .groupBy(keyCol).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col(keyCol).asc)
-      .limit(k)
-      .collect()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact =
+      try {
+        val top = counts.orderBy(col("n").desc, col(keyCol).asc)
+          .limit(k).collect()
+        // sum of an empty frame is NULL, not 0 — an empty corpus must
+        // fall into the candTotal == n == 0 full-coverage arm
+        val candTotal = {
+          val r = counts.agg(sum("n")).head
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
+        val n = keys.count()
 
-    // soundness gate: the k-th exact count must beat the REAL bound
-    // n/capacity — exact integer cross-multiplication (kth·capacity
-    // > n), never the floor-divided threshold, which under-checks by
-    // up to one whole count
-    val n = keys.count()
-    val kth = if (exact.length >= k) exact(k - 1).getLong(1) else Long.MaxValue
-    if (exact.length >= k && kth * capacity <= n)
-      throw new IllegalStateException(
-        s"HeavyHitters.topK: k-th candidate count $kth does not exceed " +
-          s"the soundness bound n/capacity = $n/$capacity — the " +
-          s"distribution is too flat for capacity=$capacity; retry with " +
-          s"capacity > ${if (kth > 0) n / kth else n} or use the full " +
-          "groupBy")
+        // Soundness gate — the result is the TRUE top-k iff either
+        //  (a) the candidates cover the whole corpus (candTotal == n:
+        //      nothing exists outside them, so fewer than k rows just
+        //      means fewer than k distinct keys), or
+        //  (b) the k-th candidate's exact count EXCEEDS n/capacity
+        //      (every non-candidate is ≤ n/capacity < it) — checked by
+        //      exact cross-multiplication, since floor division
+        //      under-checks the real bound by up to one count.
+        // Fewer than k candidates WITHOUT full coverage refuses too:
+        // keys the sketches dropped could outrank a missing slot.
+        if (candTotal != n) {
+          val kth = if (top.length >= k) top(k - 1).getLong(1) else 0L
+          if (top.length < k || kth * capacity <= n)
+            throw new IllegalStateException(
+              s"HeavyHitters.topK: candidates cover $candTotal of $n rows " +
+                s"and the k-th candidate count $kth does not exceed the " +
+                s"soundness bound n/capacity = $n/$capacity — the " +
+                s"distribution is too flat for capacity=$capacity; retry " +
+                s"with capacity > ${if (kth > 0) n / kth else n} or use " +
+                "the full groupBy")
+        }
+        top
+      } finally { counts.unpersist(false); () }
     spark.createDataFrame(
       spark.sparkContext.parallelize(exact.toSeq, 1),
       new org.apache.spark.sql.types.StructType()
         .add(keyCol, org.apache.spark.sql.types.StringType)
         .add("n", org.apache.spark.sql.types.LongType))
+    } finally { keys.unpersist(false); () }
   }
 }

@@ -67,15 +67,22 @@ object PageRank {
           .select(col("dst"), expr("score div deg").as("c"))
           .groupBy("dst").agg(sum("c").as("in_sum"))
         // Materialize EVERY round and cut its lineage (eager
-        // localCheckpoint): plan depth and recompute exposure stay
-        // constant across rounds — an eviction or a lost executor in
-        // round 10 re-reads round 9's |V|-row blocks instead of
-        // replaying the whole chain back through the graph build
+        // localCheckpoint): plan depth stays constant across rounds
+        // and a cache MISS re-reads round N−1's |V|-row blocks instead
+        // of replaying the whole chain back through the graph build
         // (measured: the lazy 10-round form swung 28 s → 300 s on the
         // same box when the caches churned). Earlier rounds' blocks
         // are unreferenced after the next checkpoint and are reclaimed
         // by the context cleaner; peak extra footprint is O(|V|) rows
         // per live round — two orders below the edge list it protects.
+        // Honest fault trade: localCheckpoint blocks live ON executors,
+        // so on a multi-executor cluster a LOST executor mid-loop fails
+        // the job fast (no lineage to recompute from) and the caller
+        // retries the whole scores() call — bounded at rounds× the
+        // per-round cost, vs the lazy chain's unbounded re-derivation
+        // of the upstream graph build per reference. A deployment that
+        // must survive executor loss in-flight swaps this for reliable
+        // checkpoint() against a checkpoint dir (same call shape).
         s = nodes
           .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
           .select(col("vec_id"),

@@ -2,6 +2,7 @@ package graft.sources.dynamodb
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
+import scala.collection.mutable
 import graft.plan.SessionFile
 import graft.report.{ProgressReporter, Report}
 import graft.schema.{DdlRender, SchemaConverter}
@@ -99,12 +100,21 @@ object DynamoMigrate {
     // inferred schema, rename to the plan's Spanner names, parquet +
     // quarantine — one distributed job per table, metered like Migrate.
     val bySp = plan.toSpannerTable.map(_.swap)
+    val itemCaches = mutable.ListBuffer.empty[org.apache.spark.sql.Dataset[String]]
     val frames = plan.tableOrder.map { spName =>
       val srcName = bySp(spName)
       val src = plan.srcSchema(srcName)
       val sp = plan.spSchema(spName)
-      val (good, bad) = DynamoInfer.convert(spark,
-        DynamoScan.items(spark, scan, srcName, totalSegments), src)
+      // persist the raw item scan: the parquet write, the quarantine
+      // write, AND Report.tableStats' counts all derive from it — an
+      // uncached frame would re-Scan the LIVE table once per consumer
+      // (3× the billed RCUs, and counts from a mutating table could
+      // disagree with the rows actually written). One point-in-time
+      // read per table instead; MEMORY_AND_DISK spills big tables.
+      val items = DynamoScan.items(spark, scan, srcName, totalSegments)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      itemCaches += items
+      val (good, bad) = DynamoInfer.convert(spark, items, src)
       val colMap = plan.toSpannerCols(srcName)
       // honor staged-run session edits exactly like the dump path's
       // convertTable: a column the user REMOVED (no Spanner
@@ -135,7 +145,9 @@ object DynamoMigrate {
       spark.sparkContext.removeSparkListener(progress)
     }
 
-    val stats = Report.tableStats(frames)
+    val stats =
+      try Report.tableStats(frames)
+      finally { itemCaches.foreach(_.unpersist(false)); () }
     if (verbose)
       stats.toSeq.sortBy(_._1).foreach { case (t, s) =>
         progressOut(s"table $t: ${s.rows} rows written, ${s.badRows} quarantined")
@@ -201,11 +213,19 @@ object DynamoMigrate {
         .getConstructor(sdk).newInstance(client)
         .asInstanceOf[DynamoControlPlane]
       // (endpoint, region, staticTestCreds, pageLimit) — endpoint/creds
-      // stay on the SDK default chain; region honors the standard env.
+      // stay on the SDK default chain. The scan client's constructor
+      // REQUIRES an explicit region (it cannot consult the default
+      // chain), so honor both standard env names before falling back;
+      // a profile-configured region still needs AWS_REGION exported —
+      // the control plane (full default chain) would otherwise target
+      // a different region than the executors' scans.
       val scan = Class
         .forName("graft.sources.dynamodb.aws.AwsDynamoScanClient")
         .getConstructors.head
-        .newInstance(None, sys.env.getOrElse("AWS_REGION", "us-east-1"),
+        .newInstance(None,
+          sys.env.get("AWS_REGION")
+            .orElse(sys.env.get("AWS_DEFAULT_REGION"))
+            .getOrElse("us-east-1"),
           java.lang.Boolean.FALSE, None)
         .asInstanceOf[DynamoScan.Client]
       (control, scan)

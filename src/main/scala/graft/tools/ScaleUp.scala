@@ -132,6 +132,11 @@ object ScaleUp {
         f.stripPrefix("--clustered=").toInt
       case "--clustered" => 32
     }
+    // a typo'd flag must not silently produce the WRONG corpus for a
+    // measurement tool (Migrate's unknown-flag posture)
+    val unknown = flags.filterNot(f =>
+      f == "--clustered" || f.startsWith("--clustered="))
+    require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")}")
     require(factor >= 1 && factor <= MaxDocReplicas,
       s"factor must be in [1, $MaxDocReplicas], got $factor " +
         "(the affine alphabet permutations run out beyond)")

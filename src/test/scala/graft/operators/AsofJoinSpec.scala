@@ -55,6 +55,22 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(r.isNullAt(3), "v2 must be the NEWEST row's NULL, not an older value")
   }
 
+  test("NULL right keys/timestamps never match — SQL asof semantics") {
+    import spark.implicits._
+    val left = Seq((1L, 50L)).toDF("k", "ts")
+    // a NULL-ts right row would sort NULLS FIRST and act as ts = −∞;
+    // a NULL-key right row would meet a NULL-key left partition —
+    // both must be invisible, like `r.ts <= l.ts` / an equi-join
+    val right = Seq(
+      (Option(1L), Option.empty[Long], 99L),
+      (Option.empty[Long], Option(10L), 88L))
+      .toDF("k", "rts", "v")
+    val r = AsofJoin.asof(left, right, key = "k",
+        leftTs = "ts", rightTs = "rts", rightVals = Seq("v"))
+      .collect().head
+    assert(r.isNullAt(2), "NULL-ts/key right rows must never attach")
+  }
+
   test("reserved helper and colliding output names refuse loudly") {
     import spark.implicits._
     val left = Seq((1L, 10L, 5L)).toDF("k", "ts", "v")

@@ -38,6 +38,17 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got === (0 until 5).map(h => (s"head$h", 1000L)).toSet)
   }
 
+  test("fewer than k distinct keys is fine when candidates cover the corpus") {
+    import spark.implicits._
+    // 3 distinct keys, k = 5: full coverage (candTotal == n) proves
+    // nothing was dropped, so the short result is exact, not a refusal
+    val df = (Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("c"))
+      .toDF("token")
+    val got = HeavyHitters.topK(spark, df, "token", k = 5, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a", 30L), ("b", 20L), ("c", 10L)))
+  }
+
   test("a too-flat distribution refuses instead of answering approximately") {
     import spark.implicits._
     val df = spark.sparkContext
