@@ -99,6 +99,23 @@ object ScaleUp {
     }.reduce(_.union(_))
   }
 
+  /** Events replicate as DENSITY growth: ids shift by i·10⁷ (new
+    * events, new users), timestamps stay — a 10× corpus is 10× the
+    * traffic in the SAME window, which is what scale-up means for an
+    * event stream (stretching time instead would leave every window
+    * query's per-window row count flat and measure nothing). Type mix
+    * and value distributions are already i.i.d. per event, so shifted
+    * ids are decorrelation enough: no dedup/fingerprint family exists
+    * on events for replicas to alias. NOTE the quadratic families are
+    * then REAL, not artifacts: band joins (q47) match pairs at rate
+    * density², so their pair volume grows 100× for 10× data by the
+    * semantics of the query, not a plan defect. */
+  private[tools] def replicateEvents(ev: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { i =>
+      ev.withColumn("event_id", col("event_id") + i * 10000000L)
+        .withColumn("user_id", col("user_id") + i * 10000000L)
+    }.reduce(_.union(_))
+
   /** Re-shape an embedding corpus into C TIGHT CLUSTERS: vector v of
     * cluster c = vec_id mod C becomes e_c + eps·v (a unit coordinate
     * anchor plus the original vector as within-cluster noise). The
@@ -147,6 +164,8 @@ object ScaleUp {
       spark.read.parquet(s"$srcDir/embeddings.parquet"), factor)
     clustered.map(c => clusterize(emb, c, eps = 0.15)).getOrElse(emb)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    replicateEvents(spark.read.parquet(s"$srcDir/events.parquet"), factor)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     println(s"[scaleup] wrote ${factor}x $srcDir -> $outDir" +
       clustered.map(c => s" (clustered C=$c)").getOrElse(""))
     spark.stop()
