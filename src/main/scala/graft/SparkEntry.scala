@@ -25,6 +25,9 @@ object SparkEntry {
 
   private lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)
 
+  /** Full defs (Verify consults oracleMaxSf; tools consult headline). */
+  def defs: Map[String, QueryDef] = all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     all("q01_pricing_summary").build(spark, "/root/testdata/sf0.001")
@@ -36,7 +39,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    all.collect { case (name, QueryDef(_, Some(sql), _)) =>
+    all.collect { case (name, d) if d.oracle.isDefined =>
+      val sql = d.oracle.get
       name -> sql.linesIterator.map(_.trim).filter(_.nonEmpty).mkString(" ")
     }
 

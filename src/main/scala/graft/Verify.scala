@@ -33,7 +33,24 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Gate-SF-specific oracles (QueryDef.oracleMaxSf): omit them when
+    // this run's scale factor exceeds the bound — the entry degrades to
+    // a rows-only check instead of a FALSE red (the oracle is provably
+    // exact only below the threshold). An unparseable dir name keeps
+    // every oracle: the driver's testdata dirs always parse, and
+    // failing open would silently weaken the gate.
+    val sfHere: Option[Double] =
+      "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(
+        new java.io.File(sfDir).getName).map(_.group(1).toDouble)
+    val omit: Set[String] = SparkEntry.defs.collect {
+      case (name, d) if d.oracleMaxSf.exists(mx => sfHere.exists(_ > mx)) =>
+        System.err.println(
+          s"[verify] $name: oracle valid only to sf${d.oracleMaxSf.get} — " +
+            s"omitted at sf${sfHere.get} (rows-only)")
+        name
+    }.toSet
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => !omit(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -110,7 +110,10 @@ object HeavyHitters {
         // keys the sketches dropped could outrank a missing slot.
         if (candTotal != n) {
           val kth = if (top.length >= k) top(k - 1).getLong(1) else 0L
-          if (top.length < k || kth * capacity <= n)
+          // BigInt: kth·capacity can wrap a signed Long on extreme
+          // corpora (kth near 2^63/capacity), flipping the gate either
+          // way — the comparison must be exact, it IS the proof
+          if (top.length < k || BigInt(kth) * capacity <= BigInt(n))
             throw new IllegalStateException(
               s"HeavyHitters.topK: candidates cover $candTotal of $n rows " +
                 s"and the k-th candidate count $kth does not exceed the " +

@@ -355,14 +355,26 @@ object Documents {
     * un-materialized CTEs re-expand the whole chain 3^K times
     * (measured as a too-many-open-files blowup). With MATERIALIZED
     * steps the chain is linear in K and cheap: measured 0.3 s at
-    * K=16 and 0.56 s at K=24 on the sf0.01 gate (0.4 s at sf0.1) —
-    * 24 triples the r15-era hash-gated prefix of d17's merge ORDER
-    * for well under a second of oracle wall; d17 trains 89 merges
-    * total at both gate SFs, so over a quarter of the full order is
-    * now driver-gated rather than riding spec-only parity. */
+    * K=16 and 0.56 s at K=24 on the sf0.01 gate (0.4 s at sf0.1).
+    * d17b stays a small-K entry for fast per-round oracle wall; the
+    * FULL run is certified by d17's own oracle at [[d17K]]. */
   private val d17bK = 24
 
-  /** DuckDB oracle for d17b: K iterations of BPE's (pair-count →
+  /** d17's merge ceiling — drives BOTH the trainer's nMerges and the
+    * oracle's unroll depth, so the two sides structurally share one
+    * stop bound. 110 exceeds the ≤ 107 merges this corpus's 31-term
+    * vocabulary can ever produce (the trainer saturates at 89 at both
+    * gate SFs), so the oracle's self-termination (an empty b_i NULLs
+    * every later v_i via replace(s, NULL, ..) and yields no rows)
+    * lands on exactly the trainer's stop point. If a regenerated
+    * corpus ever admitted MORE than 110 merges both sides stop at 110
+    * together; the failure direction of any drift is a red hash, never
+    * a silent pass. Measured oracle wall at K=110: ~7 s at sf0.01 AND
+    * sf0.1 (the chain is linear in K; steps past saturation run over
+    * an all-NULL 31-row frame). */
+  private val d17K = 110
+
+  /** DuckDB oracle for d17/d17b: K iterations of BPE's (pair-count →
     * argmax → greedy merge) loop, unrolled. The vocabulary rides as
     * d21's bracketed-symbol strings (chr(1)<sym>chr(2)); per iteration
     * the adjacent-pair counts come from splitting on the bracket seam
@@ -371,8 +383,13 @@ object Documents {
     * (count DESC, left, right) — DuckDB compares strings bytewise like
     * Spark's UTF8String binary order — and the merge applies as ONE
     * replace() (greedy leftmost-non-overlapping ≡ mergeOnce; d21's
-    * exactness argument). The c >= 2 guard is train's minPairCount. */
-  private val d17bOracle: String = {
+    * exactness argument). The c >= 2 guard is train's minPairCount.
+    * SELF-TERMINATING past the corpus's last merge: an empty b_i makes
+    * the scalar subqueries NULL, replace(s, NULL, NULL) NULLs every
+    * later v_i row, and `length(s) > 0` filters them — all later b_i
+    * are empty and contribute no rows, so unrolling past saturation
+    * is exact, not garbage. */
+  private def bpeTrainOracle(k: Int): String = {
     def step(i: Int) = raw"""
       p$i AS MATERIALIZED (
         SELECT syms[CAST(u.i AS INT)] AS l, syms[CAST(u.i AS INT)+1] AS r,
@@ -388,7 +405,7 @@ object Documents {
           chr(1)||(SELECT l FROM b$i)||chr(2)||chr(1)||(SELECT r FROM b$i)||chr(2),
           chr(1)||(SELECT l FROM b$i)||(SELECT r FROM b$i)||chr(2)) AS s
         FROM v${i - 1})"""
-    val out = (1 to d17bK).map(i =>
+    val out = (1 to k).map(i =>
       s"SELECT CAST($i AS BIGINT) AS rank, l AS left, r AS right, " +
         s"c AS pair_freq FROM b$i").mkString(" UNION ALL ")
     raw"""
@@ -401,7 +418,7 @@ object Documents {
                  array_to_string(list_transform(range(1, length(term)+1),
                    i -> term[CAST(i AS INT):CAST(i AS INT)]), chr(2)||chr(1)),
                  chr(2)) AS s
-        FROM tf),""" + (1 to d17bK).map(step).mkString(",") + s"""
+        FROM tf),""" + (1 to k).map(step).mkString(",") + s"""
       SELECT * FROM ($out) ORDER BY rank"""
   }
 
@@ -1346,44 +1363,42 @@ object Documents {
         ORDER BY freq DESC, pair LIMIT 20""")),
 
     // ---------------------------------------------------------------- d17
-    // Full BPE training run: learn up to 200 merges over the corpus
+    // Full BPE training run: learn up to d17K merges over the corpus
     // vocabulary with the INCREMENTAL trainer (driver-side pair-count
     // map + one narrow job per merge over the cached vocabulary — see
     // operators/BpeTrainer.scala Scaladoc for the 100 TB argument).
-    // d15 oracles ONE step of this loop; the full sequence is
-    // inherently iterative (merge k's statistic depends on merges
-    // 1..k-1), so there is no single-SQL oracle — correctness is
-    // spec-gated instead: BpeTrainerSpec pins the incremental trainer
-    // bit-identical to the full-rescan reference on the classic
-    // Sennrich fixture, a randomized corpus, forced-compaction
-    // cadences, and this exact testdata path. On this synthetic corpus
-    // the 31-term vocabulary saturates (≤107 possible merges), so the
-    // run also exercises the pair-floor early-stop. Rows-only for the
-    // driver; headline so the per-merge loop cost is benched.
+    // FULLY oracled since r20: the d17b unrolled-CTE chain is LINEAR
+    // in K (MATERIALIZED steps) and self-terminating past the corpus's
+    // last merge, so unrolling to d17K = 110 — above the ≤ 107 merges
+    // this vocabulary can ever produce — certifies the ENTIRE merge
+    // order (the trainer saturates at 89 at both gate SFs), not just a
+    // prefix. Any order/count/tie-break drift between the incremental
+    // trainer and the reference statistic goes red at the driver; the
+    // ceiling itself is one shared constant on both sides.
+    // BpeTrainerSpec keeps the bit-identical incremental-vs-rescan
+    // pins (fixtures + forced compaction + this testdata path).
+    // Headline so the per-merge loop cost is benched.
     "d17_bpe_train" -> QueryDef(
       build = (spark, dir) => {
         import spark.implicits._
         val docs = QueryDef.spread(spark, dir, "documents")
         val merges = graft.operators.BpeTrainer
-          .train(spark, docs, nMerges = 200, minPairCount = 2L)
+          .train(spark, docs, nMerges = d17K, minPairCount = 2L)
         merges.zipWithIndex
           .map { case (m, i) => (i + 1L, m.left, m.right, m.count) }
           .toDF("rank", "left", "right", "pair_freq")
           .orderBy("rank")
       },
-      oracle = None,
+      oracle = Some(bpeTrainOracle(d17K)),
       headline = true),
 
     // ---------------------------------------------------------------- d17b
-    // The first K merges of the d17 training loop, CROSS-ENGINE
-    // oracled: DuckDB replays the (pair-count → argmax → greedy merge)
-    // iteration K times over the bracketed-symbol vocabulary (see
-    // d17bOracle). d17 stays the full-length rows-only run (200 merges
-    // don't unroll into sane SQL); this entry closes its last oracle
-    // corner — the merge ORDER itself now has a green hash, not just
-    // the spec pin, so a tie-break or counting drift between the
-    // incremental trainer and the published statistic would go red at
-    // the driver instead of relying on the ScalaTest fixture.
+    // The first K=24 merges of the d17 training loop — the same
+    // unrolled oracle at small K. Subsumed by d17's full-length oracle
+    // for COVERAGE, kept for oracle-cost layering: this entry keeps a
+    // sub-second cross-engine check on the merge order (the full d17
+    // unroll costs ~7 s of DuckDB wall), so a fast iteration loop
+    // still gets a tokenizer-order gate without paying the full chain.
     "d17b_bpe_first_merges" -> QueryDef(
       build = (spark, dir) => {
         import spark.implicits._
@@ -1395,7 +1410,7 @@ object Documents {
           .toDF("rank", "left", "right", "pair_freq")
           .orderBy("rank")
       },
-      oracle = Some(d17bOracle)),
+      oracle = Some(bpeTrainOracle(d17bK))),
 
     // ---------------------------------------------------------------- d21
     // BPE ENCODE under a fixed merge list: per-doc token count — the

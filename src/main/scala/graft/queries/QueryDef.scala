@@ -21,7 +21,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    headline: Boolean = false)
+    headline: Boolean = false,
+    /** Largest scale factor at which [[oracle]] is valid. Some entries'
+      * oracles are PROVABLY exact only below a size threshold (e12b/
+      * e23b/e14: the k=⌊√n⌋ dial probes every inverted list while
+      * ⌊√n⌋ ≤ nprobe, so brute-force SQL is a true oracle there and
+      * would be a false red above it). Encoding the bound here — checked
+      * by Verify against the sf dir's name — replaces the "remember to
+      * skip these at sf0.1" prose contract: an out-of-range sweep
+      * degrades those entries to rows-only instead of reporting
+      * false failures. None = valid at every SF. */
+    oracleMaxSf: Option[Double] = None)
 
 object QueryDef {
 

@@ -230,6 +230,16 @@ object DynamoMigrate {
         .asInstanceOf[DynamoScan.Client]
       (control, scan)
     } catch {
+      // InvocationTargetException (a ReflectiveOperationException
+      // subclass) wraps failures thrown BY the invoked code —
+      // DynamoDbClient.create() raising SdkClientException on a missing
+      // region/credential chain is a runtime misconfiguration, not a
+      // classpath problem; surface the real cause instead of the
+      // misleading build hint
+      case e: java.lang.reflect.InvocationTargetException =>
+        throw new IllegalStateException(
+          "live DynamoDB client initialization failed: " +
+            e.getCause.getMessage, e.getCause)
       case e: ReflectiveOperationException =>
         throw new IllegalStateException(
           "live DynamoDB migration needs modules/dynamodb on the " +

@@ -110,11 +110,20 @@ object ScaleUp {
     * then REAL, not artifacts: band joins (q47) match pairs at rate
     * density², so their pair volume grows 100× for 10× data by the
     * semantics of the query, not a plan defect. */
-  private[tools] def replicateEvents(ev: DataFrame, factor: Int): DataFrame =
+  private[tools] def replicateEvents(ev: DataFrame, factor: Int): DataFrame = {
+    // the i·10⁷ shift assumes source ids fit under it — larger ids would
+    // silently alias replicas (and break StreamScaleProbe's 10¹⁰ probe
+    // stride, which rides the resulting <10⁹ ceiling); refuse loudly
+    // like the factor/permutation requires (one cheap agg)
+    val mx = ev.agg(greatest(max(col("event_id")), max(col("user_id")))).head
+    require(mx.isNullAt(0) || mx.getLong(0) < 10000000L,
+      s"replicateEvents: max(event_id, user_id) = ${mx.get(0)} >= 1e7 — " +
+        "the replica id shift would alias; regenerate with smaller ids")
     (0 until factor).map { i =>
       ev.withColumn("event_id", col("event_id") + i * 10000000L)
         .withColumn("user_id", col("user_id") + i * 10000000L)
     }.reduce(_.union(_))
+  }
 
   /** Re-shape an embedding corpus into C TIGHT CLUSTERS: vector v of
     * cluster c = vec_id mod C becomes e_c + eps·v (a unit coordinate

@@ -99,7 +99,9 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("e12 graph build: codegen dot kernel, partial top-k, no cartesian") {
-    val df = Similarity.defs("e12_knn_graph_approx").build(spark, dir)
+    // e12's QueryDef entry is retired (r20) — pin the operator's frozen
+    // dial directly; e12b rides the same knnGraph body with scaled k
+    val df = graft.operators.IvfAnn.knnGraph(spark, dir, topK = 5)
     val plan = df.queryExecution.executedPlan.toString
     // the r11 regression class this guards: the rerank dot as an
     // interpreted HOF fold priced the sf0.1 graph at 55 s; the native
