@@ -57,4 +57,39 @@ object BandJoin {
       .filter(abs(col(leftTs) - col(rightTs)) <= band)
       .drop("__band_b")
   }
+
+  /** The PRODUCTION face for dense windows: per left row, only the
+    * `k` nearest in-band right rows (by |Δts|, ties by `tieBreak`
+    * then right ts). [[pairs]]' output is inherently quadratic in
+    * in-band density — 10× event density = 100× pairs BY SEMANTICS —
+    * so a consumer that only needs the closest matches must cap
+    * INSIDE the operator or a dense window OOMs it. The cap is a
+    * row_number-over-window filter directly above the bucket join:
+    * Spark's WindowGroupLimit rule runs it in PARTIAL mode below the
+    * window exchange, so each map task forwards at most k rows per
+    * left id it sees and the shuffle never carries the dense window's
+    * full pair volume (BandJoinSpec pins both modes in the plan).
+    *
+    * @param leftId   unique left row id (the cap group)
+    * @param tieBreak right columns breaking exact-|Δts| ties (pass the
+    *                 right side's unique id for reproducible output) */
+  def nearest(left: DataFrame, right: DataFrame, leftId: String,
+      leftTs: String, rightTs: String, band: Long, k: Int,
+      keyCols: Seq[String] = Nil, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(!(left.columns ++ right.columns).contains("__band_rn"),
+      "reserved column __band_rn in input")
+    val ord = (abs(col(leftTs) - col(rightTs)).asc +:
+      tieBreak.map(col(_).asc)) :+ col(rightTs).asc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(leftId).orderBy(ord: _*)
+    // keep the filtered column the RAW row_number: InferWindowGroupLimit
+    // pattern-matches Filter-over-rank — a cast in between would keep
+    // the plan correct but lose the partial-mode cap; widen after
+    pairs(left, right, leftTs, rightTs, band, keyCols)
+      .withColumn("__band_rn", row_number().over(w))
+      .filter(col("__band_rn") <= k)
+      .withColumn("rnk", col("__band_rn").cast("bigint"))
+      .drop("__band_rn")
+  }
 }

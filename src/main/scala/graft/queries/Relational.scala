@@ -1681,9 +1681,13 @@ object Relational {
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("us").as("click_us"),
             col("event_id").as("click_eid"))
+        // shards = 8: the skew-proof range-sharded plan (r20) — a hot
+        // user is 8 sorted runs on 8 tasks instead of one; exactness
+        // is the operator's carry-in argument and THIS oracle gates it
         graft.operators.AsofJoin.asof(purchases, clicks,
             key = "user_id", leftTs = "purchase_us", rightTs = "click_us",
-            rightVals = Seq("click_us"), tieBreak = Seq("click_eid"))
+            rightVals = Seq("click_us"), tieBreak = Seq("click_eid"),
+            shards = 8)
           .select(col("event_id"), col("user_id"), col("purchase_us"),
             col("click_us"),
             (col("purchase_us") - col("click_us")).as("latency_us"))
@@ -1741,6 +1745,48 @@ object Relational {
           FROM events WHERE event_type = 'error')
         SELECT v.event_id, CAST(COUNT(e.us) AS BIGINT) AS n_nearby_errors
         FROM v LEFT JOIN e ON abs(v.us - e.us) <= 300000000
-        GROUP BY v.event_id ORDER BY v.event_id"""))
+        GROUP BY v.event_id ORDER BY v.event_id""")),
+
+    // ---------------------------------------------------------------- q47b
+    // q47's PRODUCTION face for dense windows (BandJoin.nearest): per
+    // view, only the 3 NEAREST in-band errors — q47's full pair
+    // relation is quadratic in event density BY SEMANTICS (10× traffic
+    // = 100× pairs), so the consumer-facing variant caps inside the
+    // operator: the row_number cap runs as a PARTIAL WindowGroupLimit
+    // below the window exchange (plan-pinned in BandJoinSpec), so a
+    // dense window's pair volume never crosses the shuffle, let alone
+    // reaches a consumer. Ties (equidistant before/after errors) break
+    // on the error's event id — fully deterministic, so the plain
+    // QUALIFY SQL is a true oracle. Inner semantics: views with no
+    // in-band error emit no rows (q47 carries the zero counts).
+    "q47b_error_proximity_topk" -> QueryDef(
+      build = (spark, dir) => {
+        val ev = QueryDef.events(spark, dir)
+          .select(col("event_id"), unix_micros(col("ts")).as("us"),
+            col("event_type"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("us"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_eid"), col("us").as("err_us"))
+        graft.operators.BandJoin
+          .nearest(views, errors, leftId = "event_id",
+            leftTs = "us", rightTs = "err_us", band = 300L * 1000000L,
+            k = 3, tieBreak = Seq("err_eid"))
+          .select(col("event_id"), col("err_eid"), col("err_us"), col("rnk"))
+          .orderBy("event_id", "rnk")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events WHERE event_type = 'view'),
+        e AS (
+          SELECT event_id AS err_eid, epoch_us(CAST(ts AS TIMESTAMP)) AS err_us
+          FROM events WHERE event_type = 'error')
+        SELECT event_id, err_eid, err_us, CAST(rnk AS BIGINT) AS rnk FROM (
+          SELECT v.event_id, e.err_eid, e.err_us,
+                 ROW_NUMBER() OVER (PARTITION BY v.event_id
+                   ORDER BY abs(v.us - e.err_us), e.err_eid, e.err_us) AS rnk
+          FROM v JOIN e ON abs(v.us - e.err_us) <= 300000000) z
+        WHERE rnk <= 3 ORDER BY event_id, rnk"""))
   )
 }

@@ -79,5 +79,81 @@ class AsofJoinSpec extends AnyFunSuite {
       AsofJoin.asof(left, right, "k", "ts", "rts", Seq("v"))
     }
     assert(ex.getMessage.contains("collide"))
+    // helper names routed via rightVals/tieBreak must refuse too — they
+    // would otherwise build a nested helper struct instead of failing
+    val right2 = Seq((1L, 5L, 6L)).toDF("k", "rts", "__asof_r")
+    val ex2 = intercept[IllegalArgumentException] {
+      AsofJoin.asof(left.drop("v"), right2, "k", "ts", "rts", Seq("__asof_r"))
+    }
+    assert(ex2.getMessage.contains("reserved"))
+  }
+
+  /** Skewed corpus: key 1L carries 80% of both sides, timestamps span
+    * the whole domain. Deterministic pseudo-random ts via a multiplier
+    * mod a prime so every shard gets both carry-only and mixed cases. */
+  private def skewCorpus = {
+    import spark.implicits._
+    val hotL = (0 until 800).map(i => (1L, (i * 131L) % 997L, i.toLong))
+    val coldL = (0 until 200).map(i => ((2 + i % 9).toLong, (i * 173L) % 997L, 1000L + i))
+    val left = (hotL ++ coldL).toDF("k", "ts", "lid")
+    val hotR = (0 until 400).map(i => (1L, (i * 211L) % 991L, 10000L + i, i * 3L))
+    val coldR = (0 until 100).map(i => ((2 + i % 9).toLong, (i * 193L) % 991L, 20000L + i, i * 7L))
+    val right = (hotR ++ coldR).toDF("k", "rts", "eid", "v")
+    (left, right)
+  }
+
+  test("sharded plan equals the single window on a hot-key corpus (80% one key)") {
+    val (left, right) = skewCorpus
+    val base = AsofJoin.asof(left, right, "k", "ts", "rts",
+      Seq("v", "eid"), tieBreak = Seq("eid"))
+    val sharded = AsofJoin.asof(left, right, "k", "ts", "rts",
+      Seq("v", "eid"), tieBreak = Seq("eid"), shards = 8)
+    def key(r: org.apache.spark.sql.Row) =
+      (0 until r.length).map(i => if (r.isNullAt(i)) "∅" else r.get(i).toString)
+        .mkString("|")
+    assert(sharded.collect().map(key).sorted.toSeq ===
+      base.collect().map(key).sorted.toSeq)
+    // the skew pin: the running-last window partitions by (key, shard),
+    // so the hot key is `shards` independent sorted runs, not one task
+    val plan = sharded.queryExecution.executedPlan.toString
+    assert(plan.contains("__asof_shard"), plan)
+    val winLines = plan.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("__asof_r"))
+    assert(winLines.forall(_.contains("__asof_shard")),
+      s"running-last window must partition on the shard:\n$plan")
+    // and the crafted hot key genuinely spans > 1 shard: ts covers
+    // [0, 996] of a [0, 996] domain, so with 8 shards the first and
+    // last hot timestamps cannot share a bucket
+    val hotTs = (0 until 800).map(i => (i * 131L) % 997L)
+    assert(hotTs.min == 0L && hotTs.max >= 900L)
+  }
+
+  test("sharded: carry-in crosses empty shards; degenerate domains stay exact") {
+    import spark.implicits._
+    // ONE right row at t=0, left rows far later — every left shard but
+    // the first needs the carry-in, and intermediate shards are empty
+    val left = Seq((1L, 500L), (1L, 700L), (1L, 999L)).toDF("k", "ts")
+    val right = Seq((1L, 0L, 42L)).toDF("k", "rts", "v")
+    val got = AsofJoin.asof(left, right, "k", "ts", "rts", Seq("v"),
+        shards = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((500L, 42L), (700L, 42L), (999L, 42L)))
+    // width-0 domain (all timestamps equal): everything in shard 0
+    val l2 = Seq((1L, 10L)).toDF("k", "ts")
+    val r2 = Seq((1L, 10L, 5L)).toDF("k", "rts", "v")
+    val one = AsofJoin.asof(l2, r2, "k", "ts", "rts", Seq("v"), shards = 4)
+      .collect().head
+    assert(one.getLong(2) === 5L)
+    // NULL left ts under sharding keeps NULL right values
+    val l3 = Seq((Option(1L), Option.empty[Long])).toDF("k", "ts")
+    val n = AsofJoin.asof(l3, r2, "k", "ts", "rts", Seq("v"), shards = 4)
+      .collect().head
+    assert(n.isNullAt(2))
+    // all-NULL ts everywhere: sharded path returns all-left with NULLs
+    val rEmpty = Seq((Option(1L), Option.empty[Long], Option(5L)))
+      .toDF("k", "rts", "v")
+    val e = AsofJoin.asof(l3, rEmpty, "k", "ts", "rts", Seq("v"), shards = 4)
+      .collect().head
+    assert(e.isNullAt(2))
   }
 }

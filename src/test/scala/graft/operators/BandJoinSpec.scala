@@ -70,4 +70,47 @@ class BandJoinSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("alias"))
   }
+
+  test("nearest equals the naive per-left top-k with deterministic ties") {
+    import spark.implicits._
+    val band = 100L
+    val lRows = Seq((1L, 0L), (2L, 99L), (3L, 250L), (4L, 1000L))
+    // includes equidistant before/after candidates for the tie path
+    val rRows = Seq((10L, 100L), (11L, -100L), (12L, 50L), (13L, 149L),
+      (14L, 199L), (15L, 260L), (16L, 240L), (17L, 5000L))
+    val got = BandJoin.nearest(
+        lRows.toDF("id", "ts"), rRows.toDF("eid", "rts"),
+        leftId = "id", leftTs = "ts", rightTs = "rts", band = band,
+        k = 2, tieBreak = Seq("eid"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    val naiveTopK = (for ((id, lt) <- lRows) yield {
+      rRows.filter { case (_, rt) => math.abs(lt - rt) <= band }
+        .sortBy { case (eid, rt) => (math.abs(lt - rt), eid, rt) }
+        .take(2).zipWithIndex
+        .map { case ((eid, _), i) => (id, eid, i + 1L) }
+    }).flatten.toSet
+    assert(got === naiveTopK)
+  }
+
+  test("nearest: a planted dense window caps via PARTIAL WindowGroupLimit") {
+    import spark.implicits._
+    // one left row with 500 in-band candidates — pairs() would emit
+    // 500 rows for it; nearest(k=3) must emit exactly 3, and the cap
+    // must run in partial mode BELOW the window exchange so the dense
+    // window's pair volume never crosses the shuffle
+    val left = Seq((1L, 0L)).toDF("id", "ts")
+    val right = (0 until 500).map(i => (100L + i, (i % 90).toLong - 45L))
+      .toDF("eid", "rts")
+    val df = BandJoin.nearest(left, right, leftId = "id",
+      leftTs = "ts", rightTs = "rts", band = 50L, k = 3,
+      tieBreak = Seq("eid"))
+    val rows = df.collect()
+    assert(rows.length === 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined,
+      s"the cap must run below the exchange (partial mode):\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
