@@ -55,27 +55,7 @@ object HeavyHitters {
 
     // pass 1: per-partition Misra–Gries summaries
     val candidates = keys.mapPartitions { it =>
-      val counts = mutable.HashMap.empty[String, Long]
-      it.foreach { row =>
-        val key = row.getString(0)
-        counts.get(key) match {
-          case Some(c) => counts(key) = c + 1
-          case None =>
-            if (counts.size < capacity) counts(key) = 1L
-            else {
-              // decrement-all over a key SNAPSHOT (mutating a mutable
-              // HashMap mid-iteration is outside its contract); drop
-              // zeros. Amortized O(1) per row: each sweep removes ≥ 1
-              // entry and every row funds at most one increment, so
-              // sweeps are bounded by insertions.
-              counts.keys.toArray.foreach { t =>
-                val c = counts(t) - 1
-                if (c == 0L) counts.remove(t) else counts(t) = c
-              }
-            }
-        }
-      }
-      counts.keysIterator
+      mgSummary(it.map(_.getString(0)), capacity).keysIterator
     }(org.apache.spark.sql.Encoders.STRING).distinct()
 
     // pass 2: exact counts of the candidate set only — the broadcast
@@ -130,5 +110,51 @@ object HeavyHitters {
         .add(keyCol, org.apache.spark.sql.types.StringType)
         .add("n", org.apache.spark.sql.types.LongType))
     } finally { keys.unpersist(false); () }
+  }
+
+  /** One Misra–Gries sweep over an item stream — THE sketch kernel,
+    * shared by [[topK]]'s per-partition pass and the streaming twin's
+    * per-batch summaries (graft.streaming.StreamingHeavyHitters).
+    * Guarantee: any key with count > n/capacity in `it` survives with
+    * estimate ≥ count − n/capacity. Amortized O(1) per item: each
+    * decrement sweep removes ≥ 1 entry and every item funds at most
+    * one increment, so sweeps are bounded by insertions; the sweep
+    * iterates a key SNAPSHOT (mutating a mutable.HashMap mid-iteration
+    * is outside its contract). */
+  private[graft] def mgSummary(it: Iterator[String],
+      capacity: Int): mutable.HashMap[String, Long] = {
+    val counts = mutable.HashMap.empty[String, Long]
+    it.foreach { key =>
+      counts.get(key) match {
+        case Some(c) => counts(key) = c + 1
+        case None =>
+          if (counts.size < capacity) counts(key) = 1L
+          else counts.keys.toArray.foreach { t =>
+            val c = counts(t) - 1
+            if (c == 0L) counts.remove(t) else counts(t) = c
+          }
+      }
+    }
+    counts
+  }
+
+  /** Merge weighted MG summaries back to `capacity` entries — the
+    * MERGEABLE-summaries operation (Agarwal et al.): sum counts per
+    * key, then subtract the (capacity+1)-th largest total from every
+    * entry and drop the non-positive. Error adds across merges and
+    * stays ≤ N/(capacity+1) over the total weight N, which is what
+    * the streaming soundness gate checks against. */
+  private[graft] def mgMerge(parts: Iterator[(String, Long)],
+      capacity: Int): mutable.HashMap[String, Long] = {
+    val m = mutable.HashMap.empty[String, Long]
+    parts.foreach { case (k, c) => m(k) = m.getOrElse(k, 0L) + c }
+    if (m.size > capacity) {
+      val kth = m.values.toArray.sorted(Ordering[Long].reverse)(capacity)
+      m.keys.toArray.foreach { t =>
+        val c = m(t) - kth
+        if (c <= 0L) m.remove(t) else m(t) = c
+      }
+    }
+    m
   }
 }
