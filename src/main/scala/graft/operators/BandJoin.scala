@@ -77,8 +77,12 @@ object BandJoin {
       leftTs: String, rightTs: String, band: Long, k: Int,
       keyCols: Seq[String] = Nil, tieBreak: Seq[String] = Nil): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    require(!(left.columns ++ right.columns).contains("__band_rn"),
-      "reserved column __band_rn in input")
+    // "rnk" is the OUTPUT column — withColumn would silently clobber
+    // an input of that name (e.g. another top-k operator's output fed
+    // in here), so refuse it like the helper name
+    for (reserved <- Seq("__band_rn", "rnk"))
+      require(!(left.columns ++ right.columns).contains(reserved),
+        s"reserved column $reserved in input")
     val ord = (abs(col(leftTs) - col(rightTs)).asc +:
       tieBreak.map(col(_).asc)) :+ col(rightTs).asc
     val w = org.apache.spark.sql.expressions.Window

@@ -779,17 +779,8 @@ object Curation {
   private val benchCurateDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private def benchCuratedBase(spark: SparkSession, dir: String): String =
-    synchronized {
-      val stamp = QueryDef.sourceStamp(dir, "documents")
-      benchCurateDirs.get(dir) match {
-        case Some((s, out)) if s == stamp => out
-        case _ =>
-          val out = java.nio.file.Files
-            .createTempDirectory("graft_takedown_base_").toString
-          sys.addShutdownHook { rmTree(out) }
-          graft.Curate.run(spark, dir, out)
-          benchCurateDirs.put(dir, (stamp, out))
-          out
-      }
+    QueryDef.cachedArtifact(benchCurateDirs, dir, "documents",
+      "graft_takedown_base_") { out =>
+      graft.Curate.run(spark, dir, out)
     }
 }

@@ -58,6 +58,34 @@ object QueryDef {
     go(new java.io.File(path))
   }
 
+  /** Generate-once process cache for a bench fixture artifact, keyed
+    * by (sf dir, source-table stamp) — ONE definition of the pattern
+    * every prebuilt-index/curated-base bench entry uses (it appeared
+    * 7× before extraction): the artifact lands in a fresh PROCESS-OWNED
+    * temp directory (reclaimed at JVM exit, so other processes can
+    * never serve or collide with it), and a stamp change WITHIN the
+    * process rebuilds instead of serving stale — several consumers are
+    * recall-gated rather than oracle-red, so staleness would be
+    * silently wrong. `suffix` nests the artifact below the temp root
+    * for layouts that must own their directory (e.g. "/idx").
+    * Synchronized on the cache: concurrent first callers build once. */
+  private[queries] def cachedArtifact(
+      cache: scala.collection.concurrent.TrieMap[String, (String, String)],
+      dir: String, table: String, prefix: String, suffix: String = "")(
+      build: String => Unit): String = cache.synchronized {
+    val stamp = sourceStamp(dir, table)
+    cache.get(dir) match {
+      case Some((s, out)) if s == stamp => out
+      case _ =>
+        val root = java.nio.file.Files.createTempDirectory(prefix).toString
+        sys.addShutdownHook { rmTree(root) }
+        val out = root + suffix
+        build(out)
+        cache.put(dir, (stamp, out))
+        out
+    }
+  }
+
   /** Cheap freshness token for a bench source table: name+size+mtime of
     * its parquet file(s). The query modules' process-lifetime caches
     * key on it, so a WITHIN-JVM regeneration of the table rebuilds the

@@ -238,8 +238,6 @@ object Similarity {
   }
 
   private def rmTree(path: String): Unit = QueryDef.rmTree(path)
-  private def sourceStamp(dir: String, tableName: String): String =
-    QueryDef.sourceStamp(dir, tableName)
 
   /** Build (once per process per sf dir) the persisted IVF index used
     * by the prebuilt-index entries (e13b/e14/e17) — p03's generate-once
@@ -253,19 +251,11 @@ object Similarity {
     * oracle-red. */
   private val benchIndexDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-  private def benchIndex(spark: SparkSession, dir: String): String = {
-    val stamp = sourceStamp(dir, "embeddings")
-    benchIndexDirs.get(dir) match {
-      case Some((s, out)) if s == stamp => out
-      case _ =>
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_ivfindex_bench_").toString
-        sys.addShutdownHook { rmTree(out) }
-        graft.operators.IvfIndex.write(spark, dir, out)
-        benchIndexDirs.put(dir, (stamp, out))
-        out
+  private def benchIndex(spark: SparkSession, dir: String): String =
+    QueryDef.cachedArtifact(benchIndexDirs, dir, "embeddings",
+      "graft_ivfindex_bench_") { out =>
+      graft.operators.IvfIndex.write(spark, dir, out)
     }
-  }
 
   /** Prebuilt persisted IVF index under the SCALE dial (k = ⌊√n⌋
     * clusters — e12b's seeding applied to the persisted layout),
@@ -277,21 +267,13 @@ object Similarity {
     * prunes (oracleMaxSf + IvfIndexSpec's recall floor take over). */
   private val benchScaleIndexDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-  private def benchScaleIndex(spark: SparkSession, dir: String): String = {
-    val stamp = sourceStamp(dir, "embeddings")
-    benchScaleIndexDirs.get(dir) match {
-      case Some((s, out)) if s == stamp => out
-      case _ =>
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_ivfindex_scale_bench_").toString
-        sys.addShutdownHook { rmTree(out) }
-        val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
-        val k = math.max(1, math.sqrt(n.toDouble).toInt)
-        graft.operators.IvfIndex.write(spark, dir, out, k = k)
-        benchScaleIndexDirs.put(dir, (stamp, out))
-        out
+  private def benchScaleIndex(spark: SparkSession, dir: String): String =
+    QueryDef.cachedArtifact(benchScaleIndexDirs, dir, "embeddings",
+      "graft_ivfindex_scale_bench_") { out =>
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val k = math.max(1, math.sqrt(n.toDouble).toInt)
+      graft.operators.IvfIndex.write(spark, dir, out, k = k)
     }
-  }
 
   /** Prebuilt persisted IVF-PQ index (operators.PqIndex), benchIndex's
     * generate-once pattern: e19 measures the amortized exact PQ search
@@ -299,19 +281,11 @@ object Similarity {
     * deployment pays per query once the codes artifact exists. */
   private val benchPqIndexDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-  private def benchPqIndex(spark: SparkSession, dir: String): String = {
-    val stamp = sourceStamp(dir, "embeddings")
-    benchPqIndexDirs.get(dir) match {
-      case Some((s, out)) if s == stamp => out
-      case _ =>
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_pqindex_bench_").toString
-        sys.addShutdownHook { rmTree(out) }
-        graft.operators.PqIndex.write(spark, dir, out)
-        benchPqIndexDirs.put(dir, (stamp, out))
-        out
+  private def benchPqIndex(spark: SparkSession, dir: String): String =
+    QueryDef.cachedArtifact(benchPqIndexDirs, dir, "embeddings",
+      "graft_pqindex_bench_") { out =>
+      graft.operators.PqIndex.write(spark, dir, out)
     }
-  }
 
   /** Prebuilt MinHash band index over the m04 base split (doc_id % 5
     * != 0), benchIndex's generate-once pattern for the text side: m04
@@ -320,21 +294,13 @@ object Similarity {
     * probe cost a continuously-ingesting deployment actually pays. */
   private val benchMhIndexDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-  private def benchMhIndex(spark: SparkSession, dir: String): String = {
-    val stamp = sourceStamp(dir, "documents")
-    benchMhIndexDirs.get(dir) match {
-      case Some((s, out)) if s == stamp => out
-      case _ =>
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_mhindex_bench_once_").toString + "/idx"
-        sys.addShutdownHook { rmTree(new java.io.File(out).getParent) }
-        graft.operators.MinHashIndex.write(spark,
-          QueryDef.spread(spark, dir, "documents")
-            .filter(col("doc_id") % 5 =!= 0), out)
-        benchMhIndexDirs.put(dir, (stamp, out))
-        out
+  private def benchMhIndex(spark: SparkSession, dir: String): String =
+    QueryDef.cachedArtifact(benchMhIndexDirs, dir, "documents",
+      "graft_mhindex_bench_once_", suffix = "/idx") { out =>
+      graft.operators.MinHashIndex.write(spark,
+        QueryDef.spread(spark, dir, "documents")
+          .filter(col("doc_id") % 5 =!= 0), out)
     }
-  }
 
   /** Local recursive dir copy for the compaction bench entries: each
     * pass compacts a FRESH copy of the process-cached streamed index
@@ -366,48 +332,32 @@ object Similarity {
     * the batch-layout index e13 builds directly. */
   private val benchStreamedIvfDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-  private def benchStreamedIvfIndex(spark: SparkSession, dir: String): String = {
-    val stamp = sourceStamp(dir, "embeddings")
-    benchStreamedIvfDirs.get(dir) match {
-      case Some((s, out)) if s == stamp => out
-      case _ =>
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_ivfstream_bench_").toString + "/idx"
-        sys.addShutdownHook { rmTree(new java.io.File(out).getParent) }
-        graft.operators.IvfIndex.initStreaming(spark, dir, out)
-        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-        (0 to 2).foreach { b =>
-          graft.operators.IvfIndex.appendBatch(spark,
-            emb.filter(col("vec_id") % 3 === b), out, b.toLong)
-        }
-        benchStreamedIvfDirs.put(dir, (stamp, out))
-        out
+  private def benchStreamedIvfIndex(spark: SparkSession, dir: String): String =
+    QueryDef.cachedArtifact(benchStreamedIvfDirs, dir, "embeddings",
+      "graft_ivfstream_bench_", suffix = "/idx") { out =>
+      graft.operators.IvfIndex.initStreaming(spark, dir, out)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      (0 to 2).foreach { b =>
+        graft.operators.IvfIndex.appendBatch(spark,
+          emb.filter(col("vec_id") % 3 === b), out, b.toLong)
+      }
     }
-  }
 
   /** Process-cached STREAMING-layout MinHash index over the m04 base
     * split, ingested in 3 micro-batches — the m05 compaction fixture. */
   private val benchStreamedMhDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-  private def benchStreamedMhIndex(spark: SparkSession, dir: String): String = {
-    val stamp = sourceStamp(dir, "documents")
-    benchStreamedMhDirs.get(dir) match {
-      case Some((s, out)) if s == stamp => out
-      case _ =>
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_mhstream_bench_").toString + "/idx"
-        sys.addShutdownHook { rmTree(new java.io.File(out).getParent) }
-        val base = QueryDef.spread(spark, dir, "documents")
-          .filter(col("doc_id") % 5 =!= 0)
-        (0 to 2).foreach { b =>
-          graft.operators.MinHashIndex.appendBatch(spark,
-            graft.operators.MinHashIndex.signatures(
-              base.filter(col("doc_id") % 3 === b)), out, b.toLong)
-        }
-        benchStreamedMhDirs.put(dir, (stamp, out))
-        out
+  private def benchStreamedMhIndex(spark: SparkSession, dir: String): String =
+    QueryDef.cachedArtifact(benchStreamedMhDirs, dir, "documents",
+      "graft_mhstream_bench_", suffix = "/idx") { out =>
+      val base = QueryDef.spread(spark, dir, "documents")
+        .filter(col("doc_id") % 5 =!= 0)
+      (0 to 2).foreach { b =>
+        graft.operators.MinHashIndex.appendBatch(spark,
+          graft.operators.MinHashIndex.signatures(
+            base.filter(col("doc_id") % 3 === b)), out, b.toLong)
+      }
     }
-  }
 
   /** m04/m04b shared oracle: the DIRECT cross-split m01-scheme
     * computation — one definition, so the build+probe and probe-only

@@ -35,11 +35,16 @@ import graft.util.Fs
   *
   * Query time ([[topK]]): exact counts of the ≤ capacity candidates
   * from the persisted corpus (map-side-combined sum over pre-aggregated
-  * per-batch counts, broadcast-semi on candidates), then the batch
-  * operator's gate adapted to the mergeable bound — sound iff the
-  * candidates cover the whole corpus or the k-th candidate's exact
-  * count EXCEEDS N/(capacity+1); a too-flat stream refuses loudly with
-  * the sufficient capacity named.
+  * per-batch counts restricted to batch ≤ the committed last_batch —
+  * an in-flight batch's corpus dir lands before its meta flip and must
+  * stay invisible), then the batch operator's gate adapted to the
+  * mergeable bound — sound iff the candidates cover the whole corpus
+  * or the k-th candidate's exact count EXCEEDS N/(capacity+1); a
+  * too-flat stream refuses loudly with the sufficient capacity named.
+  * The capacity is PERSISTED in meta.json at ingest (the bound is a
+  * property of the state; a restart re-dialing it is refused) and the
+  * immediately superseded summary generation is retained one commit
+  * interval so queries racing a commit never read a deleted path.
   *
   * 100 TB shape: per batch, the shuffle is one per-key count aggregate
   * of the BATCH (not the standing corpus) plus a ≤ capacity·P driver
@@ -49,8 +54,12 @@ import graft.util.Fs
   */
 object StreamingHeavyHitters {
 
-  /** Meta: total non-null keys streamed, last committed batch. */
-  private final case class Meta(n: Long, lastBatch: Long)
+  /** Meta: total non-null keys streamed, last committed batch, and the
+    * CAPACITY the standing summary was built with — persisted because
+    * the soundness bound N/(capacity+1) is a property of the state,
+    * not of the query: a topK assuming a larger capacity than the
+    * ingest used would "prove" with a bound the summary never met. */
+  private final case class Meta(n: Long, lastBatch: Long, capacity: Int)
 
   private def readMeta(dir: String,
       c: org.apache.hadoop.conf.Configuration): Option[Meta] = {
@@ -60,14 +69,15 @@ object StreamingHeavyHitters {
       val s = Fs.readString(p, c)
       def f(k: String) =
         s"""\"$k\"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
-      Some(Meta(f("n"), f("last_batch")))
+      Some(Meta(f("n"), f("last_batch"), f("capacity").toInt))
     }
   }
 
   private def writeMeta(dir: String, m: Meta,
       c: org.apache.hadoop.conf.Configuration): Unit =
     Fs.writeStringAtomic(s"$dir/meta.json",
-      s"""{"n": ${m.n}, "last_batch": ${m.lastBatch}}""", c)
+      s"""{"n": ${m.n}, "last_batch": ${m.lastBatch}, """ +
+        s""""capacity": ${m.capacity}}""", c)
 
   /** Start ingestion over a streaming single-string-column frame.
     * `onBatch(batchId, totalN)` reports each commit. */
@@ -91,6 +101,15 @@ object StreamingHeavyHitters {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val meta = readMeta(dir, conf)
+      // mixed-capacity merges void the mergeable bound (the error sum
+      // is only ≤ N/(cap+1) for the capacity every merge used) —
+      // refuse a restart that re-dials it rather than silently
+      // weakening the gate's proof
+      meta.foreach(m => require(m.capacity == capacity,
+        s"StreamingHeavyHitters: state at $dir was built with " +
+          s"capacity=${m.capacity}, got $capacity — the mergeable " +
+          "soundness bound does not survive mixed capacities; resume " +
+          "with the original dial or start a fresh directory"))
       // (2) corpus append FIRST (idempotent overwrite of this batch's
       // directory) — pre-aggregated per-key counts, the exact pass's
       // input; a crash before the meta commit replays into overwrite
@@ -122,13 +141,27 @@ object StreamingHeavyHitters {
           // intact previous summary (a delete-then-rename swap would
           // have a window that silently DROPS standing candidates,
           // voiding the mergeable-error bound the gate's proof rides
-          // on). The superseded dir is deleted after the commit;
-          // crash-orphaned dirs are unreferenced junk, never read.
+          // on). Cleanup keeps the CURRENT and the immediately
+          // SUPERSEDED generation (deleting the superseded one right
+          // after the flip would race a concurrent topK that read the
+          // old meta moments earlier — its candidate read needs the
+          // old summary for one more commit interval); anything older
+          // is unreferenced junk, deleted here.
           merged.toSeq.toDF("key", "c").coalesce(1)
             .write.mode("overwrite").parquet(s"$dir/summary_$batchId")
           val total = meta.map(_.n).getOrElse(0L) + batchN
-          writeMeta(dir, Meta(total, batchId), conf)
-          meta.foreach(m => Fs.deleteTree(s"$dir/summary_${m.lastBatch}", conf))
+          writeMeta(dir, Meta(total, batchId, capacity), conf)
+          meta.foreach { m =>
+            val base = new org.apache.hadoop.fs.Path(dir)
+            val fs = base.getFileSystem(conf)
+            fs.listStatus(base).foreach { st =>
+              val nm = st.getPath.getName
+              if (nm.startsWith("summary_") &&
+                  nm.stripPrefix("summary_").toLongOption
+                    .exists(b => b != batchId && b != m.lastBatch))
+                Fs.deleteTree(st.getPath.toString, conf)
+            }
+          }
           total
       }
     } finally { keys.unpersist(false); () }
@@ -138,16 +171,28 @@ object StreamingHeavyHitters {
     * with the streaming state as candidate source. Refuses (the batch
     * operator's posture) when the candidates cannot be PROVEN to
     * contain the true top-k. Output (key, n) ordered (n DESC, key). */
-  def topK(spark: SparkSession, dir: String, k: Int,
-      capacity: Int = 4096): DataFrame = {
+  def topK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val conf = spark.sessionState.newHadoopConf()
     val meta = readMeta(dir, conf).getOrElse(
       throw new IllegalStateException(
         s"no streaming heavy-hitters state at $dir (meta.json missing)"))
-    val cands = spark.read.parquet(s"$dir/summary_${meta.lastBatch}")
-      .select(col("key"))
+    val capacity = meta.capacity
+    // candidates COLLECTED eagerly (≤ capacity rows): the query's
+    // execution must not re-list the summary path later, when a
+    // concurrently committing batch may have superseded it (the
+    // retained previous generation covers the readMeta→here window)
+    import spark.implicits._
+    val candKeys = spark.read.parquet(s"$dir/summary_${meta.lastBatch}")
+      .select(col("key")).collect().map(_.getString(0)).toSeq
+    val cands = candKeys.toDF("key")
+    // corpus restricted to COMMITTED batches: an in-flight (or
+    // crash-orphaned) corpus/batch=<id> dir lands BEFORE its meta flip
+    // by design, and mixing its rows in would count candidates against
+    // an N that excludes them — the gate would refuse spuriously, or
+    // worse pass against no consistent snapshot
     val counts = spark.read.parquet(s"$dir/corpus")
+      .filter(col("batch") <= meta.lastBatch)
       .join(broadcast(cands), Seq("key"), "left_semi")
       .groupBy("key").agg(sum("n").as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

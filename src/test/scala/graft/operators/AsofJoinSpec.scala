@@ -119,6 +119,11 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(plan.contains("__asof_shard"), plan)
     val winLines = plan.linesIterator
       .filter(l => l.contains("windowspecdefinition") && l.contains("__asof_r"))
+      .toSeq
+    // nonEmpty first: forall over an empty filter would pass vacuously
+    // if Spark's plan rendering ever stops matching the line filter
+    assert(winLines.nonEmpty,
+      s"no running-last window line found in plan rendering:\n$plan")
     assert(winLines.forall(_.contains("__asof_shard")),
       s"running-last window must partition on the shard:\n$plan")
     // and the crafted hot key genuinely spans > 1 shard: ts covers

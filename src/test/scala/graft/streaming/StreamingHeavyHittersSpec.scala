@@ -44,8 +44,7 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     assert(seen.map(_._1) === Seq(0L, 1L, 2L))
     assert(seen.last._2 === batches.map(_.size).sum.toLong)
 
-    val streamTop = StreamingHeavyHitters.topK(spark, dir, k = 5,
-        capacity = 64)
+    val streamTop = StreamingHeavyHitters.topK(spark, dir, k = 5)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val batchTop = HeavyHitters.topK(spark,
         batches.flatten.toDF("key"), "key", k = 5, capacity = 64)
@@ -62,7 +61,7 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     val b1 = skewed(2)(1).toDF("key")
     val n0 = StreamingHeavyHitters.processBatch(spark, dir, b0, 0L, 64)
     val n1 = StreamingHeavyHitters.processBatch(spark, dir, b1, 1L, 64)
-    val before = StreamingHeavyHitters.topK(spark, dir, 5, 64)
+    val before = StreamingHeavyHitters.topK(spark, dir, 5)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     // re-delivery of the committed batch 1 (crash/restart): total N is
     // unchanged (no double count), the summary is untouched, and the
@@ -70,9 +69,50 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     val nReplay = StreamingHeavyHitters.processBatch(spark, dir, b1, 1L, 64)
     assert(nReplay === n1)
     assert(n1 > n0)
-    val after = StreamingHeavyHitters.topK(spark, dir, 5, 64)
+    val after = StreamingHeavyHitters.topK(spark, dir, 5)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(after === before)
+  }
+
+  test("uncommitted in-flight corpus batches stay invisible to topK") {
+    import spark.implicits._
+    val dir = tmp("shhv")
+    skewed(2).zipWithIndex.foreach { case (b, i) =>
+      StreamingHeavyHitters.processBatch(spark, dir, b.toDF("key"), i.toLong,
+        64)
+    }
+    val committed = StreamingHeavyHitters.topK(spark, dir, 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // simulate the mid-commit window: a new batch's corpus dir lands
+    // BEFORE its meta flip (processBatch's documented step order) —
+    // its counts must not leak into the exact pass, in either gate
+    // direction (h1 inflated, or candTotal exceeding the committed N)
+    Seq.fill(100000)("h1").toDF("key")
+      .groupBy("key").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$dir/corpus/batch=2")
+    val during = StreamingHeavyHitters.topK(spark, dir, 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(during === committed)
+  }
+
+  test("a restart re-dialing capacity refuses; topK rides the stored dial") {
+    import spark.implicits._
+    val dir = tmp("shhc")
+    val b = skewed(1).head.toDF("key")
+    StreamingHeavyHitters.processBatch(spark, dir, b, 0L, capacity = 64)
+    // the mergeable bound N/(capacity+1) is a property of the state:
+    // merging a batch under a different dial would silently weaken it
+    val ex = intercept[IllegalArgumentException] {
+      StreamingHeavyHitters.processBatch(spark, dir,
+        Seq("x").toDF("key"), 1L, capacity = 128)
+    }
+    assert(ex.getMessage.contains("capacity=64"))
+    // topK needs no caller-supplied capacity — and so cannot be handed
+    // a larger one that the summary never met
+    val top = StreamingHeavyHitters.topK(spark, dir, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top.head === ("h1" -> 400L))
   }
 
   test("a flat stream refuses loudly at query time, naming the capacity") {
@@ -81,7 +121,7 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     val flat = (0 until 500).map(i => s"k$i").toDF("key")
     StreamingHeavyHitters.processBatch(spark, dir, flat, 0L, capacity = 16)
     val ex = intercept[IllegalStateException] {
-      StreamingHeavyHitters.topK(spark, dir, k = 3, capacity = 16)
+      StreamingHeavyHitters.topK(spark, dir, k = 3)
     }
     assert(ex.getMessage.contains("too flat"))
     // querying a dir with no committed state refuses too
