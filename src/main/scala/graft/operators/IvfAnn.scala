@@ -90,18 +90,65 @@ object IvfAnn {
     * parity, IvfAnnSpec pins assignment parity). */
   private[operators] val LiteralKCeiling = 32
 
+  // ------------------------------------------------- narrow literal form
+  // A THIRD evaluation strategy for centroid scoring (r20 optimization):
+  // the k×dim-literal problem above is the EXPRESSION TREE (k×dim lit()
+  // nodes), not the data volume — one typedLit of array<array<double>>
+  // is a SINGLE Literal node at any k, and `transform` over it computes
+  // the per-centroid distance array in one narrow pass: no broadcast
+  // build, no n×k crossJoin rows, no window exchange for probe lists.
+  // Arithmetic is the same ArrayMath kernel (interpreted inside the HOF
+  // lambda — a tight primitive loop over ArrayData, no boxing), and the
+  // (distance, index) tie order is nearestClusters' own, so results are
+  // bit-identical to both older forms (OptProbe measured parity;
+  // KnnGraphApproxSpec / IvfAnnSpec / the e12b & e23b oracles gate it).
+  //
+  // Ceiling: the literal ships inside the serialized plan/task binary,
+  // so it must stay metadata-sized. 2^20 cells (8 MB of doubles) covers
+  // every k=√n dial up to n≈2.7e8 at dim=64; beyond it the broadcast
+  // crossJoin forms remain the plan (a 100 TB corpus at dim=1024 would
+  // put k·dim ≈ 4.6e7 cells — dispatched to the join form).
+  private[operators] val LiteralCellCeiling: Long = 1L << 20
+
+  private[operators] def fitsLiteralCells(cents: Seq[Array[Double]]): Boolean =
+    cents.nonEmpty &&
+      cents.length.toLong * cents.head.length <= LiteralCellCeiling
+
+  /** All centroids as ONE array<array<double>> literal node. */
+  private[operators] def centsArrayLit(cents: Seq[Array[Double]]): Column =
+    typedLit(cents.map(_.toSeq))
+
+  /** `dists` over an `e` (array<double>) column via the single-literal
+    * transform — [[distArray]]'s plan-cheap equivalent (same kernel,
+    * same element order). Callers MUST bind the result behind an
+    * [[graft.functions.OptimizerBarrier]] fence: consumers like
+    * [[nearestClusters]] read the array k times (one element_at per
+    * cluster), and CollapseProject would otherwise inline — and so
+    * re-evaluate — the full k×dim scan per read (measured 3× on the
+    * sf0.1 graph build). */
+  private def distArrayNarrowRaw: Seq[Array[Double]] => Column =
+    cents => transform(centsArrayLit(cents),
+      c => graft.functions.ArrayMath.l2sq(col("e"), c))
+
+  /** Fenced `dists` column for the narrow literal form. */
+  private[operators] def distArrayNarrow(cents: Seq[Array[Double]]): Column =
+    graft.functions.OptimizerBarrier.fence(distArrayNarrowRaw(cents))
+
   def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 2,
       sampleFraction: Double = 1.0): Seq[Array[Double]] = {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0, sampleFraction)
     val train = hashSample(emb, sampleFraction)
     if (k > LiteralKCeiling)
       return trainCentroidsJoin(train.sparkSession, train, k, iters)
-    val dim = emb.selectExpr("size(embedding)").head.getInt(0)
     var cents: Seq[Array[Double]] = train
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy("h").limit(k)
       .collect().map(_.getSeq[Double](1).toArray).toSeq
+    // dim from the collected init vectors — one fewer driver job than
+    // a size() probe (r20; same convention as trainCentroidsJoin)
+    val dim = cents.headOption.map(_.length)
+      .getOrElse(emb.selectExpr("size(embedding)").head.getInt(0))
     for (_ <- 0 until iters) {
       val assigned = train
         .withColumn("dists", distArray(cents))
@@ -555,24 +602,62 @@ object IvfAnn {
     import org.apache.spark.sql.expressions.Window
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cents = trainCentroidsJoin(spark, emb, k, iters)
-    val e = emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("e"))
-    val scored = e.crossJoin(broadcast(centFrame(spark, cents)))
-      .select(col("vec_id"), col("cid"), centDist2.as("d2"))
-    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
-    val ranked = scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= math.max(1, nprobe))
-    val corpus = ranked.filter(col("rnk") === 1)
-      .select(col("vec_id").as("cand_id"), col("cid"))
-    val probes = ranked.select(col("vec_id").as("query_id"), col("cid"))
-    val pairs = probes.join(corpus,
-        probes("cid") === corpus("cid") && col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"))
-    val qvs = emb.select(col("vec_id"), expr(quant).as("qv"))
-    val cands = pairs
-      .join(qvs.select(col("vec_id").as("query_id"), col("qv").as("pq")), "query_id")
-      .join(qvs.select(col("vec_id").as("cand_id"), col("qv")), "cand_id")
-      .select(col("query_id"), col("cand_id"), qdot("pq", "qv").as("dot"))
+    val cands =
+      if (fitsLiteralCells(cents)) {
+        // narrow literal form (r20): each row computes its own fenced
+        // dists array and probe list in place — the n·k scoring rows,
+        // their window exchange, and the two post-pair qv-attach joins
+        // all disappear. The quantized vector rides the (much smaller)
+        // probe/corpus frames into the cid join, which computes the
+        // exact dot inline; fences pin qv/lst to one evaluation each
+        // (CollapseProject would otherwise re-inline them per pair —
+        // measured 3× slower). Plan: 2 narrow scans → 1 equi-join →
+        // top-k window; the rank filter compiles to a partial
+        // WindowGroupLimit below the window exchange, so at most
+        // topK+1 rows per (query, map partition) are ever shuffled.
+        val fence = graft.functions.OptimizerBarrier.fence _
+        val narrow = emb.select(col("vec_id"),
+            fence(expr(quant)).as("qv"),
+            col("embedding").cast("array<double>").as("e"))
+          .withColumn("dists", distArrayNarrow(cents))
+          .withColumn("lst",
+            fence(nearestClusters(cents.length, math.max(1, nprobe))))
+          .select(col("vec_id"), col("qv"), col("lst"))
+        val probes = narrow.select(col("vec_id").as("query_id"),
+          col("qv").as("pq"), explode(col("lst")).as("cid"))
+        // corpus assignment = the probe list's head: same (d², cid)
+        // tie order as the old rnk=1 window row
+        val corpus = narrow.select(col("vec_id").as("cand_id"),
+          col("qv"), element_at(col("lst"), 1).as("cid"))
+        probes.join(corpus,
+            probes("cid") === corpus("cid") &&
+              col("query_id") =!= col("cand_id"))
+          .select(col("query_id"), col("cand_id"), qdot("pq", "qv").as("dot"))
+      } else {
+        // broadcast row form: centroids too large for a plan literal
+        // (k·dim beyond LiteralCellCeiling) — score via the broadcast
+        // crossJoin, rank probe lists in one window pass
+        val e = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+        val scored = e.crossJoin(broadcast(centFrame(spark, cents)))
+          .select(col("vec_id"), col("cid"), centDist2.as("d2"))
+        val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+        val ranked = scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= math.max(1, nprobe))
+        val corpus = ranked.filter(col("rnk") === 1)
+          .select(col("vec_id").as("cand_id"), col("cid"))
+        val probes = ranked.select(col("vec_id").as("query_id"), col("cid"))
+        val pairs = probes.join(corpus,
+            probes("cid") === corpus("cid") &&
+              col("query_id") =!= col("cand_id"))
+          .select(col("query_id"), col("cand_id"))
+        val qvs = emb.select(col("vec_id"), expr(quant).as("qv"))
+        pairs
+          .join(qvs.select(col("vec_id").as("query_id"), col("qv").as("pq")),
+            "query_id")
+          .join(qvs.select(col("vec_id").as("cand_id"), col("qv")), "cand_id")
+          .select(col("query_id"), col("cand_id"), qdot("pq", "qv").as("dot"))
+      }
     val wk = Window.partitionBy("query_id").orderBy(col("dot").desc, col("cand_id"))
     cands.withColumn("rnk", row_number().over(wk).cast("bigint"))
       .filter(col("rnk") <= topK)
@@ -617,27 +702,41 @@ object IvfAnn {
   private def centDist2: Column =
     graft.functions.ArrayMath.l2sq(col("e"), col("cvec"))
 
-  /** Lloyd training with the broadcast-join assignment ([[knnGraph]]'s
-    * rationale): same deterministic init (k smallest md5(vec_id)) and
-    * the same double arithmetic as [[trainCentroids]], so results match
-    * bit-for-bit; assignment is a min_by aggregation instead of a
-    * k×dim-literal expression, so big k stays codegen-friendly. */
+  /** Lloyd training with a join-free assignment where the centroid set
+    * is literal-sized ([[fitsLiteralCells]]): one narrow pass computes
+    * every row's fenced `dists` array and its argmin cluster via
+    * [[nearestClusters]] — no broadcast build, no n×k crossJoin rows,
+    * no per-row groupBy — then the per-dimension averages aggregate as
+    * before. Beyond the ceiling the broadcast min_by form remains.
+    * Same deterministic init (k smallest md5(vec_id)), same double
+    * arithmetic and (distance, index) tie order as [[trainCentroids]],
+    * so results match bit-for-bit across all three forms
+    * (KnnGraphApproxSpec pins parity). `dim` comes from the collected
+    * init vectors — one fewer driver job than a size() probe. */
   private[operators] def trainCentroidsJoin(spark: SparkSession,
       emb: DataFrame, k: Int, iters: Int): Seq[Array[Double]] = {
-    val dim = emb.selectExpr("size(embedding)").head.getInt(0)
     val e = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("e"))
     var cents: Seq[Array[Double]] = e
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy("h").limit(k)
       .collect().map(_.getSeq[Double](1).toArray).toSeq
+    val dim = cents.headOption.map(_.length)
+      .getOrElse(emb.selectExpr("size(embedding)").head.getInt(0))
     for (_ <- 0 until iters) {
-      val assigned = e.crossJoin(broadcast(centFrame(spark, cents)))
-        .select(col("vec_id"), col("e"), col("cid"), centDist2.as("d2"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("d2"), col("cid"))).as("m"),
-          first(col("e")).as("e"))
-        .select(col("m.cid").as("cluster"), col("e"))
+      val assigned =
+        if (fitsLiteralCells(cents))
+          e.withColumn("dists", distArrayNarrow(cents))
+            .withColumn("cluster",
+              element_at(nearestClusters(cents.length, 1), 1))
+            .select(col("cluster"), col("e"))
+        else
+          e.crossJoin(broadcast(centFrame(spark, cents)))
+            .select(col("vec_id"), col("e"), col("cid"), centDist2.as("d2"))
+            .groupBy("vec_id")
+            .agg(min(struct(col("d2"), col("cid"))).as("m"),
+              first(col("e")).as("e"))
+            .select(col("m.cid").as("cluster"), col("e"))
       val sums = assigned
         .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos").agg(avg("v").as("m"))
