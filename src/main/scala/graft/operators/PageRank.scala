@@ -41,14 +41,26 @@ object PageRank {
     *              (self-loops are legal and feed a node its own
     *              contribution)
     * @param rounds fixed iteration count (≥ 0; 0 = uniform start) */
+  /** Shuffle-partition sizing for the round loop: ~4M edge rows
+    * (≈ 100 MB of (dst, contribution) pairs) per reduce partition —
+    * the guide's 100 MB–1 GB band — derived from the MEASURED edge
+    * count, never from the local core count, so the same code sizes a
+    * 10k-edge bench graph to one partition and a 10¹⁰-edge corpus to
+    * thousands. Capped at 4× the cluster's parallelism as the
+    * runaway guard. */
+  private val RoundPartitionRows = 4L * 1000 * 1000
+
   def scores(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val spark = edges.sparkSession
     // deg and nodes are referenced by EVERY round: without a persist
     // each reference is a fresh shuffle over the edge list (10
     // redundant aggregates at corpus scale).
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist(lvl)
     val nodes = edges.select(col("src").as("vec_id")).distinct().persist(lvl)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       // Force the graph side to materialize BEFORE the round loop. The
       // caller's edge frame often carries an expensive lineage (an
@@ -59,22 +71,47 @@ object PageRank {
       // and fills all three caches (both scans pull `edges` through
       // its own persist) while nothing else occupies executor memory.
       deg.count(); nodes.count()
+      // Static planning for the loop (r20 optimization, guide §2):
+      // every round has the SAME known shape — join on src, aggregate
+      // by dst over exactly |E| rows — so AQE's per-stage re-planning
+      // buys nothing and its stage-by-stage execution added ~40% wall
+      // to the 10-round loop (measured 7.5–9.3 s → 4.7–5.3 s at
+      // sf0.1). Partition count comes from the measured |E| (the
+      // count rides the caller's persisted edge cache), NOT the local
+      // core count — see [[RoundPartitionRows]]. Both confs are
+      // session-scoped; they are set only around the eager round
+      // actions below and restored in finally (the returned frame's
+      // final sort is planned by the caller after restoration).
+      val edgeCount = edges.count()
+      val parts = math.max(1L, math.min(
+        edgeCount / RoundPartitionRows + 1,
+        4L * spark.sparkContext.defaultParallelism)).toInt
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       var s = nodes.withColumn("score", lit(1000000L))
-      for (_ <- 1 to rounds) {
+      for (r <- 1 to rounds) {
         val contrib = edges
           .join(s.select(col("vec_id").as("src"), col("score")), "src")
           .join(deg, "src")
           .select(col("dst"), expr("score div deg").as("c"))
           .groupBy("dst").agg(sum("c").as("in_sum"))
-        // Materialize EVERY round and cut its lineage (eager
-        // localCheckpoint): plan depth stays constant across rounds
-        // and a cache MISS re-reads round N−1's |V|-row blocks instead
-        // of replaying the whole chain back through the graph build
-        // (measured: the lazy 10-round form swung 28 s → 300 s on the
-        // same box when the caches churned). Earlier rounds' blocks
-        // are unreferenced after the next checkpoint and are reclaimed
-        // by the context cleaner; peak extra footprint is O(|V|) rows
-        // per live round — two orders below the edge list it protects.
+        val nxt = nodes
+          .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            (lit(150000L) +
+              expr("(coalesce(in_sum, 0L) * 17) div 20")).as("score"))
+        // Materialize every SECOND round and cut its lineage (eager
+        // localCheckpoint): plan depth stays bounded at two rounds and
+        // a cache MISS re-derives at most two rounds from the previous
+        // checkpoint's |V|-row blocks instead of replaying the whole
+        // chain back through the graph build (measured: the lazy
+        // 10-round form swung 28 s → 300 s on the same box when the
+        // caches churned; per-round checkpoints fixed that in r19, and
+        // r20 halved the checkpoint job count — the replay exposure
+        // stays bounded, 10 jobs → 5). Earlier rounds' blocks are
+        // unreferenced after the next checkpoint and are reclaimed by
+        // the context cleaner; peak extra footprint is O(|V|) rows per
+        // live round — two orders below the edge list it protects.
         // Honest fault trade: localCheckpoint blocks live ON executors,
         // so on a multi-executor cluster a LOST executor mid-loop fails
         // the job fast (no lineage to recompute from) and the caller
@@ -83,18 +120,15 @@ object PageRank {
         // of the upstream graph build per reference. A deployment that
         // must survive executor loss in-flight swaps this for reliable
         // checkpoint() against a checkpoint dir (same call shape).
-        s = nodes
-          .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
-          .select(col("vec_id"),
-            (lit(150000L) +
-              expr("(coalesce(in_sum, 0L) * 17) div 20")).as("score"))
-          .localCheckpoint(true)
+        s = if (r % 2 == 0 || r == rounds) nxt.localCheckpoint(true) else nxt
       }
       // the returned frame's lineage is one sort over the final
       // checkpoint — nothing pins the graph caches dropped below
       if (rounds == 0) s.orderBy("vec_id").localCheckpoint(true)
       else s.orderBy("vec_id")
     } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
       deg.unpersist(false)
       nodes.unpersist(false)
       ()
