@@ -73,13 +73,39 @@ object IvfIndex {
     // full-corpus — that is what keeps searchExact provably exact under
     // any trainSampleFraction (IvfIndexSpec pins it at 0.25)
     val cents = IvfAnn.trainCentroids(emb, k, iters, trainSampleFraction)
-    val stats = IvfAnn.clusterStats(emb, cents)
-    IvfAnn.assign(emb, cents)
-      .select(col("vec_id"), col("embedding"), col("label").cast("int").as("cluster"))
-      .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$indexDir/data")
-    writeMeta(indexDir, Meta(k, cents.head.length, stats.maxNorm, cents,
-      stats.radius, stats.count), spark.sessionState.newHadoopConf())
+    // ONE assignment pass feeds both the data write and the pruning
+    // stats (r20: clusterStats ran its own full assignment pass and
+    // assign a second one — guide §1.2, don't compute the same thing
+    // twice). Bit-identical meta: distToAssigned evaluates the same
+    // l2sq kernel on the same operands as clusterStats' per-row
+    // distance, and max/count aggregates are order-insensitive on
+    // exact doubles, so radius/counts/maxNorm — and therefore every
+    // later pruning decision — are unchanged (IvfIndexSpec's meta
+    // round-trip and exactness gates pin it).
+    val assigned = IvfAnn.distToAssigned(IvfAnn.assign(emb, cents), cents)
+      .withColumn("nrm", sqrt(graft.functions.ArrayMath.dot(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>"))))
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("int").as("cluster"), col("d"), col("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assigned.select(col("vec_id"), col("embedding"), col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$indexDir/data")
+      val rows = assigned.groupBy("cluster")
+        .agg(max("d").as("r"), max("nrm").as("mx"), count(lit(1)).as("n"))
+        .collect()
+      val radius = new Array[Double](cents.length)
+      val counts = new Array[Long](cents.length)
+      var maxNorm = 0.0
+      rows.foreach { r =>
+        radius(r.getInt(0)) = r.getDouble(1); counts(r.getInt(0)) = r.getLong(3)
+        maxNorm = math.max(maxNorm, r.getDouble(2))
+      }
+      writeMeta(indexDir, Meta(k, cents.head.length, maxNorm, cents,
+        radius, counts), spark.sessionState.newHadoopConf())
+    } finally { assigned.unpersist(false); () }
   }
 
   /** The in-progress-retrain fence: present from just before
