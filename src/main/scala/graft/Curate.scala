@@ -752,10 +752,14 @@ object Curate {
       .getOrElse(examinedIndex)
     writeIndex(fullIndex, s"$outDir/index.parquet")
 
-    val counts = finalVerdicts.groupBy("verdict").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val splits = kept.groupBy("split").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ONE aggregation feeds both summary maps (r20: they were two
+    // separate collect jobs over the same persisted frame; the split
+    // histogram is the verdict histogram's kept stratum)
+    val vsRows = finalVerdicts.groupBy("verdict", "split").count().collect()
+    val counts = vsRows.groupBy(_.getString(0))
+      .map { case (v, rs) => v -> rs.map(_.getLong(2)).sum }
+    val splits = vsRows.filter(_.getString(0) == "kept")
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
 
     val shards = cfg.packShards.getOrElse(
       deriveShards(counts.getOrElse("kept", 0L)))
