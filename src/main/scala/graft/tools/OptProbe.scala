@@ -55,6 +55,23 @@ object OptProbe {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
         rm(new java.io.File(out))
+      case "curparts" =>
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        t("warm docs count")(docs.count())
+        val digests = docs.select(col("doc_id"), md5(col("text")).as("digest"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        t("digests count")(digests.count())
+        val fps = graft.queries.TextMedia.simhashFingerprintsOf(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        t("fps count")(fps.count())
+        val cleanups = scala.collection.mutable.ArrayBuffer[() => Unit]()
+        val clusters = t("dupClustersOf")(
+          graft.queries.TextMedia.dupClustersOf(fps, f => cleanups += f))
+        t("clusters count")(clusters.count())
+        t("DataCard.metricsOf")(graft.report.DataCard.metricsOf(docs))
+        t("DataCard.metricsOf (2nd)")(graft.report.DataCard.metricsOf(docs))
+        cleanups.foreach(_())
+        digests.unpersist(false); fps.unpersist(false)
       case "d17" =>
         t("d17 (warm-up)")(
           graft.SparkEntry.queries("d17_bpe_train")(spark, dir).count())
