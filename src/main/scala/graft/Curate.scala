@@ -412,40 +412,72 @@ object Curate {
       .select("doc_id", "verdict", "split")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts.parquet")
+      // the two materializing writes fill disjoint persists (verdicts;
+      // kept) and the artifacts after them are independent given those
+      // caches — same concurrent-jobs posture as curateInner (guide
+      // §2.6; results are byte-identical, only scheduling changes)
+      val pool = artifactPool()
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
       val kept = spark.read.parquet(s"$baseDir/curated.parquet")
         .join(broadcast(takedown.select("doc_id")), Seq("doc_id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        zorderCurated(kept.select("doc_id", "text", "lang", "source", "split"),
-            Some(summary.path("zorder_files").asInt(0)).filter(_ > 0))
-          .write.mode("overwrite").partitionBy("split")
-          .parquet(s"$outDir/curated.parquet")
+        val fVerdicts = Future {
+          verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts.parquet")
+        }
+        val fCurated = Future {
+          zorderCurated(kept.select("doc_id", "text", "lang", "source", "split"),
+              Some(summary.path("zorder_files").asInt(0)).filter(_ > 0))
+            .write.mode("overwrite").partitionBy("split")
+            .parquet(s"$outDir/curated.parquet")
+        }
+        // the fan-out below reads the persisted frames those two fill;
+        // await them so nothing races a cold cache
+        Await.result(fVerdicts, Duration.Inf)
+        Await.result(fCurated, Duration.Inf)
         // index: retracted rows keep digest+fp but lose their split —
         // exactly the dropped-doc posture, including the one-exemplar
         // compaction per distinct (digest, fp)
-        val flipped = spark.read.parquet(s"$baseDir/index.parquet")
-          .join(broadcast(takedown), Seq("doc_id"), "left")
-          .withColumn("split",
-            when(col("td") === 1, lit(null).cast("string"))
-              .otherwise(col("split")))
-          .select("doc_id", "digest", "fp", "split")
-        writeIndex(flipped, s"$outDir/index.parquet")
-        writePacking(
-          kept.withColumn("n_tok", expr(s"cast(size($toks) as bigint)")),
-          s"$outDir/packing.parquet", packLen, packShards)
+        val fIndex = Future {
+          val flipped = spark.read.parquet(s"$baseDir/index.parquet")
+            .join(broadcast(takedown), Seq("doc_id"), "left")
+            .withColumn("split",
+              when(col("td") === 1, lit(null).cast("string"))
+                .otherwise(col("split")))
+            .select("doc_id", "digest", "fp", "split")
+          writeIndex(flipped, s"$outDir/index.parquet")
+        }
+        val fPacking = Future {
+          writePacking(
+            kept.withColumn("n_tok", expr(s"cast(size($toks) as bigint)")),
+            s"$outDir/packing.parquet", packLen, packShards)
+        }
         // curriculum is a DERIVED artifact of the kept train set:
         // after a retraction the positions must be re-derived (they
         // are dense ranks — keeping the base file would leave holes
         // and leak that a doc existed), same dial as the base run
-        if (summary.path("curriculum").asBoolean(false))
-          graft.queries.Documents.curriculumOrder(
-              kept.filter(col("split") === "train").select("doc_id", "text"))
-            .write.mode("overwrite").parquet(s"$outDir/curriculum.parquet")
-        val counts = verdicts.groupBy("verdict").count()
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val splits = kept.groupBy("split").count()
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val fCurriculum = Future {
+          if (summary.path("curriculum").asBoolean(false))
+            graft.queries.Documents.curriculumOrder(
+                kept.filter(col("split") === "train").select("doc_id", "text"))
+              .write.mode("overwrite").parquet(s"$outDir/curriculum.parquet")
+        }
+        val fCounts = Future {
+          verdicts.groupBy("verdict").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+        val fSplits = Future {
+          kept.groupBy("split").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+        val counts = Await.result(fCounts, Duration.Inf)
+        val splits = Await.result(fSplits, Duration.Inf)
+        Await.result(fIndex, Duration.Inf)
+        Await.result(fPacking, Duration.Inf)
+        Await.result(fCurriculum, Duration.Inf)
         // the ingestion dials carry through from the base summary: a
         // takedown output is a valid baseDir for later incremental
         // runs, and dropping the keys here would break the
@@ -472,9 +504,27 @@ object Curate {
         graft.util.Fs.writeStringAtomic(s"$outDir/card.json",
           jsonObj(cardMetrics) + "\n", hc)
         Result(counts, splits)
-      } finally { kept.unpersist(blocking = true); () }
+      } finally { kept.unpersist(blocking = true); pool.shutdown(); () }
     } finally { verdicts.unpersist(blocking = true); () }
   }
+
+  /** The artifact fan-out's driver pool: four threads is enough to
+    * back-fill stage tails without jobs fighting for executors (the
+    * guide's 2-3-in-flight advice, plus one for the driver-side
+    * collect chain). DAEMON threads: an exception on the main path may
+    * skip the shutdown, and a leaked non-daemon pool would pin the CLI
+    * JVM at exit. */
+  private val ArtifactPoolSize = 4
+
+  private def artifactPool(): java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(ArtifactPoolSize,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"curate-artifact-${n.incrementAndGet()}")
+          t.setDaemon(true); t
+        }
+      })
 
   private def curate(spark: SparkSession, docs: DataFrame,
       baseIndex: Option[DataFrame], outDir: String, cfg: Config): Result = {
@@ -721,79 +771,122 @@ object Curate {
         v
     }
 
+    // the verdicts write runs FIRST and alone: it materializes the
+    // finalVerdicts persist (and the digest/fp/cluster caches feeding
+    // it) exactly once, so the concurrent consumers below read warm
+    // caches instead of racing to compute the same cold lineage
     finalVerdicts.select("doc_id", "verdict", "split")
       .write.mode("overwrite").parquet(s"$outDir/verdicts.parquet")
 
     val kept = finalVerdicts.filter(col("verdict") === "kept")
-    zorderCurated(kept.select("doc_id", "text", "lang", "source", "split"),
-        cfg.zorderFiles)
-      .write.mode("overwrite").partitionBy("split")
-      .parquet(s"$outDir/curated.parquet")
 
-    // corpus index for future incremental runs: base ∪ every doc this
-    // run examined. Dropped docs carry a NULL split — their digests and
-    // fingerprints still suppress redelivery, but they never influence
-    // split bookkeeping. The dropped portion is COMPACTED to one
-    // exemplar (min doc_id) per distinct (digest, fp): suppression only
-    // tests digest membership and fp proximity, so duplicate
-    // (digest, fp) rows add nothing, and without the compaction pure
-    // redelivery (same content, fresh doc_ids daily) would grow the
-    // index without bound. Kept rows stay un-compacted — split
-    // bookkeeping needs every kept doc_id
-    val examinedIndex = finalVerdicts
-      .select(col("doc_id"),
-        when(col("verdict") === "kept", col("split"))
-          .otherwise(lit(null).cast("string")).as("split"))
-      .join(digests, Seq("doc_id"))
-      .join(fps, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("digest"), col("fp"), col("split"))
-    val fullIndex = baseIndex
-      .map(b => b.select("doc_id", "digest", "fp", "split").union(examinedIndex))
-      .getOrElse(examinedIndex)
-    writeIndex(fullIndex, s"$outDir/index.parquet")
-
-    // ONE aggregation feeds both summary maps (r20: they were two
-    // separate collect jobs over the same persisted frame; the split
-    // histogram is the verdict histogram's kept stratum)
-    val vsRows = finalVerdicts.groupBy("verdict", "split").count().collect()
-    val counts = vsRows.groupBy(_.getString(0))
-      .map { case (v, rs) => v -> rs.map(_.getLong(2)).sum }
-    val splits = vsRows.filter(_.getString(0) == "kept")
-      .map(r => r.getString(1) -> r.getLong(2)).toMap
-
-    val shards = cfg.packShards.getOrElse(
-      deriveShards(counts.getOrElse("kept", 0L)))
-    writePacking(kept, s"$outDir/packing.parquet", cfg.packLen, shards)
-    // training order over the TRAIN split only (test/val are never
-    // trained on) — c22's exact scheme via the shared definition, so
-    // the artifact and the oracled query cannot drift. Positions are
-    // dense 1..n_train and derive from doc_id + tier alone: a re-run
-    // over the same kept set reproduces them bit-for-bit
-    if (cfg.curriculum)
-      graft.queries.Documents.curriculumOrder(
-          kept.filter(col("split") === "train").select("doc_id", "text"))
-        .write.mode("overwrite").parquet(s"$outDir/curriculum.parquet")
-
+    // The remaining artifacts are INDEPENDENT given the persisted
+    // frames (finalVerdicts, digests, fps) and the raw corpus, so they
+    // run as concurrent jobs from a small driver pool (guide §2.6 —
+    // actions are only sequential because driver code calls them
+    // sequentially): the curated/index/packing writes and the card's
+    // corpus scan back-fill each other's scheduling gaps and stage
+    // tails instead of paying ~each job's latency end to end. Results
+    // are byte-identical — concurrency changes when jobs run, not what
+    // any of them computes.
     val hc = spark.sessionState.newHadoopConf()
-    // the ingestion dials ride in the summary so a chain consumer can
-    // AUDIT the keep-them-constant rule across generations (0 = off)
-    graft.util.Fs.writeStringAtomic(s"$outDir/summary.json",
-      s"""{"verdicts":${jsonObj(counts)},"splits":${jsonObj(splits)},""" +
-        s""""min_tokens":${cfg.minTokens},"pack_len":${cfg.packLen},""" +
-        s""""pack_shards":$shards,"scrub_pii":${cfg.scrubPii},""" +
-        s""""strip_boilerplate":${cfg.stripBoilerplateDenom.getOrElse(0)},""" +
-        s""""source_cap":${cfg.sourceCapPermille.getOrElse(0)},""" +
-        s""""keep_longest":${cfg.keepLongest},""" +
-        s""""curriculum":${cfg.curriculum},""" +
-        s""""zorder_files":${cfg.zorderFiles.getOrElse(0)},""" +
-        s""""decontaminate":${cfg.decontaminateDir.nonEmpty}}\n""",
-      hc)
-    // dataset card for the INPUT corpus this run examined — the same
-    // oracle-checked c15 relation (report.DataCard), so the governance
-    // numbers shipped with the artifacts can't drift from the verified
-    // query
+    val pool = artifactPool()
+    val (counts, splits, cardMetrics) = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+
+      val fCurated = scala.concurrent.Future {
+        zorderCurated(kept.select("doc_id", "text", "lang", "source", "split"),
+            cfg.zorderFiles)
+          .write.mode("overwrite").partitionBy("split")
+          .parquet(s"$outDir/curated.parquet")
+      }
+
+      // corpus index for future incremental runs: base ∪ every doc this
+      // run examined. Dropped docs carry a NULL split — their digests and
+      // fingerprints still suppress redelivery, but they never influence
+      // split bookkeeping. The dropped portion is COMPACTED to one
+      // exemplar (min doc_id) per distinct (digest, fp): suppression only
+      // tests digest membership and fp proximity, so duplicate
+      // (digest, fp) rows add nothing, and without the compaction pure
+      // redelivery (same content, fresh doc_ids daily) would grow the
+      // index without bound. Kept rows stay un-compacted — split
+      // bookkeeping needs every kept doc_id
+      val fIndex = scala.concurrent.Future {
+        val examinedIndex = finalVerdicts
+          .select(col("doc_id"),
+            when(col("verdict") === "kept", col("split"))
+              .otherwise(lit(null).cast("string")).as("split"))
+          .join(digests, Seq("doc_id"))
+          .join(fps, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("digest"), col("fp"), col("split"))
+        val fullIndex = baseIndex
+          .map(b => b.select("doc_id", "digest", "fp", "split").union(examinedIndex))
+          .getOrElse(examinedIndex)
+        writeIndex(fullIndex, s"$outDir/index.parquet")
+      }
+
+      // summary maps → packing (needs the derived shard count) →
+      // summary.json: one sequential chain inside its own future.
+      // ONE aggregation feeds both maps (r20: the split histogram is
+      // the verdict histogram's kept stratum)
+      val fSummary = scala.concurrent.Future {
+        val vsRows = finalVerdicts.groupBy("verdict", "split").count().collect()
+        val cts = vsRows.groupBy(_.getString(0))
+          .map { case (v, rs) => v -> rs.map(_.getLong(2)).sum }
+        val spl = vsRows.filter(_.getString(0) == "kept")
+          .map(r => r.getString(1) -> r.getLong(2)).toMap
+        val shards = cfg.packShards.getOrElse(
+          deriveShards(cts.getOrElse("kept", 0L)))
+        writePacking(kept, s"$outDir/packing.parquet", cfg.packLen, shards)
+        // the ingestion dials ride in the summary so a chain consumer can
+        // AUDIT the keep-them-constant rule across generations (0 = off)
+        graft.util.Fs.writeStringAtomic(s"$outDir/summary.json",
+          s"""{"verdicts":${jsonObj(cts)},"splits":${jsonObj(spl)},""" +
+            s""""min_tokens":${cfg.minTokens},"pack_len":${cfg.packLen},""" +
+            s""""pack_shards":$shards,"scrub_pii":${cfg.scrubPii},""" +
+            s""""strip_boilerplate":${cfg.stripBoilerplateDenom.getOrElse(0)},""" +
+            s""""source_cap":${cfg.sourceCapPermille.getOrElse(0)},""" +
+            s""""keep_longest":${cfg.keepLongest},""" +
+            s""""curriculum":${cfg.curriculum},""" +
+            s""""zorder_files":${cfg.zorderFiles.getOrElse(0)},""" +
+            s""""decontaminate":${cfg.decontaminateDir.nonEmpty}}\n""",
+          hc)
+        (cts, spl)
+      }
+
+      // training order over the TRAIN split only (test/val are never
+      // trained on) — c22's exact scheme via the shared definition, so
+      // the artifact and the oracled query cannot drift. Positions are
+      // dense 1..n_train and derive from doc_id + tier alone: a re-run
+      // over the same kept set reproduces them bit-for-bit
+      val fCurriculum = scala.concurrent.Future {
+        if (cfg.curriculum)
+          graft.queries.Documents.curriculumOrder(
+              kept.filter(col("split") === "train").select("doc_id", "text"))
+            .write.mode("overwrite").parquet(s"$outDir/curriculum.parquet")
+      }
+
+      // dataset card for the INPUT corpus this run examined — the same
+      // oracle-checked c15 relation (report.DataCard), so the governance
+      // numbers shipped with the artifacts can't drift from the verified
+      // query
+      val fCard = scala.concurrent.Future {
+        graft.report.DataCard.metricsOf(docs)
+      }
+
+      import scala.concurrent.Await
+      import scala.concurrent.duration.Duration
+      val (cts, spl) = Await.result(fSummary, Duration.Inf)
+      val card = Await.result(fCard, Duration.Inf)
+      Await.result(fCurated, Duration.Inf)
+      Await.result(fIndex, Duration.Inf)
+      Await.result(fCurriculum, Duration.Inf)
+      (cts, spl, card)
+    } finally { pool.shutdown() }
+
     graft.util.Fs.writeStringAtomic(s"$outDir/card.json",
-      jsonObj(graft.report.DataCard.metricsOf(docs)) + "\n", hc)
+      jsonObj(cardMetrics) + "\n", hc)
     Result(counts, splits)
   }
 

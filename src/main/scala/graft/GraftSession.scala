@@ -17,6 +17,42 @@ object GraftSession {
   def cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
     .getOrElse(Runtime.getRuntime.availableProcessors())
 
+  private val drainHookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Stop active streams, cancel all jobs, and wait (bounded) for the
+    * scheduler to drain. Safe to call any time; used as a pre-stop
+    * shutdown hook so SparkContext.stop() never terminates the local
+    * executor pool while a task set is still being offered — that race
+    * makes LocalEndpoint.reviveOffers throw RejectedExecutionException
+    * in the dispatcher thread, and Spark's uncaught-exception handler
+    * then flips the JVM exit code even though every test passed.
+    */
+  def drainBeforeStop(): Unit = {
+    SparkSession.getDefaultSession.orElse(SparkSession.getActiveSession).foreach { s =>
+      val sc = s.sparkContext
+      if (!sc.isStopped) {
+        try s.streams.active.foreach { q => try q.stop() catch { case _: Throwable => () } }
+        catch { case _: Throwable => () }
+        try {
+          sc.cancelAllJobs()
+          val deadline = System.nanoTime() + 8L * 1000L * 1000L * 1000L
+          while (sc.statusTracker.getActiveJobIds.nonEmpty && System.nanoTime() < deadline)
+            Thread.sleep(50)
+        } catch { case _: Throwable => () }
+      }
+    }
+  }
+
+  /** Hadoop's ShutdownHookManager runs hooks in decreasing priority;
+    * Spark's own hook bundle (which stops the SparkContext) registers at
+    * priority 40, so 90 runs strictly before it.
+    */
+  private def installDrainHook(): Unit =
+    if (drainHookInstalled.compareAndSet(false, true)) {
+      org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+        new Runnable { def run(): Unit = drainBeforeStop() }, 90)
+    }
+
   def build(appName: String): SparkSession = {
     val n = cpus
     val spark = SparkSession.builder()
@@ -51,6 +87,7 @@ object GraftSession {
       .config("spark.driver.host", "localhost")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    installDrainHook()
     // the library's SQL functions (array_dot/array_l2sq kernels,
     // copy_unescape, optimizer_barrier) are usable from plain
     // spark.sql on this session, not only through the operator entry

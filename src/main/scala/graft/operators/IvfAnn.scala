@@ -272,12 +272,18 @@ object IvfAnn {
             first(col("e")).as("e"))
           .select(col("m.cid").as("cluster"), sqrt(col("m.d2")).as("d"),
             sqrt(graft.functions.ArrayMath.dot(col("e"), col("e"))).as("nrm"))
+    statsFromPerVec(perVec, cents.length)
+  }
+
+  /** Aggregate a (cluster, d, nrm) per-vector frame into [[ClusterStats]]
+    * — shared by [[clusterStats]] and [[clusterStatsAndCorpus]]. */
+  private def statsFromPerVec(perVec: DataFrame, k: Int): ClusterStats = {
     val rows = perVec
       .groupBy("cluster").agg(max("d").as("r"), max("nrm").as("mx"),
         org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .collect()
-    val radius = new Array[Double](cents.length)
-    val members = new Array[Long](cents.length)
+    val radius = new Array[Double](k)
+    val members = new Array[Long](k)
     var maxNorm = 0.0
     rows.foreach { r =>
       radius(r.getInt(0)) = r.getDouble(1); members(r.getInt(0)) = r.getLong(3)
@@ -285,6 +291,40 @@ object IvfAnn {
     }
     ClusterStats(radius, members, maxNorm)
   }
+
+  /** ONE corpus assignment pass serving BOTH the pruning stats and the
+    * (vec_id, cluster) inverted-list frame — IvfIndex.write's r20
+    * fusion applied to the in-memory exact-search family (r21, guide
+    * §1.2: knnExact/rangeSearch ran clusterStats' full k-distance pass
+    * and then RE-ASSIGNED the whole corpus inside the candidate join).
+    * The per-vector frame is eagerly localCheckpointed (four narrow
+    * columns, two orders below the embedding payload), so the stats
+    * aggregate and the candidate join both read the checkpointed
+    * blocks. The cluster/d/nrm expressions are the very ones the
+    * separate passes evaluate — assignments, tie order, and stats are
+    * bit-identical by construction (AnnOracleParitySpec and the
+    * e01-family oracles gate it). Above [[LiteralKCeiling]] the
+    * separate passes remain: assign's degenerate-input guards (NULL
+    * vec_id/embedding) live there and must stay authoritative. */
+  private[operators] def clusterStatsAndCorpus(emb: DataFrame,
+      cents: Seq[Array[Double]]): (ClusterStats, DataFrame) =
+    if (cents.length > LiteralKCeiling)
+      (clusterStats(emb, cents),
+        assign(emb, cents)
+          .select(col("vec_id"), col("label").cast("int").as("cluster")))
+    else {
+      val perVec = emb
+        .withColumn("dists", distArray(cents))
+        .withColumn("cluster", element_at(nearestClusters(cents.length, 1), 1))
+        .select(col("vec_id"), col("cluster"),
+          sqrt(element_at(col("dists"), col("cluster") + 1)).as("d"),
+          sqrt(graft.functions.ArrayMath.dot(
+            col("embedding").cast("array<double>"),
+            col("embedding").cast("array<double>"))).as("nrm"))
+        .localCheckpoint(true)
+      (statsFromPerVec(perVec.select("cluster", "d", "nrm"), cents.length),
+        perVec.select(col("vec_id"), col("cluster").cast("int").as("cluster")))
+    }
 
   /** Base double-fp slack on the pruning bounds, scaled at use sites by
     * (1 + ‖p‖ + maxNorm). Has to dominate two error sources: (a) double
@@ -485,9 +525,11 @@ object IvfAnn {
     * shared candidate generator of [[knnExact]] and [[IvfPq.knnExact]]. */
   private[operators] def exactCandidatePairs(emb: DataFrame,
       cents: Seq[Array[Double]], stats: ClusterStats, probePred: Column,
-      topK: Int): DataFrame = {
-    val corpus = assign(emb, cents)
-      .select(col("vec_id"), col("label").cast("int").as("cluster"))
+      topK: Int, corpusOpt: Option[DataFrame] = None): DataFrame = {
+    // the corpus inverted list normally arrives pre-assigned from
+    // [[clusterStatsAndCorpus]]'s shared pass; the fallback re-assigns
+    val corpus = corpusOpt.getOrElse(assign(emb, cents)
+      .select(col("vec_id"), col("label").cast("int").as("cluster")))
     val probeClusters =
       probeClustersExact(emb.filter(probePred), cents, stats, topK)
         .select(col("vec_id").as("query_id"), col("cluster"))
@@ -524,9 +566,7 @@ object IvfAnn {
     require(num >= 0 && den > 0, s"threshold fraction $num/$den")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cents = trainCentroids(emb, k, iters)
-    val stats = clusterStats(emb, cents)
-    val corpus = assign(emb, cents)
-      .select(col("vec_id"), col("label").cast("int").as("cluster"))
+    val (stats, corpus) = clusterStatsAndCorpus(emb, cents)
     // per-probe integer threshold (qself) + its double image (tdot,
     // derived inside the probe stage; 2^40 is the quantized-dot scale)
     val probeClusters =
@@ -561,8 +601,9 @@ object IvfAnn {
     import org.apache.spark.sql.expressions.Window
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cents = trainCentroids(emb, k, iters)
-    val stats = clusterStats(emb, cents)
-    val pairs = exactCandidatePairs(emb, cents, stats, probePred, topK)
+    val (stats, corpus) = clusterStatsAndCorpus(emb, cents)
+    val pairs = exactCandidatePairs(emb, cents, stats, probePred, topK,
+      Some(corpus))
     val qvs = emb.select(col("vec_id"), expr(quant).as("qv"))
     val cands = pairs
       .join(qvs.select(col("vec_id").as("query_id"), col("qv").as("pq")), "query_id")

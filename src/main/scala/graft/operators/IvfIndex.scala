@@ -90,8 +90,31 @@ object IvfIndex {
         col("label").cast("int").as("cluster"), col("d"), col("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      assigned.select(col("vec_id"), col("embedding"), col("cluster"))
+      // §6 file-layout hygiene (r21): with a multi-partition corpus the
+      // zero-shuffle write emits one file per (input partition ×
+      // cluster present in it) — up to k × tasks small files, the
+      // many-small-files failure a persisted partitioned layout exists
+      // to avoid. A cluster-keyed REBALANCE makes each cluster's rows
+      // contiguous in one writer → ≈ one file per cluster (the Iceberg
+      // write.distribution-mode=hash posture); AQE both coalesces tiny
+      // clusters into shared writers and splits a skewed cluster across
+      // several. The rebalance is GATED on the input actually being
+      // multi-partition: a single-partition corpus (every gate-SF
+      // bench) already writes exactly one file per cluster, and the
+      // exchange would be pure cost there — the gate derives from the
+      // data, not the local core count, so the same code stays
+      // shuffle-free at bench scale and compact at 100 TB.
+      // maxRecordsPerFile bounds a giant cluster's file near the
+      // ~128 MB target band, derived from the measured dim.
+      val data = assigned.select(col("vec_id"), col("embedding"), col("cluster"))
+      val clustered =
+        if (data.rdd.getNumPartitions > 1) data.hint("rebalance", col("cluster"))
+        else data
+      val dim = cents.head.length
+      val rowsPerFile = math.max(1L, (128L << 20) / (dim.toLong * 8 + 32))
+      clustered
         .write.mode("overwrite").partitionBy("cluster")
+        .option("maxRecordsPerFile", rowsPerFile)
         .parquet(s"$indexDir/data")
       val rows = assigned.groupBy("cluster")
         .agg(max("d").as("r"), max("nrm").as("mx"), count(lit(1)).as("n"))

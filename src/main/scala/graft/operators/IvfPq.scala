@@ -163,8 +163,11 @@ object IvfPq {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cb = trainCodebooks(emb, m, pqK, iters)
     val cents = IvfAnn.trainCentroids(emb, coarseK, iters)
-    val stats = IvfAnn.clusterStats(emb, cents)
-    val pairs = IvfAnn.exactCandidatePairs(emb, cents, stats, probePred, topK)
+    // one shared assignment pass feeds stats AND the inverted-list
+    // side of the candidate join (r21 — IvfIndex.write's fusion)
+    val (stats, corpus) = IvfAnn.clusterStatsAndCorpus(emb, cents)
+    val pairs = IvfAnn.exactCandidatePairs(emb, cents, stats, probePred, topK,
+      Some(corpus))
 
     val codes = emb.select(col("vec_id").as("cand_id"), codesCol(cb).as("codes"),
       reconErrCol(cb).as("rerr"))

@@ -104,19 +104,41 @@ object PqIndex {
     // codebooks may train on a fraction; stats and per-vector rerr stay
     // full-corpus, so searchExact's proof is untouched
     val cents = IvfAnn.trainCentroids(emb, coarseK, iters, trainSampleFraction)
-    val stats = IvfAnn.clusterStats(emb, cents)
     val cb = IvfPq.trainCodebooks(emb, m, pqK, iters, trainSampleFraction)
     val fp = srcFingerprint(emb)
     Fs.mkdirs(indexDir, c)
     Fs.writeStringAtomic(rebuildMarker(indexDir), "", c)
-    IvfAnn.assign(emb, cents)
-      .select(col("vec_id"), col("embedding"),
-        IvfPq.codesCol(cb).as("codes"), IvfPq.reconErrCol(cb).as("rerr"),
-        col("label").cast("int").as("cluster"))
-      .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$indexDir/data")
-    writeMeta(indexDir, Meta(coarseK, cents.head.length, stats.maxNorm,
-      cents, stats.radius, stats.count, cb, Some(fp)), c)
+    // ONE assignment pass feeds both the data write and the pruning
+    // stats (r21 — IvfIndex.write's r20 fusion: clusterStats ran its
+    // own full assignment pass and assign a second one). Bit-identical
+    // meta: distToAssigned evaluates the same l2sq kernel on the same
+    // operands, and max/count aggregates are order-insensitive on
+    // exact doubles (PqIndexSpec's exactness gates pin it).
+    val assigned = IvfAnn.distToAssigned(IvfAnn.assign(emb, cents), cents)
+      .withColumn("nrm", sqrt(graft.functions.ArrayMath.dot(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assigned
+        .select(col("vec_id"), col("embedding"),
+          IvfPq.codesCol(cb).as("codes"), IvfPq.reconErrCol(cb).as("rerr"),
+          col("label").cast("int").as("cluster"))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$indexDir/data")
+      val rows = assigned.groupBy(col("label").cast("int").as("cluster"))
+        .agg(max("d").as("r"), max("nrm").as("mx"), count(lit(1)).as("n"))
+        .collect()
+      val radius = new Array[Double](cents.length)
+      val counts = new Array[Long](cents.length)
+      var maxNorm = 0.0
+      rows.foreach { r =>
+        radius(r.getInt(0)) = r.getDouble(1); counts(r.getInt(0)) = r.getLong(3)
+        maxNorm = math.max(maxNorm, r.getDouble(2))
+      }
+      writeMeta(indexDir, Meta(coarseK, cents.head.length, maxNorm,
+        cents, radius, counts, cb, Some(fp)), c)
+    } finally { assigned.unpersist(false); () }
     Fs.deleteTree(rebuildMarker(indexDir), c)
   }
 

@@ -587,11 +587,31 @@ object Curation {
     * Curate CLI's card artifact (one implementation, no drift). */
   private[graft] def dataCard(docs: DataFrame): DataFrame = {
         val toks = graft.queries.TextMedia.toks
-        val scalars = docs.select(
-            count(lit(1)).as("n_docs"),
-            sum(expr(s"size($toks)")).as("n_tokens"),
-            sum(expr("octet_length(cast(text as binary))")).as("n_bytes"),
-            countDistinct(md5(col("text").cast("binary"))).as("n_distinct"))
+        // ONE corpus scan (r21, guide §1.2 — the three union branches
+        // used to scan `docs` once each, re-paying the tokenize/md5
+        // work twice): group by (digest, lang, source) — bounded by
+        // distinct content — and derive the scalar totals, the
+        // distinct-digest count, and both composition histograms from
+        // the grouped frame. Eagerly localCheckpointed so the three
+        // consumers read the small cached blocks instead of replaying
+        // the corpus aggregation; arithmetic per metric is unchanged
+        // (sums of per-group partial sums, countDistinct over the
+        // grouping key's digest component, n_docs coalesced to 0 so
+        // the empty-corpus row matches count(*)'s zero).
+        val grouped = docs
+          .select(md5(col("text").cast("binary")).as("digest"),
+            col("lang"), col("source"),
+            expr(s"size($toks)").as("ntok"),
+            expr("octet_length(cast(text as binary))").as("nbytes"))
+          .groupBy("digest", "lang", "source")
+          .agg(count(lit(1)).as("cnt"), sum("ntok").as("stok"),
+            sum("nbytes").as("sbytes"))
+          .localCheckpoint(true)
+        val scalars = grouped.select(
+            coalesce(sum(col("cnt")), lit(0L)).as("n_docs"),
+            sum(col("stok")).as("n_tokens"),
+            sum(col("sbytes")).as("n_bytes"),
+            countDistinct(col("digest")).as("n_distinct"))
           .select(explode(expr(
             """array(named_struct('metric', 'n_docs', 'value', n_docs),
                      named_struct('metric', 'n_tokens', 'value', n_tokens),
@@ -600,11 +620,11 @@ object Curation {
                      named_struct('metric', 'exact_dup_permille', 'value', (n_docs - n_distinct) * 1000 div n_docs))"""))
             .as("x"))
           .select(col("x.metric").as("metric"), col("x.value").cast("long").as("value"))
-        val langs = docs.groupBy(col("lang"))
-          .agg(count(lit(1)).as("value"))
+        val langs = grouped.groupBy(col("lang"))
+          .agg(sum(col("cnt")).as("value"))
           .select(concat(lit("lang:"), col("lang")).as("metric"), col("value"))
-        val sources = docs.groupBy(col("source"))
-          .agg(count(lit(1)).as("value"))
+        val sources = grouped.groupBy(col("source"))
+          .agg(sum(col("cnt")).as("value"))
           .select(concat(lit("source:"), col("source")).as("metric"), col("value"))
         scalars.unionByName(langs).unionByName(sources).orderBy("metric")
   }

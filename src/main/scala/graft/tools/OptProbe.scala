@@ -1,4 +1,4 @@
-package graft.operators
+package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * Spark job's wall time and call site are printed — the map from
   * bench seconds to pipeline stages.
   *
-  * Usage: runMain graft.operators.OptProbe [sfDir] [mode]
+  * Usage: runMain graft.tools.OptProbe [sfDir] [mode]
   */
 object OptProbe {
   def main(args: Array[String]): Unit = {

@@ -45,6 +45,34 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally rm(out)
   }
 
+  test("multi-partition corpus: the rebalanced write stays one-file-per-cluster and exact") {
+    // the r21 §6 layout change: with a multi-partition source the
+    // zero-shuffle write used to emit one file per (partition × cluster)
+    // — k × tasks fragments; the cluster-keyed REBALANCE bounds data
+    // files near the cluster count. This is the only test that takes
+    // that branch (bench corpora are single-partition), so it also
+    // proves the hint RESOLVES (an unresolved hint is silently ignored
+    // and the old fragmented layout would come back).
+    val dir = "/root/testdata/sf0.001"
+    val src = tmpDir()
+    val out = tmpDir()
+    try {
+      spark.read.parquet(s"$dir/embeddings.parquet").repartition(8)
+        .write.mode("overwrite").parquet(s"$src/embeddings.parquet")
+      IvfIndex.write(spark, src, out, k = 16)
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(out, "data"))
+        .filter(p => p.toString.endsWith(".parquet")).count()
+      // unfragmented: at most ~one file per non-empty cluster (16), far
+      // below the 8 × 16 = 128 the per-task layout would produce
+      assert(files <= 20, s"expected ≈k data files, got $files")
+      val fromIndex = IvfIndex.searchExact(spark, out, col("vec_id") < 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val inMemory = IvfAnn.knnExact(spark, dir, col("vec_id") < 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(fromIndex.nonEmpty && fromIndex.toSeq === inMemory.toSeq)
+    } finally { rm(src); rm(out) }
+  }
+
   test("big-k index (k > LiteralKCeiling): row-form probe stages stay exact") {
     // the k = sqrt(n) dial's whole lifecycle — join-trained centroids,
     // join assignment, row-form exact/range/nearest probe stages —
